@@ -1,0 +1,96 @@
+"""FullTextIndex — the engine facade.
+
+Build pipeline (SURVEY §7): tokenize → doc stats + postings (no shuffle) →
+term stats (one agg shuffle) → [optional] encoded posting segments
+(operators/segments.py). Query: parse → plan → execute (plans/executor.py
+DataFrame path, plans/kernel.py block-max WAND kernel path).
+
+The reference's equivalent lifecycle is SimpleIndex + Ingestor
+(/root/reference/src/Index/src/SimpleIndex.cpp, Ingestor.cpp:210-269) and
+QueryRunner (/root/reference/src/Plan/src/QueryRunner.cpp:282-402).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bitfunnel_spark.config import BuildConfig
+from bitfunnel_spark.operators import statistics as stats
+
+
+@dataclass
+class FullTextIndex:
+    spark: SparkSession
+    config: BuildConfig
+    corpus: DataFrame  # (doc_id, repo, path, commit, lang, content, content_sha256)
+    doc_stats: DataFrame  # (doc_id, doclen, shard, slice, content_sha256)
+    postings: DataFrame  # (term, stream, doc_id, tf, doclen, shard, slice)
+    term_stats: DataFrame  # (term, stream, df, idf, idf_x10, treatment)
+    n_docs: int
+    avgdl: float
+    segments: DataFrame | None = None  # encoded posting segments (built on demand)
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        config: BuildConfig | None = None,
+        cache: bool = True,
+        segments: bool = False,
+    ) -> "FullTextIndex":
+        config = config or BuildConfig()
+        ds = stats.doc_stats(corpus, config)
+        p = stats.postings(corpus, config)
+        if cache:
+            p = p.cache()
+        meta = stats.corpus_meta(ds)
+        ts = stats.term_stats(p, meta["n_docs"], config)
+        if cache:
+            ts = ts.cache()
+        idx = cls(
+            spark=spark,
+            config=config,
+            corpus=corpus,
+            doc_stats=ds,
+            postings=p,
+            term_stats=ts,
+            n_docs=meta["n_docs"],
+            avgdl=meta["avgdl"],
+        )
+        if segments:
+            idx.build_segments(cache=cache)
+        return idx
+
+    def build_segments(self, cache: bool = True) -> DataFrame:
+        from bitfunnel_spark.operators.segments import build_segments
+
+        seg = build_segments(self.postings, self.avgdl, self.config)
+        if cache:
+            seg = seg.cache()
+        self.segments = seg
+        return seg
+
+    # ---- query API ----------------------------------------------------
+
+    def match(self, query: str) -> DataFrame:
+        """Reference semantics: the full unscored boolean match set
+        (ResultsBuffer analogue) as DataFrame[doc_id]."""
+        from bitfunnel_spark.plans.executor import match_dataframe
+
+        return match_dataframe(self, query)
+
+    def search(self, query: str, k: int = 10, mode: str = "dataframe") -> DataFrame:
+        """BM25 top-k: DataFrame[(doc_id, score)], score rounded to 4 dp,
+        ordered (score desc, doc_id asc)."""
+        if mode == "dataframe":
+            from bitfunnel_spark.plans.executor import search_dataframe
+
+            return search_dataframe(self, query, k)
+        if mode == "kernel":
+            from bitfunnel_spark.plans.kernel import search_kernel
+
+            return search_kernel(self, query, k)
+        raise ValueError(f"unknown mode {mode!r}")

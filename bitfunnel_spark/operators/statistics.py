@@ -1,0 +1,157 @@
+"""Build pass 1 — corpus statistics (≈ `BitFunnel statistics`, SURVEY §3.2).
+
+The reference's first pass ingests every chunk to produce a
+DocumentHistogram, per-shard CumulativeTermCounts and a
+DocumentFrequencyTable (/root/reference/src/Index/src/Ingestor.cpp:133-156,
+DocumentFrequencyTableBuilder.cpp:40-73). Ours is a handful of declarative
+DataFrame jobs over the tokenized corpus; partial (map-side) aggregation is
+automatic for every groupBy here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.config import BuildConfig
+from bitfunnel_spark.functions.tokenizer import doc_term_freqs, tokenize
+from bitfunnel_spark.operators.sharding import shard_of
+
+# Streams ≈ the reference's document zones (body 00 / title 01 / url 02 —
+# /root/reference/src/Data/src/Sonnets.cpp:36-56). For source code:
+#   body <- content tokens (the scoring stream), path <- path tokens,
+#   lang/repo <- single-token metadata streams (filter-only, like facts —
+#   /root/reference/inc/BitFunnel/Index/IFactSet.h).
+BODY, PATH, LANG, REPO = "body", "path", "lang", "repo"
+FILTER_STREAMS = (PATH, LANG, REPO)
+
+
+def doc_stats(corpus: DataFrame, config: BuildConfig) -> DataFrame:
+    """(doc_id, doclen, shard, slice, content_sha256) — doclen counts BODY tokens.
+
+    `slice` is the intra-shard hash partition of document space (the
+    parallel matching unit; config.n_slices). shard/slice are pure functions
+    of (doclen, doc_id): no shuffle, survives any repartitioning.
+    """
+    doclen = F.size(tokenize("content"))
+    return corpus.select(
+        "doc_id",
+        doclen.alias("doclen"),
+        shard_of(doclen, config.shard_boundaries).alias("shard"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(config.n_slices)).cast("int").alias("slice"),
+        "content_sha256",
+    )
+
+
+def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
+    """(term, stream, doc_id, tf, doclen, shard, slice) — one row per posting.
+
+    Built entirely with JVM higher-order functions: tokenize → per-doc tf
+    map (functions/tokenizer.doc_term_freqs — no shuffle) → explode. The
+    reference's analogue is Document::Ingest → Shard::AddPosting
+    (/root/reference/src/Index/src/Shard.cpp:396-418), which drops tf; we
+    keep tf for BM25. doclen (BODY token count) is denormalized onto every
+    posting so BM25 needs no join at query time.
+    """
+    body_tokens = tokenize("content")
+    doclen = F.size(body_tokens)
+    base = corpus.select(
+        "doc_id",
+        doclen.alias("doclen"),
+        shard_of(doclen, config.shard_boundaries).alias("shard"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(config.n_slices)).cast("int").alias("slice"),
+        doc_term_freqs(body_tokens).alias("_body"),
+        doc_term_freqs(tokenize("path")).alias("_path"),
+        F.lower(F.col("lang")).alias("_lang"),
+        F.lower(F.col("repo")).alias("_repo"),
+    )
+    body = base.select(
+        F.explode("_body").alias("p"), "doc_id", "doclen", "shard", "slice"
+    ).select(
+        F.col("p.term").alias("term"),
+        F.lit(BODY).alias("stream"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        "doclen",
+        "shard",
+        "slice",
+    )
+    path = base.select(
+        F.explode("_path").alias("p"), "doc_id", "doclen", "shard", "slice"
+    ).select(
+        F.col("p.term").alias("term"),
+        F.lit(PATH).alias("stream"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        "doclen",
+        "shard",
+        "slice",
+    )
+    meta = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_lang").alias("term"), F.lit(LANG).alias("stream")),
+                F.struct(F.col("_repo").alias("term"), F.lit(REPO).alias("stream")),
+            )
+        ).alias("p"),
+        "doc_id",
+        "doclen",
+        "shard",
+        "slice",
+    ).select("p.term", "p.stream", "doc_id", F.lit(1).alias("tf"), "doclen", "shard", "slice")
+    return body.unionByName(path).unionByName(meta)
+
+
+def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
+    """(term, stream, df, idf, idf_x10, treatment) — the term dictionary.
+
+    df counts documents (postings are already unique per (doc, term,
+    stream)); idf is the BM25 idf; idf_x10 mirrors the reference's IdfX10
+    (round(10*log10(N/df)) capped at 60 — /root/reference/inc/BitFunnel/Term.h:63-81);
+    treatment is the df-band encoding route (operators/treatments.py ≈
+    ITermTreatment).
+    """
+    from bitfunnel_spark.operators.treatments import treatment_of
+
+    df_col = F.count("*").alias("df")
+    out = postings_df.groupBy("term", "stream").agg(df_col)
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf_x10 = F.least(
+        F.round(10.0 * F.log10(F.lit(float(n_docs)) / F.col("df"))), F.lit(60.0)
+    ).cast("int")
+    return out.select(
+        "term",
+        "stream",
+        "df",
+        idf.alias("idf"),
+        idf_x10.alias("idf_x10"),
+        treatment_of(F.col("df"), n_docs, config).alias("treatment"),
+    )
+
+
+def corpus_meta(doc_stats_df: DataFrame) -> dict:
+    """Global scalars: N and avgdl (exact, float64). Single tiny agg."""
+    row = doc_stats_df.agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    return {"n_docs": int(row["n_docs"]), "avgdl": avgdl}
+
+
+def idf_value(n_docs: int, df: int) -> float:
+    """Scalar BM25 idf — shared by kernels and tests."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def document_frequency_table(term_stats_df: DataFrame, n_docs: int, min_frequency: float = 0.0) -> DataFrame:
+    """The reference's DocumentFrequencyTable: (term, stream, df, frequency),
+    sorted desc, truncated below a frequency threshold
+    (DocumentFrequencyTableBuilder.cpp:48-73)."""
+    out = term_stats_df.select(
+        "term", "stream", "df", (F.col("df") / F.lit(float(n_docs))).alias("frequency")
+    )
+    if min_frequency > 0:
+        out = out.filter(F.col("frequency") >= min_frequency)
+    return out.orderBy(F.desc("frequency"), F.asc("term"))

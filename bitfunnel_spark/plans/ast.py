@@ -1,0 +1,66 @@
+"""Query AST — the analogue of the reference's TermMatchNode
+(/root/reference/inc/BitFunnel/Plan/TermMatchNode.h:45-63): And, Or, Not,
+Phrase, Unigram (our Term), Fact (our filter-stream Term)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_STREAM = "body"
+STREAMS = ("body", "path", "lang", "repo")
+
+
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    text: str
+    stream: str = DEFAULT_STREAM
+
+    @property
+    def key(self) -> str:
+        return f"{self.stream}:{self.text}"
+
+
+@dataclass(frozen=True)
+class Phrase(Node):
+    tokens: tuple[str, ...]
+    stream: str = DEFAULT_STREAM
+
+    @property
+    def text(self) -> str:
+        return " ".join(self.tokens)
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple[Node, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple[Node, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    child: Node
+
+
+def fmt(node: Node) -> str:
+    """Compact printable form (mirrors the reference's test golden format —
+    QueryParserTest.cpp renders ASTs as strings)."""
+    if isinstance(node, Term):
+        return node.text if node.stream == DEFAULT_STREAM else f"{node.stream}:{node.text}"
+    if isinstance(node, Phrase):
+        body = '"' + " ".join(node.tokens) + '"'
+        return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Not):
+        return f"Not({fmt(node.child)})"
+    if isinstance(node, And):
+        return "And(" + ", ".join(fmt(c) for c in node.children) + ")"
+    if isinstance(node, Or):
+        return "Or(" + ", ".join(fmt(c) for c in node.children) + ")"
+    raise TypeError(type(node))

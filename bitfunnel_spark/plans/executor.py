@@ -1,0 +1,134 @@
+"""DataFrame-path query executor.
+
+Evaluates a boolean query + BM25 entirely with declarative DataFrame ops —
+Catalyst handles pushdown/broadcast/codegen. This path is the correctness
+anchor (oracle-comparable, see plans/oracle.py) and is itself scalable: one
+filtered scan of postings (term-key pushdown), one hash aggregation by
+doc_id, a broadcast join of the tiny per-query term dictionary, and a global
+top-k (partial per-partition TopK then final — Spark's TakeOrderedAndProject).
+
+The kernel path (plans/kernel.py) replaces the hash-agg with galloping
+intersection + block-max WAND over encoded segments; both must produce
+rank-identical results (tested).
+
+Semantics (SURVEY §2.5):
+- AND/OR/NOT over per-document hit sets; NOT terms never score.
+- Phrase = adjacency of constituent tokens (exact, via the tokenized text);
+  constituents also contribute to BM25 like unigrams (the reference treats a
+  phrase as the AND of its grams — TermMatchTreeConverter.cpp:55-229).
+- Scoring: standard BM25 over the positive BODY-stream terms present.
+- Determinism contract with the oracle: score rounded half-up to 4 dp,
+  ordered (score desc, doc_id asc), ties broken by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.functions.tokenizer import tokenize
+from bitfunnel_spark.operators.statistics import BODY
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.planner import QueryPlan, plan_query
+
+_STREAM_TEXT = {"body": "content", "path": "path", "lang": "lang", "repo": "repo"}
+
+
+def _phrase_doc_ids(index, phrase: Phrase, candidates: DataFrame | None) -> DataFrame:
+    """doc_ids whose tokenized stream text contains the phrase adjacently.
+
+    Scoped to candidate docs first (semi-join) so the corpus scan + regex
+    only touches documents that already contain all constituents. The scale
+    path replaces this with positional postings; the semantics anchor stays.
+    """
+    col = _STREAM_TEXT[phrase.stream]
+    padded = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
+    src = index.corpus
+    if candidates is not None:
+        src = src.join(candidates.select("doc_id"), "doc_id", "left_semi")
+    return src.filter(padded.contains(f" {phrase.text} ")).select("doc_id")
+
+
+def _bool_expr(node: Node, phrase_cols: dict[Phrase, str]) -> Column:
+    if isinstance(node, Term):
+        return F.array_contains(F.col("hits"), node.key)
+    if isinstance(node, Phrase):
+        return F.coalesce(F.col(phrase_cols[node]), F.lit(False))
+    if isinstance(node, Not):
+        return ~_bool_expr(node.child, phrase_cols)
+    if isinstance(node, And):
+        out = F.lit(True)
+        for c in node.children:
+            out = out & _bool_expr(c, phrase_cols)
+        return out
+    if isinstance(node, Or):
+        out = F.lit(False)
+        for c in node.children:
+            out = out | _bool_expr(c, phrase_cols)
+        return out
+    raise TypeError(type(node))
+
+
+def _hits(index, plan: QueryPlan) -> DataFrame:
+    """(doc_id, hits: array<stream:term>, score) for docs containing ≥1 query term.
+
+    One filtered posting scan (the `key IN (...)` predicate prunes on the
+    term/term_bucket partition columns when reading a persisted index) + one
+    hash agg. idf arrives via broadcast join of the per-query slice of the
+    term dictionary.
+    """
+    keys = sorted(f"{s}:{t}" for s, t in plan.terms)
+    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
+    p = index.postings.withColumn("key", key_col).filter(F.col("key").isin(keys))
+    ts = index.term_stats.withColumn("key", key_col).filter(F.col("key").isin(keys))
+    bm = index.config.bm25
+    joined = p.join(F.broadcast(ts.select("key", "idf")), "key", "left")
+    norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
+    contrib = F.when(
+        (F.col("stream") == BODY) & F.col("term").isin(sorted(plan.scoring_terms)),
+        F.coalesce(F.col("idf"), F.lit(0.0))
+        * F.col("tf")
+        * (bm.k1 + 1.0)
+        / (F.col("tf") + norm),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.collect_set("key").alias("hits"), F.sum("contrib").alias("score"))
+    )
+
+
+def _matched(index, plan: QueryPlan) -> DataFrame:
+    hits = _hits(index, plan)
+    phrase_cols: dict[Phrase, str] = {}
+    for i, (ph, _neg) in enumerate(plan.phrases):
+        if ph in phrase_cols:
+            continue
+        name = f"_ph_{i}"
+        phrase_cols[ph] = name
+        ph_docs = _phrase_doc_ids(index, ph, hits).withColumn(name, F.lit(True))
+        hits = hits.join(ph_docs, "doc_id", "left")
+    return hits.filter(_bool_expr(plan.ast, phrase_cols))
+
+
+def _as_plan(query) -> QueryPlan:
+    if isinstance(query, QueryPlan):
+        return query
+    if isinstance(query, str):
+        return plan_query(parse_query(query))
+    return plan_query(query)  # an AST Node
+
+
+def match_dataframe(index, query) -> DataFrame:
+    """Unscored boolean match set (the reference's semantics —
+    ResultsBuffer.h:38-88 holds matches only)."""
+    return _matched(index, _as_plan(query)).select("doc_id")
+
+
+def search_dataframe(index, query, k: int = 10) -> DataFrame:
+    """BM25 top-k as DataFrame[(doc_id, score)]; see module docstring for the
+    determinism contract."""
+    plan = _as_plan(query)
+    res = _matched(index, plan).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,140 @@
+"""DuckDB oracle-SQL generation.
+
+For any query AST, emit standalone ANSI-ish SQL (DuckDB dialect) over the
+pre-registered `documents` view that computes the *same* match set and BM25
+top-k as the Spark engine — same tokenizer regex, same streams, same BM25
+formula, same rounding and tie-breaking. This mirrors the reference's
+oracle-based verification (TermMatchTreeEvaluator + MatchVerifier —
+/root/reference/src/Plan/src/VerifyOneQuery.cpp:47-125): an independent
+brute-force evaluation of the query semantics, here in a different engine
+entirely. Our index is exact, so we demand zero false positives AND zero
+false negatives (stricter than the reference's FP-tolerant check,
+MatchVerifier.cpp:205-221).
+"""
+
+from __future__ import annotations
+
+from bitfunnel_spark.config import TOKEN_PATTERN, BuildConfig
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.planner import QueryPlan, plan_query
+
+_PAT = TOKEN_PATTERN.replace("'", "''")
+
+# documents(doc_id, text, lang, source, n_chars) → canonical corpus streams.
+# Must mirror sources/corpus.corpus_from_documents + operators/statistics.
+CORPUS_CTE = f"""corpus AS (
+  SELECT doc_id,
+         lower(text) AS body_text,
+         'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path_text,
+         lower(lang) AS lang_text,
+         lower(source) AS repo_text
+  FROM documents
+),
+body_tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS term FROM corpus
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM body_tok GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM corpus) AS n_docs,
+         CAST((SELECT coalesce(sum(doclen), 0) FROM dl) AS DOUBLE)
+           / (SELECT count(*) FROM corpus) AS avgdl
+),
+tf AS (
+  SELECT doc_id, 'body' AS stream, term, count(*) AS tf FROM body_tok GROUP BY doc_id, term
+  UNION ALL
+  SELECT doc_id, 'path' AS stream, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(path_text, '{_PAT}')) AS term FROM corpus)
+  GROUP BY doc_id, term
+  UNION ALL SELECT doc_id, 'lang' AS stream, lang_text AS term, 1 AS tf FROM corpus
+  UNION ALL SELECT doc_id, 'repo' AS stream, repo_text AS term, 1 AS tf FROM corpus
+),
+dfreq AS (SELECT stream, term, count(*) AS df FROM tf GROUP BY stream, term)"""
+
+_STREAM_TEXT = {"body": "body_text", "path": "path_text", "lang": "lang_text", "repo": "repo_text"}
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _phrase_subquery(ph: Phrase) -> str:
+    col = _STREAM_TEXT[ph.stream]
+    return (
+        "h.doc_id IN (SELECT doc_id FROM corpus WHERE contains("
+        f"' ' || array_to_string(regexp_extract_all({col}, '{_PAT}'), ' ') || ' ', "
+        f"{_q(' ' + ph.text + ' ')}))"
+    )
+
+
+def _bool_sql(node: Node) -> str:
+    if isinstance(node, Term):
+        return f"list_contains(h.hitkeys, {_q(node.stream + ':' + node.text)})"
+    if isinstance(node, Phrase):
+        return _phrase_subquery(node)
+    if isinstance(node, Not):
+        return f"(NOT {_bool_sql(node.child)})"
+    if isinstance(node, And):
+        return "(" + " AND ".join(_bool_sql(c) for c in node.children) + ")"
+    if isinstance(node, Or):
+        return "(" + " OR ".join(_bool_sql(c) for c in node.children) + ")"
+    raise TypeError(type(node))
+
+
+def _as_plan(query) -> QueryPlan:
+    if isinstance(query, QueryPlan):
+        return query
+    if isinstance(query, str):
+        return plan_query(parse_query(query))
+    return plan_query(query)
+
+
+def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
+    keys = sorted(f"{s}:{t}" for s, t in plan.terms)
+    key_list = ", ".join(_q(k) for k in keys)
+    scoring = sorted(plan.scoring_terms)
+    k1, b = config.bm25.k1, config.bm25.b
+    if scoring:
+        scoring_list = ", ".join(_q(t) for t in scoring)
+        contrib = (
+            f"CASE WHEN tf.stream = 'body' AND tf.term IN ({scoring_list}) THEN "
+            f"ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
+            f"* tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "
+            f"* coalesce(dl.doclen, 0) / meta.avgdl)) ELSE 0.0 END"
+        )
+    else:
+        contrib = "0.0"
+    return f"""hits AS (
+  SELECT tf.doc_id,
+         list(tf.stream || ':' || tf.term) AS hitkeys,
+         sum({contrib}) AS score
+  FROM tf
+  JOIN dfreq USING (stream, term)
+  LEFT JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta
+  WHERE (tf.stream || ':' || tf.term) IN ({key_list})
+  GROUP BY tf.doc_id
+)"""
+
+
+def oracle_search_sql(query, k: int = 10, config: BuildConfig | None = None) -> str:
+    """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
+        f"FROM hits h\nWHERE {_bool_sql(plan.ast)}\n"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}"
+    )
+
+
+def oracle_match_sql(query, config: BuildConfig | None = None) -> str:
+    """Unscored full match set oracle: SELECT doc_id."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"SELECT h.doc_id AS doc_id\nFROM hits h\nWHERE {_bool_sql(plan.ast)}\n"
+        f"ORDER BY h.doc_id ASC"
+    )

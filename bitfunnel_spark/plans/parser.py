@@ -1,0 +1,141 @@
+r"""Recursive-descent query parser — the reference grammar
+(/root/reference/inc/BitFunnel/Plan/QueryParser.h:79-104,
+src/Plan/src/QueryParser.cpp):
+
+    OR     := AND ( '|' AND )*
+    AND    := SIMPLE ( '&'? SIMPLE )*
+    SIMPLE := '-' SIMPLE | '(' OR ')' | TERM
+    TERM   := [stream:]unigram | [stream:]'"' unigram+ '"'
+
+Unigram characters: anything except space and the specials ``& | ( ) " -``;
+``\`` escapes the next character. Terms are lowercased (the engine tokenizes
+lowercased text). Driver-side pure Python — no Spark here.
+"""
+
+from __future__ import annotations
+
+from bitfunnel_spark.plans.ast import DEFAULT_STREAM, STREAMS, And, Node, Not, Or, Phrase, Term
+
+SPECIALS = set('&|()"- \t\n\r')
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.s = text
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.s[self.i] if self.i < len(self.s) else None
+
+    def skip_ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i] in " \t\n\r":
+            self.i += 1
+
+    def expect(self, ch: str) -> None:
+        if self.peek() != ch:
+            raise QueryParseError(f"expected {ch!r} at offset {self.i} in {self.s!r}")
+        self.i += 1
+
+    def parse_or(self) -> Node:
+        children = [self.parse_and()]
+        while True:
+            self.skip_ws()
+            if self.peek() == "|":
+                self.i += 1
+                children.append(self.parse_and())
+            else:
+                break
+        return children[0] if len(children) == 1 else Or(tuple(children))
+
+    def parse_and(self) -> Node:
+        children = [self.parse_simple()]
+        while True:
+            self.skip_ws()
+            c = self.peek()
+            if c == "&":
+                self.i += 1
+                children.append(self.parse_simple())
+            elif c is not None and c not in "|)":
+                children.append(self.parse_simple())
+            else:
+                break
+        return children[0] if len(children) == 1 else And(tuple(children))
+
+    def parse_simple(self) -> Node:
+        self.skip_ws()
+        c = self.peek()
+        if c is None:
+            raise QueryParseError(f"unexpected end of query: {self.s!r}")
+        if c == "-":
+            self.i += 1
+            return Not(self.parse_simple())
+        if c == "(":
+            self.i += 1
+            node = self.parse_or()
+            self.skip_ws()
+            self.expect(")")
+            return node
+        return self.parse_term()
+
+    def parse_unigram(self) -> str:
+        out = []
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\":
+                if self.i + 1 >= len(self.s):
+                    raise QueryParseError("trailing escape")
+                out.append(self.s[self.i + 1])
+                self.i += 2
+                continue
+            if c in SPECIALS or c == ":":
+                break
+            out.append(c)
+            self.i += 1
+        if not out:
+            raise QueryParseError(f"empty term at offset {self.i} in {self.s!r}")
+        return "".join(out).lower()
+
+    def parse_term(self) -> Node:
+        stream = DEFAULT_STREAM
+        save = self.i
+        word = self.parse_unigram() if self.peek() != '"' else None
+        if word is not None and self.peek() == ":":
+            if word not in STREAMS:
+                raise QueryParseError(f"unknown stream {word!r} (valid: {STREAMS})")
+            stream = word
+            self.i += 1
+            word = None
+            save = self.i
+        if word is None and self.peek() == '"':
+            self.i += 1
+            tokens = []
+            while True:
+                self.skip_ws()
+                if self.peek() == '"':
+                    self.i += 1
+                    break
+                if self.peek() is None:
+                    raise QueryParseError("unterminated phrase")
+                tokens.append(self.parse_unigram())
+            if not tokens:
+                raise QueryParseError("empty phrase")
+            if len(tokens) == 1:
+                return Term(tokens[0], stream)
+            return Phrase(tuple(tokens), stream)
+        if word is None:
+            self.i = save
+            word = self.parse_unigram()
+        return Term(word, stream)
+
+
+def parse_query(text: str) -> Node:
+    p = _Parser(text)
+    node = p.parse_or()
+    p.skip_ws()
+    if p.peek() is not None:
+        raise QueryParseError(f"trailing input at offset {p.i} in {text!r}")
+    return node

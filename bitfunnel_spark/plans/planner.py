@@ -1,0 +1,135 @@
+"""Query planner — AST normalization and term planning.
+
+The reference's planning pipeline is TermPlanConverter → MatchTreeRewriter →
+RankDownCompiler (/root/reference/src/Plan/src/QueryPlanner.cpp:51-165). Its
+rewriter pulls common high-rank rows left and distributes NOTs
+(MatchTreeRewriter.h:36-58); our analogue orders AND terms rarest-first
+(cheapest intersection drives) and normalizes NOTs, which is what an exact
+posting-list engine needs instead of rank ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+
+
+class QueryPlanError(ValueError):
+    pass
+
+
+def normalize(node: Node) -> Node:
+    """Flatten nested And/Or, collapse double negation, dedupe children."""
+    if isinstance(node, Not):
+        child = normalize(node.child)
+        if isinstance(child, Not):
+            return child.child
+        return Not(child)
+    if isinstance(node, (And, Or)):
+        cls = type(node)
+        out: list[Node] = []
+        seen = set()
+        for c in node.children:
+            c = normalize(c)
+            subs = c.children if isinstance(c, cls) else (c,)
+            for s in subs:
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+        if len(out) == 1:
+            return out[0]
+        return cls(tuple(out))
+    return node
+
+
+def collect_terms(node: Node) -> set[tuple[str, str]]:
+    """All (stream, token) pairs referenced — phrase constituents included."""
+    if isinstance(node, Term):
+        return {(node.stream, node.text)}
+    if isinstance(node, Phrase):
+        return {(node.stream, t) for t in node.tokens}
+    if isinstance(node, Not):
+        return collect_terms(node.child)
+    if isinstance(node, (And, Or)):
+        out: set[tuple[str, str]] = set()
+        for c in node.children:
+            out |= collect_terms(c)
+        return out
+    raise TypeError(type(node))
+
+
+def collect_phrases(node: Node, negated: bool = False) -> list[tuple[Phrase, bool]]:
+    if isinstance(node, Phrase):
+        return [(node, negated)]
+    if isinstance(node, Not):
+        return collect_phrases(node.child, not negated)
+    if isinstance(node, (And, Or)):
+        out: list[tuple[Phrase, bool]] = []
+        for c in node.children:
+            out += collect_phrases(c, negated)
+        return out
+    return []
+
+
+def positive_scoring_terms(node: Node) -> set[str]:
+    """BODY-stream tokens that contribute to BM25: every body term/phrase
+    constituent not under a NOT. NOT terms filter, never score (SURVEY §2.5);
+    phrases score through their constituent unigrams (the reference treats a
+    phrase as the AND of its grams — TermMatchTreeConverter.cpp:55-229)."""
+    out: set[str] = set()
+
+    def walk(n: Node, neg: bool) -> None:
+        if isinstance(n, Term):
+            if not neg and n.stream == "body":
+                out.add(n.text)
+        elif isinstance(n, Phrase):
+            if not neg and n.stream == "body":
+                out.update(n.tokens)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, neg)
+
+    walk(node, False)
+    return out
+
+
+def requires_positive(node: Node) -> bool:
+    """True iff every matching document must contain ≥1 positive term —
+    the condition under which hit-set evaluation (and any posting-driven
+    engine, including the reference, which ANDs the match against real rows)
+    is complete."""
+    if isinstance(node, (Term, Phrase)):
+        return True
+    if isinstance(node, Not):
+        return False
+    if isinstance(node, And):
+        return any(requires_positive(c) for c in node.children)
+    if isinstance(node, Or):
+        return all(requires_positive(c) for c in node.children)
+    raise TypeError(type(node))
+
+
+@dataclass
+class QueryPlan:
+    ast: Node
+    terms: set[tuple[str, str]]  # all (stream, token) incl. phrase constituents
+    scoring_terms: set[str]  # positive body tokens that contribute BM25
+    phrases: list[tuple[Phrase, bool]] = field(default_factory=list)
+
+
+def plan_query(node: Node) -> QueryPlan:
+    node = normalize(node)
+    if not requires_positive(node):
+        raise QueryPlanError(
+            "query match set is not driven by any positive term "
+            "(pure-NOT / NOT-only disjunct); not evaluable by a posting-driven engine"
+        )
+    return QueryPlan(
+        ast=node,
+        terms=collect_terms(node),
+        scoring_terms=positive_scoring_terms(node),
+        phrases=collect_phrases(node),
+    )

@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query (kernel-path BM25 top-10) on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data ops); callables take (spark, sf_dir).
+oracle_sql()  — matching DuckDB SQL per query (omitted only for the
+                genuinely non-SQL ops: the shard-boundary DP and the
+                numpy random-hyperplane LSH, which get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +14,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REGISTRY = None
+
+
+def _registry():
+    global _REGISTRY
+    if _REGISTRY is None:
+        from bitfunnel_spark.entry_queries import build_registry
+
+        _REGISTRY = build_registry()
+    return _REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the full-text index over sf0.001 and serve a BM25
+    top-10 conjunctive query through the kernel path (compressed segments +
+    NumPy block-max kernel)."""
+    from bitfunnel_spark.entry_queries import get_index
+
+    idx = get_index(spark, "/root/testdata/sf0.001")
+    return idx.search("data fast -slow", k=10, mode="kernel")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

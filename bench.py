@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the full index build (tokenize → postings → compressed segments → term
+stats) and the headline BM25 query set (kernel path) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Reference analogue: QueryRunner's QPS/latency summary
+(/root/reference/src/Plan/src/QueryRunner.cpp:282-402) + `statistics`
+ingest wall-clock. Fields: value = total suite seconds (build + queries);
+queries = per-query seconds; extras: build_sec, files_per_sec, qps,
+query_p50_sec, n_docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics as pystats
+import sys
+import time
+
+
+BENCH_QUERIES = [
+    ("q_and2", "data fast"),
+    ("q_and3", "spark join group"),
+    ("q_and_rare", "vector dup"),
+    ("q_or", "dup | vector"),
+    ("q_not", "data -slow"),
+    ("q_complex", "(dup | vector) join -merge"),
+    ("q_field", "lang:en data"),
+    ("q_phrase", '"batch batch"'),
+    ("q_common", "the a data"),
+    ("q_path", "path:txt key value"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+    from bitfunnel_spark.session import get_spark
+    from bitfunnel_spark.sources.corpus import corpus_from_documents, load_documents
+
+    spark = get_spark("bitfunnel-bench", cores=cpus, shuffle_partitions=cpus)
+
+    t_suite = time.time()
+    corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
+    n_docs = corpus.count()
+
+    t0 = time.time()
+    idx = FullTextIndex.build(spark, corpus, BuildConfig(n_slices=max(4, cpus // 4)))
+    seg = idx.build_segments(cache=True)
+    n_blocks = seg.count()  # materialize the whole build
+    idx.term_stats.count()
+    build_sec = time.time() - t0
+
+    # warm-up (JVM/Arrow path init — excluded, matches the reference warming
+    # its cache before `query log` timings)
+    idx.search("data", k=10, mode="kernel").collect()
+
+    queries: dict[str, float] = {}
+    for name, q in BENCH_QUERIES:
+        tq = time.time()
+        idx.search(q, k=10, mode="kernel").collect()
+        queries[name] = round(time.time() - tq, 4)
+
+    total = time.time() - t_suite
+    lat = sorted(queries.values())
+    out = {
+        "metric": "suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "n_segment_blocks": n_blocks,
+        "build_sec": round(build_sec, 3),
+        "files_per_sec": round(n_docs / build_sec, 2),
+        "query_p50_sec": round(pystats.median(lat), 4),
+        "qps": round(len(lat) / sum(lat), 3),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,498 @@
+"""Registry of driver-contract queries: name → (Spark callable, DuckDB oracle SQL).
+
+Every operator claimed in SURVEY §2 gets a queries() entry; each has an
+oracle unless genuinely non-SQL-expressible (then rows-only). Column names
+are aliased identically on both sides (driver hashes values after sorting
+columns by name). Float columns are rounded to 4 dp on both sides with
+matching formulas and accumulation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitfunnel_spark import BuildConfig, FullTextIndex
+from bitfunnel_spark.config import TOKEN_PATTERN
+from bitfunnel_spark.operators import dedup, multimodal, similarity, text
+from bitfunnel_spark.operators.sharding import DEFAULT_SHARD_BOUNDARIES, shard_case_sql
+from bitfunnel_spark.plans.oracle import CORPUS_CTE, oracle_match_sql, oracle_search_sql
+from bitfunnel_spark.sources.corpus import corpus_from_documents, load_documents
+
+_PAT = TOKEN_PATTERN
+
+# ---------------------------------------------------------------------------
+# index cache (one build per (session, sf_dir))
+
+_INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
+ENTRY_CONFIG = BuildConfig(n_slices=4)
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
+        _INDEX_CACHE[key] = FullTextIndex.build(spark, corpus, ENTRY_CONFIG)
+    return _INDEX_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# full-text queries (engine vs plans/oracle.py generator)
+
+SEARCH_QUERIES = {
+    "ft_bm25_and": ("spark & join", "kernel"),
+    "ft_bm25_not": ("data -slow", "dataframe"),
+    "ft_bm25_or": ("dup | vector", "kernel"),
+    "ft_bm25_complex": ("(dup | vector) join -merge", "dataframe"),
+    "ft_bm25_phrase": ('"batch batch"', "kernel"),
+    "ft_bm25_field": ("lang:en data", "dataframe"),
+    "ft_bm25_path": ("path:txt data fast", "kernel"),
+}
+MATCH_QUERIES = {
+    "ft_match_and_not": "customer window -stream",
+    "ft_match_or_group": "(dup | vector) join",
+}
+
+
+def _mk_search(q: str, mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_index(spark, sf_dir).search(q, k=10, mode=mode)
+
+    return fn
+
+
+def _mk_match(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_index(spark, sf_dir).match(q)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# build-statistics queries
+
+def q_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.term_stats.filter(F.col("stream") == "body")
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+SQL_DF_TABLE = f"""WITH {CORPUS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM body_tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 50"""
+
+
+def q_idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.term_stats.filter(F.col("stream") == "body")
+        .select("term", F.col("idf_x10").cast("int").alias("idf_x10"))
+        .orderBy("term")
+    )
+
+
+SQL_IDF_TABLE = f"""WITH {CORPUS_CTE}
+SELECT term,
+       least(round(10.0 * log10(CAST(meta.n_docs AS DOUBLE) / df)), 60)::INT AS idf_x10
+FROM (SELECT term, count(DISTINCT doc_id) AS df FROM body_tok GROUP BY term)
+CROSS JOIN meta ORDER BY term"""
+
+
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = get_index(spark, sf_dir)
+    return (
+        idx.doc_stats.groupBy("doclen")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("doclen")
+    )
+
+
+SQL_DOCLEN_HISTOGRAM = f"""WITH {CORPUS_CTE}
+SELECT coalesce(dl.doclen, 0)::INT AS doclen, count(*)::BIGINT AS n_docs
+FROM corpus LEFT JOIN dl USING (doc_id) GROUP BY 1 ORDER BY 1"""
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = get_index(spark, sf_dir)
+    return idx.doc_stats.select(
+        "doc_id", F.col("doclen").cast("int").alias("doclen"), F.col("shard").cast("int").alias("shard")
+    ).orderBy("doc_id")
+
+
+SQL_SHARD_ASSIGNMENT = f"""WITH {CORPUS_CTE}
+SELECT doc_id, coalesce(dl.doclen, 0)::INT AS doclen,
+       ({shard_case_sql('coalesce(dl.doclen, 0)', DEFAULT_SHARD_BOUNDARIES)})::INT AS shard
+FROM corpus LEFT JOIN dl USING (doc_id) ORDER BY doc_id"""
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal shard boundaries from the driver-side shortest-path DP
+    (reference's ShardDefinitionBuilder) — rows-only check (no SQL oracle
+    for a DP)."""
+    from bitfunnel_spark.operators.sharding import doclen_histogram, optimal_shard_boundaries
+
+    idx = get_index(spark, sf_dir)
+    hist = [(r["doclen"], r["doc_count"]) for r in doclen_histogram(idx.doc_stats).collect()]
+    bounds = optimal_shard_boundaries(hist, max_shards=8)
+    rows = [(i, int(b)) for i, b in enumerate(bounds)]
+    return spark.createDataFrame(rows, "shard int, min_doclen int")
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("content_md5")
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS content_md5, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
+
+# shared shingle CTEs (3-gram) for the DuckDB side
+_SHINGLE_CTE = f"""toklist AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toklist
+),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+_NUM_HASHES, _BAND_SIZE = 8, 2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_minhash() -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, g -> md5('{i}:' || g))) AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    n_bands = _NUM_HASHES // _BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_id, {key} AS band_key FROM sig".format(
+            bi=bi,
+            key=" || '|' || ".join(f"h{bi * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {sig} FROM sh WHERE len(shingles) > 0),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}
+ORDER BY c.doc_a, c.doc_b"""
+
+
+_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(term), {j + 1}, 1) IN {high} THEN tf ELSE -tf END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+    return f"""WITH toklist AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toklist GROUP BY 1, 2),
+sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums ORDER BY doc_id"""
+
+
+# embeddings in the synthetic testdata are near-orthogonal (max pairwise
+# cosine ≈ 0.51 at sf0.01); 0.35 keeps the check non-trivial (~100 pairs)
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+_COS = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+)
+
+SQL_NEARDUP_EMBEDDING = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {EMB_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10).orderBy(
+        "query_id", F.desc("cosine"), "vec_id"
+    )
+
+
+_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+SQL_ANN_COSINE_TOPK = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10).orderBy(
+        "query_id", F.desc("cosine"), "vec_id"
+    )
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN v[{d + 1}] > 0 THEN {2**i} ELSE 0 END)"
+    for i, d in enumerate(similarity.AXIS_DIMS)
+)
+
+SQL_ANN_LSH_TOPK = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET})::INT AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q JOIN e USING (bucket) WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
+def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH buckets (numpy mapInPandas) — rows-only check."""
+    return similarity.random_hyperplane_buckets(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_text_profile() -> str:
+    def inlist(words):
+        return ", ".join(f"'{w}'" for w in words)
+
+    lang_counts = {
+        lang: f"len(list_filter(t, x -> x IN ({inlist(text.STOPWORDS[lang])})))"
+        for lang in text.LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(lang_counts[l] for l in text.LANG_ORDER) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {lang_counts[l]} = {best} THEN '{l}'" for l in text.LANG_ORDER
+    ) + " ELSE 'und' END"
+    en = inlist(text.STOPWORDS["en"])
+    return f"""WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(t) AS n_tokens,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g')) AS DOUBLE)
+              / length(text) END AS praw,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(t, x -> x IN ({en}))) AS DOUBLE) / len(t) END AS sraw,
+    {lang_case} AS lang_pred,
+    CASE WHEN len(t) >= 5 THEN
+      array_to_string(
+        (list_sort(list_transform(
+           range(1, len(t) - 3),
+           i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))))[1:4],
+        ':')
+      ELSE md5(array_to_string(t, ' ')) END AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens::INT AS n_tokens, n_ws_tokens::INT AS n_ws_tokens,
+  round(praw, 4) AS punct_ratio, round(sraw, 4) AS stopword_ratio,
+  round(least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5
+        + (1.0 - praw) * 0.3
+        + least(sraw * 5.0, 1.0) * 0.2, 4) AS quality,
+  lang_pred, fingerprint
+FROM feat ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        multimodal.media_from_documents(_docs(spark, sf_dir))
+        .select("media_id", "kind", "n_bytes", "payload_md5")
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_METADATA = """SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  md5(text) AS payload_md5
+FROM documents ORDER BY doc_id"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, n_features=8).orderBy("media_id")
+
+
+_FEAT = ", ".join(
+    f"CASE WHEN octet_length(encode(text)) >= {i} THEN ascii(substr(text, {i}, 1)) / 255.0 ELSE 0.0 END"
+    for i in range(1, 9)
+)
+
+SQL_MEDIA_FEATURES = f"""SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  [{_FEAT}] AS features
+FROM documents ORDER BY doc_id"""
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.frame_sample_plan(media, every_n=10).orderBy("media_id", "frame_idx")
+
+
+SQL_MEDIA_FRAME_PLAN = """WITH v AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) // 64 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(range(0, greatest(n_frames - 1, 0) + 1, 10))::BIGINT AS frame_idx
+FROM v ORDER BY media_id, frame_idx"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+
+    for name, (q, mode) in SEARCH_QUERIES.items():
+        queries[name] = _mk_search(q, mode)
+        oracles[name] = oracle_search_sql(q, k=10, config=ENTRY_CONFIG)
+    for name, q in MATCH_QUERIES.items():
+        queries[name] = _mk_match(q)
+        oracles[name] = oracle_match_sql(q, config=ENTRY_CONFIG)
+
+    queries["ft_df_table"] = q_df_table
+    oracles["ft_df_table"] = SQL_DF_TABLE
+    queries["ft_idf_table"] = q_idf_table
+    oracles["ft_idf_table"] = SQL_IDF_TABLE
+    queries["ft_doclen_histogram"] = q_doclen_histogram
+    oracles["ft_doclen_histogram"] = SQL_DOCLEN_HISTOGRAM
+    queries["ft_shard_assignment"] = q_shard_assignment
+    oracles["ft_shard_assignment"] = SQL_SHARD_ASSIGNMENT
+    queries["ft_shard_plan"] = q_shard_plan  # rows-only (driver-side DP)
+
+    queries["dedup_exact"] = q_dedup_exact
+    oracles["dedup_exact"] = SQL_DEDUP_EXACT
+    queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+    oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
+    queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+    oracles["dedup_minhash_lsh"] = _sql_minhash()
+    queries["dedup_simhash"] = q_dedup_simhash
+    oracles["dedup_simhash"] = _sql_simhash()
+    queries["neardup_embedding"] = q_neardup_embedding
+    oracles["neardup_embedding"] = SQL_NEARDUP_EMBEDDING
+
+    queries["ann_cosine_topk"] = q_ann_cosine_topk
+    oracles["ann_cosine_topk"] = SQL_ANN_COSINE_TOPK
+    queries["ann_lsh_topk"] = q_ann_lsh_topk
+    oracles["ann_lsh_topk"] = SQL_ANN_LSH_TOPK
+    queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
+
+    queries["text_profile"] = q_text_profile
+    oracles["text_profile"] = _sql_text_profile()
+
+    queries["media_metadata"] = q_media_metadata
+    oracles["media_metadata"] = SQL_MEDIA_METADATA
+    queries["media_features"] = q_media_features
+    oracles["media_features"] = SQL_MEDIA_FEATURES
+    queries["media_frame_plan"] = q_media_frame_plan
+    oracles["media_frame_plan"] = SQL_MEDIA_FRAME_PLAN
+
+    return queries, oracles

@@ -1,0 +1,205 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection — all as
+declarative DataFrame plans (joins/groupBys Catalyst can optimize), all with
+exact DuckDB mirrors. Hashing is md5-hex (engine-independent); minhash
+signatures are lexicographic minima of md5 strings, so Spark and the oracle
+agree bit-for-bit.
+
+Scale notes (100 TB): the pairwise joins here are candidate-generation joins
+on shingle/band/bucket keys, never full cross joins. Skewed keys (a shingle
+appearing in millions of docs) are the hazard — mitigations noted per op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.functions.tokenizer import ngrams, tokenize
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: (content_md5, n_docs, canonical_id) for
+    groups with >1 doc. One shuffle, map-side partial agg."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    return F.array_distinct(ngrams(tokenize(text_col), n))
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with n-gram Jaccard ≥ threshold.
+
+    Candidate generation = self-join on shared shingles (docs sharing zero
+    shingles can't pass any threshold > 0). Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    Scale: `max_shingle_df` drops ultra-common shingles from candidate
+    generation (the classic stop-shingle cut that kills join skew). Dropping
+    them makes candidate recall approximate for thresholds near 0 but exact
+    for near-dup thresholds, since near-dups share many shingles. Jaccard is
+    still computed over ALL shingles. None = exact (test scale).
+    """
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(
+            F.col("sdf") <= max_shingle_df
+        )
+        cand_sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || ':' || shingle). Lexicographic min of md5 hex ≡ min of the
+    128-bit integer — a valid minwise family, and identical in any engine.
+    Computed entirely with higher-order functions: no explode, no shuffle."""
+    sh = _shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda g, i=i: F.md5(F.concat(F.lit(f"{i}:"), g))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
+        F.size(sh) > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs: band the signature (num_hashes/band_size
+    bands), self-join on (band_id, band_key), then verify candidates with the
+    exact n-gram Jaccard ≥ threshold.
+
+    Scale: the band join is the only shuffle that touches all docs; band keys
+    are md5-min strings → uniformly distributed, no skew. Verification is a
+    per-pair exact Jaccard over candidate pairs only.
+    """
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.concat_ws("|", *[F.col("sig")[bi * band_size + j] for j in range(band_size)]).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash: bigint) — `bits`-bit SimHash over tf-weighted terms.
+
+    Bit j of a term's hash = high bit of hex nibble j of md5(term); the
+    fingerprint sets bit j iff Σ_terms tf·(±1) > 0. Pure column expressions
+    (one explode + one groupBy); identical CASE arithmetic in the oracle.
+    Near-dup docs differ in few bits (compare via popcount of XOR).
+    """
+    assert bits <= 32
+    toks = tokenize(text_col)
+    tf = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    high = tuple("89abcdef")
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(F.md5(F.col("term")), j + 1, 1).isin(*high), F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b) with cosine ≥ threshold.
+
+    Test-scale exact formulation (full pair join); the scale path buckets by
+    LSH first (see operators/similarity.py) so the join is per-bucket.
+    """
+    from bitfunnel_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_cosine_topk: exact baseline — broadcast the (small) query set,
+  score every (query, candidate) pair with a JVM-side fold (zip_with +
+  aggregate in strict left-to-right order, so float accumulation matches
+  the sequential oracle), per-query top-k via window.
+- axis-LSH bucketed variant: deterministic sign-bucket on fixed dims —
+  cross-engine expressible (oracle-checked); candidates only within the
+  query's bucket. The scale path for 10^9+ vectors.
+- random-hyperplane LSH (numpy, mapInPandas): the stronger bucketing,
+  engine-side only (rows-only correctness check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Strict sequential fold — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, cosine) — exact top-k neighbors per query
+    (excluding self), ordered (cosine desc rounded 4dp, vec_id asc).
+
+    The query side is broadcast (tiny); the candidate scan is
+    embarrassingly parallel — no shuffle until the final per-query top-k,
+    which is a window over k·|queries| rows after per-partition pruning.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+AXIS_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+
+def axis_bucket_expr(vec: Column, dims: tuple[int, ...] = AXIS_DIMS) -> Column:
+    """Deterministic sign-LSH bucket: bit i = (vec[dims[i]] > 0)."""
+    out = F.lit(0)
+    for i, d in enumerate(dims):
+        out = out + F.when(F.element_at(vec, d + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = AXIS_DIMS,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    Equi-join on bucket replaces the cross join — at scale the candidate set
+    shrinks ~2^|dims|×. Recall is approximate by design; the oracle mirrors
+    the same bucketing so correctness is exact w.r.t. the algorithm.
+    """
+    withb = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        axis_bucket_expr(F.col(vec_col), dims).alias("bucket"),
+    )
+    q = withb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec"), "bucket"
+    )
+    pairs = F.broadcast(q).join(withb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, bucket) via seeded random-hyperplane LSH — numpy inside
+    mapInPandas (Arrow-batched matrix multiply, no per-row Python). The
+    planes are regenerated per executor from the seed: nothing to broadcast.
+    Engine-side only (no SQL oracle; rows-only check)."""
+    out_schema = "vec_id long, bucket int"
+
+    def fn(batches):
+        rng = np.random.default_rng(seed)
+        dim_planes: np.ndarray | None = None
+        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if dim_planes is None:
+                dim_planes = np.random.default_rng(seed).standard_normal((mat.shape[1], n_planes))
+            signs = (mat @ dim_planes) > 0
+            bucket = (signs @ weights).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, out_schema)

@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure JVM-side column expressions (F.*) — no UDFs, no shuffles beyond
+the caller's aggregations; every operator has an exact DuckDB-SQL mirror in
+__spark_entry__.oracle_sql(). Cross-engine hashing uses md5 hex (identical
+everywhere), never engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.functions.tokenizer import ngrams, tokenize
+
+# deterministic, tiny stopword lists (shared with the oracle SQL)
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es": ("el", "la", "de", "los", "y", "es", "en"),
+    "fr": ("le", "la", "et", "les", "des", "est", "en"),
+}
+LANG_ORDER = ("de", "en", "es", "fr")  # deterministic tie-break: lexicographic
+
+
+def token_count(text: Column | str) -> Column:
+    """Regex (code-aware) token count."""
+    return F.size(tokenize(text))
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/underscore/whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokenize(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic heuristic quality in [0,1]: rewards moderate length and
+    low punctuation noise; penalizes stopword-free (unnatural) text.
+    score = round( least(n_tokens,200)/200 * 0.5
+                 + (1 - punct_ratio) * 0.3
+                 + least(stopword_ratio*5, 1) * 0.2 , 4)
+    """
+    nt = token_count(text).cast("double")
+    s = (
+        F.least(nt, F.lit(200.0)) / 200.0 * 0.5
+        + (1.0 - punct_ratio(text)) * 0.3
+        + F.least(stopword_ratio(text) * 5.0, F.lit(1.0)) * 0.2
+    )
+    return F.round(s, 4)
+
+
+def langid(text: Column | str) -> Column:
+    """Stopword-profile language ID with deterministic tie-break.
+
+    Returns the lang (LANG_ORDER) with the highest stopword hit count with
+    multiplicity; 'und' if all zero; ties broken by LANG_ORDER position.
+    """
+    toks = tokenize(text)
+
+    def _count(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: _count(STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*[counts[l] for l in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str, shingle: int = 5, keep: int = 4) -> Column:
+    """Document fingerprint: the `keep` lexicographically-smallest md5 hex
+    digests of token `shingle`-grams, joined by ':'. A min-k sketch — the
+    same construction as one minhash band; near-identical docs share it.
+    Short docs (< shingle tokens) fall back to md5 of the joined tokens.
+    """
+    toks = tokenize(text)
+    grams = ngrams(toks, shingle)
+    hashes = F.array_sort(F.transform(grams, lambda g: F.md5(g)))
+    return F.when(
+        F.size(grams) > 0, F.array_join(F.slice(hashes, 1, keep), ":")
+    ).otherwise(F.md5(F.array_join(toks, " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc: the full analysis bundle."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        ws_token_count(text_col).alias("n_ws_tokens"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        langid(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

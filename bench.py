@@ -66,6 +66,11 @@ def main() -> None:
         idx.search(q, k=10, mode="kernel").collect()
         queries[name] = round(time.time() - tq, 4)
 
+    # batched query-log mode: whole set in one job (plans/batch.py)
+    tb = time.time()
+    idx.search_many([q for _, q in BENCH_QUERIES], k=10).collect()
+    batch_sec = time.time() - tb
+
     total = time.time() - t_suite
     lat = sorted(queries.values())
     out = {
@@ -80,6 +85,8 @@ def main() -> None:
         "files_per_sec": round(n_docs / build_sec, 2),
         "query_p50_sec": round(pystats.median(lat), 4),
         "qps": round(len(lat) / sum(lat), 3),
+        "batch_sec": round(batch_sec, 3),
+        "qps_batched": round(len(BENCH_QUERIES) / batch_sec, 3),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -81,6 +81,22 @@ def _mk_match(q: str) -> Callable[[SparkSession, str], DataFrame]:
 # ---------------------------------------------------------------------------
 # build-statistics queries
 
+BATCH_QUERIES = ["spark & join", "data -slow", "dup | vector", '"batch batch"']
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole query log in ONE job (plans/batch.py)."""
+    return get_index(spark, sf_dir).search_many(BATCH_QUERIES, k=10)
+
+
+def _sql_bm25_batch() -> str:
+    parts = [
+        f"SELECT {qid} AS query_id, doc_id, score FROM ({oracle_search_sql(q, k=10, config=ENTRY_CONFIG)})"
+        for qid, q in enumerate(BATCH_QUERIES)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = get_index(spark, sf_dir)
     return (
@@ -457,6 +473,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     for name, q in MATCH_QUERIES.items():
         queries[name] = _mk_match(q)
         oracles[name] = oracle_match_sql(q, config=ENTRY_CONFIG)
+
+    queries["ft_bm25_batch"] = q_bm25_batch
+    oracles["ft_bm25_batch"] = _sql_bm25_batch()
 
     queries["ft_df_table"] = q_df_table
     oracles["ft_df_table"] = SQL_DF_TABLE

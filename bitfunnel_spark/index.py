@@ -43,6 +43,8 @@ class FullTextIndex:
     ) -> "FullTextIndex":
         config = config or BuildConfig()
         ds = stats.doc_stats(corpus, config)
+        if cache:
+            ds = ds.cache()
         p = stats.postings(corpus, config)
         if cache:
             p = p.cache()
@@ -94,3 +96,10 @@ class FullTextIndex:
 
             return search_kernel(self, query, k)
         raise ValueError(f"unknown mode {mode!r}")
+
+    def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Batched query-log evaluation in one job:
+        DataFrame[(query_id, doc_id, score)] — see plans/batch.py."""
+        from bitfunnel_spark.plans.batch import search_many
+
+        return search_many(self, queries, k)

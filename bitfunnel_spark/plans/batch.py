@@ -1,0 +1,122 @@
+"""Batched multi-query execution — one Spark job for a whole query log.
+
+The reference's benchmark driver round-robins a query log over N threads in
+one process (/root/reference/src/Plan/src/QueryRunner.cpp:282-402). The
+Spark-native analogue (SURVEY §2.5 "Multi-query benchmark driver"): ship ALL
+query plans in one broadcast descriptor, scan the union of their terms'
+segments once, evaluate every query inside each (shard, slice) group with a
+shared decode cache, and take per-query top-k with a single window — one
+job, amortizing scheduling + Python-worker startup across the whole log.
+This is how high-QPS serving should run on a cluster: queries become data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.operators.segments import decode_group
+from bitfunnel_spark.plans.executor import _phrase_doc_ids
+from bitfunnel_spark.plans.kernel import (
+    _EMPTY,
+    _EMPTYF,
+    _candidates_pruned,
+    _mask,
+    _score,
+)
+from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.planner import QueryPlan, plan_query
+
+_OUT_EMPTY = pd.DataFrame(
+    {
+        "query_id": pd.Series(dtype="int32"),
+        "doc_id": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+    }
+)
+
+
+def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _OUT_EMPTY
+        raw = {
+            (stream, term): rows
+            for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
+        }
+        decoded: dict = {}
+
+        def get(key):
+            if key not in decoded:
+                rows = raw.get(key)
+                decoded[key] = (
+                    decode_group(rows) if rows is not None else (_EMPTY, _EMPTY, _EMPTYF)
+                )
+            return decoded[key]
+
+        out_q, out_d, out_s = [], [], []
+        k = descriptor["k"]
+        for qid, plan in enumerate(plans):
+            cand = _candidates_pruned(plan.ast, raw)
+            if cand.size == 0:
+                continue
+            postings = {key: get(key) for key in ((s, t) for s, t in plan.terms)}
+            m = _mask(plan.ast, cand, postings, descriptor["phrase_docs"])
+            cand = cand[m]
+            if cand.size == 0:
+                continue
+            score = _score(cand, postings, sorted(plan.scoring_terms), descriptor["idf"])
+            if k is not None and cand.size > k:
+                r = np.round(score, 4)
+                idx = np.lexsort((cand, -r))[:k]
+                cand, score = cand[idx], score[idx]
+            out_q.append(np.full(cand.shape, qid, dtype=np.int32))
+            out_d.append(cand)
+            out_s.append(score)
+        if not out_q:
+            return _OUT_EMPTY
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
+def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
+    """Evaluate a list of query strings in ONE job.
+
+    Returns DataFrame[(query_id int, doc_id long, score double)] — per query
+    the BM25 top-k under the same determinism contract as single-query
+    search (score rounded 4 dp; order score desc, doc_id asc).
+    """
+    if index.segments is None:
+        index.build_segments()
+    plans = [plan_query(parse_query(q)) for q in queries]
+    all_keys = sorted({f"{s}:{t}" for p in plans for s, t in p.terms})
+    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
+    seg = index.segments.filter(key_col.isin(all_keys))
+
+    ts = index.term_stats.filter(key_col.isin(all_keys)).select("stream", "term", "idf").collect()
+    idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+    phrase_docs = {}
+    for p in plans:
+        for ph, _neg in p.phrases:
+            if ph not in phrase_docs:
+                docs = _phrase_doc_ids(index, ph, None).collect()
+                phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+
+    kernel = _batch_kernel(plans, {"idf": idf, "phrase_docs": phrase_docs, "k": k})
+    groups = seg.groupBy("shard", "slice").applyInPandas(
+        lambda pdf: kernel(pdf), "query_id int, doc_id long, score double"
+    )
+    res = groups.select("query_id", "doc_id", F.round(F.col("score"), 4).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    )

@@ -84,13 +84,14 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     ts = index.term_stats.withColumn("key", key_col).filter(F.col("key").isin(keys))
     bm = index.config.bm25
     joined = p.join(F.broadcast(ts.select("key", "idf")), "key", "left")
+    # NB: association mirrors the kernel path exactly — idf * (partial) with
+    # partial = tf*(k1+1)/(tf+norm) — so float64 results are bit-identical
+    # between executors (the kernel reads the partial precomputed at build).
     norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
+    partial = F.col("tf") * (bm.k1 + 1.0) / (F.col("tf") + norm)
     contrib = F.when(
         (F.col("stream") == BODY) & F.col("term").isin(sorted(plan.scoring_terms)),
-        F.coalesce(F.col("idf"), F.lit(0.0))
-        * F.col("tf")
-        * (bm.k1 + 1.0)
-        / (F.col("tf") + norm),
+        F.coalesce(F.col("idf"), F.lit(0.0)) * partial,
     ).otherwise(F.lit(0.0))
     return (
         joined.withColumn("contrib", contrib)

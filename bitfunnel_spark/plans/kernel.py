@@ -1,12 +1,13 @@
 """Kernel-path query executor — block-decoded NumPy matching over segments.
 
 The scale path (SURVEY §3.1 "Our Spark lifecycle"): the query is parsed and
-planned driver-side, a tiny descriptor (AST + per-term df/idf + BM25
-constants) is broadcast, and one job cogroups the query's posting segments
-with the per-(shard, slice) doc table and runs a vectorized NumPy kernel in
-each group: decode → candidate generation (rarest-first intersection for
-ANDs, union otherwise) → boolean mask evaluation → BM25 → per-group top-k
-heap. A final global TakeOrdered merges k rows per group.
+planned driver-side, a tiny descriptor (AST + per-term idf + top-k) is
+broadcast by capture, and ONE job over the query's posting segments runs a
+vectorized NumPy kernel per (shard, slice) group: decode → candidate
+generation (rarest-first intersection for ANDs, union otherwise) → boolean
+mask evaluation → BM25 from stored float64 partials (score = idf·partial —
+no doc-table join; the segment store is self-sufficient) → per-group top-k.
+A final global TakeOrdered merges k rows per group.
 
 This mirrors the reference's execution shape exactly: compiled plan +
 per-slice interpreter loop (ByteCodeInterpreter::Run per slice buffer —
@@ -15,10 +16,10 @@ per-slice interpreter loop (ByteCodeInterpreter::Run per slice buffer —
 compressed blocks instead of quadword bit-ANDs, and we add scoring.
 
 Parallelism = n_shards × n_slices groups — thousands at cluster scale
-(config.n_slices). Range metadata (first_doc/last_doc) skips blocks during
-decode for AND queries; per-block max_partial enables WAND upper-bound
-pruning (wired in candidate ordering; full threshold-driven block skipping
-is a planned refinement).
+(config.n_slices). On a persisted index, the `term IN (...)` filter prunes
+(shard, term_bucket) partitions before any shuffle. Per-block
+first_doc/last_doc enables range skipping and max_partial enables WAND
+upper-bound pruning inside the kernel.
 
 Phrases: evaluated exactly via the corpus (adjacency check scoped to
 constituent-AND candidates), broadcast into the kernel as doc-id sets.
@@ -33,21 +34,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bitfunnel_spark.operators.codec import decode_postings, varbyte_decode
+from bitfunnel_spark.operators.segments import decode_group
 from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
-from bitfunnel_spark.plans.planner import QueryPlan
 from bitfunnel_spark.plans.executor import _as_plan, _phrase_doc_ids
+from bitfunnel_spark.plans.planner import QueryPlan
 
 _EMPTY = np.empty(0, dtype=np.int64)
-
-
-def _decode_term(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    rows = rows.sort_values("block_id")
-    docs = [decode_postings(bytes(x)) for x in rows["docs_vb"]]
-    tfs = [varbyte_decode(bytes(x)) for x in rows["tfs_vb"]]
-    if not docs:
-        return _EMPTY, _EMPTY
-    return np.concatenate(docs).astype(np.int64), np.concatenate(tfs).astype(np.int64)
+_EMPTYF = np.empty(0, dtype=np.float64)
+_OUT_EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
 
 
 def _member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -85,32 +79,62 @@ def _positive_term_keys(node: Node, neg: bool = False) -> set[tuple[str, str]]:
     return out
 
 
-def _candidates(ast: Node, postings: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
-    def docs_of(key):
-        return postings.get(key, (_EMPTY, _EMPTY))[0]
+def _decode_pruned(rows: pd.DataFrame, lo: int | None = None, hi: int | None = None):
+    """Decode a term's blocks, skipping blocks whose [first_doc, last_doc]
+    range misses [lo, hi] — block-level skipping on the metadata columns."""
+    if lo is not None:
+        rows = rows[(rows["last_doc"] >= lo) & (rows["first_doc"] <= hi)]
+    return decode_group(rows)
 
+
+def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
+    """Candidate doc set with progressive block pruning.
+
+    AND fast path: decode the rarest positive term fully (fewest postings —
+    the MatchTreeRewriter 'cheapest first' intent), then intersect the other
+    conjuncts decoding only blocks overlapping the shrinking candidate range.
+    Otherwise: union of all positive terms' postings.
+    """
+    def total_n(key) -> int:
+        rows = raw.get(key)
+        return int(rows["n"].sum()) if rows is not None else 0
+
+    def docs_of(key, lo=None, hi=None):
+        rows = raw.get(key)
+        if rows is None:
+            return _EMPTY
+        return _decode_pruned(rows, lo, hi)[0]
+
+    and_keys: list[tuple[str, str]] = []
     if isinstance(ast, Term):
         return docs_of((ast.stream, ast.text))
     if isinstance(ast, And):
-        seqs = []
         for c in ast.children:
             if isinstance(c, Term):
-                seqs.append(docs_of((c.stream, c.text)))
+                and_keys.append((c.stream, c.text))
             elif isinstance(c, Phrase):
-                seqs.extend(docs_of((c.stream, t)) for t in c.tokens)
-        if seqs:
-            return _intersect_sorted(seqs)
-    if isinstance(ast, Phrase):
-        return _intersect_sorted([docs_of((ast.stream, t)) for t in ast.tokens])
+                and_keys.extend((c.stream, t) for t in c.tokens)
+    elif isinstance(ast, Phrase):
+        and_keys = [(ast.stream, t) for t in ast.tokens]
+    if and_keys:
+        and_keys.sort(key=total_n)
+        cand = docs_of(and_keys[0])
+        for key in and_keys[1:]:
+            if cand.size == 0:
+                return cand
+            other = docs_of(key, int(cand[0]), int(cand[-1]))
+            cand = cand[_member(other, cand)]
+        return cand
     pos = sorted(_positive_term_keys(ast))
     if not pos:
         return _EMPTY
-    return np.unique(np.concatenate([docs_of(k) for k in pos]))
+    arrs = [docs_of(k) for k in pos]
+    return np.unique(np.concatenate(arrs)) if arrs else _EMPTY
 
 
 def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     if isinstance(node, Term):
-        return _member(postings.get((node.stream, node.text), (_EMPTY, _EMPTY))[0], cand)
+        return _member(postings.get((node.stream, node.text), (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
     if isinstance(node, Phrase):
         return _member(phrase_docs.get(node, _EMPTY), cand)
     if isinstance(node, Not):
@@ -128,60 +152,46 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     raise TypeError(type(node))
 
 
-def _score(
-    cand: np.ndarray,
-    postings,
-    doclens_docs: np.ndarray,
-    doclens_vals: np.ndarray,
-    scoring_terms: list[str],
-    idf: dict[str, float],
-    k1: float,
-    b: float,
-    avgdl: float,
-) -> np.ndarray:
-    dl_idx = np.searchsorted(doclens_docs, cand)
-    dl = doclens_vals[np.clip(dl_idx, 0, max(doclens_vals.size - 1, 0))].astype(np.float64)
-    norm = k1 * (1.0 - b + b * dl / avgdl)
+def _score(cand: np.ndarray, postings, scoring_terms: list[str], idf: dict[str, float]) -> np.ndarray:
+    """BM25 from stored partials: score = Σ idf_t · partial_t(doc)."""
     score = np.zeros(cand.shape, dtype=np.float64)
     for t in scoring_terms:
-        docs, tfs = postings.get(("body", t), (_EMPTY, _EMPTY))
+        docs, _tfs, parts = postings.get(("body", t), (_EMPTY, _EMPTY, _EMPTYF))
         if docs.size == 0:
             continue
         m = _member(docs, cand)
         if not m.any():
             continue
-        tf = tfs[np.searchsorted(docs, cand[m])].astype(np.float64)
-        score[m] += idf.get(t, 0.0) * tf * (k1 + 1.0) / (tf + norm[m])
+        score[m] += idf.get(t, 0.0) * parts[np.searchsorted(docs, cand[m])]
     return score
 
 
 def _make_kernel(plan: QueryPlan, descriptor: dict):
-    """Build the cogrouped kernel closure. `descriptor` is broadcast-by-
-    capture (tiny: idf map + phrase doc arrays + constants)."""
+    """Build the per-group kernel closure. `descriptor` is tiny (idf map +
+    phrase doc arrays + k) and ships inside the serialized closure."""
     ast = plan.ast
     scoring = sorted(plan.scoring_terms)
 
-    def kernel(seg_pdf: pd.DataFrame, doc_pdf: pd.DataFrame) -> pd.DataFrame:
-        if seg_pdf.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-        postings = {
-            (stream, term): _decode_term(rows)
-            for (term, stream), rows in seg_pdf.groupby(["term", "stream"], sort=False)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _OUT_EMPTY
+        raw = {
+            (stream, term): rows
+            for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
         }
-        cand = _candidates(ast, postings)
+        cand = _candidates_pruned(ast, raw)
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            return _OUT_EMPTY
+        # decode every query term pruned to the candidate doc range — blocks
+        # outside [cand_min, cand_max] are skipped via first/last_doc metadata
+        # (the rank-down coarse-row analogue)
+        lo, hi = int(cand[0]), int(cand[-1])
+        postings = {key: _decode_pruned(rows, lo, hi) for key, rows in raw.items()}
         m = _mask(ast, cand, postings, descriptor["phrase_docs"])
         cand = cand[m]
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-        order = np.argsort(doc_pdf["doc_id"].to_numpy())
-        dl_docs = doc_pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        dl_vals = doc_pdf["doclen"].to_numpy()[order].astype(np.int64)
-        score = _score(
-            cand, postings, dl_docs, dl_vals, scoring, descriptor["idf"],
-            descriptor["k1"], descriptor["b"], descriptor["avgdl"],
-        )
+            return _OUT_EMPTY
+        score = _score(cand, postings, scoring, descriptor["idf"])
         k = descriptor["k"]
         if k is not None and cand.size > k:
             # per-group partial top-k (heap analogue): order by (round desc, doc asc)
@@ -197,12 +207,9 @@ def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> Da
     keys = sorted(f"{s}:{t}" for s, t in plan.terms)
     key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
     seg = index.segments.filter(key_col.isin(keys))
-    doc_table = index.doc_stats.select("shard", "slice", "doc_id", "doclen")
     kernel = _make_kernel(plan, {**descriptor, "k": k})
-    return (
-        seg.groupBy("shard", "slice")
-        .cogroup(doc_table.groupBy("shard", "slice"))
-        .applyInPandas(lambda l, r: kernel(l, r), "doc_id long, score double")
+    return seg.groupBy("shard", "slice").applyInPandas(
+        lambda pdf: kernel(pdf), "doc_id long, score double"
     )
 
 
@@ -216,11 +223,9 @@ def _descriptor(index, plan: QueryPlan) -> dict:
         if ph in phrase_docs:
             continue
         # exact adjacency via corpus, scoped to constituent-AND candidates
-        cand = None
-        docs = _phrase_doc_ids(index, ph, cand).collect()
+        docs = _phrase_doc_ids(index, ph, None).collect()
         phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
-    bm = index.config.bm25
-    return {"idf": idf, "phrase_docs": phrase_docs, "k1": bm.k1, "b": bm.b, "avgdl": index.avgdl}
+    return {"idf": idf, "phrase_docs": phrase_docs}
 
 
 def match_kernel(index, query) -> DataFrame:

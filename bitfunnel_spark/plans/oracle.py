@@ -96,11 +96,12 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
     k1, b = config.bm25.k1, config.bm25.b
     if scoring:
         scoring_list = ", ".join(_q(t) for t in scoring)
+        # association mirrors both Spark executors: idf * (tf*(k1+1)/(tf+norm))
         contrib = (
             f"CASE WHEN tf.stream = 'body' AND tf.term IN ({scoring_list}) THEN "
             f"ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
-            f"* tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "
-            f"* coalesce(dl.doclen, 0) / meta.avgdl)) ELSE 0.0 END"
+            f"* (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "
+            f"* coalesce(dl.doclen, 0) / meta.avgdl))) ELSE 0.0 END"
         )
     else:
         contrib = "0.0"

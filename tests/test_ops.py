@@ -1,0 +1,118 @@
+"""Unit tests for training-data operators on tiny handcrafted frames
+(the oracle-equivalence at sf scale is covered by the driver contract and
+scripts/check_entry.py; these pin the semantics on known inputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(toy):
+    out = dedup.exact_duplicates(toy).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["canonical_id"] == 1
+
+
+def test_ngram_jaccard(toy):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(toy, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(toy):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(toy, threshold=0.3).collect()}
+    assert (1, 2) in pairs  # identical signature → must collide in every band
+
+
+def test_simhash_close_for_neardups(toy):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(toy).collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    ham14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham12 == 0
+    assert ham13 <= ham14
+
+
+def test_langid(spark):
+    rows = [
+        (1, "the cat and the dog of it is in"),
+        (2, "der hund und die katze ist ein"),
+        (3, "el perro y la casa de los es"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.langid("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_and_counts(spark):
+    df = spark.createDataFrame([(1, "the cat!!! ### sat."), (2, "")], "doc_id long, text string")
+    prof = {r["doc_id"]: r for r in text.text_profile(df).collect()}
+    assert prof[1]["n_tokens"] == 3
+    assert prof[1]["n_ws_tokens"] == 4
+    assert 0 < prof[1]["punct_ratio"] < 1
+    assert prof[2]["n_tokens"] == 0 and prof[2]["quality"] == pytest.approx(0.3)
+
+
+def test_fingerprint_stability(toy):
+    fp = {r["doc_id"]: r["fp"] for r in toy.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2]  # identical docs → identical fingerprint
+    assert fp[1] != fp[4]
+
+
+def test_brute_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [(r["vec_id"], r["cosine"]) for r in similarity.brute_cosine_topk(df, [0], k=2).collect()]
+    assert out[0][0] == 1 and out[0][1] == pytest.approx(0.995, abs=1e-3)
+    assert out[1][0] == 2
+
+
+def test_rh_buckets_deterministic(spark):
+    rows = [(i, [float(i % 7 - 3)] * 16) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r["vec_id"], r["bucket"]) for r in similarity.random_hyperplane_buckets(df, n_planes=6).collect())
+    b = sorted((r["vec_id"], r["bucket"]) for r in similarity.random_hyperplane_buckets(df, n_planes=6).collect())
+    assert a == b
+
+
+def test_multimodal_features_and_stub(spark):
+    docs = spark.createDataFrame([(1, "abcdefghij"), (2, "xy")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs.withColumn("lang", F.lit("en")))
+    feats = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert feats[1] == pytest.approx([ord(c) / 255.0 for c in "abcdefgh"])
+    assert feats[2][:2] == pytest.approx([ord("x") / 255.0, ord("y") / 255.0])
+    assert feats[2][2:] == [0.0] * 6
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00", "image")
+
+
+def test_shard_optimizer():
+    from bitfunnel_spark.operators.sharding import optimal_shard_boundaries
+
+    # two tight clusters of lengths → optimizer should cut between them
+    hist = [(10, 100), (12, 100), (500, 5), (510, 5)]
+    bounds = optimal_shard_boundaries(hist, max_shards=4)
+    assert bounds[0] == 0
+    assert any(12 < b <= 500 for b in bounds[1:])
+    # degenerate: single length
+    assert optimal_shard_boundaries([(7, 42)], max_shards=4) == (0,)

@@ -169,6 +169,85 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# analytics (vocabulary growth, density, correlation) + corpus filters
+
+def q_cum_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.operators.analytics import cumulative_term_counts
+
+    idx = get_index(spark, sf_dir)
+    return cumulative_term_counts(idx.postings).orderBy("ingest_order")
+
+
+SQL_CUM_TERM_COUNTS = f"""WITH {CORPUS_CTE},
+fs AS (SELECT term, min(doc_id) AS first_doc FROM body_tok GROUP BY term),
+pd AS (SELECT first_doc, count(*) AS new_terms FROM fs GROUP BY first_doc)
+SELECT first_doc AS ingest_order,
+       (sum(new_terms) OVER (ORDER BY first_doc))::BIGINT AS cum_unique_terms
+FROM pd ORDER BY 1"""
+
+
+def q_posting_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.operators.analytics import posting_density
+
+    idx = get_index(spark, sf_dir)
+    return posting_density(idx.postings, idx.doc_stats).orderBy("term", "shard")
+
+
+SQL_POSTING_DENSITY = f"""WITH {CORPUS_CTE},
+docs AS (
+  SELECT c.doc_id, ({shard_case_sql('coalesce(dl.doclen, 0)', DEFAULT_SHARD_BOUNDARIES)})::INT AS shard
+  FROM corpus c LEFT JOIN dl ON c.doc_id = dl.doc_id
+),
+shard_docs AS (SELECT shard, count(*) AS shard_docs FROM docs GROUP BY shard),
+dfp AS (
+  SELECT t.term, d.shard, count(DISTINCT t.doc_id) AS df
+  FROM body_tok t JOIN docs d ON t.doc_id = d.doc_id
+  GROUP BY t.term, d.shard
+)
+SELECT dfp.term, dfp.shard, dfp.df::BIGINT AS df, sd.shard_docs::BIGINT AS shard_docs,
+       round(CAST(dfp.df AS DOUBLE) / sd.shard_docs, 4) AS density
+FROM dfp JOIN shard_docs sd ON dfp.shard = sd.shard
+ORDER BY dfp.term, dfp.shard"""
+
+
+def q_term_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.operators.analytics import term_correlation
+
+    idx = get_index(spark, sf_dir)
+    return term_correlation(idx.postings, min_pair_count=50).orderBy("term_a", "term_b")
+
+
+SQL_TERM_CORRELATION = f"""WITH {CORPUS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM body_tok)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 HAVING count(*) >= 50 ORDER BY 1, 2"""
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document filter (the `BitFunnel filter` tool analogue):
+    deterministic 30% sample → posting-count range [10, 100] → cap 50."""
+    from bitfunnel_spark.sources.filters import composite_filter
+
+    corpus = corpus_from_documents(_docs(spark, sf_dir))
+    out = composite_filter(corpus, fraction=0.3, min_postings=10, max_postings=100, max_docs=50)
+    return out.select("doc_id", "content_sha256").orderBy("doc_id")
+
+
+SQL_CORPUS_FILTER = f"""WITH base AS (
+  SELECT doc_id, sha256(text) AS content_sha256,
+         len(list_distinct(regexp_extract_all(lower(text), '{_PAT}'))) AS np,
+         substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+),
+sampled AS (SELECT * FROM base WHERE h < '4ccccccc' AND np BETWEEN 10 AND 100),
+capped AS (
+  SELECT doc_id, content_sha256, row_number() OVER (ORDER BY doc_id) AS rn FROM sampled
+)
+SELECT doc_id, content_sha256 FROM capped WHERE rn <= 50 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # dedup queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +565,15 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_shard_assignment"] = q_shard_assignment
     oracles["ft_shard_assignment"] = SQL_SHARD_ASSIGNMENT
     queries["ft_shard_plan"] = q_shard_plan  # rows-only (driver-side DP)
+
+    queries["ft_cum_term_counts"] = q_cum_term_counts
+    oracles["ft_cum_term_counts"] = SQL_CUM_TERM_COUNTS
+    queries["ft_posting_density"] = q_posting_density
+    oracles["ft_posting_density"] = SQL_POSTING_DENSITY
+    queries["ft_term_correlation"] = q_term_correlation
+    oracles["ft_term_correlation"] = SQL_TERM_CORRELATION
+    queries["corpus_filter"] = q_corpus_filter
+    oracles["corpus_filter"] = SQL_CORPUS_FILTER
 
     queries["dedup_exact"] = q_dedup_exact
     oracles["dedup_exact"] = SQL_DEDUP_EXACT

@@ -1,0 +1,75 @@
+"""Index-quality analytics — the reference's measurement operators.
+
+- cumulative_term_counts: vocabulary-growth curve (unique terms vs docs
+  ingested) — DocumentFrequencyTableBuilder's cumulative counts
+  (/root/reference/src/Index/src/DocumentFrequencyTableBuilder.cpp:33-37,76-82).
+- posting_density: per-(term, shard) posting-list density over the shard's
+  docs — the RowTableAnalyzer's row densities
+  (/root/reference/src/Index/src/Shard.cpp:614-660, RowTableAnalyzer.cpp:129-178);
+  for an exact index "density" is df_shard / docs_shard.
+- term_correlation: co-occurring term pairs — Correlate
+  (/root/reference/src/Index/src/Correlate.cpp:76-169).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_term_counts(postings: DataFrame, every: int = 1) -> DataFrame:
+    """(ingest_order, cum_unique_terms): after ingesting docs 0..doc_id, how
+    many distinct BODY terms exist. Exact formulation: each term 'appears' at
+    its minimum doc_id; the curve is the running count of first appearances.
+
+    One groupBy + one tiny window over distinct first-appearance points —
+    no per-doc window over the corpus (that would never scale).
+    """
+    first_seen = (
+        postings.filter(F.col("stream") == "body")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_doc = first_seen.groupBy("first_doc").agg(F.count("*").alias("new_terms"))
+    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
+    out = per_doc.withColumn("cum_unique_terms", F.sum("new_terms").over(w))
+    return out.select(
+        F.col("first_doc").alias("ingest_order"),
+        F.col("cum_unique_terms").cast("long").alias("cum_unique_terms"),
+    )
+
+
+def posting_density(postings: DataFrame, doc_stats: DataFrame) -> DataFrame:
+    """(term, shard, df, shard_docs, density) for BODY terms — density is the
+    fraction of the shard's documents containing the term (the exact-index
+    analogue of bit-row density)."""
+    shard_docs = doc_stats.groupBy("shard").agg(F.count("*").alias("shard_docs"))
+    df_per = (
+        postings.filter(F.col("stream") == "body")
+        .groupBy("term", "shard")
+        .agg(F.count("*").alias("df"))
+    )
+    return df_per.join(F.broadcast(shard_docs), "shard").select(
+        "term",
+        "shard",
+        F.col("df").cast("long").alias("df"),
+        F.col("shard_docs").cast("long").alias("shard_docs"),
+        F.round(F.col("df") / F.col("shard_docs"), 4).alias("density"),
+    )
+
+
+def term_correlation(postings: DataFrame, min_pair_count: int = 2, max_df: int | None = None) -> DataFrame:
+    """(term_a, term_b, n_docs) — co-occurrence counts for BODY term pairs
+    (term_a < term_b). Self-join on doc_id; `max_df` drops ultra-common
+    terms first (the skew guard — at scale always set it)."""
+    body = postings.filter(F.col("stream") == "body").select("term", "doc_id")
+    if max_df is not None:
+        rare = body.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        body = body.join(rare.select("term"), "term", "left_semi")
+    a, b = body.alias("a"), body.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_pair_count)
+    )

@@ -1,0 +1,79 @@
+"""Corpus sampling / filtering — the reference's `BitFunnel filter` tool.
+
+Mirrors the composable document filters
+(/root/reference/inc/BitFunnel/Chunks/DocumentFilters.h:33-95,
+tools/BitFunnel/src/FilterChunks.cpp:77-115): random fraction (seeded),
+posting-count range, document-count cap, composable in sequence. Each is a
+declarative DataFrame op (sample / filter / limit) — Catalyst composes and
+pushes them into the scan where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.functions.tokenizer import tokenize
+
+
+def random_filter(corpus: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """RandomDocumentFilter analogue. Deterministic given the seed AND the
+    partitioning; for partitioning-independent sampling use
+    `deterministic_filter` (hash-based), which is what distributed pipelines
+    should prefer."""
+    return corpus.sample(fraction=fraction, seed=seed)
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < threshold) = fraction."""
+    return format(int(fraction * 16**8), "08x")
+
+
+def deterministic_filter(corpus: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Partitioning-independent seeded sample: keep doc iff the first 8 hex
+    chars of md5(seed:doc_id) compare below the fraction threshold — a pure
+    string comparison, identical in any engine."""
+    if fraction >= 1.0:
+        return corpus
+    h = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 8)
+    return corpus.filter(h < fraction_threshold_hex(fraction))
+
+
+def posting_count_filter(corpus: DataFrame, min_postings: int = 0, max_postings: int | None = None) -> DataFrame:
+    """PostingCountFilter analogue: keep docs whose distinct-term count
+    (the reference's posting count — Document.cpp:59-62) is in range."""
+    n = F.size(F.array_distinct(tokenize("content")))
+    cond = n >= min_postings
+    if max_postings is not None:
+        cond = cond & (n <= max_postings)
+    return corpus.filter(cond)
+
+
+def cap_filter(corpus: DataFrame, max_docs: int) -> DataFrame:
+    """Document-count cap. Deterministic: lowest doc_ids win (the reference
+    caps by arrival order; arrival order is doc_id in our corpus).
+
+    orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    partial top-k then a driver merge of k rows — not a global sort and not
+    a single-partition window."""
+    return corpus.orderBy("doc_id").limit(max_docs)
+
+
+def composite_filter(
+    corpus: DataFrame,
+    fraction: float | None = None,
+    min_postings: int = 0,
+    max_postings: int | None = None,
+    max_docs: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """CompositeFilter analogue: sample → posting range → cap, in the same
+    order the reference applies them (FilterChunks.cpp:77-115)."""
+    out = corpus
+    if fraction is not None:
+        out = deterministic_filter(out, fraction, seed)
+    if min_postings or max_postings is not None:
+        out = posting_count_filter(out, min_postings, max_postings)
+    if max_docs is not None:
+        out = cap_filter(out, max_docs)
+    return out

@@ -51,10 +51,21 @@ def main() -> None:
     cfg = BuildConfig(n_slices=16, term_buckets=16)
     t0 = time.time()
     idx = FullTextIndex.build(spark, corpus, cfg)
+    t_stats = time.time()
+    idx.postings.count()  # materialize the postings cache explicitly
+    t_postings = time.time()
+    idx.term_stats.count()
+    t_terms = time.time()
     seg = idx.build_segments(cache=True)
     n_blocks = seg.count()
-    idx.term_stats.count()
-    build_sec = time.time() - t0
+    t_seg = time.time()
+    build_sec = t_seg - t0
+    stages = {
+        "stats_sec": round(t_stats - t0, 2),
+        "postings_sec": round(t_postings - t_stats, 2),
+        "term_stats_sec": round(t_terms - t_postings, 2),
+        "segments_sec": round(t_seg - t_terms, 2),
+    }
 
     idx.search("id_1", k=10, mode="kernel").collect()  # warm-up
     tq = time.time()
@@ -72,6 +83,7 @@ def main() -> None:
                 "n_segment_blocks": n_blocks,
                 "query_batch_sec": round(query_sec, 2),
                 "qps": round(len(QUERIES) / query_sec, 3),
+                **stages,
             }
         )
     )

@@ -116,3 +116,66 @@ def test_shard_optimizer():
     assert any(12 < b <= 500 for b in bounds[1:])
     # degenerate: single length
     assert optimal_shard_boundaries([(7, 42)], max_shards=4) == (0,)
+
+
+def test_cumulative_term_counts(spark):
+    from bitfunnel_spark.operators.analytics import cumulative_term_counts
+
+    rows = [
+        ("a", "body", 0), ("b", "body", 0),          # doc 0 introduces a, b
+        ("a", "body", 1), ("c", "body", 1),          # doc 1 introduces c
+        ("a", "body", 3),                             # doc 3 introduces nothing
+        ("d", "body", 4), ("d", "path", 0),          # path stream ignored
+    ]
+    p = spark.createDataFrame(rows, "term string, stream string, doc_id long")
+    out = {r["ingest_order"]: r["cum_unique_terms"] for r in cumulative_term_counts(p).collect()}
+    assert out == {0: 2, 1: 3, 4: 4}
+
+
+def test_posting_density(spark):
+    from bitfunnel_spark.operators.analytics import posting_density
+
+    p = spark.createDataFrame(
+        [("a", "body", 1, 0), ("a", "body", 2, 0), ("b", "body", 1, 0), ("a", "body", 3, 1)],
+        "term string, stream string, doc_id long, shard int",
+    )
+    ds = spark.createDataFrame([(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id long, shard int")
+    out = {(r["term"], r["shard"]): (r["df"], r["shard_docs"], r["density"])
+           for r in posting_density(p, ds).collect()}
+    assert out[("a", 0)] == (2, 2, 1.0)
+    assert out[("b", 0)] == (1, 2, 0.5)
+    assert out[("a", 1)] == (1, 2, 0.5)
+
+
+def test_term_correlation(spark):
+    from bitfunnel_spark.operators.analytics import term_correlation
+
+    p = spark.createDataFrame(
+        [("a", "body", 1), ("b", "body", 1), ("a", "body", 2), ("b", "body", 2), ("c", "body", 2)],
+        "term string, stream string, doc_id long",
+    )
+    out = {(r["term_a"], r["term_b"]): r["n_docs"] for r in term_correlation(p, min_pair_count=1).collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # max_df guard drops the ubiquitous pair members
+    out2 = {(r["term_a"], r["term_b"]) for r in term_correlation(p, min_pair_count=1, max_df=1).collect()}
+    assert out2 == set()  # only c has df<=1; no pairs remain
+
+
+def test_corpus_filters(spark):
+    from bitfunnel_spark.sources import filters
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    # posting-count range keeps docs with 5..10 distinct terms → doc_ids 4..9
+    got = sorted(r["doc_id"] for r in filters.posting_count_filter(corpus, 5, 10).collect())
+    assert got == list(range(4, 10))
+    # cap keeps lowest doc_ids
+    got = sorted(r["doc_id"] for r in filters.cap_filter(corpus, 3).collect())
+    assert got == [0, 1, 2]
+    # deterministic sample: stable across calls and partitionings
+    a = sorted(r["doc_id"] for r in filters.deterministic_filter(corpus, 0.5, seed=7).collect())
+    b = sorted(r["doc_id"] for r in filters.deterministic_filter(corpus.repartition(13), 0.5, seed=7).collect())
+    assert a == b and 5 <= len(a) <= 35
+    # composite applies sample -> range -> cap in order
+    comp = filters.composite_filter(corpus, fraction=1.0, min_postings=5, max_postings=10, max_docs=2)
+    assert sorted(r["doc_id"] for r in comp.collect()) == [4, 5]

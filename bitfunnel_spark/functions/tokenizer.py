@@ -42,26 +42,44 @@ def ngrams(tokens: Column, n: int) -> Column:
     """
     if n == 1:
         return tokens
-    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-        )
-    )
+    # n shifted slices zipped together — NOT `slice(tokens, i+1, n)` inside a
+    # per-element lambda, which would re-evaluate the whole `tokens`
+    # expression for every element (no CSE across HOF lambda boundaries →
+    # O(len²) per row).
+    m = F.size(tokens) - (n - 1)
+    shifted = [F.slice(tokens, k + 1, m) for k in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    fields = [str(k) for k in range(n)]
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f] for f in fields]))
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def doc_term_freqs(tokens: Column) -> Column:
     """array<struct<term:string, tf:int>> — per-document term frequencies.
 
-    Pure higher-order functions: O(u * n) per doc (u = distinct terms),
-    fully JVM-side, no shuffle, no Python. The reference stores postings as
-    a *set* (Document.cpp:178-181 — tf discarded); we keep tf because BM25
-    needs it.
+    Pure higher-order functions: sort the token array once, then find the
+    run boundaries and take run lengths as tf — O(n log n) per doc, fully
+    JVM-side, no shuffle, no Python. (The naive formulation — for each
+    distinct term, re-scan the array with `filter` — is O(u·n) per doc and
+    was the measured build bottleneck on long documents.) The reference
+    stores postings as a *set* (Document.cpp:178-181 — tf discarded); we
+    keep tf because BM25 needs it.
     """
-    return F.transform(
-        F.array_distinct(tokens),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(tokens, lambda x: x == t)).cast("int").alias("tf"),
-        ),
-    )
+    # Single aggregate-fold over the sorted array. Crucial constraint: any
+    # named intermediate (the sorted array, the run-starts array) referenced
+    # from inside a lambda is re-evaluated per element by Catalyst — there is
+    # no CSE across higher-order-function boundaries — so every formulation
+    # that indexes back into a derived array is O(n²) per doc. The fold only
+    # references its *lambda variables* (cheap bound references).
+    empty = F.array().cast("array<struct<term:string,tf:int>>")
+
+    def step(acc, x):
+        last = F.get(acc, F.size(acc) - 1)  # NULL-safe on empty acc
+        bump = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(x.alias("term"), (last["tf"] + 1).cast("int").alias("tf"))),
+        )
+        append = F.concat(acc, F.array(F.struct(x.alias("term"), F.lit(1).cast("int").alias("tf"))))
+        return F.when(last["term"] == x, bump).otherwise(append)
+
+    return F.aggregate(F.array_sort(tokens), empty, step)

@@ -48,9 +48,14 @@ def doc_stats(corpus: DataFrame, config: BuildConfig) -> DataFrame:
 def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
     """(term, stream, doc_id, tf, doclen, shard, slice) — one row per posting.
 
-    Built entirely with JVM higher-order functions: tokenize → per-doc tf
-    map (functions/tokenizer.doc_term_freqs — no shuffle) → explode. The
-    reference's analogue is Document::Ingest → Shard::AddPosting
+    The classic distributed wordcount: tokenize (JVM regex, codegen'd) →
+    one explode to (doc, stream, token) granularity → groupBy(doc, term)
+    count. Map-side partial aggregation collapses duplicate tokens before
+    the exchange, so the shuffle carries ~one row per *posting*, not per
+    token occurrence. (A shuffle-free per-doc higher-order-function
+    formulation was tried and is O(n²)/doc — Catalyst re-evaluates derived
+    arrays referenced inside lambdas; see functions/tokenizer.doc_term_freqs.)
+    The reference's analogue is Document::Ingest → Shard::AddPosting
     (/root/reference/src/Index/src/Shard.cpp:396-418), which drops tf; we
     keep tf for BM25. doclen (BODY token count) is denormalized onto every
     posting so BM25 needs no join at query time.
@@ -62,46 +67,44 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
         doclen.alias("doclen"),
         shard_of(doclen, config.shard_boundaries).alias("shard"),
         F.pmod(F.xxhash64("doc_id"), F.lit(config.n_slices)).cast("int").alias("slice"),
-        doc_term_freqs(body_tokens).alias("_body"),
-        doc_term_freqs(tokenize("path")).alias("_path"),
+        body_tokens.alias("_body"),
+        tokenize("path").alias("_path"),
         F.lower(F.col("lang")).alias("_lang"),
         F.lower(F.col("repo")).alias("_repo"),
     )
-    body = base.select(
-        F.explode("_body").alias("p"), "doc_id", "doclen", "shard", "slice"
-    ).select(
-        F.col("p.term").alias("term"),
-        F.lit(BODY).alias("stream"),
+    # one row per token occurrence: (term, stream) structs from all streams
+    tok = base.select(
         "doc_id",
-        F.col("p.tf").alias("tf"),
         "doclen",
         "shard",
         "slice",
-    )
-    path = base.select(
-        F.explode("_path").alias("p"), "doc_id", "doclen", "shard", "slice"
-    ).select(
-        F.col("p.term").alias("term"),
-        F.lit(PATH).alias("stream"),
-        "doc_id",
-        F.col("p.tf").alias("tf"),
-        "doclen",
-        "shard",
-        "slice",
-    )
-    meta = base.select(
         F.explode(
-            F.array(
-                F.struct(F.col("_lang").alias("term"), F.lit(LANG).alias("stream")),
-                F.struct(F.col("_repo").alias("term"), F.lit(REPO).alias("stream")),
+            F.concat(
+                F.transform(
+                    "_body",
+                    lambda t: F.struct(t.alias("term"), F.lit(BODY).alias("stream")),
+                ),
+                F.transform(
+                    "_path",
+                    lambda t: F.struct(t.alias("term"), F.lit(PATH).alias("stream")),
+                ),
+                F.array(
+                    F.struct(F.col("_lang").alias("term"), F.lit(LANG).alias("stream")),
+                    F.struct(F.col("_repo").alias("term"), F.lit(REPO).alias("stream")),
+                ),
             )
         ).alias("p"),
+    )
+    # doclen/shard/slice are functions of doc_id — adding them to the key
+    # changes nothing semantically and keeps them without a join
+    return tok.groupBy(
+        F.col("p.term").alias("term"),
+        F.col("p.stream").alias("stream"),
         "doc_id",
         "doclen",
         "shard",
         "slice",
-    ).select("p.term", "p.stream", "doc_id", F.lit(1).alias("tf"), "doclen", "shard", "slice")
-    return body.unionByName(path).unionByName(meta)
+    ).agg(F.count("*").cast("int").alias("tf"))
 
 
 def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:

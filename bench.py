@@ -50,9 +50,10 @@ def main() -> None:
     n_docs = corpus.count()
 
     t0 = time.time()
-    idx = FullTextIndex.build(spark, corpus, BuildConfig(n_slices=max(4, cpus // 4)))
-    seg = idx.build_segments(cache=True)
-    n_blocks = seg.count()  # materialize the whole build
+    # fused single-shuffle build: corpus → encoded segments + term dict
+    # (row-form postings never materialized — the scale path)
+    idx = FullTextIndex.build_fused(spark, corpus, BuildConfig(n_slices=max(4, cpus // 4)))
+    n_blocks = idx.segments.count()
     idx.term_stats.count()
     build_sec = time.time() - t0
 

@@ -66,6 +66,45 @@ class FullTextIndex:
             idx.build_segments(cache=cache)
         return idx
 
+    @classmethod
+    def build_fused(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        config: BuildConfig | None = None,
+        cache: bool = True,
+    ) -> "FullTextIndex":
+        """The scale build: corpus → encoded segments in ONE shuffle
+        (operators/segments.build_segments_fused); the term dictionary
+        derives from block metadata. Row-form postings are left LAZY — they
+        are only computed if a DataFrame-path query or analytics op asks
+        for them (at 100 TB nobody materializes them; the segment store is
+        the index)."""
+        config = config or BuildConfig()
+        ds = stats.doc_stats(corpus, config)
+        if cache:
+            ds = ds.cache()
+        meta = stats.corpus_meta(ds)
+        from bitfunnel_spark.operators.segments import build_segments_fused
+
+        seg = build_segments_fused(corpus, meta["avgdl"], config)
+        if cache:
+            seg = seg.cache()
+        ts = stats.term_stats_from_segments(seg, meta["n_docs"], config)
+        if cache:
+            ts = ts.cache()
+        return cls(
+            spark=spark,
+            config=config,
+            corpus=corpus,
+            doc_stats=ds,
+            postings=stats.postings(corpus, config),  # lazy, uncached
+            term_stats=ts,
+            n_docs=meta["n_docs"],
+            avgdl=meta["avgdl"],
+            segments=seg,
+        )
+
     def build_segments(self, cache: bool = True) -> DataFrame:
         from bitfunnel_spark.operators.segments import build_segments
 

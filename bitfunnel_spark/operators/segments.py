@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.config import BuildConfig
-from bitfunnel_spark.operators.codec import encode_postings, varbyte_encode
+from bitfunnel_spark.operators.codec import varbyte_encode_arr
 
 SEGMENT_SCHEMA = (
     "term string, stream string, shard int, slice int, term_bucket int, "
@@ -76,42 +76,119 @@ def term_bucket_col(term_col, term_buckets: int):
 def _encode_group(pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
     """Encode all terms of one (shard, slice, term_bucket) group.
 
-    Vectorized: one sort of the whole group, partials computed for the whole
-    group in one shot, then a per-term slice loop emitting blocks.
+    Fully vectorized — no per-block Python work beyond buffer slicing: one
+    sort, one varbyte pass over ALL doc gaps (resets to absolute at each
+    block start, so each block is independently decodable), one varbyte pass
+    over all tfs, then blocks are byte-ranges of the shared buffers. (The
+    previous per-block encode-call loop was the measured build bottleneck:
+    ~30 tiny NumPy calls × #blocks.)
     """
     shard = int(pdf["shard"].iloc[0])
     slc = int(pdf["slice"].iloc[0])
     bucket = int(pdf["term_bucket"].iloc[0])
     pdf = pdf.sort_values(["term", "stream", "doc_id"], kind="stable")
-    docs_all = pdf["doc_id"].to_numpy().astype(np.int64)
-    tfs_all = pdf["tf"].to_numpy().astype(np.int64)
-    dls_all = pdf["doclen"].to_numpy().astype(np.float64)
-    partial_all = tfs_all * (k1 + 1.0) / (tfs_all + k1 * (1.0 - b + b * dls_all / avgdl))
+    return _encode_sorted(
+        pdf["term"].to_numpy(),
+        pdf["stream"].to_numpy(),
+        pdf["doc_id"].to_numpy().astype(np.int64),
+        pdf["tf"].to_numpy().astype(np.int64),
+        pdf["doclen"].to_numpy().astype(np.float64),
+        shard, slc, bucket, block_size, k1, b, avgdl,
+    )
+
+
+def _encode_token_group(
+    pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float
+) -> pd.DataFrame:
+    """Fused-path group encode: rows are raw token OCCURRENCES; tf is
+    computed here (run-length over the sorted (term, stream, doc_id) key)
+    before block encoding — the reduce side of the single-shuffle build."""
+    shard = int(pdf["shard"].iloc[0])
+    slc = int(pdf["slice"].iloc[0])
+    bucket = int(pdf["term_bucket"].iloc[0])
+    pdf = pdf.sort_values(["term", "stream", "doc_id"], kind="stable")
     keys = (pdf["term"] + "\x00" + pdf["stream"]).to_numpy()
-    # boundaries of each (term, stream) run
-    change = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-    bounds = np.concatenate((change, [len(keys)]))
-    terms = pdf["term"].to_numpy()
-    streams = pdf["stream"].to_numpy()
-    rows = []
-    for gi in range(len(change)):
-        lo, hi = bounds[gi], bounds[gi + 1]
-        term, stream = terms[lo], streams[lo]
-        for bid, start in enumerate(range(lo, hi, block_size)):
-            end = min(start + block_size, hi)
-            d = docs_all[start:end]
-            t = tfs_all[start:end]
-            p = partial_all[start:end]
-            rows.append(
-                (
-                    term, stream, shard, slc, bucket, bid, end - start,
-                    int(d[0]), int(d[-1]), float(p.max()),
-                    encode_postings(d.astype(np.uint64)),
-                    varbyte_encode(t.astype(np.uint64)),
-                    p.tobytes(),
-                )
-            )
-    return pd.DataFrame(rows, columns=_SEGMENT_COLS)
+    docs = pdf["doc_id"].to_numpy().astype(np.int64)
+    n = len(keys)
+    if n == 0:
+        return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
+    starts = np.flatnonzero(
+        np.concatenate(([True], (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])))
+    )
+    tfs = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+    return _encode_sorted(
+        pdf["term"].to_numpy()[starts],
+        pdf["stream"].to_numpy()[starts],
+        docs[starts],
+        tfs,
+        pdf["doclen"].to_numpy().astype(np.float64)[starts],
+        shard, slc, bucket, block_size, k1, b, avgdl,
+    )
+
+
+def _encode_sorted(
+    terms_in: np.ndarray,
+    streams_in: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    shard: int,
+    slc: int,
+    bucket: int,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Shared block encoder over postings already sorted by (term, stream,
+    doc_id) with one row per posting."""
+    n_rows = len(docs)
+    if n_rows == 0:
+        return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
+    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    keys = pd.Series(terms_in).str.cat(pd.Series(streams_in), sep="\x00").to_numpy()
+    # (term, stream) runs in the sorted order
+    run_starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [n_rows]))
+    run_lens = run_ends - run_starts
+    # blocks tile each run contiguously in block_size chunks
+    nblk = (run_lens + block_size - 1) // block_size
+    run_of_block = np.repeat(np.arange(run_starts.size), nblk)
+    block_id = np.arange(int(nblk.sum())) - np.repeat(np.cumsum(nblk) - nblk, nblk)
+    blk_start = run_starts[run_of_block] + block_id * block_size
+    blk_end = np.minimum(blk_start + block_size, run_ends[run_of_block])
+    # gaps reset to the absolute doc_id at every block start → per-block
+    # encoding identical to varbyte(first, gaps...) of that block alone
+    gaps = np.empty(n_rows, dtype=np.uint64)
+    gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[blk_start] = docs[blk_start].astype(np.uint64)
+    dbuf, dnb = varbyte_encode_arr(gaps)
+    doff = np.concatenate(([0], np.cumsum(dnb)))
+    dbytes = dbuf.tobytes()
+    tbuf, tnb = varbyte_encode_arr(tfs.astype(np.uint64))
+    toff = np.concatenate(([0], np.cumsum(tnb)))
+    tbytes = tbuf.tobytes()
+    pbytes = partial.tobytes()
+    terms = terms_in[run_starts][run_of_block]
+    streams = streams_in[run_starts][run_of_block]
+    out = pd.DataFrame(
+        {
+            "term": terms,
+            "stream": streams,
+            "shard": shard,
+            "slice": slc,
+            "term_bucket": bucket,
+            "block_id": block_id.astype(np.int32),
+            "n": (blk_end - blk_start).astype(np.int32),
+            "first_doc": docs[blk_start],
+            "last_doc": docs[blk_end - 1],
+            "max_partial": np.maximum.reduceat(partial, blk_start),
+            "docs_vb": [dbytes[a:b] for a, b in zip(doff[blk_start], doff[blk_end])],
+            "tfs_vb": [tbytes[a:b] for a, b in zip(toff[blk_start], toff[blk_end])],
+            "partials": [pbytes[8 * a : 8 * b] for a, b in zip(blk_start, blk_end)],
+        }
+    )
+    return out[_SEGMENT_COLS]
 
 
 def build_segments(postings: DataFrame, avgdl: float, config: BuildConfig) -> DataFrame:
@@ -128,6 +205,35 @@ def build_segments(postings: DataFrame, avgdl: float, config: BuildConfig) -> Da
 
     withb = postings.withColumn("term_bucket", term_bucket_col(F.col("term"), config.term_buckets))
     return withb.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
+
+
+def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -> DataFrame:
+    """corpus → segment blocks in ONE shuffle — the scale build path.
+
+    The wordcount path shuffles twice (token→posting agg exchange, then the
+    applyInPandas exchange) and tempts callers into materializing row-form
+    postings — which nobody can afford at 100 TB. Here exploded token
+    occurrences shuffle straight to their (shard, slice, term_bucket)
+    reducer and tf is computed inside the encode kernel
+    (:func:`_encode_token_group`); row-form postings never exist. Shuffle
+    volume is token-granularity (~1.5× posting rows) but there is only one
+    exchange and no 4-column agg hash table. The term dictionary then
+    derives from block metadata (statistics.term_stats_from_segments) at
+    ~#blocks cost.
+    """
+    from bitfunnel_spark.operators.statistics import exploded_tokens
+
+    bm = config.bm25
+    bs = config.block_size
+    k1, b = bm.k1, bm.b
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_token_group(pdf, bs, k1, b, avgdl)
+
+    tok = exploded_tokens(corpus, config).withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
+    )
+    return tok.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -60,6 +60,19 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
     keep tf for BM25. doclen (BODY token count) is denormalized onto every
     posting so BM25 needs no join at query time.
     """
+    tok = exploded_tokens(corpus, config)
+    # doclen/shard/slice are functions of doc_id — adding them to the key
+    # changes nothing semantically and keeps them without a join
+    return tok.groupBy(
+        "term", "stream", "doc_id", "doclen", "shard", "slice"
+    ).agg(F.count("*").cast("int").alias("tf"))
+
+
+def exploded_tokens(corpus: DataFrame, config: BuildConfig) -> DataFrame:
+    """(term, stream, doc_id, doclen, shard, slice) — one row per token
+    OCCURRENCE (duplicates not yet combined). The shared front end of both
+    the wordcount `postings` path and the fused single-shuffle segment build
+    (operators/segments.build_segments_fused)."""
     body_tokens = tokenize("content")
     doclen = F.size(body_tokens)
     base = corpus.select(
@@ -72,8 +85,7 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
         F.lower(F.col("lang")).alias("_lang"),
         F.lower(F.col("repo")).alias("_repo"),
     )
-    # one row per token occurrence: (term, stream) structs from all streams
-    tok = base.select(
+    return base.select(
         "doc_id",
         "doclen",
         "shard",
@@ -94,17 +106,7 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    )
-    # doclen/shard/slice are functions of doc_id — adding them to the key
-    # changes nothing semantically and keeps them without a join
-    return tok.groupBy(
-        F.col("p.term").alias("term"),
-        F.col("p.stream").alias("stream"),
-        "doc_id",
-        "doclen",
-        "shard",
-        "slice",
-    ).agg(F.count("*").cast("int").alias("tf"))
+    ).select(F.col("p.term").alias("term"), F.col("p.stream").alias("stream"), "doc_id", "doclen", "shard", "slice")
 
 
 def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
@@ -116,15 +118,27 @@ def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> Data
     treatment is the df-band encoding route (operators/treatments.py ≈
     ITermTreatment).
     """
+    out = postings_df.groupBy("term", "stream").agg(F.count("*").alias("df"))
+    return _term_stats_select(out, n_docs, config)
+
+
+def term_stats_from_segments(segments_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
+    """Same dictionary as :func:`term_stats`, derived from segment block
+    metadata: df = Σ block n per (term, stream) — an agg over ~#blocks rows
+    instead of #postings rows (the fused build path never materializes
+    row-form postings)."""
+    out = segments_df.groupBy("term", "stream").agg(F.sum("n").cast("long").alias("df"))
+    return _term_stats_select(out, n_docs, config)
+
+
+def _term_stats_select(df_table: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
     from bitfunnel_spark.operators.treatments import treatment_of
 
-    df_col = F.count("*").alias("df")
-    out = postings_df.groupBy("term", "stream").agg(df_col)
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     idf_x10 = F.least(
         F.round(10.0 * F.log10(F.lit(float(n_docs)) / F.col("df"))), F.lit(60.0)
     ).cast("int")
-    return out.select(
+    return df_table.select(
         "term",
         "stream",
         "df",

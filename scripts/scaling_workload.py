@@ -3,6 +3,18 @@
 Usage: python scripts/scaling_workload.py <cores> <n_docs> [corpus_path]
 Prints one JSON line. Run by scripts/scaling.py at N and 4N cores over the
 SAME pre-generated corpus parquet (north_rule: same job, two cluster sizes).
+
+Methodology notes (why warm-up + a large corpus):
+- A fresh JVM pays one-time whole-stage-codegen + JIT compilation on the
+  first execution of each stage shape; measured cold-start cost *grows*
+  with thread count (more threads interpreting bytecode before C2 kicks
+  in), which poisons a cold 8-vs-32 comparison in either direction. We run
+  the identical pipeline once on a small slice of the corpus first, untimed
+  — the same "warm the cache before `query log`" protocol the reference
+  uses (/root/reference/src/Plan/src/QueryRunner.cpp).
+- The corpus must be big enough that per-task compute dominates Spark's
+  per-job scheduling floor (~2-4 s in local mode); below that every core
+  count measures the same constant and efficiency is meaningless.
 """
 
 from __future__ import annotations
@@ -13,6 +25,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from bitfunnel_spark import BuildConfig, FullTextIndex  # noqa: E402
 from bitfunnel_spark.session import get_spark  # noqa: E402
@@ -30,14 +44,39 @@ QUERIES = [
     "id_8 -id_15",
     "id_77 id_3",
 ]
+QUERY_REPEAT = 5  # batch throughput over QUERY_REPEAT * len(QUERIES) queries
 
 
 def ensure_corpus(spark, path: str, n_docs: int) -> None:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    synthetic_corpus(spark, n_docs=n_docs, seed=42, partitions=128).write.mode(
+    synthetic_corpus(spark, n_docs=n_docs, seed=42, partitions=256).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def run_build(spark, corpus, cfg) -> dict:
+    """Materialize the full serve index via the fused single-shuffle build
+    (doc stats + encoded segments + term dictionary); returns the index and
+    per-stage seconds. Row-form postings are never materialized — the
+    segment store IS the index (at 100 TB nothing else is affordable)."""
+    t0 = time.time()
+    idx = FullTextIndex.build_fused(spark, corpus, cfg)  # materializes doc_stats
+    t_stats = time.time()
+    n_blocks = idx.segments.count()
+    t_seg = time.time()
+    idx.term_stats.count()
+    t_terms = time.time()
+    return {
+        "idx": idx,
+        "n_blocks": n_blocks,
+        "build_sec": t_terms - t0,
+        "stages": {
+            "stats_sec": round(t_stats - t0, 2),
+            "segments_sec": round(t_seg - t_stats, 2),
+            "term_stats_sec": round(t_terms - t_seg, 2),
+        },
+    }
 
 
 def main() -> None:
@@ -49,29 +88,32 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
 
     cfg = BuildConfig(n_slices=16, term_buckets=16)
-    t0 = time.time()
-    idx = FullTextIndex.build(spark, corpus, cfg)
-    t_stats = time.time()
-    idx.postings.count()  # materialize the postings cache explicitly
-    t_postings = time.time()
-    idx.term_stats.count()
-    t_terms = time.time()
-    seg = idx.build_segments(cache=True)
-    n_blocks = seg.count()
-    t_seg = time.time()
-    build_sec = t_seg - t0
-    stages = {
-        "stats_sec": round(t_stats - t0, 2),
-        "postings_sec": round(t_postings - t_stats, 2),
-        "term_stats_sec": round(t_terms - t_postings, 2),
-        "segments_sec": round(t_seg - t_terms, 2),
-    }
 
-    idx.search("id_1", k=10, mode="kernel").collect()  # warm-up
+    # ---- untimed warm-up: identical pipeline shape on a small slice ------
+    warm = run_build(spark, corpus.filter(F.col("doc_id") < 4000), cfg)
+    warm["idx"].search("id_1 id_2", k=10, mode="kernel").collect()
+    warm["idx"].search_many(QUERIES, k=10).collect()
+    for df in (warm["idx"].doc_stats, warm["idx"].term_stats, warm["idx"].segments):
+        df.unpersist()
+
+    # ---- timed build -----------------------------------------------------
+    r = run_build(spark, corpus, cfg)
+    idx = r["idx"]
+    build_sec = r["build_sec"]
+
+    # ---- timed query batch (query-log throughput, one job) ---------------
+    batch = [q for _ in range(QUERY_REPEAT) for q in QUERIES]
     tq = time.time()
-    for q in QUERIES:
-        idx.search(q, k=10, mode="kernel").collect()
+    idx.search_many(batch, k=10).collect()
     query_sec = time.time() - tq
+
+    # single-query latency (p50-ish: median of the set, sequential)
+    lats = []
+    for q in QUERIES:
+        t1 = time.time()
+        idx.search(q, k=10, mode="kernel").collect()
+        lats.append(time.time() - t1)
+    lats.sort()
 
     print(
         json.dumps(
@@ -80,10 +122,11 @@ def main() -> None:
                 "n_docs": n_docs,
                 "build_sec": round(build_sec, 2),
                 "files_per_sec": round(n_docs / build_sec, 2),
-                "n_segment_blocks": n_blocks,
+                "n_segment_blocks": r["n_blocks"],
                 "query_batch_sec": round(query_sec, 2),
-                "qps": round(len(QUERIES) / query_sec, 3),
-                **stages,
+                "qps_batched": round(len(batch) / query_sec, 3),
+                "query_p50_sec": round(lats[len(lats) // 2], 4),
+                **r["stages"],
             }
         )
     )

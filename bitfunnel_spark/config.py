@@ -65,3 +65,15 @@ class BuildConfig:
     dense_df_frac: float = 0.25
     bm25: BM25Params = field(default_factory=BM25Params)
     max_gram_size: int = 1  # reference default gramSize=1 (StatisticsBuilder.cpp:75-79)
+    # Positional postings (fused build only): store per-posting token
+    # positions (delta+varbyte) so phrase adjacency evaluates inside the
+    # distributed kernel — no corpus access at query time. Positions are
+    # capped at POS_LIMIT per stream (phrase semantics beyond that window
+    # fall back to the corpus-scan path).
+    positions: bool = False
+
+
+# positions fit in 20 bits → (doc_id, position) packs into one int64 key
+# (doc_id < 2^43) for vectorized phrase adjacency
+POS_BITS = 20
+POS_LIMIT = (1 << POS_BITS) - 16

@@ -38,6 +38,20 @@ def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     return _INDEX_CACHE[key]
 
 
+_POS_INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
+ENTRY_POS_CONFIG = BuildConfig(n_slices=4, positions=True)
+
+
+def get_pos_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    """Positional-postings index (fused build) — phrases evaluate inside the
+    distributed kernel from stored positions, no corpus access."""
+    key = (id(spark), sf_dir)
+    if key not in _POS_INDEX_CACHE:
+        corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
+        _POS_INDEX_CACHE[key] = FullTextIndex.build_fused(spark, corpus, ENTRY_POS_CONFIG)
+    return _POS_INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_documents(spark, sf_dir)
 
@@ -439,6 +453,32 @@ def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# chunk-format source/sink (reference corpus format parity — sources/chunks.py)
+
+def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write docs (doc_id < 200) as reference chunk files, read them back
+    distributed, and return the per-row content invariant — proving the
+    sink→source loop preserves the token stream exactly."""
+    import hashlib
+    import shutil
+
+    from bitfunnel_spark.sources.chunks import chunks_to_corpus, write_chunks
+
+    corpus = corpus_from_documents(load_documents(spark, sf_dir)).filter("doc_id < 200")
+    out = f"/tmp/bf_entry_chunks_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_chunks(corpus, out)
+    return chunks_to_corpus(spark, out).select("doc_id", "content_sha256").orderBy("doc_id")
+
+
+# chunk content = engine tokens space-joined, so the oracle recomputes the
+# same reconstruction: sha256 of array_to_string(tokens, ' ')
+SQL_CHUNK_ROUNDTRIP = f"""SELECT doc_id,
+  sha256(array_to_string(regexp_extract_all(lower(text), '{_PAT}'), ' ')) AS content_sha256
+FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +631,16 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ann_lsh_topk"] = q_ann_lsh_topk
     oracles["ann_lsh_topk"] = SQL_ANN_LSH_TOPK
     queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
+
+    # phrase via positional postings (kernel adjacency from stored positions)
+    def q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_pos_index(spark, sf_dir).search('"batch batch"', k=10, mode="kernel")
+
+    queries["ft_bm25_phrase_pos"] = q_phrase_positions
+    oracles["ft_bm25_phrase_pos"] = oracle_search_sql('"batch batch"', k=10, config=ENTRY_POS_CONFIG)
+
+    queries["chunk_roundtrip"] = q_chunk_roundtrip
+    oracles["chunk_roundtrip"] = SQL_CHUNK_ROUNDTRIP
 
     queries["text_profile"] = q_text_profile
     oracles["text_profile"] = _sql_text_profile()

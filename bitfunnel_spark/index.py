@@ -31,6 +31,24 @@ class FullTextIndex:
     n_docs: int
     avgdl: float
     segments: DataFrame | None = None  # encoded posting segments (built on demand)
+    _idf_map: dict | None = None  # driver-resident term dictionary (lazy)
+
+    # terms above this, fall back to per-query filtered collects rather than
+    # holding the whole dictionary on the driver
+    IDF_MAP_MAX_TERMS = 5_000_000
+
+    def idf_map(self) -> dict | None:
+        """Driver-resident {(stream, term): idf} — the reference keeps its
+        TermTable in process memory the same way (SimpleIndex.cpp). Removes
+        one Spark job per query. Returns None when the dictionary exceeds
+        IDF_MAP_MAX_TERMS (the 10^12-doc path then uses per-query filtered
+        lookups / a broadcast dictionary instead)."""
+        if self._idf_map is None:
+            if self.term_stats.count() > self.IDF_MAP_MAX_TERMS:
+                return None
+            rows = self.term_stats.select("stream", "term", "idf").collect()
+            self._idf_map = {(r[0], r[1]): float(r[2]) for r in rows}
+        return self._idf_map
 
     @classmethod
     def build(

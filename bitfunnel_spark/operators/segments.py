@@ -47,11 +47,12 @@ from bitfunnel_spark.operators.codec import varbyte_encode_arr
 SEGMENT_SCHEMA = (
     "term string, stream string, shard int, slice int, term_bucket int, "
     "block_id int, n int, first_doc long, last_doc long, max_partial double, "
-    "docs_vb binary, tfs_vb binary, partials binary"
+    "docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
 )
 _SEGMENT_COLS = [
     "term", "stream", "shard", "slice", "term_bucket", "block_id",
     "n", "first_doc", "last_doc", "max_partial", "docs_vb", "tfs_vb", "partials",
+    "pos_vb",
 ]
 
 
@@ -74,118 +75,71 @@ def term_bucket_col(term_col, term_buckets: int):
 
 
 def _encode_group(pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
-    """Encode all terms of one (shard, slice, term_bucket) group.
-
-    Fully vectorized — no per-block Python work beyond buffer slicing: one
-    sort, one varbyte pass over ALL doc gaps (resets to absolute at each
-    block start, so each block is independently decodable), one varbyte pass
-    over all tfs, then blocks are byte-ranges of the shared buffers. (The
-    previous per-block encode-call loop was the measured build bottleneck:
-    ~30 tiny NumPy calls × #blocks.)
-    """
-    shard = int(pdf["shard"].iloc[0])
-    slc = int(pdf["slice"].iloc[0])
-    bucket = int(pdf["term_bucket"].iloc[0])
-    pdf = pdf.sort_values(["term", "stream", "doc_id"], kind="stable")
-    return _encode_sorted(
-        pdf["term"].to_numpy(),
-        pdf["stream"].to_numpy(),
-        pdf["doc_id"].to_numpy().astype(np.int64),
-        pdf["tf"].to_numpy().astype(np.int64),
-        pdf["doclen"].to_numpy().astype(np.float64),
-        shard, slc, bucket, block_size, k1, b, avgdl,
-    )
+    """Encode all terms of one (shard, slice, term_bucket) group of POSTINGS
+    (tf already computed — the wordcount path)."""
+    return _encode_frame(pdf, has_tf=True, block_size=block_size, k1=k1, b=b, avgdl=avgdl)
 
 
 def _encode_token_group(
     pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float
 ) -> pd.DataFrame:
     """Fused-path group encode: rows are raw token OCCURRENCES; tf is
-    computed here (run-length over the sorted (term, stream, doc_id) key)
-    before block encoding — the reduce side of the single-shuffle build."""
+    computed here (run-length over the sorted key) before block encoding —
+    the reduce side of the single-shuffle build."""
+    return _encode_frame(pdf, has_tf=False, block_size=block_size, k1=k1, b=b, avgdl=avgdl)
+
+
+def _encode_frame(
+    pdf: pd.DataFrame, has_tf: bool, block_size: int, k1: float, b: float, avgdl: float
+) -> pd.DataFrame:
+    """Vectorized group encoder — no per-block Python work beyond buffer
+    slicing, and no pandas string sorting: terms/streams are factorized to
+    int codes (C-speed) and ordered with one integer np.lexsort; run
+    boundaries are integer comparisons; one varbyte pass encodes ALL doc
+    gaps (reset to absolute at each block start, so each block is
+    independently decodable) and blocks are byte-ranges of the shared
+    buffer. (Both the per-block encode-call loop and the string
+    sort_values/str.cat formulations were measured build bottlenecks.)
+    """
+    n_in = len(pdf)
+    if n_in == 0:
+        return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
     shard = int(pdf["shard"].iloc[0])
     slc = int(pdf["slice"].iloc[0])
     bucket = int(pdf["term_bucket"].iloc[0])
-    pdf = pdf.sort_values(["term", "stream", "doc_id"], kind="stable")
-    keys = (pdf["term"] + "\x00" + pdf["stream"]).to_numpy()
     docs = pdf["doc_id"].to_numpy().astype(np.int64)
-    n = len(keys)
-    if n == 0:
-        return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
-    starts = np.flatnonzero(
-        np.concatenate(([True], (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])))
-    )
-    tfs = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
-    return _encode_sorted(
-        pdf["term"].to_numpy()[starts],
-        pdf["stream"].to_numpy()[starts],
-        docs[starts],
-        tfs,
-        pdf["doclen"].to_numpy().astype(np.float64)[starts],
-        shard, slc, bucket, block_size, k1, b, avgdl,
-    )
-
-
-def _encode_sorted(
-    terms_in: np.ndarray,
-    streams_in: np.ndarray,
-    docs: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    shard: int,
-    slc: int,
-    bucket: int,
-    block_size: int,
-    k1: float,
-    b: float,
-    avgdl: float,
-) -> pd.DataFrame:
-    """Shared block encoder over postings already sorted by (term, stream,
-    doc_id) with one row per posting."""
-    n_rows = len(docs)
-    if n_rows == 0:
-        return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
-    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    keys = pd.Series(terms_in).str.cat(pd.Series(streams_in), sep="\x00").to_numpy()
-    # (term, stream) runs in the sorted order
-    run_starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-    run_ends = np.concatenate((run_starts[1:], [n_rows]))
-    run_lens = run_ends - run_starts
-    # blocks tile each run contiguously in block_size chunks
-    nblk = (run_lens + block_size - 1) // block_size
-    run_of_block = np.repeat(np.arange(run_starts.size), nblk)
-    block_id = np.arange(int(nblk.sum())) - np.repeat(np.cumsum(nblk) - nblk, nblk)
-    blk_start = run_starts[run_of_block] + block_id * block_size
-    blk_end = np.minimum(blk_start + block_size, run_ends[run_of_block])
-    # gaps reset to the absolute doc_id at every block start → per-block
-    # encoding identical to varbyte(first, gaps...) of that block alone
-    gaps = np.empty(n_rows, dtype=np.uint64)
-    gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
-    gaps[blk_start] = docs[blk_start].astype(np.uint64)
-    dbuf, dnb = varbyte_encode_arr(gaps)
-    doff = np.concatenate(([0], np.cumsum(dnb)))
-    dbytes = dbuf.tobytes()
-    tbuf, tnb = varbyte_encode_arr(tfs.astype(np.uint64))
-    toff = np.concatenate(([0], np.cumsum(tnb)))
-    tbytes = tbuf.tobytes()
-    pbytes = partial.tobytes()
-    terms = terms_in[run_starts][run_of_block]
-    streams = streams_in[run_starts][run_of_block]
+    dls = pdf["doclen"].to_numpy().astype(np.float64)
+    t_codes, t_uniq = pd.factorize(pdf["term"].to_numpy(), sort=False)
+    s_codes, s_uniq = pd.factorize(pdf["stream"].to_numpy(), sort=False)
+    n_streams = len(s_uniq)
+    rk = t_codes.astype(np.int64) * n_streams + s_codes  # (term, stream) run key
+    order = np.lexsort((docs, rk))
+    docs, rk, dls = docs[order], rk[order], dls[order]
+    if has_tf:
+        tfs = pdf["tf"].to_numpy().astype(np.int64)[order]
+    else:
+        # collapse duplicate (run key, doc) occurrences into tf counts
+        change = np.concatenate(([True], (rk[1:] != rk[:-1]) | (docs[1:] != docs[:-1])))
+        pstarts = np.flatnonzero(change)
+        tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
+        docs, rk, dls = docs[pstarts], rk[pstarts], dls[pstarts]
+    enc = _encode_posting_arrays(docs, tfs, dls, rk, block_size, k1, b, avgdl)
     out = pd.DataFrame(
         {
-            "term": terms,
-            "stream": streams,
+            "term": t_uniq[(enc["run_keys"] // n_streams).astype(np.intp)],
+            "stream": s_uniq[(enc["run_keys"] % n_streams).astype(np.intp)],
             "shard": shard,
             "slice": slc,
             "term_bucket": bucket,
-            "block_id": block_id.astype(np.int32),
-            "n": (blk_end - blk_start).astype(np.int32),
-            "first_doc": docs[blk_start],
-            "last_doc": docs[blk_end - 1],
-            "max_partial": np.maximum.reduceat(partial, blk_start),
-            "docs_vb": [dbytes[a:b] for a, b in zip(doff[blk_start], doff[blk_end])],
-            "tfs_vb": [tbytes[a:b] for a, b in zip(toff[blk_start], toff[blk_end])],
-            "partials": [pbytes[8 * a : 8 * b] for a, b in zip(blk_start, blk_end)],
+            "block_id": enc["block_id"].astype(np.int32),
+            "n": enc["n"].astype(np.int32),
+            "first_doc": enc["first_doc"],
+            "last_doc": enc["last_doc"],
+            "max_partial": enc["max_partial"],
+            "docs_vb": enc["docs_vb"],
+            "tfs_vb": enc["tfs_vb"],
+            "partials": enc["partials"],
+            "pos_vb": enc["pos_vb"],
         }
     )
     return out[_SEGMENT_COLS]
@@ -207,6 +161,166 @@ def build_segments(postings: DataFrame, avgdl: float, config: BuildConfig) -> Da
     return withb.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
 
 
+def _encode_token_table(
+    tbl, block_size: int, k1: float, b: float, avgdl: float, positions: bool = False
+):
+    """Arrow-native fused-path group encode (applyInArrow): token
+    occurrences arrive as a pyarrow Table and are factorized with
+    pc.dictionary_encode (C++), ordered with one integer np.lexsort, tf'd by
+    run-length, and block-encoded by the shared NumPy pipeline — NO pandas
+    conversion, so the 10^7-row JVM→Python boundary never materializes
+    per-row Python string objects (measured as the dominant, worst-scaling
+    cost of the pandas kernel)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table({c: [] for c in _SEGMENT_COLS}, schema=_segment_pa_schema())
+    shard = tbl["shard"][0].as_py()
+    slc = tbl["slice"][0].as_py()
+    bucket = tbl["term_bucket"][0].as_py()
+    t_dict = pc.dictionary_encode(tbl["term"].combine_chunks())
+    s_dict = pc.dictionary_encode(tbl["stream"].combine_chunks())
+    t_codes = t_dict.indices.to_numpy().astype(np.int64)
+    s_codes = s_dict.indices.to_numpy().astype(np.int64)
+    t_uniq = t_dict.dictionary
+    s_uniq = s_dict.dictionary
+    n_streams = len(s_uniq)
+    docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+    dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
+    rk = t_codes * n_streams + s_codes
+    if positions:
+        pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.lexsort((pos, docs, rk))
+        pos = pos[order]
+    else:
+        pos = None
+        order = np.lexsort((docs, rk))
+    docs, rk, dls = docs[order], rk[order], dls[order]
+    change = np.concatenate(([True], (rk[1:] != rk[:-1]) | (docs[1:] != docs[:-1])))
+    pstarts = np.flatnonzero(change)
+    tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
+    docs, rk, dls = docs[pstarts], rk[pstarts], dls[pstarts]
+    enc = _encode_posting_arrays(
+        docs, tfs, dls, rk, block_size, k1, b, avgdl,
+        occ_pos=pos,
+        posting_occ_starts=pstarts if positions else None,
+    )
+    term_col = pc.take(t_uniq, pa.array(enc["run_keys"] // n_streams, type=pa.int64()))
+    stream_col = pc.take(s_uniq, pa.array(enc["run_keys"] % n_streams, type=pa.int64()))
+    return pa.table(
+        {
+            "term": term_col,
+            "stream": stream_col,
+            "shard": pa.array(np.full(len(enc["block_id"]), shard, dtype=np.int32)),
+            "slice": pa.array(np.full(len(enc["block_id"]), slc, dtype=np.int32)),
+            "term_bucket": pa.array(np.full(len(enc["block_id"]), bucket, dtype=np.int32)),
+            "block_id": pa.array(enc["block_id"].astype(np.int32)),
+            "n": pa.array(enc["n"].astype(np.int32)),
+            "first_doc": pa.array(enc["first_doc"]),
+            "last_doc": pa.array(enc["last_doc"]),
+            "max_partial": pa.array(enc["max_partial"]),
+            "docs_vb": pa.array(enc["docs_vb"], type=pa.binary()),
+            "tfs_vb": pa.array(enc["tfs_vb"], type=pa.binary()),
+            "partials": pa.array(enc["partials"], type=pa.binary()),
+            "pos_vb": pa.array(enc["pos_vb"], type=pa.binary()),
+        },
+        schema=_segment_pa_schema(),
+    )
+
+
+def _segment_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("stream", pa.string()),
+            ("shard", pa.int32()),
+            ("slice", pa.int32()),
+            ("term_bucket", pa.int32()),
+            ("block_id", pa.int32()),
+            ("n", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("max_partial", pa.float64()),
+            ("docs_vb", pa.binary()),
+            ("tfs_vb", pa.binary()),
+            ("partials", pa.binary()),
+            ("pos_vb", pa.binary()),
+        ]
+    )
+
+
+def _encode_posting_arrays(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    rk: np.ndarray,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    occ_pos: np.ndarray | None = None,
+    posting_occ_starts: np.ndarray | None = None,
+) -> dict:
+    """Core block encoder over postings sorted by (run key, doc_id):
+    returns per-block metadata arrays + buffer slices. Shared by the pandas
+    and Arrow kernels.
+
+    Positional postings: when `occ_pos` (per-occurrence positions, sorted
+    within each posting) and `posting_occ_starts` (occurrence index where
+    each posting's positions begin) are given, each block also carries its
+    postings' positions delta+varbyte encoded (first position absolute per
+    posting; per-posting counts are the tfs, so no extra length table)."""
+    n_rows = len(docs)
+    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    run_starts = np.flatnonzero(np.concatenate(([True], rk[1:] != rk[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [n_rows]))
+    run_lens = run_ends - run_starts
+    nblk = (run_lens + block_size - 1) // block_size
+    run_of_block = np.repeat(np.arange(run_starts.size), nblk)
+    block_id = np.arange(int(nblk.sum())) - np.repeat(np.cumsum(nblk) - nblk, nblk)
+    blk_start = run_starts[run_of_block] + block_id * block_size
+    blk_end = np.minimum(blk_start + block_size, run_ends[run_of_block])
+    gaps = np.empty(n_rows, dtype=np.uint64)
+    gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[blk_start] = docs[blk_start].astype(np.uint64)
+    dbuf, dnb = varbyte_encode_arr(gaps)
+    doff = np.concatenate(([0], np.cumsum(dnb)))
+    dbytes = dbuf.tobytes()
+    tbuf, tnb = varbyte_encode_arr(tfs.astype(np.uint64))
+    toff = np.concatenate(([0], np.cumsum(tnb)))
+    tbytes = tbuf.tobytes()
+    pbytes = partial.tobytes()
+    if occ_pos is not None:
+        occ_bounds = np.concatenate((posting_occ_starts, [len(occ_pos)]))
+        pgaps = np.empty(len(occ_pos), dtype=np.uint64)
+        pgaps[1:] = (occ_pos[1:] - occ_pos[:-1]).astype(np.uint64)
+        pgaps[posting_occ_starts] = occ_pos[posting_occ_starts].astype(np.uint64)
+        gbuf, gnb = varbyte_encode_arr(pgaps)
+        goff = np.concatenate(([0], np.cumsum(gnb)))
+        gbytes = gbuf.tobytes()
+        # block's positions = occurrence span of its postings
+        blo = goff[occ_bounds[blk_start]]
+        bhi = goff[occ_bounds[blk_end]]
+        pos_vb = [gbytes[a:c] for a, c in zip(blo, bhi)]
+    else:
+        pos_vb = [b""] * len(block_id)
+    return {
+        "run_keys": rk[run_starts][run_of_block],
+        "block_id": block_id,
+        "n": blk_end - blk_start,
+        "first_doc": docs[blk_start],
+        "last_doc": docs[blk_end - 1],
+        "max_partial": np.maximum.reduceat(partial, blk_start),
+        "docs_vb": [dbytes[a:c] for a, c in zip(doff[blk_start], doff[blk_end])],
+        "tfs_vb": [tbytes[a:c] for a, c in zip(toff[blk_start], toff[blk_end])],
+        "partials": [pbytes[8 * a : 8 * c] for a, c in zip(blk_start, blk_end)],
+        "pos_vb": pos_vb,
+    }
+
+
 def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -> DataFrame:
     """corpus → segment blocks in ONE shuffle — the scale build path.
 
@@ -215,25 +329,31 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     postings — which nobody can afford at 100 TB. Here exploded token
     occurrences shuffle straight to their (shard, slice, term_bucket)
     reducer and tf is computed inside the encode kernel
-    (:func:`_encode_token_group`); row-form postings never exist. Shuffle
+    (:func:`_encode_token_table`); row-form postings never exist. Shuffle
     volume is token-granularity (~1.5× posting rows) but there is only one
     exchange and no 4-column agg hash table. The term dictionary then
     derives from block metadata (statistics.term_stats_from_segments) at
     ~#blocks cost.
+
+    The kernel runs via ``applyInArrow`` (Spark 4): the group crosses the
+    JVM→Python boundary as a pyarrow Table, never a pandas DataFrame —
+    converting 10^7 token rows to pandas (one PyObject per string) measured
+    as the dominant and worst-scaling cost of the build.
     """
     from bitfunnel_spark.operators.statistics import exploded_tokens
 
     bm = config.bm25
     bs = config.block_size
     k1, b = bm.k1, bm.b
+    positions = config.positions
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_token_group(pdf, bs, k1, b, avgdl)
+    def fn(tbl):
+        return _encode_token_table(tbl, bs, k1, b, avgdl, positions=positions)
 
     tok = exploded_tokens(corpus, config).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
     )
-    return tok.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
+    return tok.groupBy("shard", "slice", "term_bucket").applyInArrow(fn, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -273,3 +393,40 @@ def decode_group(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray
         order = np.argsort(d, kind="stable")
         d, t, p = d[order], t[order], p[order]
     return d, t, p
+
+
+def decode_group_positions(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a term's blocks → (docs, tfs, positions).
+
+    `positions` is the flat per-occurrence position array; posting i's
+    positions are the tfs[i] entries starting at cumsum(tfs)[i-1] (each
+    posting's deltas reset to absolute — decoded per block here). Raises
+    ValueError if the segment was built without positions."""
+    from bitfunnel_spark.operators.codec import decode_postings, varbyte_decode
+
+    rows = rows.sort_values("block_id")
+    docs_l, tfs_l, pos_l = [], [], []
+    for _, r in rows.iterrows():
+        d = decode_postings(bytes(r["docs_vb"]))
+        t = varbyte_decode(bytes(r["tfs_vb"]))
+        buf = bytes(r["pos_vb"]) if r["pos_vb"] is not None else b""
+        if len(buf) == 0 and t.sum() > 0:
+            raise ValueError("segment has no positional postings (BuildConfig.positions=False)")
+        gaps = varbyte_decode(buf).astype(np.int64)
+        # per-posting delta reset → absolute: cumsum within posting spans
+        bounds = np.concatenate(([0], np.cumsum(t.astype(np.int64))))
+        pos = np.cumsum(gaps)
+        # subtract the carry-over at each posting start so each posting's
+        # cumsum restarts from its own absolute first value
+        if bounds.size > 2:
+            carry = np.zeros(gaps.size, dtype=np.int64)
+            starts = bounds[1:-1]
+            carry[starts] = pos[starts - 1]
+            pos = pos - np.maximum.accumulate(carry)
+        docs_l.append(d.astype(np.int64))
+        tfs_l.append(t.astype(np.int64))
+        pos_l.append(pos)
+    if not docs_l:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(pos_l)

@@ -68,11 +68,18 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
     ).agg(F.count("*").cast("int").alias("tf"))
 
 
-def exploded_tokens(corpus: DataFrame, config: BuildConfig) -> DataFrame:
-    """(term, stream, doc_id, doclen, shard, slice) — one row per token
-    OCCURRENCE (duplicates not yet combined). The shared front end of both
-    the wordcount `postings` path and the fused single-shuffle segment build
-    (operators/segments.build_segments_fused)."""
+def exploded_tokens(
+    corpus: DataFrame, config: BuildConfig, with_positions: bool | None = None
+) -> DataFrame:
+    """(term, stream, doc_id, doclen, shard, slice[, pos]) — one row per
+    token OCCURRENCE (duplicates not yet combined); `pos` (emitted only when
+    positions are on — it rides the build shuffle) is the 0-based token
+    offset within its stream (the positional-postings input — the reference
+    has no positions, its phrases are n-gram rows; SURVEY §2.2). The shared
+    front end of both the wordcount `postings` path and the fused
+    single-shuffle segment build (operators/segments.build_segments_fused)."""
+    if with_positions is None:
+        with_positions = config.positions
     body_tokens = tokenize("content")
     doclen = F.size(body_tokens)
     base = corpus.select(
@@ -85,7 +92,7 @@ def exploded_tokens(corpus: DataFrame, config: BuildConfig) -> DataFrame:
         F.lower(F.col("lang")).alias("_lang"),
         F.lower(F.col("repo")).alias("_repo"),
     )
-    return base.select(
+    out = base.select(
         "doc_id",
         "doclen",
         "shard",
@@ -94,19 +101,38 @@ def exploded_tokens(corpus: DataFrame, config: BuildConfig) -> DataFrame:
             F.concat(
                 F.transform(
                     "_body",
-                    lambda t: F.struct(t.alias("term"), F.lit(BODY).alias("stream")),
+                    lambda t, i: F.struct(
+                        t.alias("term"), F.lit(BODY).alias("stream"), i.cast("int").alias("pos")
+                    ),
                 ),
                 F.transform(
                     "_path",
-                    lambda t: F.struct(t.alias("term"), F.lit(PATH).alias("stream")),
+                    lambda t, i: F.struct(
+                        t.alias("term"), F.lit(PATH).alias("stream"), i.cast("int").alias("pos")
+                    ),
                 ),
                 F.array(
-                    F.struct(F.col("_lang").alias("term"), F.lit(LANG).alias("stream")),
-                    F.struct(F.col("_repo").alias("term"), F.lit(REPO).alias("stream")),
+                    F.struct(
+                        F.col("_lang").alias("term"), F.lit(LANG).alias("stream"), F.lit(0).alias("pos")
+                    ),
+                    F.struct(
+                        F.col("_repo").alias("term"), F.lit(REPO).alias("stream"), F.lit(0).alias("pos")
+                    ),
                 ),
             )
         ).alias("p"),
-    ).select(F.col("p.term").alias("term"), F.col("p.stream").alias("stream"), "doc_id", "doclen", "shard", "slice")
+    )
+    cols = [
+        F.col("p.term").alias("term"),
+        F.col("p.stream").alias("stream"),
+        F.col("doc_id"),
+        F.col("doclen"),
+        F.col("shard"),
+        F.col("slice"),
+    ]
+    if with_positions:
+        cols.append(F.col("p.pos").alias("pos"))
+    return out.select(*cols)
 
 
 def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:

@@ -23,6 +23,7 @@ from bitfunnel_spark.plans.kernel import (
     _EMPTY,
     _EMPTYF,
     _candidates_pruned,
+    _group_phrase_docs,
     _mask,
     _score,
 )
@@ -63,7 +64,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             if cand.size == 0:
                 continue
             postings = {key: get(key) for key in ((s, t) for s, t in plan.terms)}
-            m = _mask(plan.ast, cand, postings, descriptor["phrase_docs"])
+            m = _mask(plan.ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
             cand = cand[m]
             if cand.size == 0:
                 continue
@@ -102,16 +103,25 @@ def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
     key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
     seg = index.segments.filter(key_col.isin(all_keys))
 
-    ts = index.term_stats.filter(key_col.isin(all_keys)).select("stream", "term", "idf").collect()
-    idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+    m = index.idf_map()
+    if m is not None:  # driver-resident dictionary: no Spark job
+        body_terms = {t for p in plans for s, t in p.terms if s == "body"}
+        idf = {t: m[("body", t)] for t in body_terms if ("body", t) in m}
+    else:
+        ts = index.term_stats.filter(key_col.isin(all_keys)).select("stream", "term", "idf").collect()
+        idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
     phrase_docs = {}
-    for p in plans:
-        for ph, _neg in p.phrases:
-            if ph not in phrase_docs:
-                docs = _phrase_doc_ids(index, ph, None).collect()
-                phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+    use_positions = bool(getattr(index.config, "positions", False))
+    if not use_positions:
+        for p in plans:
+            for ph, _neg in p.phrases:
+                if ph not in phrase_docs:
+                    docs = _phrase_doc_ids(index, ph, None).collect()
+                    phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
 
-    kernel = _batch_kernel(plans, {"idf": idf, "phrase_docs": phrase_docs, "k": k})
+    kernel = _batch_kernel(
+        plans, {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions, "k": k}
+    )
     groups = seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "query_id int, doc_id long, score double"
     )

@@ -34,7 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bitfunnel_spark.operators.segments import decode_group
+from bitfunnel_spark.config import POS_BITS, POS_LIMIT
+from bitfunnel_spark.operators.segments import decode_group, decode_group_positions
 from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
 from bitfunnel_spark.plans.executor import _as_plan, _phrase_doc_ids
 from bitfunnel_spark.plans.planner import QueryPlan
@@ -132,6 +133,44 @@ def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
     return np.unique(np.concatenate(arrs)) if arrs else _EMPTY
 
 
+def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
+    """Docs (within one (shard, slice) group) containing the phrase
+    adjacently, from positional postings — no corpus access.
+
+    Each occurrence of constituent k at position p supports a phrase start
+    s = p - k; pack (doc, s) into one int64 key (doc << POS_BITS | s+16)
+    and intersect the start-sets across constituents. Fully vectorized
+    (np.repeat + np.isin); the +16 offset keeps s+16 > 0 for k ≤ 15.
+    """
+    keys = None
+    for k, tok in enumerate(ph.tokens):
+        rows = raw.get((ph.stream, tok))
+        if rows is None:
+            return _EMPTY
+        d, t, p = decode_group_positions(rows)
+        if d.size == 0:
+            return _EMPTY
+        occ_docs = np.repeat(d, t)
+        ok = p <= POS_LIMIT  # positions beyond the 2^20 window are dropped
+        kk = (occ_docs[ok] << np.int64(POS_BITS)) + (p[ok] - k + 16)
+        keys = kk if keys is None else keys[np.isin(keys, kk)]
+        if keys.size == 0:
+            return _EMPTY
+    return np.unique(keys >> np.int64(POS_BITS))
+
+
+def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
+    """Per-group phrase doc sets: positional-kernel evaluation when the
+    index carries positions, else the broadcast corpus-derived sets."""
+    if not descriptor.get("use_positions"):
+        return descriptor["phrase_docs"]
+    out: dict = {}
+    for ph, _neg in plan_phrases:
+        if ph not in out:
+            out[ph] = phrase_docs_from_positions(ph, raw)
+    return out
+
+
 def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     if isinstance(node, Term):
         return _member(postings.get((node.stream, node.text), (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
@@ -187,7 +226,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         # (the rank-down coarse-row analogue)
         lo, hi = int(cand[0]), int(cand[-1])
         postings = {key: _decode_pruned(rows, lo, hi) for key, rows in raw.items()}
-        m = _mask(ast, cand, postings, descriptor["phrase_docs"])
+        m = _mask(ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
         cand = cand[m]
         if cand.size == 0:
             return _OUT_EMPTY
@@ -214,18 +253,29 @@ def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> Da
 
 
 def _descriptor(index, plan: QueryPlan) -> dict:
-    keys = sorted(f"{s}:{t}" for s, t in plan.terms)
-    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
-    ts = index.term_stats.filter(key_col.isin(keys)).select("stream", "term", "idf").collect()
-    idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+    m = index.idf_map()
+    if m is not None:
+        # driver-resident dictionary (TermTable analogue): no Spark job
+        idf = {
+            t: m[("body", t)]
+            for s, t in plan.terms
+            if s == "body" and ("body", t) in m
+        }
+    else:
+        keys = sorted(f"{s}:{t}" for s, t in plan.terms)
+        key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
+        ts = index.term_stats.filter(key_col.isin(keys)).select("stream", "term", "idf").collect()
+        idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
     phrase_docs: dict[Phrase, np.ndarray] = {}
-    for ph, _neg in plan.phrases:
-        if ph in phrase_docs:
-            continue
-        # exact adjacency via corpus, scoped to constituent-AND candidates
-        docs = _phrase_doc_ids(index, ph, None).collect()
-        phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
-    return {"idf": idf, "phrase_docs": phrase_docs}
+    use_positions = bool(getattr(index.config, "positions", False))
+    if not use_positions:
+        for ph, _neg in plan.phrases:
+            if ph in phrase_docs:
+                continue
+            # exact adjacency via corpus, scoped to constituent-AND candidates
+            docs = _phrase_doc_ids(index, ph, None).collect()
+            phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+    return {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions}
 
 
 def match_kernel(index, query) -> DataFrame:

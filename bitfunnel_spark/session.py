@@ -11,6 +11,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    override = os.environ.get("SPARK_LOCAL_DIRS")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "bitfunnel_spark",
     cores: int | None = None,
@@ -32,6 +43,12 @@ def get_spark(
         # local mode: the driver JVM is the only executor — give it real memory
         # (32 task threads + Arrow buffers thrash a small heap into GC collapse)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # shuffle/spill dirs on tmpfs when available: local-mode shuffle to a
+        # single spinning/virtual disk serializes all task threads behind one
+        # device and flattens CPU scaling; a cluster has per-node NVMe. RAM-
+        # backed local dirs make local-mode scaling measurements reflect the
+        # engine, not the sandbox disk.
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

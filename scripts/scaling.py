@@ -19,9 +19,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cores: int, n_docs: int) -> dict:
+def run(cores: int, n_docs: int, repeats: int = 2) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/scaling_workload.py"), str(cores), str(n_docs)],
+        [sys.executable, os.path.join(REPO, "scripts/scaling_workload.py"), str(cores), str(n_docs),
+         os.path.join("/tmp", f"bf_scaling_corpus_{n_docs}"), str(repeats)],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -33,26 +34,32 @@ def run(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
-    r8 = run(8, n_docs)
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    r8 = run(n_lo, n_docs, repeats)
     print(json.dumps(r8))
-    r32 = run(32, n_docs)
+    r32 = run(n_hi, n_docs, repeats)
     print(json.dumps(r32))
-    build_eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
-    qps_eff = (r32["qps_batched"] / r8["qps_batched"]) / 4.0
+    ratio = n_hi / n_lo
+    build_eff = (r32["files_per_sec"] / r8["files_per_sec"]) / ratio
+    qps_eff = (r32["qps_batched"] / r8["qps_batched"]) / ratio
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     md = f"""
-## Scaling run {stamp} (n_docs={n_docs}, same input, local[8] vs local[32], JIT-warmed)
+## Scaling run {stamp} (n_docs={n_docs}, same input, local[{n_lo}] vs local[{n_hi}], JIT-warmed)
 
 | cores | build_sec | files/sec | batch qps | query p50 (s) |
 |---|---|---|---|---|
-| 8  | {r8['build_sec']} | {r8['files_per_sec']} | {r8['qps_batched']} | {r8['query_p50_sec']} |
-| 32 | {r32['build_sec']} | {r32['files_per_sec']} | {r32['qps_batched']} | {r32['query_p50_sec']} |
+| {n_lo}  | {r8['build_sec']} | {r8['files_per_sec']} | {r8['qps_batched']} | {r8['query_p50_sec']} |
+| {n_hi} | {r32['build_sec']} | {r32['files_per_sec']} | {r32['qps_batched']} | {r32['query_p50_sec']} |
 
-**Build (indexing) scaling efficiency 8→32 cores: {build_eff:.3f}** (target ≥ 0.8)
-**Query-batch throughput scaling efficiency 8→32 cores: {qps_eff:.3f}**
-Per-stage seconds at 8: {r8['stats_sec']}/{r8['segments_sec']}/{r8['term_stats_sec']} \
+**Build (indexing) scaling efficiency {n_lo}->{n_hi} cores: {build_eff:.3f}** (target >= 0.8)
+**Query-batch throughput scaling efficiency {n_lo}->{n_hi} cores: {qps_eff:.3f}**
+Per-stage seconds at {n_lo}: {r8['stats_sec']}/{r8['segments_sec']}/{r8['term_stats_sec']} \
 (doc-stats/segments/term-dict, fused single-shuffle build); \
-at 32: {r32['stats_sec']}/{r32['segments_sec']}/{r32['term_stats_sec']}.
+at {n_hi}: {r32['stats_sec']}/{r32['segments_sec']}/{r32['term_stats_sec']}.
+CPU-noise calibration (8-proc sha256 Mhash/s; quiet machine ~18.9): \
+low phase {r8.get('calib_mhash8')}, high phase {r32.get('calib_mhash8')}.
 """
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)

@@ -17,9 +17,12 @@ compressed blocks instead of quadword bit-ANDs, and we add scoring.
 
 Parallelism = n_shards × n_slices groups — thousands at cluster scale
 (config.n_slices). On a persisted index, the `term IN (...)` filter prunes
-(shard, term_bucket) partitions before any shuffle. Per-block
-first_doc/last_doc enables range skipping and max_partial enables WAND
-upper-bound pruning inside the kernel.
+(shard, term_bucket) partitions before any shuffle. Block skipping inside
+the kernel: first_doc/last_doc prunes decodes to the shrinking candidate
+range (AND queries, rarest-first), and max_partial drives block-max top-k
+for single-term queries (_single_term_topk — blocks visited in descending
+max order, decode stops at the k-th-beats-next-max bound). Multi-term
+MaxScore/WAND over the same metadata is the designed extension.
 
 Phrases: evaluated exactly via the corpus (adjacency check scoped to
 constituent-AND candidates), broadcast into the kernel as doc-id sets.
@@ -205,6 +208,45 @@ def _score(cand: np.ndarray, postings, scoring_terms: list[str], idf: dict[str, 
     return score
 
 
+def _single_term_topk(rows: pd.DataFrame, idf: float, k: int) -> pd.DataFrame:
+    """Block-max top-k for a single-term query — the max_partial metadata
+    actually skips decodes: blocks are visited in descending max_partial
+    order and decoding stops once k postings are held whose k-th best
+    partial is ≥ the next block's max (no remaining block can contribute a
+    better posting). The rank-down coarse-row analogue
+    (/root/reference/src/Plan/src/RankDownCompiler.cpp) put to work for
+    scoring."""
+    order = rows.sort_values("max_partial", ascending=False)
+    docs_l: list[np.ndarray] = []
+    parts_l: list[np.ndarray] = []
+    count = 0
+    kth = -np.inf
+    from bitfunnel_spark.operators.codec import decode_postings
+
+    # margin: final scores round to 4 dp, so a partial within the rounding
+    # epsilon of the k-th could still tie (and win on doc_id) — only skip
+    # blocks strictly below kth minus the score-space epsilon
+    eps = 1e-4 / idf if idf > 0 else 0.0
+    for r in order.itertuples():
+        if count >= k and float(r.max_partial) < kth - eps:
+            break  # every remaining block's best partial is worse than our k-th
+        docs_l.append(decode_postings(bytes(r.docs_vb)).astype(np.int64))
+        parts_l.append(np.frombuffer(bytes(r.partials), dtype=np.float64))
+        count += docs_l[-1].size
+        if count >= k:
+            allp = np.concatenate(parts_l)
+            kth = float(np.partition(allp, allp.size - k)[allp.size - k])
+    if not docs_l:
+        return _OUT_EMPTY
+    docs = np.concatenate(docs_l)
+    score = idf * np.concatenate(parts_l)
+    if docs.size > k:
+        r4 = np.round(score, 4)
+        idx = np.lexsort((docs, -r4))[:k]
+        docs, score = docs[idx], score[idx]
+    return pd.DataFrame({"doc_id": docs, "score": score})
+
+
 def _make_kernel(plan: QueryPlan, descriptor: dict):
     """Build the per-group kernel closure. `descriptor` is tiny (idf map +
     phrase doc arrays + k) and ships inside the serialized closure."""
@@ -218,6 +260,17 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             (stream, term): rows
             for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
         }
+        k0 = descriptor["k"]
+        if (
+            k0 is not None
+            and isinstance(ast, Term)
+            and ast.stream == "body"
+            and descriptor["idf"].get(ast.text, 0.0) > 0
+        ):
+            rows = raw.get((ast.stream, ast.text))
+            if rows is None:
+                return _OUT_EMPTY
+            return _single_term_topk(rows, descriptor["idf"][ast.text], k0)
         cand = _candidates_pruned(ast, raw)
         if cand.size == 0:
             return _OUT_EMPTY

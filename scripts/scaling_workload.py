@@ -139,7 +139,10 @@ def main() -> None:
     best = None
     calibs = []
     for _rep in range(repeats):
-        calibs.append(calibrate())
+        # delivered-hardware probe at BOTH process counts, same instant:
+        # their ratio is the machine's actual low→high scaling right now
+        # (noisy-neighbor VM), against which engine scaling is normalized
+        calibs.append({"c2": calibrate(2, 1_500_000), "c8": calibrate(8, 1_500_000)})
         r = run_build(spark, corpus, cfg)
         idx = r["idx"]
 

@@ -98,10 +98,13 @@ def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
     """
     if index.segments is None:
         index.build_segments()
+    from bitfunnel_spark.plans.kernel import _segment_filter
+
     plans = [plan_query(parse_query(q)) for q in queries]
-    all_keys = sorted({f"{s}:{t}" for p in plans for s, t in p.terms})
+    all_terms = {(s, t) for p in plans for s, t in p.terms}
+    all_keys = sorted(f"{s}:{t}" for s, t in all_terms)
     key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
-    seg = index.segments.filter(key_col.isin(all_keys))
+    seg = index.segments.filter(_segment_filter(index, all_terms))
 
     m = index.idf_map()
     if m is not None:  # driver-resident dictionary: no Spark job

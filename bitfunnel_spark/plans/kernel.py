@@ -295,10 +295,29 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
     return kernel
 
 
-def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> DataFrame:
-    keys = sorted(f"{s}:{t}" for s, t in plan.terms)
+def _segment_filter(index, terms: set[tuple[str, str]]):
+    """Pushdown-friendly segment predicate for a query's terms.
+
+    `concat(stream, term) IN (...)` alone is a computed column — parquet
+    cannot prune on it. Leading with plain `term_bucket IN` (bucket computed
+    driver-side — partition pruning on a persisted store) and `term IN`
+    (row-group min/max pruning; rows are written term-clustered) lets the
+    scan skip files before the exact pair filter runs."""
+    from bitfunnel_spark.operators.segments import _term_bucket_py
+
+    keys = sorted(f"{s}:{t}" for s, t in terms)
+    term_list = sorted({t for _s, t in terms})
+    buckets = sorted({_term_bucket_py(t, index.config.term_buckets) for t in term_list})
     key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
-    seg = index.segments.filter(key_col.isin(keys))
+    return (
+        F.col("term_bucket").isin(buckets)
+        & F.col("term").isin(term_list)
+        & key_col.isin(keys)
+    )
+
+
+def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> DataFrame:
+    seg = index.segments.filter(_segment_filter(index, plan.terms))
     kernel = _make_kernel(plan, {**descriptor, "k": k})
     return seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"

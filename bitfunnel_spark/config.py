@@ -67,13 +67,19 @@ class BuildConfig:
     max_gram_size: int = 1  # reference default gramSize=1 (StatisticsBuilder.cpp:75-79)
     # Positional postings (fused build only): store per-posting token
     # positions (delta+varbyte) so phrase adjacency evaluates inside the
-    # distributed kernel — no corpus access at query time. Positions are
-    # capped at POS_LIMIT per stream (phrase semantics beyond that window
-    # fall back to the corpus-scan path).
+    # distributed kernel — no corpus access at query time. The packed
+    # (doc_id, position) phrase key holds positions up to 2^POS_BITS; when
+    # any document's stream exceeds POS_SAFE_DOCLEN tokens the planner
+    # routes phrases to the exact corpus-scan path instead (plans/kernel.py
+    # _descriptor), so phrase semantics are always exact.
     positions: bool = False
 
 
 # positions fit in 20 bits → (doc_id, position) packs into one int64 key
-# (doc_id < 2^43) for vectorized phrase adjacency
+# (doc_id < 2^43) for vectorized phrase adjacency. Packed value is
+# pos - k + off with off = max(16, phrase_len), so it is always >= 1; the
+# kernel filters packed values < 2^POS_BITS, and indexes whose longest
+# document could cross that bound fall back to the corpus-scan phrase path.
 POS_BITS = 20
-POS_LIMIT = (1 << POS_BITS) - 16
+# conservative doclen bound under which every packed phrase key fits
+POS_SAFE_DOCLEN = (1 << POS_BITS) - 64

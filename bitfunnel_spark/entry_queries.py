@@ -550,20 +550,29 @@ FROM documents ORDER BY doc_id"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature vectors exploded to (media_id, kind, feat_idx, feature) rows —
+    the driver's canonicalizer sorts/hashes scalar columns, so the
+    array<double> column is emitted row-wise (deterministic order)."""
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
-    return multimodal.extract_features(media, n_features=8).orderBy("media_id")
+    feats = multimodal.extract_features(media, n_features=8)
+    return (
+        feats.select("media_id", "kind", F.posexplode("features").alias("feat_idx", "feature"))
+        .select(
+            "media_id", "kind", F.col("feat_idx").cast("int").alias("feat_idx"),
+            F.round("feature", 4).alias("feature"),
+        )
+        .orderBy("media_id", "feat_idx")
+    )
 
 
-_FEAT = ", ".join(
-    f"CASE WHEN octet_length(encode(text)) >= {i} THEN ascii(substr(text, {i}, 1)) / 255.0 ELSE 0.0 END"
-    for i in range(1, 9)
-)
-
-SQL_MEDIA_FEATURES = f"""SELECT doc_id AS media_id,
+SQL_MEDIA_FEATURES = """SELECT doc_id AS media_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
        ELSE 'video' END AS kind,
-  [{_FEAT}] AS features
-FROM documents ORDER BY doc_id"""
+  i::INT AS feat_idx,
+  round(CASE WHEN octet_length(encode(text)) >= i + 1
+             THEN ascii(substr(text, i + 1, 1)) / 255.0 ELSE 0.0 END, 4) AS feature
+FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i)
+ORDER BY media_id, feat_idx"""
 
 
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,8 +30,11 @@ class FullTextIndex:
     term_stats: DataFrame  # (term, stream, df, idf, idf_x10, treatment)
     n_docs: int
     avgdl: float
+    max_doclen: int = 0  # gates the positional phrase path (POS_SAFE_DOCLEN)
     segments: DataFrame | None = None  # encoded posting segments (built on demand)
     _idf_map: dict | None = None  # driver-resident term dictionary (lazy)
+    _idf_map_over_limit: bool = False  # memoized "dictionary too big" outcome
+    tombstones: frozenset = frozenset()  # soft-deleted doc ids (delete_docs)
 
     # terms above this, fall back to per-query filtered collects rather than
     # holding the whole dictionary on the driver
@@ -42,9 +45,13 @@ class FullTextIndex:
         TermTable in process memory the same way (SimpleIndex.cpp). Removes
         one Spark job per query. Returns None when the dictionary exceeds
         IDF_MAP_MAX_TERMS (the 10^12-doc path then uses per-query filtered
-        lookups / a broadcast dictionary instead)."""
+        lookups / a broadcast dictionary instead); that outcome is memoized
+        so the vocabulary count job runs at most once per index."""
+        if self._idf_map_over_limit:
+            return None
         if self._idf_map is None:
             if self.term_stats.count() > self.IDF_MAP_MAX_TERMS:
+                self._idf_map_over_limit = True
                 return None
             rows = self.term_stats.select("stream", "term", "idf").collect()
             self._idf_map = {(r[0], r[1]): float(r[2]) for r in rows}
@@ -79,6 +86,7 @@ class FullTextIndex:
             term_stats=ts,
             n_docs=meta["n_docs"],
             avgdl=meta["avgdl"],
+            max_doclen=meta["max_doclen"],
         )
         if segments:
             idx.build_segments(cache=cache)
@@ -120,6 +128,7 @@ class FullTextIndex:
             term_stats=ts,
             n_docs=meta["n_docs"],
             avgdl=meta["avgdl"],
+            max_doclen=meta["max_doclen"],
             segments=seg,
         )
 

@@ -175,12 +175,16 @@ def _term_stats_select(df_table: DataFrame, n_docs: int, config: BuildConfig) ->
 
 
 def corpus_meta(doc_stats_df: DataFrame) -> dict:
-    """Global scalars: N and avgdl (exact, float64). Single tiny agg."""
+    """Global scalars: N, avgdl, max doclen (exact). Single tiny agg.
+    max_doclen gates the positional phrase path (config.POS_SAFE_DOCLEN)."""
     row = doc_stats_df.agg(
-        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+        F.max("doclen").alias("max_doclen"),
     ).collect()[0]
     avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
-    return {"n_docs": int(row["n_docs"]), "avgdl": avgdl}
+    max_doclen = int(row["max_doclen"]) if row["max_doclen"] is not None else 0
+    return {"n_docs": int(row["n_docs"]), "avgdl": avgdl, "max_doclen": max_doclen}
 
 
 def idf_value(n_docs: int, df: int) -> float:

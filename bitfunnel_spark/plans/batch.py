@@ -113,8 +113,10 @@ def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
     else:
         ts = index.term_stats.filter(key_col.isin(all_keys)).select("stream", "term", "idf").collect()
         idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+    from bitfunnel_spark.plans.kernel import use_positional_phrases
+
     phrase_docs = {}
-    use_positions = bool(getattr(index.config, "positions", False))
+    use_positions = use_positional_phrases(index)
     if not use_positions:
         for p in plans:
             for ph, _neg in p.phrases:

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bitfunnel_spark.config import POS_BITS, POS_LIMIT
+from bitfunnel_spark.config import POS_BITS, POS_SAFE_DOCLEN
 from bitfunnel_spark.operators.segments import decode_group, decode_group_positions
 from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
 from bitfunnel_spark.plans.executor import _as_plan, _phrase_doc_ids
@@ -141,11 +141,17 @@ def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
     adjacently, from positional postings — no corpus access.
 
     Each occurrence of constituent k at position p supports a phrase start
-    s = p - k; pack (doc, s) into one int64 key (doc << POS_BITS | s+16)
+    s = p - k; pack (doc, s) into one int64 key (doc << POS_BITS | s+off)
     and intersect the start-sets across constituents. Fully vectorized
-    (np.repeat + np.isin); the +16 offset keeps s+16 > 0 for k ≤ 15.
+    (np.repeat + np.isin). off = max(16, phrase_len) keeps s+off >= 1 for
+    every k (so long phrases never borrow from the doc-id field), and
+    packed values >= 2^POS_BITS are filtered out (indexes whose documents
+    could reach that bound route phrases to the corpus path instead — see
+    _descriptor / POS_SAFE_DOCLEN).
     """
     keys = None
+    off = max(16, len(ph.tokens))
+    lim = np.int64(1) << np.int64(POS_BITS)
     for k, tok in enumerate(ph.tokens):
         rows = raw.get((ph.stream, tok))
         if rows is None:
@@ -154,8 +160,9 @@ def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
         if d.size == 0:
             return _EMPTY
         occ_docs = np.repeat(d, t)
-        ok = p <= POS_LIMIT  # positions beyond the 2^20 window are dropped
-        kk = (occ_docs[ok] << np.int64(POS_BITS)) + (p[ok] - k + 16)
+        shifted = p.astype(np.int64) - k + off
+        ok = shifted < lim  # keep the packed key inside the position field
+        kk = (occ_docs[ok] << np.int64(POS_BITS)) + shifted[ok]
         keys = kk if keys is None else keys[np.isin(keys, kk)]
         if keys.size == 0:
             return _EMPTY
@@ -324,6 +331,15 @@ def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> Da
     )
 
 
+def use_positional_phrases(index) -> bool:
+    """Phrases run in-kernel from stored positions iff the index carries
+    positions AND every document's positions fit the packed 20-bit field —
+    otherwise the exact corpus-scan path is used (the documented fallback)."""
+    return bool(getattr(index.config, "positions", False)) and (
+        index.max_doclen < POS_SAFE_DOCLEN
+    )
+
+
 def _descriptor(index, plan: QueryPlan) -> dict:
     m = index.idf_map()
     if m is not None:
@@ -339,7 +355,7 @@ def _descriptor(index, plan: QueryPlan) -> dict:
         ts = index.term_stats.filter(key_col.isin(keys)).select("stream", "term", "idf").collect()
         idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
     phrase_docs: dict[Phrase, np.ndarray] = {}
-    use_positions = bool(getattr(index.config, "positions", False))
+    use_positions = use_positional_phrases(index)
     if not use_positions:
         for ph, _neg in plan.phrases:
             if ph in phrase_docs:

@@ -135,7 +135,15 @@ def chunks_to_corpus(spark: SparkSession, path: str) -> DataFrame:
     url = rows.filter(F.col("stream_id") == URL_STREAM).select(
         "doc_id", F.array_join("tokens", " ").alias("path")
     )
-    out = body.join(url, "doc_id", "left").select(
+    # Start from the full doc-id set: a document with no body stream (legal
+    # per the grammar — e.g. title/url-only) must still survive the mapping,
+    # with content coalesced to the empty string.
+    ids = rows.select("doc_id").distinct()
+    out = (
+        ids.join(body, "doc_id", "left")
+        .join(url, "doc_id", "left")
+        .withColumn("content", F.coalesce(F.col("content"), F.lit("")))
+    ).select(
         "doc_id",
         F.lit("chunk").alias("repo"),
         F.coalesce(F.col("path"), F.concat(F.lit("doc"), F.col("doc_id").cast("string"))).alias("path"),

@@ -22,7 +22,10 @@ def test_single_term_topk_parity(tiny_block_index, q, k):
 
 
 def test_single_term_match_unpruned(tiny_block_index):
-    # match() has no k — the pruned path must not engage; full set returned
-    a = sorted(r["doc_id"] for r in tiny_block_index.match("data").collect())
+    # match has no k — the pruned path must not engage; the kernel-mode full
+    # match set must equal the DataFrame executor's (the unpruned oracle)
+    from bitfunnel_spark.plans.kernel import match_kernel
+
+    a = sorted(r["doc_id"] for r in match_kernel(tiny_block_index, "data").collect())
     b = sorted(r["doc_id"] for r in tiny_block_index.match("data").collect())
     assert a == b and len(a) > 0

@@ -92,3 +92,20 @@ def test_write_read_round_trip(spark, corpus, tmp_path):
         for r in small.select("doc_id", tokenize("content").alias("t")).collect()
     }
     assert got == want
+
+
+def test_bodyless_doc_survives(spark, tmp_path):
+    """A document with no body stream (legal per the grammar) must survive
+    chunks_to_corpus with content coalesced to the empty string."""
+    d = tmp_path / "bodyless"
+    d.mkdir()
+    docs = [
+        (7, {URL_STREAM: ["http://x/7"], TITLE_STREAM: ["only", "title"]}),
+        (8, {BODY_STREAM: ["x", "y"]}),
+    ]
+    (d / "chunk0").write_bytes(format_chunk(docs))
+    out = {r["doc_id"]: r for r in chunks_to_corpus(spark, str(d)).collect()}
+    assert set(out) == {7, 8}
+    assert out[7]["content"] == ""
+    assert out[7]["path"] == "http://x/7"
+    assert out[8]["content"] == "x y"

@@ -40,6 +40,8 @@ _OUT_EMPTY = pd.DataFrame(
 
 
 def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
+    from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _OUT_EMPTY
@@ -48,6 +50,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
         }
         decoded: dict = {}
+        cache = BlockCache(raw)  # block decodes shared across the whole log
 
         def get(key):
             if key not in decoded:
@@ -60,6 +63,19 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
         out_q, out_d, out_s = [], [], []
         k = descriptor["k"]
         for qid, plan in enumerate(plans):
+            flat = route_flat(plan.ast) if k is not None else None
+            if flat is not None:
+                # block-max pruned paths (plans/wand.py); a single term is a
+                # 1-conjunct AND — same block-max traversal
+                kind, keys = flat
+                skeys = [("body", t) for t in sorted(plan.scoring_terms)]
+                fn = or_topk if kind == "or" else and_topk
+                res = fn(keys, skeys, descriptor["idf"], k, cache)
+                if len(res):
+                    out_q.append(np.full(len(res), qid, dtype=np.int32))
+                    out_d.append(res["doc_id"].to_numpy())
+                    out_s.append(res["score"].to_numpy())
+                continue
             cand = _candidates_pruned(plan.ast, raw)
             if cand.size == 0:
                 continue

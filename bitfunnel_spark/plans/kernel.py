@@ -20,9 +20,10 @@ Parallelism = n_shards × n_slices groups — thousands at cluster scale
 (shard, term_bucket) partitions before any shuffle. Block skipping inside
 the kernel: first_doc/last_doc prunes decodes to the shrinking candidate
 range (AND queries, rarest-first), and max_partial drives block-max top-k
-for single-term queries (_single_term_topk — blocks visited in descending
-max order, decode stops at the k-th-beats-next-max bound). Multi-term
-MaxScore/WAND over the same metadata is the designed extension.
+pruning — single terms via _single_term_topk, flat multi-term AND/OR via
+plans/wand.py (block-max WAND driver traversal for conjunctions, MaxScore
+term/block skipping for disjunctions); phrases/NOTs/nested shapes use the
+exhaustive candidate+mask path below.
 
 Phrases: evaluated exactly via the corpus (adjacency check scoped to
 constituent-AND candidates), broadcast into the kernel as doc-id sets.
@@ -257,6 +258,8 @@ def _single_term_topk(rows: pd.DataFrame, idf: float, k: int) -> pd.DataFrame:
 def _make_kernel(plan: QueryPlan, descriptor: dict):
     """Build the per-group kernel closure. `descriptor` is tiny (idf map +
     phrase doc arrays + k) and ships inside the serialized closure."""
+    from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+
     ast = plan.ast
     scoring = sorted(plan.scoring_terms)
 
@@ -278,6 +281,14 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             if rows is None:
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][ast.text], k0)
+        flat = route_flat(ast) if k0 is not None else None
+        if flat is not None and flat[0] in ("and", "or"):
+            # multi-term block-max pruning (WAND/MaxScore — plans/wand.py)
+            kind, keys = flat
+            cache = BlockCache(raw)
+            skeys = [("body", t) for t in scoring]
+            fn = and_topk if kind == "and" else or_topk
+            return fn(keys, skeys, descriptor["idf"], k0, cache)
         cand = _candidates_pruned(ast, raw)
         if cand.size == 0:
             return _OUT_EMPTY

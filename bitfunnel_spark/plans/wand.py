@@ -1,0 +1,350 @@
+"""Multi-term block-max pruning — the WAND / MaxScore analogue.
+
+The reference skips work on multi-term queries by descending through coarse
+"rank" rows before touching rank-0 bits (RankDownCompiler builds the
+per-rank traversal, /root/reference/src/Plan/src/RankDownCompiler.cpp:1-171;
+ByteCodeInterpreter::RunRankZero consumes it, ByteCodeInterpreter.cpp:111-166).
+Our exact-index analogue exploits the per-block `max_partial` metadata that
+every posting block carries (operators/segments.py): a block's best possible
+BM25 contribution is idf·max_partial, so whole blocks — of the driver term
+AND of every other term — can be skipped once the running k-th score proves
+they cannot matter. The published algorithms this follows are Broder et al.'s
+WAND and Ding & Suel's Block-Max WAND / the MaxScore family (public papers;
+see PAPERS.md).
+
+Two shapes:
+
+- ``and_topk`` — flat conjunctions. The rarest term's blocks are visited in
+  descending upper-bound order (ub = Σ over scoring terms of idf · max of
+  overlapping block maxima; −inf when any conjunct has no overlapping block,
+  since the intersection there is provably empty). Decoding stops when the
+  k-th exact score beats every remaining block's bound.
+- ``or_topk`` — flat disjunctions. MaxScore term-level skipping: terms are
+  visited in descending max-contribution order with suffix sums; once the
+  k-th score beats the suffix sum, remaining terms cannot introduce a new
+  top-k doc (their docs either appeared in an earlier term — already scored
+  exactly — or are bounded by the suffix). Within a term, blocks whose
+  idf·max_partial + suffix bound is below the threshold are skipped too.
+
+Both score candidates via ``score_selected``: per scoring term only the
+blocks whose [first_doc, last_doc] range contains a candidate are decoded
+(lazily, cached). Decoded-block counters in ``BlockCache.stats`` feed the
+per-query instrumentation (plans/profile) and the pruning regression tests.
+
+Determinism contract (same as plans/kernel.py): final scores round to 4 dp,
+order (score desc, doc_id asc). Pruning thresholds keep an EPS = 1e-4 margin
+so no doc whose rounded score could tie the k-th is ever skipped; the
+accumulation order of score addends matches the exhaustive ``_score``
+(sorted scoring terms), so both paths produce bit-identical float sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_EMPTY = np.empty(0, dtype=np.int64)
+_EMPTYF = np.empty(0, dtype=np.float64)
+_EMPTYI = np.empty(0, dtype=np.intp)
+# scores round to 4 dp: a skipped doc with bound < kth - EPS rounds strictly
+# below the k-th kept score, so it can never tie into the top-k
+EPS = 1e-4
+
+
+def _member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    if sorted_arr.size == 0 or values.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == sorted_arr.size] = sorted_arr.size - 1
+    return sorted_arr[idx] == values
+
+
+class BlockCache:
+    """Lazy per-block decoder over a query group's segment rows.
+
+    ``raw`` maps (stream, term) → the group's pandas rows (segment schema).
+    Block metadata (first/last doc, max_partial) is materialized once per
+    term, sorted by first_doc; block payloads decode on first touch and are
+    cached — shared across the queries of a batch. ``stats`` counts decoded
+    vs total blocks (the pruning effectiveness signal)."""
+
+    def __init__(self, raw: dict, stats: dict | None = None):
+        self.raw = raw
+        self._meta: dict = {}
+        self._dec: dict = {}
+        self.stats = stats if stats is not None else {}
+        self.stats.setdefault("blocks_decoded", 0)
+        self.stats.setdefault("blocks_total", 0)
+
+    def meta(self, key):
+        m = self._meta.get(key)
+        if m is None:
+            rows = self.raw.get(key)
+            if rows is None or len(rows) == 0:
+                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY)
+            else:
+                rows = rows.sort_values("first_doc", kind="stable")
+                m = (
+                    rows["first_doc"].to_numpy(np.int64),
+                    rows["last_doc"].to_numpy(np.int64),
+                    rows["max_partial"].to_numpy(np.float64),
+                    rows["docs_vb"].tolist(),
+                    rows["partials"].tolist(),
+                    rows["n"].to_numpy(np.int64),
+                )
+                self.stats["blocks_total"] += len(m[0])
+            self._meta[key] = m
+        return m
+
+    def decode_block(self, key, bi: int):
+        ck = (key, bi)
+        d = self._dec.get(ck)
+        if d is None:
+            from bitfunnel_spark.operators.codec import decode_postings
+
+            meta = self.meta(key)
+            docs = decode_postings(bytes(meta[3][bi])).astype(np.int64)
+            parts = np.frombuffer(bytes(meta[4][bi]), dtype=np.float64)
+            d = (docs, parts)
+            self._dec[ck] = d
+            self.stats["blocks_decoded"] += 1
+        return d
+
+    def total_n(self, key) -> int:
+        return int(self.meta(key)[5].sum())
+
+    def max_partial(self, key) -> float:
+        mp = self.meta(key)[2]
+        return float(mp.max()) if mp.size else 0.0
+
+    def select_blocks(self, key, cand: np.ndarray) -> np.ndarray:
+        """Indices of key's blocks whose [first, last] range contains at
+        least one candidate (candidates sorted ascending)."""
+        first, last = self.meta(key)[0], self.meta(key)[1]
+        if first.size == 0 or cand.size == 0:
+            return _EMPTYI
+        lo = np.searchsorted(cand, first, side="left")
+        sel = (lo < cand.size) & (cand[np.minimum(lo, cand.size - 1)] <= last)
+        return np.flatnonzero(sel)
+
+    def gather(self, key, bis) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated, doc-sorted (docs, partials) of the given blocks."""
+        bis = list(bis)
+        if not bis:
+            return _EMPTY, _EMPTYF
+        ds, ps = [], []
+        for bi in bis:
+            d, p = self.decode_block(key, int(bi))
+            ds.append(d)
+            ps.append(p)
+        d = np.concatenate(ds)
+        p = np.concatenate(ps)
+        if d.size > 1 and np.any(np.diff(d) < 0):
+            # streaming increments interleave block doc ranges — re-sort
+            o = np.argsort(d, kind="stable")
+            d, p = d[o], p[o]
+        return d, p
+
+    def docs_partials_for(self, key, cand: np.ndarray):
+        """(docs, partials) restricted to blocks containing a candidate —
+        enough for exact membership AND exact scoring of ``cand``."""
+        return self.gather(key, self.select_blocks(key, cand))
+
+    def all_docs_partials(self, key):
+        return self.gather(key, range(self.meta(key)[0].size))
+
+
+def score_selected(
+    cand: np.ndarray, scoring_keys: list, idf: dict, cache: BlockCache
+) -> np.ndarray:
+    """Exact BM25 of sorted candidates, decoding only candidate-bearing
+    blocks. Addend order matches kernel._score (sorted scoring terms) so the
+    float accumulation is bit-identical to the exhaustive path."""
+    score = np.zeros(cand.shape, dtype=np.float64)
+    for key in scoring_keys:
+        w = idf.get(key[1], 0.0)
+        if w == 0.0:
+            continue
+        docs, parts = cache.docs_partials_for(key, cand)
+        if docs.size == 0:
+            continue
+        m = _member(docs, cand)
+        if m.any():
+            score[m] += w * parts[np.searchsorted(docs, cand[m])]
+    return score
+
+
+def _range_max(values: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """max(values[lo_i:hi_i]) per i; -inf where the range is empty.
+    One np.maximum.reduceat over interleaved (lo, hi) boundaries."""
+    out = np.full(lo.shape, -np.inf)
+    valid = hi > lo
+    if not valid.any():
+        return out
+    a = np.concatenate((values, [-np.inf]))  # sentinel makes hi == len legal
+    idx = np.stack((lo[valid], np.minimum(hi[valid], values.size)), axis=1).ravel()
+    out[valid] = np.maximum.reduceat(a, idx)[::2]
+    return out
+
+
+def _overlap_bounds(first: np.ndarray, last: np.ndarray, qf: np.ndarray, ql: np.ndarray):
+    """Per query range [qf_i, ql_i]: the [lo_i, hi_i) index window of blocks
+    (sorted by first) that overlap it. Exact when `last` is monotone (the
+    compacted-index invariant); conservative (lo=0) when streaming increments
+    interleave ranges — still a correct upper bound."""
+    hi = np.searchsorted(first, ql, side="right")
+    if last.size > 1 and np.any(np.diff(last) < 0):
+        lo = np.zeros(qf.shape, dtype=np.int64)
+    else:
+        lo = np.searchsorted(last, qf, side="left")
+    return lo, hi
+
+
+def _topk_select(docs_l: list, scores_l: list, k: int) -> pd.DataFrame:
+    if not docs_l:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    docs = np.concatenate(docs_l)
+    score = np.concatenate(scores_l)
+    if docs.size > k:
+        r4 = np.round(score, 4)
+        idx = np.lexsort((docs, -r4))[:k]
+        docs, score = docs[idx], score[idx]
+    return pd.DataFrame({"doc_id": docs, "score": score})
+
+
+def _kth(scores_l: list, k: int) -> float:
+    alls = np.concatenate(scores_l)
+    return float(np.partition(alls, alls.size - k)[alls.size - k])
+
+
+def and_topk(
+    and_keys: list,
+    scoring_keys: list,
+    idf: dict,
+    k: int,
+    cache: BlockCache,
+) -> pd.DataFrame:
+    """Block-max top-k for a flat conjunction of terms (rank-down analogue).
+
+    Driver = rarest conjunct. Each driver block gets an upper bound: its own
+    idf·max_partial (if scoring) plus, per other scoring conjunct, idf · max
+    of the overlapping blocks' maxima — and −inf when ANY conjunct has no
+    overlapping block (the intersection there is empty). Blocks are visited
+    in descending bound order; traversal stops once k results are held and
+    the next bound is below the k-th exact score − EPS."""
+    keys = sorted(set(and_keys), key=lambda kk: (cache.total_n(kk), kk))
+    driver = keys[0]
+    d_first, d_last, d_maxp = cache.meta(driver)[:3]
+    if d_first.size == 0:
+        return _topk_select([], [], k)
+    scoring_set = set(scoring_keys)
+    ub = np.zeros(d_first.shape, dtype=np.float64)
+    if driver in scoring_set:
+        ub += idf.get(driver[1], 0.0) * d_maxp
+    for key in keys[1:]:
+        f, l, mp = cache.meta(key)[:3]
+        if f.size == 0:
+            return _topk_select([], [], k)
+        lo, hi = _overlap_bounds(f, l, d_first, d_last)
+        dead = hi <= lo
+        if key in scoring_set:
+            om = _range_max(mp, lo, hi)
+            ub = ub + np.where(dead, -np.inf, idf.get(key[1], 0.0) * np.maximum(om, 0.0))
+        else:
+            ub[dead] = -np.inf
+    order = np.argsort(-ub, kind="stable")
+    others = keys[1:]
+    docs_l: list = []
+    scores_l: list = []
+    count = 0
+    kth = -np.inf
+    for bi in order:
+        b_ub = float(ub[bi])
+        if not np.isfinite(b_ub):
+            break  # all remaining blocks are provably empty intersections
+        if count >= k and b_ub < kth - EPS:
+            break  # no remaining block can contribute a top-k score
+        cand, _ = cache.decode_block(driver, int(bi))
+        for key in others:
+            od, _ = cache.docs_partials_for(key, cand)
+            cand = cand[_member(od, cand)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        docs_l.append(cand)
+        scores_l.append(score_selected(cand, scoring_keys, idf, cache))
+        count += cand.size
+        if count >= k:
+            kth = _kth(scores_l, k)
+    return _topk_select(docs_l, scores_l, k)
+
+
+def or_topk(
+    or_keys: list,
+    scoring_keys: list,
+    idf: dict,
+    k: int,
+    cache: BlockCache,
+) -> pd.DataFrame:
+    """MaxScore top-k for a flat disjunction of body terms.
+
+    Terms are visited in descending max-contribution order (idf · global
+    max_partial). A doc not seen in terms 0..i−1 is bounded by term i's
+    block max + the suffix sum of later terms' maxima; once the k-th exact
+    score beats that bound, the block (or the whole remaining term tail) is
+    skipped. Every emitted doc is scored exactly over ALL terms."""
+    keys = sorted(set(or_keys))
+    maxc = {key: idf.get(key[1], 0.0) * cache.max_partial(key) for key in keys}
+    order = sorted(keys, key=lambda kk: (-maxc[kk], kk))
+    suffix = np.zeros(len(order) + 1, dtype=np.float64)
+    for i in range(len(order) - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + maxc[order[i]]
+    seen = _EMPTY
+    docs_l: list = []
+    scores_l: list = []
+    count = 0
+    kth = -np.inf
+    for i, key in enumerate(order):
+        if count >= k and suffix[i] < kth - EPS:
+            break  # unseen docs of remaining terms are bounded by suffix[i]
+        f, _l, mp = cache.meta(key)[:3]
+        if f.size == 0:
+            continue
+        w = idf.get(key[1], 0.0)
+        if count >= k:
+            bsel = np.flatnonzero(w * mp + suffix[i + 1] >= kth - EPS)
+        else:
+            bsel = np.arange(f.size)
+        docs, _ = cache.gather(key, bsel)
+        new = docs if seen.size == 0 else docs[~_member(seen, docs)]
+        if new.size == 0:
+            continue
+        docs_l.append(new)
+        scores_l.append(score_selected(new, scoring_keys, idf, cache))
+        count += new.size
+        if count >= k:
+            kth = _kth(scores_l, k)
+        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
+    return _topk_select(docs_l, scores_l, k)
+
+
+def route_flat(ast):
+    """('term'|'and'|'or', keys) for ASTs the pruned paths handle, else None.
+
+    Flat positive conjunctions (any streams) and flat body-stream
+    disjunctions; phrases / NOTs / nested shapes use the exhaustive kernel."""
+    from bitfunnel_spark.plans.ast import And, Or, Term
+
+    if isinstance(ast, Term):
+        return ("term", [(ast.stream, ast.text)])
+    if isinstance(ast, And) and all(isinstance(c, Term) for c in ast.children):
+        return ("and", [(c.stream, c.text) for c in ast.children])
+    if (
+        isinstance(ast, Or)
+        and all(isinstance(c, Term) and c.stream == "body" for c in ast.children)
+    ):
+        return ("or", [(c.stream, c.text) for c in ast.children])
+    return None

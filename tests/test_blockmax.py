@@ -29,3 +29,141 @@ def test_single_term_match_unpruned(tiny_block_index):
     a = sorted(r["doc_id"] for r in match_kernel(tiny_block_index, "data").collect())
     b = sorted(r["doc_id"] for r in tiny_block_index.match("data").collect())
     assert a == b and len(a) > 0
+
+# ---------------------------------------------------------------------------
+# multi-term block-max pruning (plans/wand.py)
+
+MULTI_QUERIES = [
+    "data fast",          # flat AND
+    "data & the",         # AND with an ultra-common conjunct
+    "dup | vector",       # flat OR
+    "the | data | dup",   # OR with common terms
+    "lang:en data",       # AND with a non-scoring mask conjunct
+    "path:txt data fast",
+]
+
+
+@pytest.mark.parametrize("q", MULTI_QUERIES)
+@pytest.mark.parametrize("k", [3, 10])
+def test_multi_term_topk_parity(tiny_block_index, q, k):
+    a = [(r["doc_id"], r["score"]) for r in tiny_block_index.search(q, k=k, mode="kernel").collect()]
+    b = [(r["doc_id"], r["score"]) for r in tiny_block_index.search(q, k=k, mode="dataframe").collect()]
+    assert a == b
+
+
+def _biggest_group_raw(index, stream_terms):
+    """raw dict ({(stream, term): rows}) for the (shard, slice) group holding
+    the most blocks of the given terms — a unit harness for the wand kernels."""
+    from pyspark.sql import functions as F
+
+    terms = sorted({t for _s, t in stream_terms})
+    pdf = index.segments.filter(F.col("term").isin(terms)).toPandas()
+    sizes = pdf.groupby(["shard", "slice"]).size()
+    shard, slc = sizes.idxmax()
+    sub = pdf[(pdf["shard"] == shard) & (pdf["slice"] == slc)]
+    return {
+        (s, t): rows for (t, s), rows in sub.groupby(["term", "stream"], sort=False)
+    }
+
+
+def _seg_rows(docs, tfs, dls, block_size=4, avgdl=10.0):
+    """Segment-schema rows for ONE term from explicit (docs, tfs, doclens)
+    via the real encoder — a deterministic harness for the wand kernels."""
+    import numpy as np
+    import pandas as pd
+
+    from bitfunnel_spark.operators.segments import _encode_posting_arrays
+
+    enc = _encode_posting_arrays(
+        np.asarray(docs, dtype=np.int64),
+        np.asarray(tfs, dtype=np.int64),
+        np.asarray(dls, dtype=np.float64),
+        np.zeros(len(docs), dtype=np.int64),
+        block_size=block_size, k1=1.2, b=0.75, avgdl=avgdl,
+    )
+    return pd.DataFrame(
+        {
+            "block_id": enc["block_id"],
+            "n": enc["n"],
+            "first_doc": enc["first_doc"],
+            "last_doc": enc["last_doc"],
+            "max_partial": enc["max_partial"],
+            "docs_vb": enc["docs_vb"],
+            "tfs_vb": enc["tfs_vb"],
+            "partials": enc["partials"],
+        }
+    )
+
+
+def _exhaustive(raw, keys, skeys, idf, k, kind):
+    """Reference evaluation decoding EVERY block: intersect/union, score,
+    top-k by (rounded score desc, doc asc)."""
+    import numpy as np
+
+    from bitfunnel_spark.operators.segments import decode_group
+    from bitfunnel_spark.plans.wand import _member
+
+    full = {key: decode_group(rows) for key, rows in raw.items()}
+    if kind == "and":
+        cand = None
+        for key in keys:
+            d = full.get(key, (np.empty(0, np.int64), None, None))[0]
+            cand = d if cand is None else cand[_member(d, cand)]
+    else:
+        cand = np.unique(np.concatenate([full[key][0] for key in keys if key in full]))
+    score = np.zeros(cand.shape)
+    for s, t in skeys:
+        d, _tf, p = full.get((s, t), (np.empty(0, np.int64), None, np.empty(0)))
+        m = _member(d, cand)
+        score[m] += idf.get(t, 0.0) * p[np.searchsorted(d, cand[m])]
+    r4 = np.round(score, 4)
+    idx = np.lexsort((cand, -r4))[:k]
+    return list(zip(cand[idx].tolist(), r4[idx].tolist()))
+
+
+def test_and_topk_prunes_blocks():
+    """Flat-AND block-max: with a rare driver whose second block is provably
+    below the k-th score bound, the traversal must stop early — strictly
+    fewer blocks decoded than exist — while matching the exhaustive result."""
+    from bitfunnel_spark.plans.wand import BlockCache, and_topk
+
+    # driver "a": block 0 = docs 0..3, tf 5, short docs (high partial);
+    #             block 1 = docs 100..103, tf 1, long docs (low partial)
+    a = _seg_rows([0, 1, 2, 3, 100, 101, 102, 103],
+                  [5] * 4 + [1] * 4, [5.0] * 4 + [100.0] * 4)
+    # common "b": docs 0..127, tf 1 → 32 blocks of 4
+    b = _seg_rows(list(range(128)), [1] * 128, [10.0] * 128)
+    raw = {("body", "a"): a, ("body", "b"): b}
+    idf = {"a": 3.0, "b": 0.05}
+    skeys = [("body", "a"), ("body", "b")]
+    keys = [("body", "a"), ("body", "b")]
+    stats = {}
+    got = and_topk(keys, skeys, idf, 3, BlockCache(raw, stats))
+    want = _exhaustive(raw, keys, skeys, idf, 3, "and")
+    got_pairs = [(int(r.doc_id), float(round(r.score, 4))) for r in got.itertuples()]
+    assert got_pairs == want
+    total = len(a) + len(b)
+    assert 0 < stats["blocks_decoded"] < total, stats
+    # driver block 1 and all b-blocks outside docs 0..3 must be skipped
+    assert stats["blocks_decoded"] <= 3, stats
+
+
+def test_or_topk_prunes_terms():
+    """MaxScore: once the k-th score beats the remaining terms' max
+    contribution, the common term must not be decoded as a candidate
+    generator (only its candidate-bearing blocks for exact scoring)."""
+    from bitfunnel_spark.plans.wand import BlockCache, or_topk
+
+    a = _seg_rows([0, 1, 2, 3], [5] * 4, [5.0] * 4)              # rare, strong
+    b = _seg_rows(list(range(128)), [1] * 128, [10.0] * 128)     # common, weak
+    raw = {("body", "a"): a, ("body", "b"): b}
+    idf = {"a": 3.0, "b": 0.001}
+    keys = [("body", "a"), ("body", "b")]
+    stats = {}
+    got = or_topk(keys, keys, idf, 3, BlockCache(raw, stats))
+    want = _exhaustive(raw, keys, keys, idf, 3, "or")
+    got_pairs = [(int(r.doc_id), float(round(r.score, 4))) for r in got.itertuples()]
+    assert got_pairs == want
+    total = len(a) + len(b)
+    assert 0 < stats["blocks_decoded"] < total, stats
+    assert stats["blocks_decoded"] <= 2, stats  # a's block + b's block 0

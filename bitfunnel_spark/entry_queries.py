@@ -27,29 +27,28 @@ _PAT = TOKEN_PATTERN
 # index cache (one build per (session, sf_dir))
 
 _INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
-ENTRY_CONFIG = BuildConfig(n_slices=4)
+# Positional postings are the DEFAULT physical design: phrases evaluate
+# inside the distributed kernel from stored positions (plans/kernel.py
+# phrase_docs_from_positions) — no corpus access and no driver-side collect
+# at query time. The fused single-shuffle build is the default build path.
+ENTRY_CONFIG = BuildConfig(n_slices=4, positions=True)
+ENTRY_POS_CONFIG = ENTRY_CONFIG
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
-        _INDEX_CACHE[key] = FullTextIndex.build(spark, corpus, ENTRY_CONFIG)
+        idx = FullTextIndex.build_fused(spark, corpus, ENTRY_CONFIG)
+        # analytics entries iterate row-form postings repeatedly — cache them
+        idx.postings = idx.postings.cache()
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 
-_POS_INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
-ENTRY_POS_CONFIG = BuildConfig(n_slices=4, positions=True)
-
-
 def get_pos_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
-    """Positional-postings index (fused build) — phrases evaluate inside the
-    distributed kernel from stored positions, no corpus access."""
-    key = (id(spark), sf_dir)
-    if key not in _POS_INDEX_CACHE:
-        corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
-        _POS_INDEX_CACHE[key] = FullTextIndex.build_fused(spark, corpus, ENTRY_POS_CONFIG)
-    return _POS_INDEX_CACHE[key]
+    """Positional postings are now the default index — same instance."""
+    return get_index(spark, sf_dir)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

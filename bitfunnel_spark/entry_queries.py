@@ -348,25 +348,49 @@ ORDER BY c.doc_a, c.doc_b"""
 
 
 _SIMHASH_BITS = 16
+_SIMHASH_MAX_DIST = 3
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS).orderBy("doc_id")
 
 
-def _sql_simhash() -> str:
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB CTE chain producing fp(doc_id, simhash)."""
     high = "('8','9','a','b','c','d','e','f')"
     sums = ", ".join(
         f"sum(CASE WHEN substr(md5(term), {j + 1}, 1) IN {high} THEN tf ELSE -tf END) AS s{j}"
         for j in range(_SIMHASH_BITS)
     )
     fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
-    return f"""WITH toklist AS (
+    return f"""toklist AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toklist GROUP BY 1, 2),
-sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
-SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums ORDER BY doc_id"""
+sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums)"""
+
+
+def _sql_simhash() -> str:
+    return f"WITH {_simhash_fp_cte()}\nSELECT doc_id, simhash FROM fp ORDER BY doc_id"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-join SimHash pair extraction — exact for hamming <= max_distance
+    (pigeonhole over max_distance+1 bands), so the brute-force oracle below
+    produces the identical pair set."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), bits=_SIMHASH_BITS, max_distance=_SIMHASH_MAX_DIST
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""WITH {_simhash_fp_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_DIST}
+ORDER BY doc_a, doc_b"""
 
 
 # embeddings in the synthetic testdata are near-orthogonal (max pairwise
@@ -392,6 +416,14 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS} >= {EMB_NEARDUP_THRESHOLD}
 ORDER BY id_a, id_b"""
+
+
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs — the scale path (per-bucket join);
+    the oracle mirrors the identical bucketing."""
+    return dedup.embedding_neardup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
 
 # ---------------------------------------------------------------------------
 # similarity search
@@ -444,6 +476,15 @@ scored AS (
 SELECT query_id, vec_id, cosine FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
 ORDER BY query_id, cosine DESC, vec_id"""
+
+
+SQL_NEARDUP_EMBEDDING_LSH = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET})::INT AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS} >= {EMB_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b"""
 
 
 def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,8 +672,12 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["dedup_minhash_lsh"] = _sql_minhash()
     queries["dedup_simhash"] = q_dedup_simhash
     oracles["dedup_simhash"] = _sql_simhash()
+    queries["dedup_simhash_pairs"] = q_dedup_simhash_pairs
+    oracles["dedup_simhash_pairs"] = _sql_simhash_pairs()
     queries["neardup_embedding"] = q_neardup_embedding
     oracles["neardup_embedding"] = SQL_NEARDUP_EMBEDDING
+    queries["neardup_embedding_lsh"] = q_neardup_embedding_lsh
+    oracles["neardup_embedding_lsh"] = SQL_NEARDUP_EMBEDDING_LSH
 
     queries["ann_cosine_topk"] = q_ann_cosine_topk
     oracles["ann_cosine_topk"] = SQL_ANN_COSINE_TOPK

@@ -58,10 +58,15 @@ def posting_density(postings: DataFrame, doc_stats: DataFrame) -> DataFrame:
     )
 
 
-def term_correlation(postings: DataFrame, min_pair_count: int = 2, max_df: int | None = None) -> DataFrame:
+def term_correlation(
+    postings: DataFrame, min_pair_count: int = 2, max_df: int | None = 10000
+) -> DataFrame:
     """(term_a, term_b, n_docs) — co-occurrence counts for BODY term pairs
     (term_a < term_b). Self-join on doc_id; `max_df` drops ultra-common
-    terms first (the skew guard — at scale always set it)."""
+    terms first — ON BY DEFAULT (a term in >10k docs contributes >10k rows
+    per partner to the self-join; the reference's Correlate tool similarly
+    runs over a truncated term list). Pass None for the exact all-terms
+    formulation (test scale)."""
     body = postings.filter(F.col("stream") == "body").select("term", "doc_id")
     if max_df is not None:
         rare = body.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)

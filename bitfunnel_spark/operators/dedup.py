@@ -46,7 +46,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 5000,
 ) -> DataFrame:
     """All doc pairs (a < b) with n-gram Jaccard ≥ threshold.
 
@@ -54,10 +54,13 @@ def ngram_jaccard_pairs(
     shingles can't pass any threshold > 0). Jaccard = |∩| / (|A|+|B|-|∩|).
 
     Scale: `max_shingle_df` drops ultra-common shingles from candidate
-    generation (the classic stop-shingle cut that kills join skew). Dropping
-    them makes candidate recall approximate for thresholds near 0 but exact
-    for near-dup thresholds, since near-dups share many shingles. Jaccard is
-    still computed over ALL shingles. None = exact (test scale).
+    generation (the classic stop-shingle cut that kills join skew) — ON BY
+    DEFAULT with a conservative cap: a shingle present in >5000 docs would
+    alone contribute >12.5M join pairs. Dropping them makes candidate recall
+    approximate for thresholds near 0 but effectively exact for near-dup
+    thresholds, since near-dups share many (rarer) shingles. Jaccard is
+    still computed over ALL shingles. Pass None for the exact formulation
+    (test scale / oracle mirroring).
     """
     sh = shingle_sets(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -119,7 +122,10 @@ def minhash_lsh_pairs(
 
     Scale: the band join is the only shuffle that touches all docs; band keys
     are md5-min strings → uniformly distributed, no skew. Verification is a
-    per-pair exact Jaccard over candidate pairs only.
+    per-pair exact Jaccard computed ONLY on candidate pairs — each candidate
+    joins to the two docs' distinct-shingle arrays and Jaccard is
+    |array_intersect| / |array_union|; the full-corpus shingle self-join of
+    the exact algorithm never runs (that was the whole point of banding).
     """
     assert num_hashes % band_size == 0
     sig = minhash_signature(df, text_col, id_col, n, num_hashes)
@@ -149,8 +155,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    sh_doc = df.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    a_sh = sh_doc.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b_sh = sh_doc.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
@@ -183,22 +201,117 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_distance: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-dup pairs whose SimHash fingerprints
+    differ in ≤ max_distance bits, via band-join candidate generation (the
+    SimHash analogue of minhash banding).
+
+    The fingerprint is split into n_bands contiguous bit bands; candidates
+    are pairs sharing ANY band. Pigeonhole: a pair at hamming distance
+    d < n_bands has at least one band with zero differing bits, so with the
+    default n_bands = max_distance + 1 recall is EXACT for d ≤ max_distance
+    — the banding is a pure candidate filter, not an approximation. One
+    explode (n_bands rows/doc) + one equi-join on (band_id, band_bits);
+    popcount(xor) verifies candidates.
+    """
+    if n_bands is None:
+        n_bands = max_distance + 1
+    assert bits % n_bands == 0, "bits must divide evenly into bands"
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    fp = simhash(df, text_col, id_col, bits)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.shiftright(F.col("simhash"), bi * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_distance
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b) with cosine ≥ threshold.
-
-    Test-scale exact formulation (full pair join); the scale path buckets by
-    LSH first (see operators/similarity.py) so the join is per-bucket.
-    """
+    """Embedding-cosine near-dup pairs (a < b) with cosine ≥ threshold —
+    EXACT all-pairs formulation: O(N²), the small-scale oracle only. The
+    scale path is :func:`embedding_neardup_pairs_lsh` (per-bucket join)."""
     from bitfunnel_spark.operators.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dims: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: deterministic sign-LSH
+    bucketing (operators/similarity.axis_bucket_expr), then an equi-join on
+    the bucket — each bucket holds ~N/2^|dims| vectors, so the join is
+    per-bucket quadratic instead of globally quadratic. High-cosine pairs
+    agree on most coordinate signs, so recall is high for near-dup
+    thresholds; pairs straddling a bucket boundary are missed by design
+    (the oracle mirrors the same bucketing, so correctness is exact w.r.t.
+    the algorithm)."""
+    from bitfunnel_spark.operators.similarity import AXIS_DIMS, axis_bucket_expr, cosine_expr
+
+    dims = dims or AXIS_DIMS
+    withb = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        axis_bucket_expr(F.col(vec_col), dims).alias("bucket"),
+    )
+    a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= threshold

@@ -179,3 +179,56 @@ def test_corpus_filters(spark):
     # composite applies sample -> range -> cap in order
     comp = filters.composite_filter(corpus, fraction=1.0, min_postings=5, max_postings=10, max_docs=2)
     assert sorted(r["doc_id"] for r in comp.collect()) == [4, 5]
+
+
+def test_minhash_verification_is_candidate_only(toy, monkeypatch):
+    """The LSH verify step must NOT run the full-corpus exact shingle
+    self-join (that would defeat the banding entirely at scale)."""
+    def boom(*a, **kw):  # pragma: no cover - should never fire
+        raise AssertionError("minhash_lsh_pairs must not call ngram_jaccard_pairs")
+
+    monkeypatch.setattr(dedup, "ngram_jaccard_pairs", boom)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(toy, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_pairs_band_join_exact(toy):
+    """Band-join pair extraction must equal brute-force hamming <= d over
+    the fingerprints (pigeonhole guarantees exactness for d < n_bands)."""
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(toy).collect()}
+    d = 3
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= d
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(toy, max_distance=d).collect()}
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0  # exact dups collide at 0
+
+
+def test_embedding_neardup_lsh_within_bucket(spark):
+    """Bucketed near-dup must find same-bucket pairs and equal the exact
+    all-pairs result restricted to shared buckets."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    # keep the bucketing dims well away from 0 so the perturbation can't
+    # flip a sign bit (bucket stability is what the test pins)
+    base[list(similarity.AXIS_DIMS)] = np.sign(base[list(similarity.AXIS_DIMS)]) + base[
+        list(similarity.AXIS_DIMS)
+    ]
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + rng.standard_normal(64) * 0.05]),  # near-dup of 0
+        (2, [float(x) for x in rng.standard_normal(64)]),
+        (3, [float(x) for x in -base]),  # anti-correlated → different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_neardup_pairs_lsh(emb, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.9
+    assert all(k == (0, 1) for k in got)

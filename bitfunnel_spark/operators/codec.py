@@ -74,3 +74,15 @@ def decode_postings(buf: bytes) -> np.ndarray:
     """varbyte(first, gaps...) → sorted doc_ids (uint64)."""
     gaps = varbyte_decode(buf)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+def decode_doc_block(buf: bytes, enc: str, first_doc: int = 0) -> np.ndarray:
+    """Decode one block's doc ids under its treatment encoding
+    (operators/segments.py ENC_*): 'vb' delta+varbyte, 'raw' little-endian
+    int64 absolutes, 'gap32' uint32 gaps relative to the block's first_doc."""
+    if enc == "raw":
+        return np.frombuffer(buf, dtype="<i8").astype(np.int64)
+    if enc == "gap32":
+        g = np.frombuffer(buf, dtype="<u4").astype(np.int64)
+        return first_doc + np.cumsum(g)
+    return decode_postings(buf).astype(np.int64)

@@ -47,13 +47,24 @@ from bitfunnel_spark.operators.codec import varbyte_encode_arr
 SEGMENT_SCHEMA = (
     "term string, stream string, shard int, slice int, term_bucket int, "
     "block_id int, n int, first_doc long, last_doc long, max_partial double, "
-    "docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
+    "enc string, docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
 )
 _SEGMENT_COLS = [
     "term", "stream", "shard", "slice", "term_bucket", "block_id",
-    "n", "first_doc", "last_doc", "max_partial", "docs_vb", "tfs_vb", "partials",
-    "pos_vb",
+    "n", "first_doc", "last_doc", "max_partial", "enc", "docs_vb", "tfs_vb",
+    "partials", "pos_vb",
 ]
+
+# doc-id encodings routed by term treatment (operators/treatments.py ≈ the
+# reference's ITermTreatment row configurations):
+#   vb    — delta + varbyte blocks (MID terms; the default)
+#   raw   — raw little-endian int64 doc ids (RARE terms: short lists, zero
+#           decode cost, no compression benefit at this size)
+#   gap32 — fixed-width uint32 gaps relative to the block's first_doc
+#           (DENSE terms: tiny gaps, branch-free frombuffer+cumsum decode;
+#           these lists are also demoted from driving intersections)
+ENC_VB, ENC_RAW, ENC_GAP32 = "vb", "raw", "gap32"
+_ENC_NAMES = (ENC_VB, ENC_RAW, ENC_GAP32)
 
 
 def _term_bucket_py(term: str, term_buckets: int) -> int:
@@ -74,23 +85,34 @@ def term_bucket_col(term_col, term_buckets: int):
     ).cast("int")
 
 
-def _encode_group(pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
+def _encode_group(
+    pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float,
+    rare_frac: float = 0.0, dense_frac: float = float("inf"),
+) -> pd.DataFrame:
     """Encode all terms of one (shard, slice, term_bucket) group of POSTINGS
     (tf already computed — the wordcount path)."""
-    return _encode_frame(pdf, has_tf=True, block_size=block_size, k1=k1, b=b, avgdl=avgdl)
+    return _encode_frame(
+        pdf, has_tf=True, block_size=block_size, k1=k1, b=b, avgdl=avgdl,
+        rare_frac=rare_frac, dense_frac=dense_frac,
+    )
 
 
 def _encode_token_group(
-    pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float
+    pdf: pd.DataFrame, block_size: int, k1: float, b: float, avgdl: float,
+    rare_frac: float = 0.0, dense_frac: float = float("inf"),
 ) -> pd.DataFrame:
     """Fused-path group encode: rows are raw token OCCURRENCES; tf is
     computed here (run-length over the sorted key) before block encoding —
     the reduce side of the single-shuffle build."""
-    return _encode_frame(pdf, has_tf=False, block_size=block_size, k1=k1, b=b, avgdl=avgdl)
+    return _encode_frame(
+        pdf, has_tf=False, block_size=block_size, k1=k1, b=b, avgdl=avgdl,
+        rare_frac=rare_frac, dense_frac=dense_frac,
+    )
 
 
 def _encode_frame(
-    pdf: pd.DataFrame, has_tf: bool, block_size: int, k1: float, b: float, avgdl: float
+    pdf: pd.DataFrame, has_tf: bool, block_size: int, k1: float, b: float, avgdl: float,
+    rare_frac: float = 0.0, dense_frac: float = float("inf"),
 ) -> pd.DataFrame:
     """Vectorized group encoder — no per-block Python work beyond buffer
     slicing, and no pandas string sorting: terms/streams are factorized to
@@ -123,7 +145,11 @@ def _encode_frame(
         pstarts = np.flatnonzero(change)
         tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
         docs, rk, dls = docs[pstarts], rk[pstarts], dls[pstarts]
-    enc = _encode_posting_arrays(docs, tfs, dls, rk, block_size, k1, b, avgdl)
+    enc = _encode_posting_arrays(
+        docs, tfs, dls, rk, block_size, k1, b, avgdl,
+        rare_df_frac=rare_frac, dense_df_frac=dense_frac,
+        n_docs_group=int(np.unique(docs).size),
+    )
     out = pd.DataFrame(
         {
             "term": t_uniq[(enc["run_keys"] // n_streams).astype(np.intp)],
@@ -136,6 +162,7 @@ def _encode_frame(
             "first_doc": enc["first_doc"],
             "last_doc": enc["last_doc"],
             "max_partial": enc["max_partial"],
+            "enc": enc["enc"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
             "partials": enc["partials"],
@@ -153,16 +180,18 @@ def build_segments(postings: DataFrame, avgdl: float, config: BuildConfig) -> Da
     bm = config.bm25
     bs = config.block_size
     k1, b = bm.k1, bm.b
+    rare, dense = config.rare_df_frac, config.dense_df_frac
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_group(pdf, bs, k1, b, avgdl)
+        return _encode_group(pdf, bs, k1, b, avgdl, rare, dense)
 
     withb = postings.withColumn("term_bucket", term_bucket_col(F.col("term"), config.term_buckets))
     return withb.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
 
 
 def _encode_token_table(
-    tbl, block_size: int, k1: float, b: float, avgdl: float, positions: bool = False
+    tbl, block_size: int, k1: float, b: float, avgdl: float, positions: bool = False,
+    rare_frac: float = 0.0, dense_frac: float = float("inf"),
 ):
     """Arrow-native fused-path group encode (applyInArrow): token
     occurrences arrive as a pyarrow Table and are factorized with
@@ -205,6 +234,8 @@ def _encode_token_table(
         docs, tfs, dls, rk, block_size, k1, b, avgdl,
         occ_pos=pos,
         posting_occ_starts=pstarts if positions else None,
+        rare_df_frac=rare_frac, dense_df_frac=dense_frac,
+        n_docs_group=int(np.unique(docs).size),
     )
     term_col = pc.take(t_uniq, pa.array(enc["run_keys"] // n_streams, type=pa.int64()))
     stream_col = pc.take(s_uniq, pa.array(enc["run_keys"] % n_streams, type=pa.int64()))
@@ -220,6 +251,7 @@ def _encode_token_table(
             "first_doc": pa.array(enc["first_doc"]),
             "last_doc": pa.array(enc["last_doc"]),
             "max_partial": pa.array(enc["max_partial"]),
+            "enc": pa.array(enc["enc"], type=pa.string()),
             "docs_vb": pa.array(enc["docs_vb"], type=pa.binary()),
             "tfs_vb": pa.array(enc["tfs_vb"], type=pa.binary()),
             "partials": pa.array(enc["partials"], type=pa.binary()),
@@ -244,6 +276,7 @@ def _segment_pa_schema():
             ("first_doc", pa.int64()),
             ("last_doc", pa.int64()),
             ("max_partial", pa.float64()),
+            ("enc", pa.string()),
             ("docs_vb", pa.binary()),
             ("tfs_vb", pa.binary()),
             ("partials", pa.binary()),
@@ -263,10 +296,22 @@ def _encode_posting_arrays(
     avgdl: float,
     occ_pos: np.ndarray | None = None,
     posting_occ_starts: np.ndarray | None = None,
+    rare_df_frac: float = 0.0,
+    dense_df_frac: float = float("inf"),
+    n_docs_group: int = 0,
 ) -> dict:
     """Core block encoder over postings sorted by (run key, doc_id):
     returns per-block metadata arrays + buffer slices. Shared by the pandas
     and Arrow kernels.
+
+    Treatment routing (ITermTreatment analogue): each run's doc encoding is
+    chosen by its GROUP-LOCAL df fraction run_len / n_docs_group — slice is
+    a uniform hash of doc_id, so the local fraction is an unbiased estimate
+    of the global df/N without needing the global dictionary at encode time
+    (the fused build has no term stats yet). rare → raw int64, dense →
+    fixed-width uint32 gaps (demoted to vb if any gap overflows 32 bits),
+    mid → delta+varbyte. With the default thresholds (no n_docs_group)
+    everything is vb.
 
     Positional postings: when `occ_pos` (per-occurrence positions, sorted
     within each posting) and `posting_occ_starts` (occurrence index where
@@ -286,9 +331,61 @@ def _encode_posting_arrays(
     gaps = np.empty(n_rows, dtype=np.uint64)
     gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
     gaps[blk_start] = docs[blk_start].astype(np.uint64)
-    dbuf, dnb = varbyte_encode_arr(gaps)
-    doff = np.concatenate(([0], np.cumsum(dnb)))
+
+    # --- treatment → per-run doc encoding class (0=vb, 1=raw, 2=gap32) ----
+    enc_run = np.zeros(run_starts.size, dtype=np.int8)
+    if n_docs_group > 0 and run_starts.size:
+        frac = run_lens / float(n_docs_group)
+        enc_run[frac < rare_df_frac] = 1
+        dense = frac > dense_df_frac
+        if dense.any():
+            # gap32 stores gaps relative to the block's first_doc; a run
+            # with any intra-block gap >= 2^32 stays varbyte
+            rel = gaps.copy()
+            rel[blk_start] = 0
+            run_gap_max = np.maximum.reduceat(rel, run_starts)
+            enc_run[dense & (run_gap_max < (1 << 32))] = 2
+    enc_blk = enc_run[run_of_block]
+    rid_row = np.repeat(np.arange(run_starts.size), run_lens)
+    enc_row = enc_run[rid_row]
+
+    # vb buffer: one varbyte pass over ONLY the vb-class rows; cumsum of a
+    # full-length byte-count array (0 for other classes) keeps block slicing
+    # by [blk_start, blk_end) valid because a block is single-class
+    vb_rows = enc_row == 0
+    dbuf, dnb = varbyte_encode_arr(gaps[vb_rows])
+    nb_full = np.zeros(n_rows, dtype=np.int64)
+    nb_full[vb_rows] = dnb
+    doff = np.concatenate(([0], np.cumsum(nb_full)))
     dbytes = dbuf.tobytes()
+    # raw buffer (rare runs): absolute little-endian int64 doc ids
+    raw_rows = enc_row == 1
+    rawbytes = docs[raw_rows].astype("<i8").tobytes() if raw_rows.any() else b""
+    nb_raw = np.zeros(n_rows, dtype=np.int64)
+    nb_raw[raw_rows] = 8
+    roff = np.concatenate(([0], np.cumsum(nb_raw)))
+    # gap32 buffer (dense runs): uint32 gaps, block-start gap = 0 (decode
+    # adds the block's first_doc metadata back)
+    gap_rows = enc_row == 2
+    if gap_rows.any():
+        rel = gaps.copy()
+        rel[blk_start] = 0
+        gapbytes = rel[gap_rows].astype("<u4").tobytes()
+    else:
+        gapbytes = b""
+    nb_gap = np.zeros(n_rows, dtype=np.int64)
+    nb_gap[gap_rows] = 4
+    goff = np.concatenate(([0], np.cumsum(nb_gap)))
+
+    def _doc_slice(i: int) -> bytes:
+        s, e = blk_start[i], blk_end[i]
+        c = enc_blk[i]
+        if c == 0:
+            return dbytes[doff[s] : doff[e]]
+        if c == 1:
+            return rawbytes[roff[s] : roff[e]]
+        return gapbytes[goff[s] : goff[e]]
+
     tbuf, tnb = varbyte_encode_arr(tfs.astype(np.uint64))
     toff = np.concatenate(([0], np.cumsum(tnb)))
     tbytes = tbuf.tobytes()
@@ -299,11 +396,11 @@ def _encode_posting_arrays(
         pgaps[1:] = (occ_pos[1:] - occ_pos[:-1]).astype(np.uint64)
         pgaps[posting_occ_starts] = occ_pos[posting_occ_starts].astype(np.uint64)
         gbuf, gnb = varbyte_encode_arr(pgaps)
-        goff = np.concatenate(([0], np.cumsum(gnb)))
+        poff = np.concatenate(([0], np.cumsum(gnb)))  # NOT goff — _doc_slice reads goff lazily
         gbytes = gbuf.tobytes()
         # block's positions = occurrence span of its postings
-        blo = goff[occ_bounds[blk_start]]
-        bhi = goff[occ_bounds[blk_end]]
+        blo = poff[occ_bounds[blk_start]]
+        bhi = poff[occ_bounds[blk_end]]
         pos_vb = [gbytes[a:c] for a, c in zip(blo, bhi)]
     else:
         pos_vb = [b""] * len(block_id)
@@ -314,7 +411,8 @@ def _encode_posting_arrays(
         "first_doc": docs[blk_start],
         "last_doc": docs[blk_end - 1],
         "max_partial": np.maximum.reduceat(partial, blk_start),
-        "docs_vb": [dbytes[a:c] for a, c in zip(doff[blk_start], doff[blk_end])],
+        "enc": [_ENC_NAMES[c] for c in enc_blk],
+        "docs_vb": [_doc_slice(i) for i in range(len(block_id))],
         "tfs_vb": [tbytes[a:c] for a, c in zip(toff[blk_start], toff[blk_end])],
         "partials": [pbytes[8 * a : 8 * c] for a, c in zip(blk_start, blk_end)],
         "pos_vb": pos_vb,
@@ -346,9 +444,13 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     bs = config.block_size
     k1, b = bm.k1, bm.b
     positions = config.positions
+    rare, dense = config.rare_df_frac, config.dense_df_frac
 
     def fn(tbl):
-        return _encode_token_table(tbl, bs, k1, b, avgdl, positions=positions)
+        return _encode_token_table(
+            tbl, bs, k1, b, avgdl, positions=positions,
+            rare_frac=rare, dense_frac=dense,
+        )
 
     tok = exploded_tokens(corpus, config).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
@@ -373,12 +475,24 @@ def read_segments(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _row_encs(rows: pd.DataFrame) -> list[str]:
+    """Per-row doc encoding; tolerates stores persisted before the enc
+    column existed (treated as varbyte)."""
+    if "enc" in rows.columns:
+        return [x if x is not None else ENC_VB for x in rows["enc"]]
+    return [ENC_VB] * len(rows)
+
+
 def decode_group(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concatenate a term's blocks (block_id-ordered) → (docs, tfs, partials)."""
-    from bitfunnel_spark.operators.codec import decode_postings, varbyte_decode
+    from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
 
     rows = rows.sort_values("block_id")
-    docs = [decode_postings(bytes(x)) for x in rows["docs_vb"]]
+    firsts = rows["first_doc"].tolist()
+    docs = [
+        decode_doc_block(bytes(x), e, int(f))
+        for x, e, f in zip(rows["docs_vb"], _row_encs(rows), firsts)
+    ]
     tfs = [varbyte_decode(bytes(x)) for x in rows["tfs_vb"]]
     parts = [np.frombuffer(bytes(x), dtype=np.float64) for x in rows["partials"]]
     if not docs:
@@ -402,12 +516,14 @@ def decode_group_positions(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, 
     positions are the tfs[i] entries starting at cumsum(tfs)[i-1] (each
     posting's deltas reset to absolute — decoded per block here). Raises
     ValueError if the segment was built without positions."""
-    from bitfunnel_spark.operators.codec import decode_postings, varbyte_decode
+    from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
 
     rows = rows.sort_values("block_id")
     docs_l, tfs_l, pos_l = [], [], []
     for _, r in rows.iterrows():
-        d = decode_postings(bytes(r["docs_vb"]))
+        d = decode_doc_block(
+            bytes(r["docs_vb"]), r.get("enc", ENC_VB) or ENC_VB, int(r["first_doc"])
+        )
         t = varbyte_decode(bytes(r["tfs_vb"]))
         buf = bytes(r["pos_vb"]) if r["pos_vb"] is not None else b""
         if len(buf) == 0 and t.sum() > 0:

@@ -7,7 +7,12 @@ higher rank, ultra-common terms a private rank-0 row; pluggable policies
 src/Index/src/TreatmentPrivateSharedRank0And3.cpp:32-90,
 TreatmentOptimal.cpp:37-318).
 
-Our exact-index analogue routes df bands to posting *encodings*:
+Our exact-index analogue routes df bands to posting *encodings*, CONSUMED
+by the segment encoder (operators/segments._encode_posting_arrays routes
+each term run to raw/vb/gap32 doc encodings from its group-local df
+fraction — slice is a uniform doc hash, so the local fraction estimates the
+global df/N without a dictionary pass) and by the query kernels
+(plans/wand.driver_order demotes dense lists from driving intersections):
 
 - RARE  (df/N < rare_df_frac): short plain int64 doc-id arrays — a single
   block, no compression benefit at this size, minimal decode cost. The

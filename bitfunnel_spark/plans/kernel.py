@@ -104,6 +104,16 @@ def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
         rows = raw.get(key)
         return int(rows["n"].sum()) if rows is not None else 0
 
+    def is_dense(key) -> bool:
+        # dense-treatment lists never drive the intersection (demotion)
+        rows = raw.get(key)
+        return (
+            rows is not None
+            and "enc" in rows.columns
+            and len(rows)
+            and rows["enc"].iloc[0] == "gap32"
+        )
+
     def docs_of(key, lo=None, hi=None):
         rows = raw.get(key)
         if rows is None:
@@ -122,7 +132,7 @@ def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
     elif isinstance(ast, Phrase):
         and_keys = [(ast.stream, t) for t in ast.tokens]
     if and_keys:
-        and_keys.sort(key=total_n)
+        and_keys.sort(key=lambda kk: (is_dense(kk), total_n(kk)))
         cand = docs_of(and_keys[0])
         for key in and_keys[1:]:
             if cand.size == 0:
@@ -229,7 +239,7 @@ def _single_term_topk(rows: pd.DataFrame, idf: float, k: int) -> pd.DataFrame:
     parts_l: list[np.ndarray] = []
     count = 0
     kth = -np.inf
-    from bitfunnel_spark.operators.codec import decode_postings
+    from bitfunnel_spark.operators.codec import decode_doc_block
 
     # margin: final scores round to 4 dp, so a partial within the rounding
     # epsilon of the k-th could still tie (and win on doc_id) — only skip
@@ -238,7 +248,11 @@ def _single_term_topk(rows: pd.DataFrame, idf: float, k: int) -> pd.DataFrame:
     for r in order.itertuples():
         if count >= k and float(r.max_partial) < kth - eps:
             break  # every remaining block's best partial is worse than our k-th
-        docs_l.append(decode_postings(bytes(r.docs_vb)).astype(np.int64))
+        docs_l.append(
+            decode_doc_block(
+                bytes(r.docs_vb), getattr(r, "enc", "vb") or "vb", int(r.first_doc)
+            )
+        )
         parts_l.append(np.frombuffer(bytes(r.partials), dtype=np.float64))
         count += docs_l[-1].size
         if count >= k:

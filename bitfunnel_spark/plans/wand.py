@@ -81,9 +81,14 @@ class BlockCache:
         if m is None:
             rows = self.raw.get(key)
             if rows is None or len(rows) == 0:
-                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY)
+                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY, [])
             else:
                 rows = rows.sort_values("first_doc", kind="stable")
+                encs = (
+                    [x if x is not None else "vb" for x in rows["enc"]]
+                    if "enc" in rows.columns
+                    else ["vb"] * len(rows)
+                )
                 m = (
                     rows["first_doc"].to_numpy(np.int64),
                     rows["last_doc"].to_numpy(np.int64),
@@ -91,6 +96,7 @@ class BlockCache:
                     rows["docs_vb"].tolist(),
                     rows["partials"].tolist(),
                     rows["n"].to_numpy(np.int64),
+                    encs,
                 )
                 self.stats["blocks_total"] += len(m[0])
             self._meta[key] = m
@@ -100,10 +106,10 @@ class BlockCache:
         ck = (key, bi)
         d = self._dec.get(ck)
         if d is None:
-            from bitfunnel_spark.operators.codec import decode_postings
+            from bitfunnel_spark.operators.codec import decode_doc_block
 
             meta = self.meta(key)
-            docs = decode_postings(bytes(meta[3][bi])).astype(np.int64)
+            docs = decode_doc_block(bytes(meta[3][bi]), meta[6][bi], int(meta[0][bi]))
             parts = np.frombuffer(bytes(meta[4][bi]), dtype=np.float64)
             d = (docs, parts)
             self._dec[ck] = d
@@ -112,6 +118,12 @@ class BlockCache:
 
     def total_n(self, key) -> int:
         return int(self.meta(key)[5].sum())
+
+    def is_dense(self, key) -> bool:
+        """Dense-treatment terms (gap32 encoding) — demoted from driving
+        intersections (the reference's private-rank-0 common-term analogue)."""
+        meta = self.meta(key)
+        return len(meta) > 6 and bool(meta[6]) and meta[6][0] == "gap32"
 
     def max_partial(self, key) -> float:
         mp = self.meta(key)[2]
@@ -219,6 +231,15 @@ def _kth(scores_l: list, k: int) -> float:
     return float(np.partition(alls, alls.size - k)[alls.size - k])
 
 
+def driver_order(keys: list, cache: BlockCache) -> list:
+    """Conjunct evaluation order: rarest-first, with dense-treatment lists
+    demoted from driving (index 0 drives the traversal). A dense list is the
+    worst galloping driver; the reference's common terms likewise sit in
+    shared rank-0 rows that are ANDed in, never enumerated
+    (/root/reference/src/Index/src/TreatmentPrivateSharedRank0And3.cpp:32-90)."""
+    return sorted(set(keys), key=lambda kk: (cache.is_dense(kk), cache.total_n(kk), kk))
+
+
 def and_topk(
     and_keys: list,
     scoring_keys: list,
@@ -234,7 +255,7 @@ def and_topk(
     overlapping block (the intersection there is empty). Blocks are visited
     in descending bound order; traversal stops once k results are held and
     the next bound is below the k-th exact score − EPS."""
-    keys = sorted(set(and_keys), key=lambda kk: (cache.total_n(kk), kk))
+    keys = driver_order(and_keys, cache)
     driver = keys[0]
     d_first, d_last, d_maxp = cache.meta(driver)[:3]
     if d_first.size == 0:

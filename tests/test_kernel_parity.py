@@ -44,12 +44,12 @@ def test_match_parity(seg_index, q):
 
 def test_segments_roundtrip_postings(seg_index):
     """Decoding every segment must reproduce the exact posting multiset."""
-    from bitfunnel_spark.operators.codec import decode_postings, varbyte_decode
+    from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
 
     seg_rows = seg_index.segments.collect()
     decoded = set()
     for r in sorted(seg_rows, key=lambda r: (r["term"], r["stream"], r["shard"], r["slice"], r["block_id"])):
-        docs = decode_postings(bytes(r["docs_vb"]))
+        docs = decode_doc_block(bytes(r["docs_vb"]), r["enc"], int(r["first_doc"]))
         tfs = varbyte_decode(bytes(r["tfs_vb"]))
         assert len(docs) == len(tfs) == r["n"]
         assert int(docs[0]) == r["first_doc"] and int(docs[-1]) == r["last_doc"]

@@ -100,6 +100,9 @@ def _one_term_rows(docs, positions_per_doc):
         {
             "block_id": enc["block_id"],
             "n": enc["n"],
+            "first_doc": enc["first_doc"],
+            "last_doc": enc["last_doc"],
+            "enc": enc["enc"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
             "partials": enc["partials"],

@@ -10,6 +10,15 @@ statistics / termtable / repl's `query one` and `query log`):
                like the reference's QuerySummaryStatistics
                (/root/reference/src/Plan/src/QueryRunner.cpp:67-92)
     compact    fold streaming increments into the main segment store
+    verify     query log → kernel-vs-DataFrame cross check per query
+               (false-positive/negative audit — the reference's
+               `verify log`, src/Plan/src/MatchVerifier.cpp:205-221)
+    profile    query log → per-query blocks decoded/skipped + timings
+               (QueryInstrumentation.h:63-70 parity, plans/profile.py)
+    repl       interactive loop: `<query>` searches, `!match <q>` matches,
+               `!verify <q>` cross-checks, `!profile <q>` instruments
+               (the reference tool's REPL, tools/BitFunnel/src/
+               REPL.cpp / QueryCommand.cpp / VerifyCommand.cpp)
 
 Example:
     spark-submit --py-files bitfunnel_spark.zip -m bitfunnel_spark.cli \\
@@ -92,6 +101,95 @@ def cmd_querylog(args) -> None:
     )
 
 
+def _verify_one(idx, q: str, k: int) -> dict:
+    """Kernel-vs-DataFrame cross check for one query (MatchVerifier.cpp
+    pattern: the exhaustive evaluation is the truth oracle; for our exact
+    index both must agree EXACTLY — any diff is a bug, unlike the
+    reference's quantified false positives)."""
+    kern = [(r["doc_id"], r["score"]) for r in idx.search(q, k=k, mode="kernel").collect()]
+    base = [(r["doc_id"], r["score"]) for r in idx.search(q, k=k, mode="dataframe").collect()]
+    kset, bset = {d for d, _ in kern}, {d for d, _ in base}
+    return {
+        "query": q,
+        "ok": kern == base,
+        "false_positives": sorted(kset - bset),
+        "false_negatives": sorted(bset - kset),
+        "kernel_rows": len(kern),
+        "oracle_rows": len(base),
+    }
+
+
+def cmd_verify(args) -> None:
+    spark = _spark(args)
+    idx = _load(spark, args)
+    queries = [l.strip() for l in open(args.log) if l.strip() and not l.startswith("#")]
+    bad = 0
+    for q in queries:
+        res = _verify_one(idx, q, args.k)
+        bad += 0 if res["ok"] else 1
+        print(json.dumps(res))
+    print(json.dumps({"queries": len(queries), "mismatches": bad}), file=sys.stderr)
+    if bad:
+        sys.exit(1)
+
+
+def cmd_profile(args) -> None:
+    from bitfunnel_spark.plans.profile import profile_many, summarize
+
+    spark = _spark(args)
+    idx = _load(spark, args)
+    queries = [l.strip() for l in open(args.log) if l.strip() and not l.startswith("#")]
+    metrics, timings = profile_many(idx, queries, k=args.k)
+    rows = summarize(metrics).collect()
+    print("query_id\tquery\tblocks_total\tblocks_decoded\tskip_ratio\trows\tkernel_ms")
+    for r in rows:
+        q = queries[r["query_id"]]
+        print(
+            f"{r['query_id']}\t{q}\t{r['blocks_total']}\t{r['blocks_decoded']}"
+            f"\t{r['skip_ratio']}\t{r['rows']}\t{r['kernel_ms_sum']}"
+        )
+    print(json.dumps(timings), file=sys.stderr)
+
+
+def cmd_repl(args) -> None:
+    spark = _spark(args)
+    idx = _load(spark, args)
+    print("bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q> | !quit")
+    while True:
+        try:
+            line = input("bf> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        if line in ("!quit", "!exit"):
+            break
+        try:
+            if line.startswith("!match "):
+                docs = sorted(r["doc_id"] for r in idx.match(line[7:]).collect())
+                print(f"{len(docs)} matches: {docs[:50]}{' ...' if len(docs) > 50 else ''}")
+            elif line.startswith("!verify "):
+                print(json.dumps(_verify_one(idx, line[8:], args.k)))
+            elif line.startswith("!profile "):
+                from bitfunnel_spark.plans.profile import profile_many, summarize
+
+                metrics, timings = profile_many(idx, [line[9:]], k=args.k)
+                for r in summarize(metrics).collect():
+                    print(
+                        f"blocks {r['blocks_decoded']}/{r['blocks_total']} decoded "
+                        f"(skip {r['skip_ratio']}), rows {r['rows']}, "
+                        f"kernel {r['kernel_ms_sum']} ms, parse {timings['parse_ms']} ms, "
+                        f"plan {timings['plan_ms']} ms"
+                    )
+            else:
+                t0 = time.time()
+                for r in idx.search(line, k=args.k, mode=args.mode).collect():
+                    print(f"{r['doc_id']}\t{r['score']}")
+                print(f"({time.time() - t0:.3f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — REPL: report, keep looping
+            print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+
+
 def cmd_compact(args) -> None:
     from bitfunnel_spark.streaming.ingest import compact
 
@@ -131,6 +229,27 @@ def main(argv=None) -> None:
     c.add_argument("--corpus", required=True)
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--corpus", required=True)
+    v.add_argument("--index", required=True)
+    v.add_argument("--k", type=int, default=10)
+    v.add_argument("log")
+    v.set_defaults(fn=cmd_verify)
+
+    pr = sub.add_parser("profile")
+    pr.add_argument("--corpus", required=True)
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--k", type=int, default=10)
+    pr.add_argument("log")
+    pr.set_defaults(fn=cmd_profile)
+
+    r = sub.add_parser("repl")
+    r.add_argument("--corpus", required=True)
+    r.add_argument("--index", required=True)
+    r.add_argument("--k", type=int, default=10)
+    r.add_argument("--mode", default="kernel", choices=["kernel", "dataframe"])
+    r.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)
     args.fn(args)

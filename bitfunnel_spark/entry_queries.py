@@ -92,6 +92,34 @@ def _mk_match(q: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# soft deletes (tombstones) + fact sets
+
+# fixed, deterministic tombstone set: every doc_id < 40 is soft-deleted —
+# guaranteed to intersect any top-10 at sf0.01 (doc ids start at 0)
+DELETED_IDS = tuple(range(40))
+
+
+def q_bm25_and_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after soft-deleting docs 0..39: the tombstone mask (the
+    reference's "document active" row) must change the result set to the
+    oracle over the filtered match — with epoch-frozen df/avgdl."""
+    import dataclasses
+
+    idx = dataclasses.replace(get_index(spark, sf_dir), tombstones=frozenset(DELETED_IDS))
+    return idx.search("spark & join", k=10, mode="kernel")
+
+
+def q_bm25_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k restricted to a user-defined fact set (IFactSet analogue):
+    fact = doc_id % 2 == 0."""
+    import dataclasses
+
+    idx = dataclasses.replace(get_index(spark, sf_dir), facts={})
+    idx.define_fact("even_doc", F.col("doc_id") % 2 == 0)
+    return idx.search("data fast", k=10, mode="kernel", facts=["even_doc"])
+
+
+# ---------------------------------------------------------------------------
 # build-statistics queries
 
 BATCH_QUERIES = ["spark & join", "data -slow", "dup | vector", '"batch batch"']
@@ -108,6 +136,19 @@ def _sql_bm25_batch() -> str:
         for qid, q in enumerate(BATCH_QUERIES)
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def q_query_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query execution metrics (QueryRunner/QueryInstrumentation parity —
+    plans/profile.py): blocks decoded vs present + skip ratio per query of
+    the batch log. Rows-only check (decode counters have no SQL mirror);
+    kernel_ms is dropped (nondeterministic timing)."""
+    from bitfunnel_spark.plans.profile import profile_many, summarize
+
+    metrics, _timings = profile_many(get_index(spark, sf_dir), BATCH_QUERIES, k=10)
+    return summarize(metrics).select(
+        "query_id", "blocks_total", "blocks_decoded", "rows", "skip_ratio"
+    ).orderBy("query_id")
 
 
 def q_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +685,17 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries["ft_bm25_batch"] = q_bm25_batch
     oracles["ft_bm25_batch"] = _sql_bm25_batch()
+
+    queries["ft_bm25_and_deleted"] = q_bm25_and_deleted
+    oracles["ft_bm25_and_deleted"] = oracle_search_sql(
+        "spark & join", k=10, config=ENTRY_CONFIG,
+        extra_where=f"h.doc_id NOT IN ({', '.join(str(d) for d in DELETED_IDS)})",
+    )
+    queries["ft_bm25_fact"] = q_bm25_fact
+    oracles["ft_bm25_fact"] = oracle_search_sql(
+        "data fast", k=10, config=ENTRY_CONFIG, extra_where="h.doc_id % 2 = 0"
+    )
+    queries["ft_query_profile"] = q_query_profile  # rows-only (decode counters)
 
     queries["ft_df_table"] = q_df_table
     oracles["ft_df_table"] = SQL_DF_TABLE

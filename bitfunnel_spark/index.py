@@ -12,9 +12,10 @@ QueryRunner (/root/reference/src/Plan/src/QueryRunner.cpp:282-402).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bitfunnel_spark.config import BuildConfig
 from bitfunnel_spark.operators import statistics as stats
@@ -32,30 +33,105 @@ class FullTextIndex:
     avgdl: float
     max_doclen: int = 0  # gates the positional phrase path (POS_SAFE_DOCLEN)
     segments: DataFrame | None = None  # encoded posting segments (built on demand)
-    _idf_map: dict | None = None  # driver-resident term dictionary (lazy)
+    key_stats: DataFrame | None = None  # (term_key, df, idf, ...) serve dictionary
+    _idf_map: dict | None = None  # driver-resident {term_key: idf} (lazy)
     _idf_map_over_limit: bool = False  # memoized "dictionary too big" outcome
     tombstones: frozenset = frozenset()  # soft-deleted doc ids (delete_docs)
+    facts: dict = field(default_factory=dict)  # name -> doc-id DataFrame (define_fact)
+
+    # fact doc-sets are collected driver-side and broadcast into kernels
+    # (the reference's FactSet is likewise an in-memory per-doc bit row —
+    # IFactSet.h); broad predicates belong as indexed filter streams instead
+    MAX_FACT_DOCS = 5_000_000
 
     # terms above this, fall back to per-query filtered collects rather than
     # holding the whole dictionary on the driver
     IDF_MAP_MAX_TERMS = 5_000_000
 
+    def _key_stats_df(self) -> DataFrame:
+        """(term_key, idf, ...) — from the segment-derived serve dictionary
+        when present, else projected from the string term table."""
+        if self.key_stats is not None:
+            return self.key_stats
+        from bitfunnel_spark.operators.segments import term_key_col
+
+        return self.term_stats.select(
+            term_key_col(F.col("stream"), F.col("term")).alias("term_key"), "idf"
+        )
+
     def idf_map(self) -> dict | None:
-        """Driver-resident {(stream, term): idf} — the reference keeps its
-        TermTable in process memory the same way (SimpleIndex.cpp). Removes
-        one Spark job per query. Returns None when the dictionary exceeds
+        """Driver-resident {term_key: idf} — the reference keeps its (hash-
+        keyed) TermTable in process memory the same way (SimpleIndex.cpp;
+        term text is never retained, Term.h:44-47). Removes one Spark job
+        per query. Returns None when the dictionary exceeds
         IDF_MAP_MAX_TERMS (the 10^12-doc path then uses per-query filtered
         lookups / a broadcast dictionary instead); that outcome is memoized
         so the vocabulary count job runs at most once per index."""
         if self._idf_map_over_limit:
             return None
         if self._idf_map is None:
-            if self.term_stats.count() > self.IDF_MAP_MAX_TERMS:
+            ks = self._key_stats_df()
+            if ks.count() > self.IDF_MAP_MAX_TERMS:
                 self._idf_map_over_limit = True
                 return None
-            rows = self.term_stats.select("stream", "term", "idf").collect()
-            self._idf_map = {(r[0], r[1]): float(r[2]) for r in rows}
+            rows = ks.select("term_key", "idf").collect()
+            self._idf_map = {int(r[0]): float(r[1]) for r in rows}
         return self._idf_map
+
+    def idf_for_terms(self, terms) -> dict:
+        """{term_string: idf} for a query's BODY terms — via the resident
+        map, else one filtered collect over the key dictionary."""
+        from bitfunnel_spark.operators.segments import _term_key_py
+
+        body = sorted({t for s, t in terms if s == "body"})
+        keys = {t: _term_key_py("body", t) for t in body}
+        m = self.idf_map()
+        if m is not None:
+            return {t: m[k] for t, k in keys.items() if k in m}
+        rows = (
+            self._key_stats_df()
+            .filter(F.col("term_key").isin(list(keys.values())))
+            .select("term_key", "idf")
+            .collect()
+        )
+        by_key = {int(r[0]): float(r[1]) for r in rows}
+        return {t: by_key[k] for t, k in keys.items() if k in by_key}
+
+    # ---- soft deletes + fact sets -------------------------------------
+
+    def delete_docs(self, doc_ids) -> None:
+        """Soft-delete documents: they stop matching every query immediately
+        (both executors mask the tombstone set — the reference's "document
+        active" row ANDed into every plan, Row.h:34-35). Epoch stats
+        (df/idf/avgdl) stay frozen until the next compaction, which drops
+        tombstoned docs physically (streaming/ingest.compact)."""
+        self.tombstones = frozenset(self.tombstones) | {int(d) for d in doc_ids}
+
+    def define_fact(self, name: str, predicate) -> None:
+        """Register a named boolean per-document fact (IFactSet analogue):
+        ``predicate`` is a Column over the corpus. Queries pass
+        ``facts=[name, ...]`` to AND the fact sets into the match."""
+        self.facts[name] = self.corpus.filter(predicate).select("doc_id")
+
+    def fact_doc_ids(self, names: list[str]):
+        """Sorted int64 array = intersection of the named facts' doc sets
+        (driver-resident, like the reference's fact rows). Raises KeyError
+        for unknown facts and ValueError past MAX_FACT_DOCS."""
+        import numpy as np
+
+        out = None
+        for name in names:
+            if name not in self.facts:
+                raise KeyError(f"unknown fact {name!r} (define_fact first)")
+            df = self.facts[name].limit(self.MAX_FACT_DOCS + 1)
+            ids = np.array(sorted(r[0] for r in df.collect()), dtype=np.int64)
+            if ids.size > self.MAX_FACT_DOCS:
+                raise ValueError(
+                    f"fact {name!r} exceeds MAX_FACT_DOCS; index broad facts "
+                    "as a filter stream (lang/repo pattern) instead"
+                )
+            out = ids if out is None else out[np.isin(out, ids)]
+        return out if out is not None else np.empty(0, dtype=np.int64)
 
     @classmethod
     def build(
@@ -116,9 +192,12 @@ class FullTextIndex:
         seg = build_segments_fused(corpus, meta["avgdl"], config)
         if cache:
             seg = seg.cache()
-        ts = stats.term_stats_from_segments(seg, meta["n_docs"], config)
+        ks = stats.key_stats_from_segments(seg, meta["n_docs"], config)
         if cache:
-            ts = ts.cache()
+            ks = ks.cache()
+        # string-keyed dictionary: lazily defined; the vocabulary pass only
+        # runs if an analytics surface (df/idf by term text) is used
+        ts = stats.term_stats_from_segments(seg, corpus, meta["n_docs"], config)
         return cls(
             spark=spark,
             config=config,
@@ -130,6 +209,7 @@ class FullTextIndex:
             avgdl=meta["avgdl"],
             max_doclen=meta["max_doclen"],
             segments=seg,
+            key_stats=ks,
         )
 
     def build_segments(self, cache: bool = True) -> DataFrame:
@@ -143,29 +223,35 @@ class FullTextIndex:
 
     # ---- query API ----------------------------------------------------
 
-    def match(self, query: str) -> DataFrame:
+    def match(self, query: str, facts: list[str] | None = None) -> DataFrame:
         """Reference semantics: the full unscored boolean match set
         (ResultsBuffer analogue) as DataFrame[doc_id]."""
         from bitfunnel_spark.plans.executor import match_dataframe
 
-        return match_dataframe(self, query)
+        return match_dataframe(self, query, facts)
 
-    def search(self, query: str, k: int = 10, mode: str = "dataframe") -> DataFrame:
+    def search(
+        self, query: str, k: int = 10, mode: str = "dataframe",
+        facts: list[str] | None = None,
+    ) -> DataFrame:
         """BM25 top-k: DataFrame[(doc_id, score)], score rounded to 4 dp,
-        ordered (score desc, doc_id asc)."""
+        ordered (score desc, doc_id asc). ``facts`` ANDs named fact sets
+        (define_fact) into the match."""
         if mode == "dataframe":
             from bitfunnel_spark.plans.executor import search_dataframe
 
-            return search_dataframe(self, query, k)
+            return search_dataframe(self, query, k, facts)
         if mode == "kernel":
             from bitfunnel_spark.plans.kernel import search_kernel
 
-            return search_kernel(self, query, k)
+            return search_kernel(self, query, k, facts)
         raise ValueError(f"unknown mode {mode!r}")
 
-    def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
+    def search_many(
+        self, queries: list[str], k: int = 10, facts: list[str] | None = None
+    ) -> DataFrame:
         """Batched query-log evaluation in one job:
         DataFrame[(query_id, doc_id, score)] — see plans/batch.py."""
         from bitfunnel_spark.plans.batch import search_many
 
-        return search_many(self, queries, k)
+        return search_many(self, queries, k, facts)

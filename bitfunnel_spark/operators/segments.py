@@ -29,9 +29,10 @@ The per-block max of partial is the block-max WAND bound (the analogue of
 the reference's coarse rank-down rows, RankDownCompiler.cpp).
 
 The segment table is partition-friendly for Iceberg/parquet: partition by
-(shard, term_bucket) → a query's `term IN (...)` prunes partitions, and
-parquet min/max stats on `term` prune row groups (rows are written
-term-clustered).
+(shard, term_bucket) → a query's `term_key IN (...)` prunes partitions, and
+parquet min/max stats on `term_key` prune row groups (rows are written
+key-clustered). Segments are keyed by hashed term keys, not strings — see
+the TERM KEY note below.
 """
 
 from __future__ import annotations
@@ -44,13 +45,23 @@ from pyspark.sql import functions as F
 from bitfunnel_spark.config import BuildConfig
 from bitfunnel_spark.operators.codec import varbyte_encode_arr
 
+# Segments are keyed by a 64-bit TERM KEY (XXH64 chained over
+# (stream, term)), not by the strings themselves — exactly the reference's
+# TermTable design (Term text is hashed at ingestion and never retained:
+# /root/reference/inc/BitFunnel/Term.h:44-47, TermTable keys are
+# Term::Hash). The build shuffle then carries one int64 instead of two
+# strings (measured as the dominant shuffle payload), the query-time
+# segment filter is a pushdown-friendly integer IN-list, and the
+# human-readable dictionary (term_key → term, stream) is a separate,
+# vocabulary-sized statistics artifact (statistics.term_dictionary) that
+# the serve path never touches.
 SEGMENT_SCHEMA = (
-    "term string, stream string, shard int, slice int, term_bucket int, "
+    "term_key long, shard int, slice int, term_bucket int, "
     "block_id int, n int, first_doc long, last_doc long, max_partial double, "
     "enc string, docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
 )
 _SEGMENT_COLS = [
-    "term", "stream", "shard", "slice", "term_bucket", "block_id",
+    "term_key", "shard", "slice", "term_bucket", "block_id",
     "n", "first_doc", "last_doc", "max_partial", "enc", "docs_vb", "tfs_vb",
     "partials", "pos_vb",
 ]
@@ -67,22 +78,34 @@ ENC_VB, ENC_RAW, ENC_GAP32 = "vb", "raw", "gap32"
 _ENC_NAMES = (ENC_VB, ENC_RAW, ENC_GAP32)
 
 
-def _term_bucket_py(term: str, term_buckets: int) -> int:
-    """Stable, engine-independent bucket: first 8 hex chars of md5 mod B.
+def _term_key_py(stream: str, term: str) -> int:
+    """64-bit term key: XXH64 chained over (stream, term) — EXACTLY what the
+    executor-side `F.xxhash64(stream, term)` computes (native, codegen'd,
+    vectorized; computing the key per token occurrence must be cheap — an
+    md5-based key was measured to dominate the build's encode stage). The
+    driver-side planner mirrors it in pure Python (functions/xxh64.py,
+    verified bit-exact) for filter pushdown. A 64-bit collision merges two
+    posting lists with probability ~2.7e-2 at 10^9 distinct terms across the
+    whole vocabulary (birthday bound) — the same accepted-risk model as the
+    reference's hashed TermTable (Term.h:42-61, MurmurHash of the text)."""
+    from bitfunnel_spark.functions.xxh64 import spark_xxhash64_strings
 
-    (Not xxhash64: the driver-side planner must compute the same bucket for
-    partition pruning, and md5 is identical everywhere.)
-    """
-    import hashlib
-
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % term_buckets
+    return spark_xxhash64_strings(stream, term)
 
 
-def term_bucket_col(term_col, term_buckets: int):
-    """Spark-side mirror of :func:`_term_bucket_py` (md5 hex → int mod B)."""
-    return (
-        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long") % term_buckets
-    ).cast("int")
+def term_key_col(stream_col, term_col):
+    """Spark-side mirror of :func:`_term_key_py` (the native hash)."""
+    return F.xxhash64(stream_col, term_col)
+
+
+def _term_bucket_py(term_key: int, term_buckets: int) -> int:
+    """Segment-store partition bucket — a pure function of the term key."""
+    return term_key % term_buckets
+
+
+def term_bucket_col(term_key_col_, term_buckets: int):
+    """Spark-side mirror of :func:`_term_bucket_py`."""
+    return F.pmod(term_key_col_, F.lit(term_buckets)).cast("int")
 
 
 def _encode_group(
@@ -131,10 +154,7 @@ def _encode_frame(
     bucket = int(pdf["term_bucket"].iloc[0])
     docs = pdf["doc_id"].to_numpy().astype(np.int64)
     dls = pdf["doclen"].to_numpy().astype(np.float64)
-    t_codes, t_uniq = pd.factorize(pdf["term"].to_numpy(), sort=False)
-    s_codes, s_uniq = pd.factorize(pdf["stream"].to_numpy(), sort=False)
-    n_streams = len(s_uniq)
-    rk = t_codes.astype(np.int64) * n_streams + s_codes  # (term, stream) run key
+    rk = pdf["term_key"].to_numpy().astype(np.int64)  # run key = term key
     order = np.lexsort((docs, rk))
     docs, rk, dls = docs[order], rk[order], dls[order]
     if has_tf:
@@ -152,8 +172,7 @@ def _encode_frame(
     )
     out = pd.DataFrame(
         {
-            "term": t_uniq[(enc["run_keys"] // n_streams).astype(np.intp)],
-            "stream": s_uniq[(enc["run_keys"] % n_streams).astype(np.intp)],
+            "term_key": enc["run_keys"],
             "shard": shard,
             "slice": slc,
             "term_bucket": bucket,
@@ -185,7 +204,12 @@ def build_segments(postings: DataFrame, avgdl: float, config: BuildConfig) -> Da
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_group(pdf, bs, k1, b, avgdl, rare, dense)
 
-    withb = postings.withColumn("term_bucket", term_bucket_col(F.col("term"), config.term_buckets))
+    key = term_key_col(F.col("stream"), F.col("term"))
+    withb = postings.select(
+        key.alias("term_key"),
+        "doc_id", "tf", "doclen", "shard", "slice",
+        term_bucket_col(key, config.term_buckets).alias("term_bucket"),
+    )
     return withb.groupBy("shard", "slice", "term_bucket").applyInPandas(fn, SEGMENT_SCHEMA)
 
 
@@ -208,16 +232,9 @@ def _encode_token_table(
     shard = tbl["shard"][0].as_py()
     slc = tbl["slice"][0].as_py()
     bucket = tbl["term_bucket"][0].as_py()
-    t_dict = pc.dictionary_encode(tbl["term"].combine_chunks())
-    s_dict = pc.dictionary_encode(tbl["stream"].combine_chunks())
-    t_codes = t_dict.indices.to_numpy().astype(np.int64)
-    s_codes = s_dict.indices.to_numpy().astype(np.int64)
-    t_uniq = t_dict.dictionary
-    s_uniq = s_dict.dictionary
-    n_streams = len(s_uniq)
     docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
     dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
-    rk = t_codes * n_streams + s_codes
+    rk = tbl["term_key"].combine_chunks().to_numpy().astype(np.int64)
     if positions:
         pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
         order = np.lexsort((pos, docs, rk))
@@ -237,12 +254,9 @@ def _encode_token_table(
         rare_df_frac=rare_frac, dense_df_frac=dense_frac,
         n_docs_group=int(np.unique(docs).size),
     )
-    term_col = pc.take(t_uniq, pa.array(enc["run_keys"] // n_streams, type=pa.int64()))
-    stream_col = pc.take(s_uniq, pa.array(enc["run_keys"] % n_streams, type=pa.int64()))
     return pa.table(
         {
-            "term": term_col,
-            "stream": stream_col,
+            "term_key": pa.array(enc["run_keys"].astype(np.int64)),
             "shard": pa.array(np.full(len(enc["block_id"]), shard, dtype=np.int32)),
             "slice": pa.array(np.full(len(enc["block_id"]), slc, dtype=np.int32)),
             "term_bucket": pa.array(np.full(len(enc["block_id"]), bucket, dtype=np.int32)),
@@ -266,8 +280,7 @@ def _segment_pa_schema():
 
     return pa.schema(
         [
-            ("term", pa.string()),
-            ("stream", pa.string()),
+            ("term_key", pa.int64()),
             ("shard", pa.int32()),
             ("slice", pa.int32()),
             ("term_bucket", pa.int32()),
@@ -452,8 +465,8 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
             rare_frac=rare, dense_frac=dense,
         )
 
-    tok = exploded_tokens(corpus, config).withColumn(
-        "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
+    tok = exploded_tokens(corpus, config, keyed=True).withColumn(
+        "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
     )
     return tok.groupBy("shard", "slice", "term_bucket").applyInArrow(fn, SEGMENT_SCHEMA)
 
@@ -464,7 +477,7 @@ def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> N
     row groups (rows are written term-clustered)."""
     (
         segments.repartition("shard", "term_bucket")
-        .sortWithinPartitions("term", "stream", "slice", "block_id")
+        .sortWithinPartitions("term_key", "slice", "block_id")
         .write.mode(mode)
         .partitionBy("shard", "term_bucket")
         .parquet(path)

@@ -69,7 +69,10 @@ def postings(corpus: DataFrame, config: BuildConfig) -> DataFrame:
 
 
 def exploded_tokens(
-    corpus: DataFrame, config: BuildConfig, with_positions: bool | None = None
+    corpus: DataFrame,
+    config: BuildConfig,
+    with_positions: bool | None = None,
+    keyed: bool = False,
 ) -> DataFrame:
     """(term, stream, doc_id, doclen, shard, slice[, pos]) — one row per
     token OCCURRENCE (duplicates not yet combined); `pos` (emitted only when
@@ -77,7 +80,14 @@ def exploded_tokens(
     offset within its stream (the positional-postings input — the reference
     has no positions, its phrases are n-gram rows; SURVEY §2.2). The shared
     front end of both the wordcount `postings` path and the fused
-    single-shuffle segment build (operators/segments.build_segments_fused)."""
+    single-shuffle segment build (operators/segments.build_segments_fused).
+
+    ``keyed=True`` replaces the (term, stream) string pair with the int64
+    ``term_key`` (segments.term_key_col) BEFORE the exchange — the fused
+    build's shuffle then carries ~8 bytes instead of two variable-length
+    strings per occurrence (the measured dominant shuffle payload; the
+    reference likewise hashes terms at ingestion and never ships the text,
+    /root/reference/inc/BitFunnel/Term.h:44-47)."""
     if with_positions is None:
         with_positions = config.positions
     body_tokens = tokenize("content")
@@ -122,14 +132,25 @@ def exploded_tokens(
             )
         ).alias("p"),
     )
-    cols = [
-        F.col("p.term").alias("term"),
-        F.col("p.stream").alias("stream"),
-        F.col("doc_id"),
-        F.col("doclen"),
-        F.col("shard"),
-        F.col("slice"),
-    ]
+    if keyed:
+        from bitfunnel_spark.operators.segments import term_key_col
+
+        cols = [
+            term_key_col(F.col("p.stream"), F.col("p.term")).alias("term_key"),
+            F.col("doc_id"),
+            F.col("doclen"),
+            F.col("shard"),
+            F.col("slice"),
+        ]
+    else:
+        cols = [
+            F.col("p.term").alias("term"),
+            F.col("p.stream").alias("stream"),
+            F.col("doc_id"),
+            F.col("doclen"),
+            F.col("shard"),
+            F.col("slice"),
+        ]
     if with_positions:
         cols.append(F.col("p.pos").alias("pos"))
     return out.select(*cols)
@@ -148,13 +169,49 @@ def term_stats(postings_df: DataFrame, n_docs: int, config: BuildConfig) -> Data
     return _term_stats_select(out, n_docs, config)
 
 
-def term_stats_from_segments(segments_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
-    """Same dictionary as :func:`term_stats`, derived from segment block
-    metadata: df = Σ block n per (term, stream) — an agg over ~#blocks rows
-    instead of #postings rows (the fused build path never materializes
-    row-form postings)."""
-    out = segments_df.groupBy("term", "stream").agg(F.sum("n").cast("long").alias("df"))
-    return _term_stats_select(out, n_docs, config)
+def key_stats_from_segments(segments_df: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:
+    """(term_key, df, idf, idf_x10, treatment) — the SERVE-path dictionary,
+    derived purely from segment block metadata (df = Σ block n per key; an
+    agg over ~#blocks rows). No term strings anywhere — the reference's
+    TermTable is likewise hash-keyed (Term.h:44-47). The string-keyed
+    analytics dictionary is :func:`term_stats_from_segments`."""
+    out = segments_df.groupBy("term_key").agg(F.sum("n").cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf_x10 = F.least(
+        F.round(10.0 * F.log10(F.lit(float(n_docs)) / F.col("df"))), F.lit(60.0)
+    ).cast("int")
+    from bitfunnel_spark.operators.treatments import treatment_of
+
+    return out.select(
+        "term_key", "df", idf.alias("idf"), idf_x10.alias("idf_x10"),
+        treatment_of(F.col("df"), n_docs, config).alias("treatment"),
+    )
+
+
+def term_dictionary(corpus: DataFrame, config: BuildConfig) -> DataFrame:
+    """(term_key, term, stream) — the human-readable vocabulary, a separate
+    statistics artifact (one distinct-agg over exploded tokens; map-side
+    partial dedup shrinks the exchange to vocabulary size). The serve path
+    never needs it; analytics surfaces (df/idf tables by term text) join it
+    on demand."""
+    from bitfunnel_spark.operators.segments import term_key_col
+
+    tok = exploded_tokens(corpus, config, with_positions=False).select("term", "stream").distinct()
+    return tok.select(
+        term_key_col(F.col("stream"), F.col("term")).alias("term_key"), "term", "stream"
+    )
+
+
+def term_stats_from_segments(
+    segments_df: DataFrame, corpus: DataFrame, n_docs: int, config: BuildConfig
+) -> DataFrame:
+    """String-keyed dictionary (term, stream, df, idf, idf_x10, treatment)
+    for the fused build: segment-derived per-key df joined to the
+    vocabulary (:func:`term_dictionary`). Lazy — the dictionary pass only
+    runs when an analytics surface actually needs term text."""
+    key_df = segments_df.groupBy("term_key").agg(F.sum("n").cast("long").alias("df"))
+    joined = term_dictionary(corpus, config).join(key_df, "term_key").drop("term_key")
+    return _term_stats_select(joined, n_docs, config)
 
 
 def _term_stats_select(df_table: DataFrame, n_docs: int, config: BuildConfig) -> DataFrame:

@@ -42,12 +42,17 @@ _OUT_EMPTY = pd.DataFrame(
 def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
     from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
 
+    from bitfunnel_spark.plans.kernel import _keymap
+
+    keymap = _keymap({(s, t) for p in plans for s, t in p.terms})
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _OUT_EMPTY
         raw = {
-            (stream, term): rows
-            for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
+            keymap[int(key)]: rows
+            for key, rows in pdf.groupby("term_key", sort=False)
+            if int(key) in keymap
         }
         decoded: dict = {}
         cache = BlockCache(raw)  # block decodes shared across the whole log
@@ -62,6 +67,8 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
 
         out_q, out_d, out_s = [], [], []
         k = descriptor["k"]
+        allow = descriptor.get("allow")
+        deny = descriptor.get("deleted")
         for qid, plan in enumerate(plans):
             flat = route_flat(plan.ast) if k is not None else None
             if flat is not None:
@@ -70,13 +77,16 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
                 kind, keys = flat
                 skeys = [("body", t) for t in sorted(plan.scoring_terms)]
                 fn = or_topk if kind == "or" else and_topk
-                res = fn(keys, skeys, descriptor["idf"], k, cache)
+                res = fn(keys, skeys, descriptor["idf"], k, cache, allow=allow, deny=deny)
                 if len(res):
                     out_q.append(np.full(len(res), qid, dtype=np.int32))
                     out_d.append(res["doc_id"].to_numpy())
                     out_s.append(res["score"].to_numpy())
                 continue
             cand = _candidates_pruned(plan.ast, raw)
+            from bitfunnel_spark.plans.wand import restrict
+
+            cand = restrict(cand, allow, deny)
             if cand.size == 0:
                 continue
             postings = {key: get(key) for key in ((s, t) for s, t in plan.terms)}
@@ -105,7 +115,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
     return kernel
 
 
-def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
+def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None = None) -> DataFrame:
     """Evaluate a list of query strings in ONE job.
 
     Returns DataFrame[(query_id int, doc_id long, score double)] — per query
@@ -118,17 +128,11 @@ def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
 
     plans = [plan_query(parse_query(q)) for q in queries]
     all_terms = {(s, t) for p in plans for s, t in p.terms}
-    all_keys = sorted(f"{s}:{t}" for s, t in all_terms)
-    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
     seg = index.segments.filter(_segment_filter(index, all_terms))
 
-    m = index.idf_map()
-    if m is not None:  # driver-resident dictionary: no Spark job
-        body_terms = {t for p in plans for s, t in p.terms if s == "body"}
-        idf = {t: m[("body", t)] for t in body_terms if ("body", t) in m}
-    else:
-        ts = index.term_stats.filter(key_col.isin(all_keys)).select("stream", "term", "idf").collect()
-        idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+    # driver-resident hash dictionary (TermTable analogue) when it fits,
+    # else one filtered collect — index.idf_for_terms
+    idf = index.idf_for_terms(all_terms)
     from bitfunnel_spark.plans.kernel import use_positional_phrases
 
     phrase_docs = {}
@@ -140,8 +144,15 @@ def search_many(index, queries: list[str], k: int = 10) -> DataFrame:
                     docs = _phrase_doc_ids(index, ph, None).collect()
                     phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
 
+    from bitfunnel_spark.plans.kernel import _restriction_arrays
+
     kernel = _batch_kernel(
-        plans, {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions, "k": k}
+        plans,
+        {
+            "idf": idf, "phrase_docs": phrase_docs,
+            "use_positions": use_positions, "k": k,
+            **_restriction_arrays(index, facts),
+        },
     )
     groups = seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "query_id int, doc_id long, score double"

@@ -100,7 +100,7 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     )
 
 
-def _matched(index, plan: QueryPlan) -> DataFrame:
+def _matched(index, plan: QueryPlan, facts: list[str] | None = None) -> DataFrame:
     hits = _hits(index, plan)
     phrase_cols: dict[Phrase, str] = {}
     for i, (ph, _neg) in enumerate(plan.phrases):
@@ -110,7 +110,20 @@ def _matched(index, plan: QueryPlan) -> DataFrame:
         phrase_cols[ph] = name
         ph_docs = _phrase_doc_ids(index, ph, hits).withColumn(name, F.lit(True))
         hits = hits.join(ph_docs, "doc_id", "left")
-    return hits.filter(_bool_expr(plan.ast, phrase_cols))
+    out = hits.filter(_bool_expr(plan.ast, phrase_cols))
+    # fact sets AND in as semi-joins (broadcast when small — Catalyst picks);
+    # tombstones mask via anti-join (the "document active" row, Row.h:34-35)
+    if facts:
+        for name in facts:
+            if name not in index.facts:
+                raise KeyError(f"unknown fact {name!r} (define_fact first)")
+            out = out.join(index.facts[name], "doc_id", "left_semi")
+    if index.tombstones:
+        tomb = index.spark.createDataFrame(
+            [(int(d),) for d in sorted(index.tombstones)], "doc_id long"
+        )
+        out = out.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return out
 
 
 def _as_plan(query) -> QueryPlan:
@@ -121,15 +134,17 @@ def _as_plan(query) -> QueryPlan:
     return plan_query(query)  # an AST Node
 
 
-def match_dataframe(index, query) -> DataFrame:
+def match_dataframe(index, query, facts: list[str] | None = None) -> DataFrame:
     """Unscored boolean match set (the reference's semantics —
     ResultsBuffer.h:38-88 holds matches only)."""
-    return _matched(index, _as_plan(query)).select("doc_id")
+    return _matched(index, _as_plan(query), facts).select("doc_id")
 
 
-def search_dataframe(index, query, k: int = 10) -> DataFrame:
+def search_dataframe(index, query, k: int = 10, facts: list[str] | None = None) -> DataFrame:
     """BM25 top-k as DataFrame[(doc_id, score)]; see module docstring for the
     determinism contract."""
     plan = _as_plan(query)
-    res = _matched(index, plan).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    res = _matched(index, plan, facts).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

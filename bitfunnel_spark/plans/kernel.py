@@ -277,16 +277,23 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
     ast = plan.ast
     scoring = sorted(plan.scoring_terms)
 
+    keymap = _keymap(plan.terms)
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return _OUT_EMPTY
         raw = {
-            (stream, term): rows
-            for (term, stream), rows in pdf.groupby(["term", "stream"], sort=False)
+            keymap[int(key)]: rows
+            for key, rows in pdf.groupby("term_key", sort=False)
+            if int(key) in keymap
         }
         k0 = descriptor["k"]
+        allow = descriptor.get("allow")
+        deny = descriptor.get("deleted")
+        restricted = allow is not None or (deny is not None and deny.size > 0)
         if (
             k0 is not None
+            and not restricted
             and isinstance(ast, Term)
             and ast.stream == "body"
             and descriptor["idf"].get(ast.text, 0.0) > 0
@@ -296,14 +303,19 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][ast.text], k0)
         flat = route_flat(ast) if k0 is not None else None
-        if flat is not None and flat[0] in ("and", "or"):
-            # multi-term block-max pruning (WAND/MaxScore — plans/wand.py)
+        if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
+            # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
+            # fact sets AND in as `allow`, tombstones mask via `deny` (the
+            # reference's fact rows + "document active" row, Row.h:34-35)
             kind, keys = flat
             cache = BlockCache(raw)
             skeys = [("body", t) for t in scoring]
-            fn = and_topk if kind == "and" else or_topk
-            return fn(keys, skeys, descriptor["idf"], k0, cache)
+            fn = or_topk if kind == "or" else and_topk
+            return fn(keys, skeys, descriptor["idf"], k0, cache, allow=allow, deny=deny)
         cand = _candidates_pruned(ast, raw)
+        from bitfunnel_spark.plans.wand import restrict
+
+        cand = restrict(cand, allow, deny)
         if cand.size == 0:
             return _OUT_EMPTY
         # decode every query term pruned to the candidate doc range — blocks
@@ -330,22 +342,24 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
 def _segment_filter(index, terms: set[tuple[str, str]]):
     """Pushdown-friendly segment predicate for a query's terms.
 
-    `concat(stream, term) IN (...)` alone is a computed column — parquet
-    cannot prune on it. Leading with plain `term_bucket IN` (bucket computed
-    driver-side — partition pruning on a persisted store) and `term IN`
-    (row-group min/max pruning; rows are written term-clustered) lets the
-    scan skip files before the exact pair filter runs."""
-    from bitfunnel_spark.operators.segments import _term_bucket_py
+    The store is keyed by int64 term keys (computed identically driver-side,
+    segments._term_key_py), so the filter is two plain-column IN-lists:
+    `term_bucket IN` prunes (shard, term_bucket) partitions of a persisted
+    store, `term_key IN` prunes parquet row groups via min/max stats (rows
+    are written key-clustered). No computed-column predicate anywhere."""
+    from bitfunnel_spark.operators.segments import _term_bucket_py, _term_key_py
 
-    keys = sorted(f"{s}:{t}" for s, t in terms)
-    term_list = sorted({t for _s, t in terms})
-    buckets = sorted({_term_bucket_py(t, index.config.term_buckets) for t in term_list})
-    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
-    return (
-        F.col("term_bucket").isin(buckets)
-        & F.col("term").isin(term_list)
-        & key_col.isin(keys)
-    )
+    keys = sorted(_term_key_py(s, t) for s, t in terms)
+    buckets = sorted({_term_bucket_py(k, index.config.term_buckets) for k in keys})
+    return F.col("term_bucket").isin(buckets) & F.col("term_key").isin(keys)
+
+
+def _keymap(terms: set[tuple[str, str]]) -> dict:
+    """{term_key: (stream, term)} for a query's terms — the kernels stay
+    string-keyed internally; only the pdf boundary translates."""
+    from bitfunnel_spark.operators.segments import _term_key_py
+
+    return {_term_key_py(s, t): (s, t) for s, t in terms}
 
 
 def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> DataFrame:
@@ -365,20 +379,23 @@ def use_positional_phrases(index) -> bool:
     )
 
 
-def _descriptor(index, plan: QueryPlan) -> dict:
-    m = index.idf_map()
-    if m is not None:
-        # driver-resident dictionary (TermTable analogue): no Spark job
-        idf = {
-            t: m[("body", t)]
-            for s, t in plan.terms
-            if s == "body" and ("body", t) in m
-        }
-    else:
-        keys = sorted(f"{s}:{t}" for s, t in plan.terms)
-        key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
-        ts = index.term_stats.filter(key_col.isin(keys)).select("stream", "term", "idf").collect()
-        idf = {r["term"]: float(r["idf"]) for r in ts if r["stream"] == "body"}
+def _restriction_arrays(index, facts: list[str] | None) -> dict:
+    """Descriptor entries for tombstones + fact sets: sorted int64 doc-id
+    arrays shipped in the broadcast closure (the reference holds fact rows
+    and the soft-delete row in memory the same way)."""
+    out: dict = {}
+    if index.tombstones:
+        out["deleted"] = np.array(sorted(index.tombstones), dtype=np.int64)
+    if facts:
+        allow = index.fact_doc_ids(facts)
+        out["allow"] = allow
+    return out
+
+
+def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
+    # driver-resident hash dictionary (TermTable analogue) when it fits,
+    # else one filtered collect — index.idf_for_terms
+    idf = index.idf_for_terms(plan.terms)
     phrase_docs: dict[Phrase, np.ndarray] = {}
     use_positions = use_positional_phrases(index)
     if not use_positions:
@@ -388,23 +405,28 @@ def _descriptor(index, plan: QueryPlan) -> dict:
             # exact adjacency via corpus, scoped to constituent-AND candidates
             docs = _phrase_doc_ids(index, ph, None).collect()
             phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
-    return {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions}
+    return {
+        "idf": idf,
+        "phrase_docs": phrase_docs,
+        "use_positions": use_positions,
+        **_restriction_arrays(index, facts),
+    }
 
 
-def match_kernel(index, query) -> DataFrame:
+def match_kernel(index, query, facts: list[str] | None = None) -> DataFrame:
     """Unscored boolean match set via the kernel path."""
     plan = _as_plan(query)
     if index.segments is None:
         index.build_segments()
-    groups = _query_groups(index, plan, _descriptor(index, plan), k=None)
+    groups = _query_groups(index, plan, _descriptor(index, plan, facts), k=None)
     return groups.select("doc_id")
 
 
-def search_kernel(index, query, k: int = 10) -> DataFrame:
+def search_kernel(index, query, k: int = 10, facts: list[str] | None = None) -> DataFrame:
     """BM25 top-k via the kernel path — rank-identical to search_dataframe."""
     plan = _as_plan(query)
     if index.segments is None:
         index.build_segments()
-    groups = _query_groups(index, plan, _descriptor(index, plan), k=k)
+    groups = _query_groups(index, plan, _descriptor(index, plan, facts), k=k)
     res = groups.select("doc_id", F.round(F.col("score"), 4).alias("score"))
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -118,14 +118,21 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
 )"""
 
 
-def oracle_search_sql(query, k: int = 10, config: BuildConfig | None = None) -> str:
-    """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc)."""
+def oracle_search_sql(
+    query, k: int = 10, config: BuildConfig | None = None, extra_where: str | None = None
+) -> str:
+    """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc).
+
+    ``extra_where`` ANDs an additional doc-level predicate into the match —
+    the mirror of engine-side tombstones (doc_id NOT IN (...)) and fact sets
+    (epoch-frozen stats: the predicate filters RESULTS, never df/avgdl)."""
     config = config or BuildConfig()
     plan = _as_plan(query)
+    extra = f" AND ({extra_where})" if extra_where else ""
     return (
         f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
         f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
-        f"FROM hits h\nWHERE {_bool_sql(plan.ast)}\n"
+        f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}){extra}\n"
         f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}"
     )
 

@@ -1,0 +1,195 @@
+"""Per-query execution instrumentation — QueryRunner/QueryInstrumentation
+parity (/root/reference/src/Plan/src/QueryRunner.cpp:84-92 records
+parse/plan/match wall-times; inc/BitFunnel/Plan/QueryInstrumentation.h:63-70
+records row/cacheline counts; our analogue counts posting blocks).
+
+`profile_search` runs ONE kernel-path query and returns
+(result_rows, metrics) where metrics carries driver-side phase timings plus
+per-(shard, slice) group counters:
+
+    blocks_total    — blocks of the query's terms present in the group
+    blocks_decoded  — blocks actually decoded (block-max pruning skips the
+                      rest; the pruning-effectiveness signal)
+    rows            — result rows the group emitted
+
+`profile_many` does the same for a whole query log in one job (the batch
+path), attributing counters per query via BlockCache stats deltas. Metrics
+come back through the same Arrow channel as results (an extra metrics
+column group), so profiling adds no extra Spark job.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from bitfunnel_spark.plans.kernel import (
+    _descriptor,
+    _keymap,
+    _segment_filter,
+    use_positional_phrases,
+)
+from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.planner import plan_query
+from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+
+METRIC_SCHEMA = (
+    "query_id int, shard int, slice int, blocks_total long, blocks_decoded long, "
+    "rows long, kernel_ms double"
+)
+
+
+def _profiled_batch_kernel(plans, descriptor):
+    """Batch kernel variant that emits per-(query, group) metric rows
+    instead of result rows. Pruned paths report real decode counters; the
+    exhaustive fallback reports its full-decode counts through the same
+    BlockCache interface."""
+    from bitfunnel_spark.plans.kernel import (
+        _candidates_pruned,
+        _group_phrase_docs,
+        _mask,
+        _score,
+    )
+
+    keymap = _keymap({(s, t) for p in plans for s, t in p.terms})
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "shard", "slice", "blocks_total", "blocks_decoded", "rows", "kernel_ms"]
+        if pdf.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        shard = int(pdf["shard"].iloc[0])
+        slc = int(pdf["slice"].iloc[0])
+        raw = {
+            keymap[int(key)]: rows
+            for key, rows in pdf.groupby("term_key", sort=False)
+            if int(key) in keymap
+        }
+        k = descriptor["k"]
+        out = []
+        for qid, plan in enumerate(plans):
+            stats: dict = {}
+            cache = BlockCache(raw, stats)  # fresh per query: exact attribution
+            t0 = time.perf_counter()
+            flat = route_flat(plan.ast) if k is not None else None
+            skeys = [("body", t) for t in sorted(plan.scoring_terms)]
+            if flat is not None:
+                kind, keys = flat
+                fn = or_topk if kind == "or" else and_topk
+                res = fn(keys, skeys, descriptor["idf"], k, cache)
+                nrows = len(res)
+                # blocks_total counts only terms the traversal touched; add
+                # untouched terms' blocks so the denominator is the query's
+                # full footprint in this group
+                for key in keys:
+                    cache.meta(key)
+            else:
+                cand = _candidates_pruned(plan.ast, raw)
+                nrows = 0
+                if cand.size:
+                    from bitfunnel_spark.plans.kernel import _decode_pruned
+
+                    lo, hi = int(cand[0]), int(cand[-1])
+                    postings = {}
+                    for key in plan.terms:
+                        rows = raw.get(key)
+                        if rows is not None:
+                            stats["blocks_total"] = stats.get("blocks_total", 0) + len(rows)
+                            sel = rows[(rows["last_doc"] >= lo) & (rows["first_doc"] <= hi)]
+                            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(sel)
+                        from bitfunnel_spark.plans.kernel import _EMPTY, _EMPTYF
+
+                        postings[key] = (
+                            _decode_pruned(rows, lo, hi)
+                            if rows is not None
+                            else (_EMPTY, _EMPTY, _EMPTYF)
+                        )
+                    m = _mask(plan.ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
+                    cand = cand[m]
+                    if cand.size:
+                        score = _score(cand, postings, sorted(plan.scoring_terms), descriptor["idf"])
+                        nrows = min(cand.size, k) if k is not None else cand.size
+                        del score
+            ms = (time.perf_counter() - t0) * 1000.0
+            out.append(
+                (
+                    qid, shard, slc,
+                    int(stats.get("blocks_total", 0)),
+                    int(stats.get("blocks_decoded", 0)),
+                    int(nrows), float(ms),
+                )
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
+def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dict]:
+    """Per-query execution metrics for a query log, ONE job.
+
+    Returns (group_metrics_df, driver_timings). group_metrics_df has one row
+    per (query, shard, slice); aggregate with
+    ``df.groupBy("query_id").agg(sum("blocks_decoded"), ...)``.
+    driver_timings records parse/plan/descriptor wall-times (the reference's
+    parse/plan phases, QueryRunner.cpp:84-92).
+    """
+    if index.segments is None:
+        index.build_segments()
+    t0 = time.perf_counter()
+    plans = [plan_query(parse_query(q)) for q in queries]
+    t_parse = time.perf_counter()
+    all_terms = {(s, t) for p in plans for s, t in p.terms}
+    seg = index.segments.filter(_segment_filter(index, all_terms))
+    idf = index.idf_for_terms(all_terms)
+    phrase_docs: dict = {}
+    use_positions = use_positional_phrases(index)
+    if not use_positions:
+        from bitfunnel_spark.plans.executor import _phrase_doc_ids
+
+        for p in plans:
+            for ph, _neg in p.phrases:
+                if ph not in phrase_docs:
+                    docs = _phrase_doc_ids(index, ph, None).collect()
+                    phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+    t_plan = time.perf_counter()
+    kernel = _profiled_batch_kernel(
+        plans,
+        {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions, "k": k},
+    )
+    metrics = seg.groupBy("shard", "slice").applyInPandas(lambda pdf: kernel(pdf), METRIC_SCHEMA)
+    timings = {
+        "parse_ms": round((t_parse - t0) * 1000.0, 3),
+        "plan_ms": round((t_plan - t_parse) * 1000.0, 3),
+        "n_queries": len(queries),
+    }
+    return metrics, timings
+
+
+def profile_search(index, query: str, k: int = 10) -> tuple[DataFrame, dict]:
+    """Single-query convenience wrapper over :func:`profile_many`."""
+    return profile_many(index, [query], k)
+
+
+def summarize(metrics: DataFrame) -> DataFrame:
+    """Per-query rollup of group metrics: total/decoded blocks, skip ratio."""
+    from pyspark.sql import functions as F
+
+    return (
+        metrics.groupBy("query_id")
+        .agg(
+            F.sum("blocks_total").alias("blocks_total"),
+            F.sum("blocks_decoded").alias("blocks_decoded"),
+            F.sum("rows").alias("rows"),
+            F.round(F.sum("kernel_ms"), 3).alias("kernel_ms_sum"),
+        )
+        .withColumn(
+            "skip_ratio",
+            F.round(
+                1.0 - F.col("blocks_decoded") / F.greatest(F.col("blocks_total"), F.lit(1)),
+                4,
+            ),
+        )
+        .orderBy("query_id")
+    )

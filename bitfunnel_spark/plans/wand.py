@@ -231,6 +231,18 @@ def _kth(scores_l: list, k: int) -> float:
     return float(np.partition(alls, alls.size - k)[alls.size - k])
 
 
+def restrict(cand: np.ndarray, allow: np.ndarray | None, deny: np.ndarray | None) -> np.ndarray:
+    """Apply fact restriction (allow: sorted doc ids that MUST contain the
+    doc — the reference's fact rows ANDed into the match) and tombstone
+    exclusion (deny: sorted soft-deleted ids — the reference's "document
+    active" row, Row.h:34-35) to a sorted candidate array."""
+    if allow is not None and allow.size >= 0 and cand.size:
+        cand = cand[_member(allow, cand)]
+    if deny is not None and deny.size and cand.size:
+        cand = cand[~_member(deny, cand)]
+    return cand
+
+
 def driver_order(keys: list, cache: BlockCache) -> list:
     """Conjunct evaluation order: rarest-first, with dense-treatment lists
     demoted from driving (index 0 drives the traversal). A dense list is the
@@ -246,6 +258,8 @@ def and_topk(
     idf: dict,
     k: int,
     cache: BlockCache,
+    allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Block-max top-k for a flat conjunction of terms (rank-down analogue).
 
@@ -288,11 +302,12 @@ def and_topk(
         if count >= k and b_ub < kth - EPS:
             break  # no remaining block can contribute a top-k score
         cand, _ = cache.decode_block(driver, int(bi))
+        cand = restrict(cand, allow, deny)
         for key in others:
-            od, _ = cache.docs_partials_for(key, cand)
-            cand = cand[_member(od, cand)]
             if cand.size == 0:
                 break
+            od, _ = cache.docs_partials_for(key, cand)
+            cand = cand[_member(od, cand)]
         if cand.size == 0:
             continue
         docs_l.append(cand)
@@ -309,6 +324,8 @@ def or_topk(
     idf: dict,
     k: int,
     cache: BlockCache,
+    allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """MaxScore top-k for a flat disjunction of body terms.
 
@@ -341,6 +358,7 @@ def or_topk(
             bsel = np.arange(f.size)
         docs, _ = cache.gather(key, bsel)
         new = docs if seen.size == 0 else docs[~_member(seen, docs)]
+        new = restrict(new, allow, deny)
         if new.size == 0:
             continue
         docs_l.append(new)

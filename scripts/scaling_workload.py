@@ -86,7 +86,11 @@ def run_build(spark, corpus, cfg) -> dict:
     t_stats = time.time()
     n_blocks = idx.segments.count()
     t_seg = time.time()
-    idx.term_stats.count()
+    # key_stats is the SERVE dictionary (term_key -> df/idf, derived from
+    # block metadata); the string dictionary (term_stats) is a separate
+    # analytics artifact requiring a second corpus scan and is not part of
+    # the serve-index build
+    idx.key_stats.count()
     t_terms = time.time()
     return {
         "idx": idx,

@@ -56,13 +56,15 @@ def _biggest_group_raw(index, stream_terms):
     the most blocks of the given terms — a unit harness for the wand kernels."""
     from pyspark.sql import functions as F
 
-    terms = sorted({t for _s, t in stream_terms})
-    pdf = index.segments.filter(F.col("term").isin(terms)).toPandas()
+    from bitfunnel_spark.operators.segments import _term_key_py
+
+    keymap = {_term_key_py(s, t): (s, t) for s, t in stream_terms}
+    pdf = index.segments.filter(F.col("term_key").isin(list(keymap))).toPandas()
     sizes = pdf.groupby(["shard", "slice"]).size()
     shard, slc = sizes.idxmax()
     sub = pdf[(pdf["shard"] == shard) & (pdf["slice"] == slc)]
     return {
-        (s, t): rows for (t, s), rows in sub.groupby(["term", "stream"], sort=False)
+        keymap[int(tk_)]: rows for tk_, rows in sub.groupby("term_key", sort=False)
     }
 
 

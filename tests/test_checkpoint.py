@@ -19,7 +19,7 @@ CFG = BuildConfig(n_slices=2, shard_boundaries=(0, 3, 5, 7))
 def _segment_set(spark, root):
     df = spark.read.parquet(f"{root}/segments")
     return {
-        (r["term"], r["stream"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]), bytes(r["tfs_vb"]))
+        (r["term_key"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]), bytes(r["tfs_vb"]))
         for r in df.collect()
     }
 

@@ -17,7 +17,7 @@ def fused(spark, corpus):
 
 
 def _seg_key(r):
-    return (r["term"], r["stream"], r["shard"], r["slice"], r["block_id"])
+    return (r["term_key"], r["shard"], r["slice"], r["block_id"])
 
 
 def test_segments_identical(index, fused):

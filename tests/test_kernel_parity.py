@@ -46,16 +46,19 @@ def test_segments_roundtrip_postings(seg_index):
     """Decoding every segment must reproduce the exact posting multiset."""
     from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
 
+    from bitfunnel_spark.operators.segments import _term_key_py
+
     seg_rows = seg_index.segments.collect()
     decoded = set()
-    for r in sorted(seg_rows, key=lambda r: (r["term"], r["stream"], r["shard"], r["slice"], r["block_id"])):
+    for r in sorted(seg_rows, key=lambda r: (r["term_key"], r["shard"], r["slice"], r["block_id"])):
         docs = decode_doc_block(bytes(r["docs_vb"]), r["enc"], int(r["first_doc"]))
         tfs = varbyte_decode(bytes(r["tfs_vb"]))
         assert len(docs) == len(tfs) == r["n"]
         assert int(docs[0]) == r["first_doc"] and int(docs[-1]) == r["last_doc"]
         for d, t in zip(docs, tfs):
-            decoded.add((r["term"], r["stream"], int(d), int(t)))
+            decoded.add((r["term_key"], int(d), int(t)))
     original = {
-        (r["term"], r["stream"], r["doc_id"], r["tf"]) for r in seg_index.postings.collect()
+        (_term_key_py(r["stream"], r["term"]), r["doc_id"], r["tf"])
+        for r in seg_index.postings.collect()
     }
     assert decoded == original

@@ -25,10 +25,14 @@ def test_positions_round_trip(spark, corpus, pos_index):
     corpus for a handful of terms."""
     from pyspark.sql import functions as F
 
-    seg = pos_index.segments.filter("stream = 'body' AND term IN ('data', 'batch')")
+    from bitfunnel_spark.operators.segments import _term_key_py
+
+    keymap = {_term_key_py("body", t): t for t in ("data", "batch")}
+    seg = pos_index.segments.filter(F.col("term_key").isin(list(keymap)))
     pdf = seg.toPandas()
     got: dict = {}
-    for term, rows in pdf.groupby("term"):
+    for tk_, rows in pdf.groupby("term_key"):
+        term = keymap[int(tk_)]
         for (_, _), sub in rows.groupby(["shard", "slice"]):
             d, t, p = decode_group_positions(sub)
             bounds = np.concatenate(([0], np.cumsum(t)))
@@ -75,7 +79,11 @@ def test_no_positions_raises(index):
     wrong phrase results."""
     if index.segments is None:
         index.build_segments()
-    rows = index.segments.filter("stream = 'body' AND term = 'data'").limit(3).toPandas()
+    from bitfunnel_spark.operators.segments import _term_key_py
+
+    rows = index.segments.filter(
+        f"term_key = {_term_key_py('body', 'data')}"
+    ).limit(3).toPandas()
     if len(rows) and int(rows["n"].sum()) > 0:
         with pytest.raises(ValueError):
             decode_group_positions(rows)

@@ -76,7 +76,7 @@ def test_compaction_restores_exact_build(spark, env):
 
     def key(df):
         return {
-            (r["term"], r["stream"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]))
+            (r["term_key"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]))
             for r in df.collect()
         }
 

@@ -137,8 +137,7 @@ def test_dense_never_drives(treated_index):
 
     seg = treated_index.segments.toPandas()
     groups = {
-        (s, t): rows
-        for (t, s), rows in seg.groupby(["term", "stream"], sort=False)
+        int(tk_): rows for tk_, rows in seg.groupby("term_key", sort=False)
     }
     dense_keys = [k for k, v in groups.items() if v["enc"].iloc[0] == ENC_GAP32]
     vb_keys = [k for k, v in groups.items() if v["enc"].iloc[0] == ENC_VB]

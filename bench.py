@@ -48,7 +48,9 @@ def main() -> None:
     t_suite = time.time()
     corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
     n_docs = corpus.count()
-    cfg = BuildConfig(n_slices=max(4, cpus // 4))
+    # positional postings on: the default physical design (phrases evaluate
+    # in-kernel from stored positions — no corpus access at query time)
+    cfg = BuildConfig(n_slices=max(4, cpus // 4), positions=True)
 
     # untimed JIT warm-up: identical pipeline shape on a small slice (the
     # first execution of each stage shape pays one-time codegen + C2
@@ -58,9 +60,9 @@ def main() -> None:
 
     warm = FullTextIndex.build_fused(spark, corpus.filter(F.col("doc_id") < 2000), cfg)
     warm.segments.count()
-    warm.term_stats.count()
+    warm.key_stats.count()
     warm.search("data", k=10, mode="kernel").collect()
-    for df in (warm.doc_stats, warm.term_stats, warm.segments):
+    for df in (warm.doc_stats, warm.key_stats, warm.segments):
         df.unpersist()
 
     t0 = time.time()
@@ -68,7 +70,9 @@ def main() -> None:
     # (row-form postings never materialized — the scale path)
     idx = FullTextIndex.build_fused(spark, corpus, cfg)
     n_blocks = idx.segments.count()
-    idx.term_stats.count()
+    # key_stats is the SERVE dictionary (hash-keyed, from block metadata);
+    # the string vocabulary is a separate analytics artifact, not built here
+    idx.key_stats.count()
     build_sec = time.time() - t0
 
     # warm-up (JVM/Arrow path init — excluded, matches the reference warming

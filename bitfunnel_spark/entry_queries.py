@@ -51,6 +51,20 @@ def get_pos_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     return get_index(spark, sf_dir)
 
 
+_GRAM_INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
+# gram-indexed variant (reference parity: maxGramSize=2 posts every bigram
+# as its own term); phrases of length 2 match via one posting list
+ENTRY_GRAM_CONFIG = BuildConfig(n_slices=4, max_gram_size=2)
+
+
+def get_gram_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    key = (id(spark), sf_dir)
+    if key not in _GRAM_INDEX_CACHE:
+        corpus = corpus_from_documents(load_documents(spark, sf_dir)).cache()
+        _GRAM_INDEX_CACHE[key] = FullTextIndex.build_fused(spark, corpus, ENTRY_GRAM_CONFIG)
+    return _GRAM_INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_documents(spark, sf_dir)
 
@@ -743,6 +757,13 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries["ft_bm25_phrase_pos"] = q_phrase_positions
     oracles["ft_bm25_phrase_pos"] = oracle_search_sql('"batch batch"', k=10, config=ENTRY_POS_CONFIG)
+
+    # phrase via indexed n-gram terms (reference's maxGramSize rows)
+    def q_phrase_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_gram_index(spark, sf_dir).search('"batch batch"', k=10, mode="kernel")
+
+    queries["ft_bm25_phrase_gram"] = q_phrase_gram
+    oracles["ft_bm25_phrase_gram"] = oracle_search_sql('"batch batch"', k=10, config=ENTRY_GRAM_CONFIG)
 
     queries["chunk_roundtrip"] = q_chunk_roundtrip
     oracles["chunk_roundtrip"] = SQL_CHUNK_ROUNDTRIP

@@ -275,6 +275,96 @@ def _encode_token_table(
     )
 
 
+def _encode_token_partition(batches, block_size: int, k1: float, b: float,
+                            avgdl: float, positions: bool = False,
+                            rare_frac: float = 0.0, dense_frac: float = float("inf")):
+    """mapInArrow partition encoder — the fused build's reduce side.
+
+    The partition (one hash bin of (shard, slice, term_bucket) groups —
+    repartition guarantees groups arrive whole) is concatenated and encoded
+    in ONE NumPy pipeline: lexsort by (shard, slice, bucket, term_key, doc
+    [, pos]), collapse occurrences to postings, block-encode with run breaks
+    on the full group key. Compared to groupBy().applyInArrow this skips
+    Spark's sort-based per-partition grouping entirely — the kernel's
+    integer lexsort subsumes it — and amortizes one Python call over the
+    whole partition instead of one per group (measured win at high core
+    counts where the JVM sort competes for memory bandwidth).
+    """
+    import pyarrow as pa
+
+    tbls = [pa.Table.from_batches([bt]) for bt in batches]
+    if not tbls:
+        return
+    tbl = pa.concat_tables(tbls)
+    if tbl.num_rows == 0:
+        return
+    docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+    dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
+    rk = tbl["term_key"].combine_chunks().to_numpy().astype(np.int64)
+    shard = tbl["shard"].combine_chunks().to_numpy().astype(np.int32)
+    slc = tbl["slice"].combine_chunks().to_numpy().astype(np.int32)
+    bucket = tbl["term_bucket"].combine_chunks().to_numpy().astype(np.int32)
+    if positions:
+        pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.lexsort((pos, docs, rk, bucket, slc, shard))
+        pos = pos[order]
+    else:
+        pos = None
+        order = np.lexsort((docs, rk, bucket, slc, shard))
+    docs, rk, dls = docs[order], rk[order], dls[order]
+    shard, slc, bucket = shard[order], slc[order], bucket[order]
+    grp_change = np.concatenate(
+        ([True],
+         (shard[1:] != shard[:-1]) | (slc[1:] != slc[:-1]) | (bucket[1:] != bucket[:-1]))
+    )
+    run_change = grp_change | np.concatenate(([True], rk[1:] != rk[:-1]))
+    posting_change = run_change | np.concatenate(([True], docs[1:] != docs[:-1]))
+    pstarts = np.flatnonzero(posting_change)
+    tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
+    docs_p, rk_p, dls_p = docs[pstarts], rk[pstarts], dls[pstarts]
+    shard_p, slc_p, bucket_p = shard[pstarts], slc[pstarts], bucket[pstarts]
+    run_break = run_change[pstarts]
+    # treatment denominator: distinct docs per (shard, slice, bucket) group,
+    # identical to the per-group encode — one integer lexsort of the
+    # posting-level (group, doc) pairs, then run-length distinct counting
+    g_p = ((shard_p.astype(np.int64) * 1024) + slc_p.astype(np.int64)) * 1024 + bucket_p
+    o2 = np.lexsort((docs_p, g_p))
+    g2, d2 = g_p[o2], docs_p[o2]
+    new_pair = np.concatenate(([True], (g2[1:] != g2[:-1]) | (d2[1:] != d2[:-1])))
+    g_vals, g_counts = np.unique(g2[new_pair], return_counts=True)
+    denom_p = g_counts[np.searchsorted(g_vals, g_p)].astype(np.float64)
+    run_starts = np.flatnonzero(run_break)
+    denom_run = denom_p[run_starts]
+    enc = _encode_posting_arrays(
+        docs_p, tfs, dls_p, rk_p, block_size, k1, b, avgdl,
+        occ_pos=pos,
+        posting_occ_starts=pstarts if positions else None,
+        rare_df_frac=rare_frac, dense_df_frac=dense_frac,
+        n_docs_group=denom_run,
+        run_break=run_break,
+    )
+    bs = enc["blk_start"]
+    yield pa.record_batch(
+        [
+            pa.array(enc["run_keys"].astype(np.int64)),
+            pa.array(shard_p[bs].astype(np.int32)),
+            pa.array(slc_p[bs].astype(np.int32)),
+            pa.array(bucket_p[bs].astype(np.int32)),
+            pa.array(enc["block_id"].astype(np.int32)),
+            pa.array(enc["n"].astype(np.int32)),
+            pa.array(enc["first_doc"]),
+            pa.array(enc["last_doc"]),
+            pa.array(enc["max_partial"]),
+            pa.array(enc["enc"], type="string"),
+            pa.array(enc["docs_vb"], type="binary"),
+            pa.array(enc["tfs_vb"], type="binary"),
+            pa.array(enc["partials"], type="binary"),
+            pa.array(enc["pos_vb"], type="binary"),
+        ],
+        schema=_segment_pa_schema(),
+    )
+
+
 def _segment_pa_schema():
     import pyarrow as pa
 
@@ -311,7 +401,8 @@ def _encode_posting_arrays(
     posting_occ_starts: np.ndarray | None = None,
     rare_df_frac: float = 0.0,
     dense_df_frac: float = float("inf"),
-    n_docs_group: int = 0,
+    n_docs_group=0,
+    run_break: np.ndarray | None = None,
 ) -> dict:
     """Core block encoder over postings sorted by (run key, doc_id):
     returns per-block metadata arrays + buffer slices. Shared by the pandas
@@ -333,7 +424,12 @@ def _encode_posting_arrays(
     posting; per-posting counts are the tfs, so no extra length table)."""
     n_rows = len(docs)
     partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    run_starts = np.flatnonzero(np.concatenate(([True], rk[1:] != rk[:-1])))
+    if run_break is not None:
+        # caller-supplied run boundaries (multi-group partition encode: a
+        # run breaks on (shard, slice, bucket, term_key), not term_key alone)
+        run_starts = np.flatnonzero(run_break)
+    else:
+        run_starts = np.flatnonzero(np.concatenate(([True], rk[1:] != rk[:-1])))
     run_ends = np.concatenate((run_starts[1:], [n_rows]))
     run_lens = run_ends - run_starts
     nblk = (run_lens + block_size - 1) // block_size
@@ -346,9 +442,15 @@ def _encode_posting_arrays(
     gaps[blk_start] = docs[blk_start].astype(np.uint64)
 
     # --- treatment → per-run doc encoding class (0=vb, 1=raw, 2=gap32) ----
+    # n_docs_group: scalar (single-group encode) or per-run array (multi-
+    # group partition encode) — the treatment denominator
     enc_run = np.zeros(run_starts.size, dtype=np.int8)
-    if n_docs_group > 0 and run_starts.size:
-        frac = run_lens / float(n_docs_group)
+    denom = np.asarray(n_docs_group, dtype=np.float64)
+    if run_starts.size and (denom.ndim > 0 or float(denom) > 0):
+        if denom.ndim == 0:
+            frac = run_lens / float(denom)
+        else:
+            frac = run_lens / np.maximum(denom, 1.0)
         enc_run[frac < rare_df_frac] = 1
         dense = frac > dense_df_frac
         if dense.any():
@@ -419,6 +521,7 @@ def _encode_posting_arrays(
         pos_vb = [b""] * len(block_id)
     return {
         "run_keys": rk[run_starts][run_of_block],
+        "blk_start": blk_start,  # per-block row index — callers slice aux arrays
         "block_id": block_id,
         "n": blk_end - blk_start,
         "first_doc": docs[blk_start],
@@ -440,16 +543,20 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     postings — which nobody can afford at 100 TB. Here exploded token
     occurrences shuffle straight to their (shard, slice, term_bucket)
     reducer and tf is computed inside the encode kernel
-    (:func:`_encode_token_table`); row-form postings never exist. Shuffle
-    volume is token-granularity (~1.5× posting rows) but there is only one
-    exchange and no 4-column agg hash table. The term dictionary then
-    derives from block metadata (statistics.term_stats_from_segments) at
-    ~#blocks cost.
+    (:func:`_encode_token_partition`); row-form postings never exist.
+    Shuffle volume is token-granularity (~1.5× posting rows) but there is
+    only one exchange and no 4-column agg hash table, and each shuffled row
+    is (term_key int64, doc_id, doclen, shard, slice, bucket[, pos]) — no
+    strings (see the TERM KEY note above). The serve dictionary then derives
+    from block metadata (statistics.key_stats_from_segments) at ~#blocks
+    cost.
 
-    The kernel runs via ``applyInArrow`` (Spark 4): the group crosses the
-    JVM→Python boundary as a pyarrow Table, never a pandas DataFrame —
-    converting 10^7 token rows to pandas (one PyObject per string) measured
-    as the dominant and worst-scaling cost of the build.
+    The kernel runs via ``repartition + mapInArrow`` (Spark 4): whole
+    partitions cross the JVM→Python boundary as Arrow batches (never
+    pandas), and Spark's sort-based grouping is skipped entirely — the
+    kernel's integer lexsort orders the partition itself. Size
+    spark.sql.shuffle.partitions so a partition's token rows fit executor
+    memory (the kernel concatenates the partition before sorting).
     """
     from bitfunnel_spark.operators.statistics import exploded_tokens
 
@@ -459,16 +566,24 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     positions = config.positions
     rare, dense = config.rare_df_frac, config.dense_df_frac
 
-    def fn(tbl):
-        return _encode_token_table(
-            tbl, bs, k1, b, avgdl, positions=positions,
-            rare_frac=rare, dense_frac=dense,
-        )
-
     tok = exploded_tokens(corpus, config, keyed=True).withColumn(
         "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
     )
-    return tok.groupBy("shard", "slice", "term_bucket").applyInArrow(fn, SEGMENT_SCHEMA)
+
+    def pfn(batches):
+        return _encode_token_partition(
+            batches, bs, k1, b, avgdl, positions=positions,
+            rare_frac=rare, dense_frac=dense,
+        )
+
+    # repartition + mapInArrow: same single shuffle as groupBy+applyInArrow,
+    # but NO JVM-side sort-based grouping — the kernel's integer lexsort
+    # subsumes it (repartition hash-routes whole groups; the kernel handles
+    # a partition of many groups)
+    return (
+        tok.repartition("shard", "slice", "term_bucket")
+        .mapInArrow(pfn, SEGMENT_SCHEMA)
+    )
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -102,35 +102,57 @@ def exploded_tokens(
         F.lower(F.col("lang")).alias("_lang"),
         F.lower(F.col("repo")).alias("_repo"),
     )
+    parts = [
+        F.transform(
+            "_body",
+            lambda t, i: F.struct(
+                t.alias("term"), F.lit(BODY).alias("stream"), i.cast("int").alias("pos")
+            ),
+        ),
+        F.transform(
+            "_path",
+            lambda t, i: F.struct(
+                t.alias("term"), F.lit(PATH).alias("stream"), i.cast("int").alias("pos")
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.col("_lang").alias("term"), F.lit(LANG).alias("stream"), F.lit(0).alias("pos")
+            ),
+            F.struct(
+                F.col("_repo").alias("term"), F.lit(REPO).alias("stream"), F.lit(0).alias("pos")
+            ),
+        ),
+    ]
+    # indexed n-grams (reference parity: Document.cpp:152-165 posts every
+    # gram up to maxGramSize as its own term): body grams "t_i .. t_{i+n-1}"
+    # (space-joined — exactly the parser's Phrase.text) become ordinary
+    # body-stream terms, so a fitting phrase matches via one posting list
+    # NB: PySpark higher-order-function lambdas dispatch on ARITY — a
+    # second (even defaulted) parameter turns them into (element, index)
+    # lambdas — so n/gmax are bound via closure factories, never defaults
+    def _gram_pred(gmax):
+        return lambda i: i <= gmax
+
+    def _gram_struct(n):
+        return lambda i: F.struct(
+            F.array_join(F.slice(F.col("_body"), i + 1, n), " ").alias("term"),
+            F.lit(BODY).alias("stream"),
+            i.cast("int").alias("pos"),
+        )
+
+    for n in range(2, int(getattr(config, "max_gram_size", 1)) + 1):
+        gmax = F.col("doclen") - n  # last gram start (negative → none)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(gmax, F.lit(0))), _gram_pred(gmax)
+        )
+        parts.append(F.transform(starts, _gram_struct(n)))
     out = base.select(
         "doc_id",
         "doclen",
         "shard",
         "slice",
-        F.explode(
-            F.concat(
-                F.transform(
-                    "_body",
-                    lambda t, i: F.struct(
-                        t.alias("term"), F.lit(BODY).alias("stream"), i.cast("int").alias("pos")
-                    ),
-                ),
-                F.transform(
-                    "_path",
-                    lambda t, i: F.struct(
-                        t.alias("term"), F.lit(PATH).alias("stream"), i.cast("int").alias("pos")
-                    ),
-                ),
-                F.array(
-                    F.struct(
-                        F.col("_lang").alias("term"), F.lit(LANG).alias("stream"), F.lit(0).alias("pos")
-                    ),
-                    F.struct(
-                        F.col("_repo").alias("term"), F.lit(REPO).alias("stream"), F.lit(0).alias("pos")
-                    ),
-                ),
-            )
-        ).alias("p"),
+        F.explode(F.concat(*parts)).alias("p"),
     )
     if keyed:
         from bitfunnel_spark.operators.segments import term_key_col

@@ -44,7 +44,11 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
 
     from bitfunnel_spark.plans.kernel import _keymap
 
-    keymap = _keymap({(s, t) for p in plans for s, t in p.terms})
+    gram_set = frozenset(descriptor.get("gram_phrases") or frozenset())
+    keymap = _keymap(
+        {(s, t) for p in plans for s, t in p.terms}
+        | {(ph.stream, ph.text) for ph in gram_set}
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -83,7 +87,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
                     out_d.append(res["doc_id"].to_numpy())
                     out_s.append(res["score"].to_numpy())
                 continue
-            cand = _candidates_pruned(plan.ast, raw)
+            cand = _candidates_pruned(plan.ast, raw, gram_set)
             from bitfunnel_spark.plans.wand import restrict
 
             cand = restrict(cand, allow, deny)
@@ -126,9 +130,12 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
         index.build_segments()
     from bitfunnel_spark.plans.kernel import _segment_filter
 
+    from bitfunnel_spark.plans.kernel import filter_terms, use_gram_phrase
+
     plans = [plan_query(parse_query(q)) for q in queries]
     all_terms = {(s, t) for p in plans for s, t in p.terms}
-    seg = index.segments.filter(_segment_filter(index, all_terms))
+    all_filter_terms = set().union(*(filter_terms(index, p) for p in plans)) if plans else set()
+    seg = index.segments.filter(_segment_filter(index, all_filter_terms))
 
     # driver-resident hash dictionary (TermTable analogue) when it fits,
     # else one filtered collect — index.idf_for_terms
@@ -136,13 +143,18 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
     from bitfunnel_spark.plans.kernel import use_positional_phrases
 
     phrase_docs = {}
+    gram_phrases: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
         for p in plans:
             for ph, _neg in p.phrases:
-                if ph not in phrase_docs:
-                    docs = _phrase_doc_ids(index, ph, None).collect()
-                    phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+                if ph in phrase_docs or ph in gram_phrases:
+                    continue
+                if use_gram_phrase(index, ph):
+                    gram_phrases.add(ph)
+                    continue
+                docs = _phrase_doc_ids(index, ph, None).collect()
+                phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
 
     from bitfunnel_spark.plans.kernel import _restriction_arrays
 
@@ -150,6 +162,7 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
         plans,
         {
             "idf": idf, "phrase_docs": phrase_docs,
+            "gram_phrases": frozenset(gram_phrases),
             "use_positions": use_positions, "k": k,
             **_restriction_arrays(index, facts),
         },

@@ -92,13 +92,14 @@ def _decode_pruned(rows: pd.DataFrame, lo: int | None = None, hi: int | None = N
     return decode_group(rows)
 
 
-def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
+def _candidates_pruned(ast: Node, raw: dict, gram_phrases=frozenset()) -> np.ndarray:
     """Candidate doc set with progressive block pruning.
 
     AND fast path: decode the rarest positive term fully (fewest postings —
     the MatchTreeRewriter 'cheapest first' intent), then intersect the other
     conjuncts decoding only blocks overlapping the shrinking candidate range.
-    Otherwise: union of all positive terms' postings.
+    Otherwise: union of all positive terms' postings. Gram-matched phrases
+    contribute their gram term as a conjunct (usually the rarest driver).
     """
     def total_n(key) -> int:
         rows = raw.get(key)
@@ -129,8 +130,12 @@ def _candidates_pruned(ast: Node, raw: dict) -> np.ndarray:
                 and_keys.append((c.stream, c.text))
             elif isinstance(c, Phrase):
                 and_keys.extend((c.stream, t) for t in c.tokens)
+                if c in gram_phrases:
+                    and_keys.append((c.stream, c.text))
     elif isinstance(ast, Phrase):
         and_keys = [(ast.stream, t) for t in ast.tokens]
+        if ast in gram_phrases:
+            and_keys.append((ast.stream, ast.text))
     if and_keys:
         and_keys.sort(key=lambda kk: (is_dense(kk), total_n(kk)))
         cand = docs_of(and_keys[0])
@@ -181,14 +186,21 @@ def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
 
 
 def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
-    """Per-group phrase doc sets: positional-kernel evaluation when the
-    index carries positions, else the broadcast corpus-derived sets."""
-    if not descriptor.get("use_positions"):
-        return descriptor["phrase_docs"]
+    """Per-group phrase doc sets, by physical design precedence:
+    positional-kernel evaluation (stored positions) > indexed-gram posting
+    list > broadcast corpus-derived sets (the exact fallback)."""
+    gram = descriptor.get("gram_phrases") or frozenset()
     out: dict = {}
     for ph, _neg in plan_phrases:
-        if ph not in out:
+        if ph in out:
+            continue
+        if descriptor.get("use_positions"):
             out[ph] = phrase_docs_from_positions(ph, raw)
+        elif ph in gram:
+            rows = raw.get((ph.stream, ph.text))
+            out[ph] = decode_group(rows)[0] if rows is not None else _EMPTY
+        else:
+            out[ph] = descriptor["phrase_docs"].get(ph, _EMPTY)
     return out
 
 
@@ -277,7 +289,10 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
     ast = plan.ast
     scoring = sorted(plan.scoring_terms)
 
-    keymap = _keymap(plan.terms)
+    gram_set = frozenset(descriptor.get("gram_phrases") or frozenset())
+    keymap = _keymap(
+        set(plan.terms) | {(ph.stream, ph.text) for ph in gram_set}
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -312,7 +327,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             skeys = [("body", t) for t in scoring]
             fn = or_topk if kind == "or" else and_topk
             return fn(keys, skeys, descriptor["idf"], k0, cache, allow=allow, deny=deny)
-        cand = _candidates_pruned(ast, raw)
+        cand = _candidates_pruned(ast, raw, gram_set)
         from bitfunnel_spark.plans.wand import restrict
 
         cand = restrict(cand, allow, deny)
@@ -363,11 +378,33 @@ def _keymap(terms: set[tuple[str, str]]) -> dict:
 
 
 def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> DataFrame:
-    seg = index.segments.filter(_segment_filter(index, plan.terms))
+    seg = index.segments.filter(_segment_filter(index, filter_terms(index, plan)))
     kernel = _make_kernel(plan, {**descriptor, "k": k})
     return seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"
     )
+
+
+def use_gram_phrase(index, ph: Phrase) -> bool:
+    """True when the phrase matches via an indexed n-gram term (reference
+    parity: grams up to maxGramSize are ordinary terms — Document.cpp:
+    152-165): body-stream phrase, length within config.max_gram_size, and
+    the positional path (which subsumes grams) not active."""
+    return (
+        1 < len(ph.tokens) <= int(getattr(index.config, "max_gram_size", 1))
+        and ph.stream == "body"
+        and not use_positional_phrases(index)
+    )
+
+
+def filter_terms(index, plan: QueryPlan) -> set:
+    """Segment-filter keys: the plan's terms plus the gram term of every
+    gram-matched phrase (the gram's posting list must reach the kernel)."""
+    terms = set(plan.terms)
+    for ph, _neg in plan.phrases:
+        if use_gram_phrase(index, ph):
+            terms.add((ph.stream, ph.text))
+    return terms
 
 
 def use_positional_phrases(index) -> bool:
@@ -397,10 +434,14 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
     # else one filtered collect — index.idf_for_terms
     idf = index.idf_for_terms(plan.terms)
     phrase_docs: dict[Phrase, np.ndarray] = {}
+    gram_phrases: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
         for ph, _neg in plan.phrases:
-            if ph in phrase_docs:
+            if ph in phrase_docs or ph in gram_phrases:
+                continue
+            if use_gram_phrase(index, ph):
+                gram_phrases.add(ph)  # matched from the gram posting list
                 continue
             # exact adjacency via corpus, scoped to constituent-AND candidates
             docs = _phrase_doc_ids(index, ph, None).collect()
@@ -408,6 +449,7 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
     return {
         "idf": idf,
         "phrase_docs": phrase_docs,
+        "gram_phrases": frozenset(gram_phrases),
         "use_positions": use_positions,
         **_restriction_arrays(index, facts),
     }

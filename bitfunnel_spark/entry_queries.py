@@ -542,6 +542,54 @@ WHERE {_COS} >= {EMB_NEARDUP_THRESHOLD}
 ORDER BY id_a, id_b"""
 
 
+_IVF_CENTROIDS, _IVF_PROBE = 16, 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (centroids = vec_id <
+    n_centroids), probe the query's nearest cells only — the equi-join scale
+    path; oracle mirrors the identical algorithm."""
+    return similarity.ivf_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _sql_ann_ivf() -> str:
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_CENTROIDS}),
+asg AS (
+  SELECT e.vec_id, e.v, c.cent_id
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY round({_cos_sql('e.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id
+  FROM e q CROSS JOIN c
+  WHERE q.vec_id IN ({_IDS})
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_cos_sql('q.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({_cos_sql('p.qv', 'a.v')}, 4) AS cosine
+  FROM probes p JOIN asg a USING (cent_id)
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH buckets (numpy mapInPandas) — rows-only check."""
     return similarity.random_hyperplane_buckets(_emb(spark, sf_dir)).orderBy("vec_id")
@@ -749,6 +797,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["ann_cosine_topk"] = SQL_ANN_COSINE_TOPK
     queries["ann_lsh_topk"] = q_ann_lsh_topk
     oracles["ann_lsh_topk"] = SQL_ANN_LSH_TOPK
+    queries["ann_ivf_topk"] = q_ann_ivf_topk
+    oracles["ann_ivf_topk"] = _sql_ann_ivf()
     queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
 
     # phrase via positional postings (kernel adjacency from stored positions)

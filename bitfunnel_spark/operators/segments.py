@@ -275,96 +275,6 @@ def _encode_token_table(
     )
 
 
-def _encode_token_partition(batches, block_size: int, k1: float, b: float,
-                            avgdl: float, positions: bool = False,
-                            rare_frac: float = 0.0, dense_frac: float = float("inf")):
-    """mapInArrow partition encoder — the fused build's reduce side.
-
-    The partition (one hash bin of (shard, slice, term_bucket) groups —
-    repartition guarantees groups arrive whole) is concatenated and encoded
-    in ONE NumPy pipeline: lexsort by (shard, slice, bucket, term_key, doc
-    [, pos]), collapse occurrences to postings, block-encode with run breaks
-    on the full group key. Compared to groupBy().applyInArrow this skips
-    Spark's sort-based per-partition grouping entirely — the kernel's
-    integer lexsort subsumes it — and amortizes one Python call over the
-    whole partition instead of one per group (measured win at high core
-    counts where the JVM sort competes for memory bandwidth).
-    """
-    import pyarrow as pa
-
-    tbls = [pa.Table.from_batches([bt]) for bt in batches]
-    if not tbls:
-        return
-    tbl = pa.concat_tables(tbls)
-    if tbl.num_rows == 0:
-        return
-    docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
-    dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
-    rk = tbl["term_key"].combine_chunks().to_numpy().astype(np.int64)
-    shard = tbl["shard"].combine_chunks().to_numpy().astype(np.int32)
-    slc = tbl["slice"].combine_chunks().to_numpy().astype(np.int32)
-    bucket = tbl["term_bucket"].combine_chunks().to_numpy().astype(np.int32)
-    if positions:
-        pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
-        order = np.lexsort((pos, docs, rk, bucket, slc, shard))
-        pos = pos[order]
-    else:
-        pos = None
-        order = np.lexsort((docs, rk, bucket, slc, shard))
-    docs, rk, dls = docs[order], rk[order], dls[order]
-    shard, slc, bucket = shard[order], slc[order], bucket[order]
-    grp_change = np.concatenate(
-        ([True],
-         (shard[1:] != shard[:-1]) | (slc[1:] != slc[:-1]) | (bucket[1:] != bucket[:-1]))
-    )
-    run_change = grp_change | np.concatenate(([True], rk[1:] != rk[:-1]))
-    posting_change = run_change | np.concatenate(([True], docs[1:] != docs[:-1]))
-    pstarts = np.flatnonzero(posting_change)
-    tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
-    docs_p, rk_p, dls_p = docs[pstarts], rk[pstarts], dls[pstarts]
-    shard_p, slc_p, bucket_p = shard[pstarts], slc[pstarts], bucket[pstarts]
-    run_break = run_change[pstarts]
-    # treatment denominator: distinct docs per (shard, slice, bucket) group,
-    # identical to the per-group encode — one integer lexsort of the
-    # posting-level (group, doc) pairs, then run-length distinct counting
-    g_p = ((shard_p.astype(np.int64) * 1024) + slc_p.astype(np.int64)) * 1024 + bucket_p
-    o2 = np.lexsort((docs_p, g_p))
-    g2, d2 = g_p[o2], docs_p[o2]
-    new_pair = np.concatenate(([True], (g2[1:] != g2[:-1]) | (d2[1:] != d2[:-1])))
-    g_vals, g_counts = np.unique(g2[new_pair], return_counts=True)
-    denom_p = g_counts[np.searchsorted(g_vals, g_p)].astype(np.float64)
-    run_starts = np.flatnonzero(run_break)
-    denom_run = denom_p[run_starts]
-    enc = _encode_posting_arrays(
-        docs_p, tfs, dls_p, rk_p, block_size, k1, b, avgdl,
-        occ_pos=pos,
-        posting_occ_starts=pstarts if positions else None,
-        rare_df_frac=rare_frac, dense_df_frac=dense_frac,
-        n_docs_group=denom_run,
-        run_break=run_break,
-    )
-    bs = enc["blk_start"]
-    yield pa.record_batch(
-        [
-            pa.array(enc["run_keys"].astype(np.int64)),
-            pa.array(shard_p[bs].astype(np.int32)),
-            pa.array(slc_p[bs].astype(np.int32)),
-            pa.array(bucket_p[bs].astype(np.int32)),
-            pa.array(enc["block_id"].astype(np.int32)),
-            pa.array(enc["n"].astype(np.int32)),
-            pa.array(enc["first_doc"]),
-            pa.array(enc["last_doc"]),
-            pa.array(enc["max_partial"]),
-            pa.array(enc["enc"], type="string"),
-            pa.array(enc["docs_vb"], type="binary"),
-            pa.array(enc["tfs_vb"], type="binary"),
-            pa.array(enc["partials"], type="binary"),
-            pa.array(enc["pos_vb"], type="binary"),
-        ],
-        schema=_segment_pa_schema(),
-    )
-
-
 def _segment_pa_schema():
     import pyarrow as pa
 
@@ -551,12 +461,13 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     from block metadata (statistics.key_stats_from_segments) at ~#blocks
     cost.
 
-    The kernel runs via ``repartition + mapInArrow`` (Spark 4): whole
-    partitions cross the JVM→Python boundary as Arrow batches (never
-    pandas), and Spark's sort-based grouping is skipped entirely — the
-    kernel's integer lexsort orders the partition itself. Size
-    spark.sql.shuffle.partitions so a partition's token rows fit executor
-    memory (the kernel concatenates the partition before sorting).
+    The kernel runs via ``groupBy + applyInArrow`` (Spark 4): the group
+    crosses the JVM→Python boundary as a pyarrow Table, never pandas.
+    (A repartition + mapInArrow variant that skips Spark's sort-based
+    grouping in favor of a whole-partition NumPy lexsort was measured
+    SLOWER at high core counts — Tungsten's binary-row sort beats a 5-key
+    numpy lexsort over 3M-row partitions under memory-bandwidth pressure;
+    see BENCH.md audit trail — so the JVM sort stays.)
     """
     from bitfunnel_spark.operators.statistics import exploded_tokens
 
@@ -566,24 +477,16 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     positions = config.positions
     rare, dense = config.rare_df_frac, config.dense_df_frac
 
-    tok = exploded_tokens(corpus, config, keyed=True).withColumn(
-        "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
-    )
-
-    def pfn(batches):
-        return _encode_token_partition(
-            batches, bs, k1, b, avgdl, positions=positions,
+    def fn(tbl):
+        return _encode_token_table(
+            tbl, bs, k1, b, avgdl, positions=positions,
             rare_frac=rare, dense_frac=dense,
         )
 
-    # repartition + mapInArrow: same single shuffle as groupBy+applyInArrow,
-    # but NO JVM-side sort-based grouping — the kernel's integer lexsort
-    # subsumes it (repartition hash-routes whole groups; the kernel handles
-    # a partition of many groups)
-    return (
-        tok.repartition("shard", "slice", "term_bucket")
-        .mapInArrow(pfn, SEGMENT_SCHEMA)
+    tok = exploded_tokens(corpus, config, keyed=True).withColumn(
+        "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
     )
+    return tok.groupBy("shard", "slice", "term_bucket").applyInArrow(fn, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -111,6 +111,65 @@ def lsh_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest centroid, probe only the query's ``n_probe`` nearest centroid
+    cells. The scale path for 10^9+ vectors: the candidate join is an
+    equi-join on ``cent_id`` (each cell holds ~N/n_centroids vectors), and
+    the centroid table is tiny and broadcast everywhere.
+
+    The coarse quantizer is DETERMINISTIC and cross-engine expressible —
+    centroids are the vectors with id < n_centroids (ids are a uniform
+    permutation of the corpus in the testdata, so this is a uniform sample;
+    a production build would k-means them, which only changes the centroid
+    table, not the plan shape). Ties break by cent_id asc, so the oracle
+    mirrors the assignment exactly. Recall is approximate by design; the
+    oracle mirrors the identical algorithm."""
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cos_c = F.round(cosine_expr(F.col("v"), F.col("cent_vec")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cent_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cos_c.alias("cosc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    probes = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qvec"),
+            "cent_id",
+            cos_c.alias("cosc"),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosc"), F.asc("cent_id"))
+        ))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cent_id")
+    )
+    pairs = F.broadcast(probes).join(assigned, "cent_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = F.round(cosine_expr(F.col("qvec"), F.col("v")), 4)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 12,

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # finer input splits: the build's map stage (tokenize + explode +
+        # hash + shuffle write) is the heaviest CPU stage, and with the
+        # 128 MB default a medium corpus yields ~1 split per 30-50k docs —
+        # fewer tasks than slots leaves cores idle in the last wave (a 10-
+        # task stage on 8 slots runs at 62% efficiency). 16 MB keeps map
+        # waves balanced at every parallelism level; scan overhead per
+        # split is negligible next to tokenization.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -90,20 +90,33 @@ def ingest_increments(
 
 
 def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
-    """main ∪ increments — the queryable view between compactions."""
+    """main ∪ increments — the queryable view between compactions.
+
+    Increments are discovered with ONE globbed Spark read
+    (``increments/batch=*``): path resolution goes through Spark's Hadoop
+    filesystem connector, which lists correctly on object storage (S3/GCS)
+    where a driver-side ``os.listdir`` would not exist — and a single read
+    of N increment directories beats N separate reads + unions."""
+    from pyspark.errors import AnalysisException
+
     parts = []
     main = os.path.join(index_root, "segments")
-    if os.path.exists(main):
+    try:
         parts.append(spark.read.parquet(main))
+    except AnalysisException:
+        pass  # no main store yet (pure-streaming start)
     inc_root = os.path.join(index_root, "increments")
-    if os.path.exists(inc_root):
-        batches = [d for d in sorted(os.listdir(inc_root)) if d.startswith("batch=")]
-        for b in batches:
-            parts.append(
-                spark.read.parquet(os.path.join(inc_root, b)).select(*parts[0].columns)
-                if parts
-                else spark.read.parquet(os.path.join(inc_root, b))
-            )
+    try:
+        inc = spark.read.option("basePath", inc_root).parquet(
+            os.path.join(inc_root, "batch=*")
+        )
+        if "batch" in inc.columns:  # partition-dir column from the glob
+            inc = inc.drop("batch")
+        if parts:
+            inc = inc.select(*parts[0].columns)
+        parts.append(inc)
+    except AnalysisException:
+        pass  # no increments yet
     if not parts:
         raise FileNotFoundError(f"no segments under {index_root}")
     out = parts[0]
@@ -117,11 +130,22 @@ def compact(
     index_root: str,
     config: BuildConfig,
     corpus: DataFrame,
+    tombstones=None,
 ) -> None:
     """Tiered merge: fold all increments + main into fresh segments, with
     epoch stats (n_docs, avgdl, term_stats) recomputed over the full corpus.
     One repartition-and-reduce pass (the same single-shuffle build as
-    operators/segments.build_segments); atomic directory swap."""
+    operators/segments.build_segments); atomic directory swap.
+
+    ``tombstones`` (iterable of doc ids) are dropped PHYSICALLY here — the
+    soft-delete mask (index.delete_docs) becomes a hard delete and the new
+    epoch's stats no longer count the deleted docs. At 100 TB this is the
+    takedown path: deletes are served instantly by the mask and reclaimed
+    at the next compaction, never by a per-delete rebuild."""
+    if tombstones:
+        ids = [int(d) for d in sorted(set(tombstones))]
+        tomb = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+        corpus = corpus.join(F.broadcast(tomb), "doc_id", "left_anti")
     ds = stats.doc_stats(corpus, config)
     meta = stats.corpus_meta(ds)
     postings = stats.postings(corpus, config)

@@ -75,3 +75,39 @@ def test_fact_and_delete_compose(index):
 def test_unknown_fact_raises(index):
     with pytest.raises(KeyError):
         index.search("data", facts=["nope"]).collect()
+
+
+def test_compact_drops_tombstones(spark, corpus, tmp_path):
+    """Compaction must turn the soft-delete mask into a hard delete: the
+    rebuilt store contains no postings for tombstoned docs and the new
+    epoch's stats exclude them."""
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+    from bitfunnel_spark.streaming import ingest
+
+    root = str(tmp_path / "idx")
+    cfg = BuildConfig(n_slices=2)
+    small = corpus.filter("doc_id < 60").cache()
+    ingest.compact(spark, root, cfg, small, tombstones=[1, 2, 3])
+    live = ingest.read_live_segments(spark, root)
+    idx = FullTextIndex.build(
+        spark, small.filter("doc_id not in (1,2,3)"), cfg, segments=True
+    )
+    # every decoded posting doc of the compacted store must avoid 1..3
+    import numpy as np
+
+    from bitfunnel_spark.operators.segments import decode_group
+
+    pdf = live.toPandas()
+    for _, rows in pdf.groupby(["term_key", "shard", "slice"]):
+        d, _t, _p = decode_group(rows)
+        assert not np.isin([1, 2, 3], d).any()
+    # and the rebuilt-on-filtered-corpus index matches the compacted store
+    a = {
+        (r["term_key"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]))
+        for r in live.collect()
+    }
+    b = {
+        (r["term_key"], r["shard"], r["slice"], r["block_id"], bytes(r["docs_vb"]))
+        for r in idx.segments.collect()
+    }
+    assert a == b

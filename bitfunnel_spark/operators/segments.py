@@ -77,6 +77,22 @@ _SEGMENT_COLS = [
 ENC_VB, ENC_RAW, ENC_GAP32 = "vb", "raw", "gap32"
 _ENC_NAMES = (ENC_VB, ENC_RAW, ENC_GAP32)
 
+# Packed build-shuffle layout (the measured scaling bottleneck is bytes
+# moved through the exchange — BENCH.md audit trail): the group key
+# (shard, slice, term_bucket) packs into ONE int32 `gkey` and
+# (doc_id, position) into ONE int64 `docpos`, so a shuffled occurrence is
+# 4 fixed-width columns (gkey, term_key, docpos, doclen) instead of 7 —
+# ~40% fewer UnsafeRow bytes through the exchange + sort, and ~40% less
+# Arrow IPC into the kernel. Positions clamp to 2^POS_BITS - 1: indexes
+# whose documents can exceed that route phrases to the exact corpus-scan
+# path anyway (plans/kernel.use_positional_phrases), so a clamped position
+# is never consulted. Capacity: 256 shards × 2048 slices × 2048 buckets,
+# doc_id < 2^43 — raise the field widths alongside a cluster that exceeds
+# them (asserted in build_segments_fused).
+GK_SHARD_SHIFT = 22
+GK_SLICE_SHIFT = 11
+GK_MASK = (1 << 11) - 1
+
 
 def _term_key_py(stream: str, term: str) -> int:
     """64-bit term key: XXH64 chained over (stream, term) — EXACTLY what the
@@ -225,24 +241,42 @@ def _encode_token_table(
     per-row Python string objects (measured as the dominant, worst-scaling
     cost of the pandas kernel)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
         return pa.table({c: [] for c in _SEGMENT_COLS}, schema=_segment_pa_schema())
-    shard = tbl["shard"][0].as_py()
-    slc = tbl["slice"][0].as_py()
-    bucket = tbl["term_bucket"][0].as_py()
-    docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
-    dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
+    from bitfunnel_spark.config import POS_BITS
+
     rk = tbl["term_key"].combine_chunks().to_numpy().astype(np.int64)
-    if positions:
-        pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
-        order = np.lexsort((pos, docs, rk))
-        pos = pos[order]
+    dls = tbl["doclen"].combine_chunks().to_numpy().astype(np.float64)
+    if "gkey" in tbl.column_names:
+        # packed layout (see GK_* note): one int32 group key, one int64
+        # (doc, pos). Sorting by docpos IS sorting by (doc, pos) — doc is
+        # the high field — so the packed path needs one fewer sort key.
+        g = int(tbl["gkey"][0].as_py())
+        shard = g >> GK_SHARD_SHIFT
+        slc = (g >> GK_SLICE_SHIFT) & GK_MASK
+        bucket = g & GK_MASK
+        dp = tbl["docpos"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.lexsort((dp, rk))
+        dp, rk, dls = dp[order], rk[order], dls[order]
+        if positions:
+            docs = dp >> np.int64(POS_BITS)
+            pos = dp & np.int64((1 << POS_BITS) - 1)
+        else:
+            docs, pos = dp, None
     else:
-        pos = None
-        order = np.lexsort((docs, rk))
-    docs, rk, dls = docs[order], rk[order], dls[order]
+        shard = tbl["shard"][0].as_py()
+        slc = tbl["slice"][0].as_py()
+        bucket = tbl["term_bucket"][0].as_py()
+        docs = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+        if positions:
+            pos = tbl["pos"].combine_chunks().to_numpy().astype(np.int64)
+            order = np.lexsort((pos, docs, rk))
+            pos = pos[order]
+        else:
+            pos = None
+            order = np.lexsort((docs, rk))
+        docs, rk, dls = docs[order], rk[order], dls[order]
     change = np.concatenate(([True], (rk[1:] != rk[:-1]) | (docs[1:] != docs[:-1])))
     pstarts = np.flatnonzero(change)
     tfs = np.diff(np.concatenate((pstarts, [len(docs)]))).astype(np.int64)
@@ -456,10 +490,11 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     (:func:`_encode_token_partition`); row-form postings never exist.
     Shuffle volume is token-granularity (~1.5× posting rows) but there is
     only one exchange and no 4-column agg hash table, and each shuffled row
-    is (term_key int64, doc_id, doclen, shard, slice, bucket[, pos]) — no
-    strings (see the TERM KEY note above). The serve dictionary then derives
-    from block metadata (statistics.key_stats_from_segments) at ~#blocks
-    cost.
+    is 4 fixed-width ints — (gkey int32, term_key int64, docpos int64,
+    doclen int32); no strings (TERM KEY note above), group key and
+    (doc, pos) bit-packed (GK_* note above). The serve dictionary then
+    derives from block metadata (statistics.key_stats_from_segments) at
+    ~#blocks cost.
 
     The kernel runs via ``groupBy + applyInArrow`` (Spark 4): the group
     crosses the JVM→Python boundary as a pyarrow Table, never pandas.
@@ -477,16 +512,21 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
     positions = config.positions
     rare, dense = config.rare_df_frac, config.dense_df_frac
 
+    n_shards = len(config.shard_boundaries) + 1
+    if n_shards > 256 or config.n_slices > GK_MASK + 1 or config.term_buckets > GK_MASK + 1:
+        raise ValueError(
+            "packed gkey capacity exceeded (256 shards / 2048 slices / 2048 "
+            "buckets) — widen GK_* field widths for this cluster size"
+        )
+
     def fn(tbl):
         return _encode_token_table(
             tbl, bs, k1, b, avgdl, positions=positions,
             rare_frac=rare, dense_frac=dense,
         )
 
-    tok = exploded_tokens(corpus, config, keyed=True).withColumn(
-        "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
-    )
-    return tok.groupBy("shard", "slice", "term_bucket").applyInArrow(fn, SEGMENT_SCHEMA)
+    tok = exploded_tokens(corpus, config, keyed=True, packed=True)
+    return tok.groupBy("gkey").applyInArrow(fn, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

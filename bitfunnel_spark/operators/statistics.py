@@ -73,6 +73,7 @@ def exploded_tokens(
     config: BuildConfig,
     with_positions: bool | None = None,
     keyed: bool = False,
+    packed: bool = False,
 ) -> DataFrame:
     """(term, stream, doc_id, doclen, shard, slice[, pos]) — one row per
     token OCCURRENCE (duplicates not yet combined); `pos` (emitted only when
@@ -87,7 +88,12 @@ def exploded_tokens(
     build's shuffle then carries ~8 bytes instead of two variable-length
     strings per occurrence (the measured dominant shuffle payload; the
     reference likewise hashes terms at ingestion and never ships the text,
-    /root/reference/inc/BitFunnel/Term.h:44-47)."""
+    /root/reference/inc/BitFunnel/Term.h:44-47).
+
+    ``packed=True`` (implies keyed) additionally packs the row down to 4
+    fixed-width columns for the fused build's exchange: ``gkey`` int32 =
+    (shard, slice, term_bucket), ``docpos`` int64 = (doc_id, position) —
+    see segments.GK_* for the bit layout and the position-clamp rationale."""
     if with_positions is None:
         with_positions = config.positions
     body_tokens = tokenize("content")
@@ -154,6 +160,33 @@ def exploded_tokens(
         "slice",
         F.explode(F.concat(*parts)).alias("p"),
     )
+    if packed:
+        from bitfunnel_spark.config import POS_BITS
+        from bitfunnel_spark.operators.segments import (
+            GK_SHARD_SHIFT,
+            GK_SLICE_SHIFT,
+            term_bucket_col,
+            term_key_col,
+        )
+
+        key = term_key_col(F.col("p.stream"), F.col("p.term"))
+        gkey = (
+            F.shiftleft(F.col("shard"), GK_SHARD_SHIFT)
+            + F.shiftleft(F.col("slice"), GK_SLICE_SHIFT)
+            + term_bucket_col(key, config.term_buckets)
+        ).cast("int")
+        if with_positions:
+            docpos = F.shiftleft(F.col("doc_id"), POS_BITS) + F.least(
+                F.col("p.pos").cast("long"), F.lit((1 << POS_BITS) - 1)
+            )
+        else:
+            docpos = F.col("doc_id")
+        return out.select(
+            gkey.alias("gkey"),
+            key.alias("term_key"),
+            docpos.alias("docpos"),
+            F.col("doclen").cast("int").alias("doclen"),
+        )
     if keyed:
         from bitfunnel_spark.operators.segments import term_key_col
 

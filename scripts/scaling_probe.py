@@ -60,6 +60,26 @@ def main() -> None:
     t0 = time.time()
     tok().groupBy("shard", "slice", "term_bucket").agg(F.count("*")).collect()
     out["B_tok_exchange_sec"] = round(time.time() - t0, 2)
+    # NB: B is NOT the build's exchange — partial agg collapses it to
+    # ~n_groups rows before the shuffle. D below is the real thing: every
+    # occurrence row crosses the exchange, gets group-sorted by the JVM and
+    # handed to Python as Arrow batches, but the kernel is a no-op count —
+    # so D - A = exchange + group sort + Arrow IPC, and C - D = numpy
+    # encode kernel.
+    import pyarrow as pa
+
+    def _noop(tbl: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([tbl.num_rows], type=pa.int64())})
+
+    t0 = time.time()
+    (
+        tok()
+        .groupBy("shard", "slice", "term_bucket")
+        .applyInArrow(_noop, "n long")
+        .agg(F.sum("n"))
+        .collect()
+    )
+    out["D_exchange_ipc_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     idx = FullTextIndex.build_fused(spark, corpus, cfg, cache=False)

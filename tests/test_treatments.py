@@ -139,8 +139,11 @@ def test_dense_never_drives(treated_index):
     groups = {
         int(tk_): rows for tk_, rows in seg.groupby("term_key", sort=False)
     }
-    dense_keys = [k for k, v in groups.items() if v["enc"].iloc[0] == ENC_GAP32]
-    vb_keys = [k for k, v in groups.items() if v["enc"].iloc[0] == ENC_VB]
+    # a term's treatment is group-local (df frac per (shard, slice)); this
+    # test pools all groups into one cache, so only classify terms whose
+    # treatment is UNANIMOUS across groups — is_dense reads one enc value
+    dense_keys = [k for k, v in groups.items() if (v["enc"] == ENC_GAP32).all()]
+    vb_keys = [k for k, v in groups.items() if (v["enc"] == ENC_VB).all()]
     assert dense_keys and vb_keys
     # pick the SHORTEST dense list and the LONGEST vb list — without
     # demotion the dense one would drive

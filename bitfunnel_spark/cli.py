@@ -20,9 +20,10 @@ statistics / termtable / repl's `query one` and `query log`):
                (the reference tool's REPL, tools/BitFunnel/src/
                REPL.cpp / QueryCommand.cpp / VerifyCommand.cpp)
 
-Example:
-    spark-submit --py-files bitfunnel_spark.zip -m bitfunnel_spark.cli \\
-        build --corpus /data/corpus --index /data/index
+Example (cluster: ship the package as a zip, run cli.py as the driver
+script — exercised end-to-end by tests/test_spark_submit.py):
+    spark-submit --master yarn --py-files bitfunnel_spark.zip \\
+        bitfunnel_spark/cli.py build --corpus /data/corpus --index /data/index
     python -m bitfunnel_spark.cli query --corpus ... --index ... "data -slow"
 """
 

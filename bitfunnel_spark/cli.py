@@ -152,6 +152,17 @@ def cmd_profile(args) -> None:
     print(json.dumps(timings), file=sys.stderr)
 
 
+def cmd_genqueries(args) -> None:
+    """Synthesize a benchmark query log from the index's own df table (the
+    reference tool's QueryGenerator — QueryGenerator.cpp:60-96)."""
+    from bitfunnel_spark.plans.generator import generate_query_log
+
+    spark = _spark(args)
+    idx = _load(spark, args)
+    for q in generate_query_log(idx.term_stats, args.n, seed=args.seed):
+        print(q)
+
+
 def cmd_repl(args) -> None:
     spark = _spark(args)
     idx = _load(spark, args)
@@ -244,6 +255,13 @@ def main(argv=None) -> None:
     pr.add_argument("--k", type=int, default=10)
     pr.add_argument("log")
     pr.set_defaults(fn=cmd_profile)
+
+    gq = sub.add_parser("genqueries")
+    gq.add_argument("--corpus", required=True)
+    gq.add_argument("--index", required=True)
+    gq.add_argument("--n", type=int, default=50)
+    gq.add_argument("--seed", type=int, default=0)
+    gq.set_defaults(fn=cmd_genqueries)
 
     r = sub.add_parser("repl")
     r.add_argument("--corpus", required=True)

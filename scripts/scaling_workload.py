@@ -113,7 +113,8 @@ def main() -> None:
     # scaling keeps the work decomposition identical and varies only the
     # executor count (matching a real cluster where shuffle partitions are
     # sized to the data, not to the moment's executor count).
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=64)
+    parts = int(os.environ.get("SCALING_PARTS", "256"))
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=parts)
     ensure_corpus(spark, corpus_path, n_docs)
     # Prewarm the OS page cache: the sandbox has ONE virtual disk shared by
     # every core count, so cold reads are a constant that cannot scale with
@@ -126,7 +127,18 @@ def main() -> None:
             f.read()
     corpus = spark.read.parquet(corpus_path)
 
-    cfg = BuildConfig(n_slices=16, term_buckets=16)
+    # Decomposition sizing (measured, see BENCH.md): group sizes are ~4.3x
+    # skewed — the long-docs shard crossed with the head-term bucket — so
+    # reduce-partition loads are ~2.3x skewed at 64 partitions and the
+    # 8-core tail serializes (8 waves can't smooth a 2.3x max partition;
+    # Amdahl fit ~37 s of tail). 256 partitions = 32 waves at 8 cores,
+    # which packs the skewed loads evenly, while the (shard, slice,
+    # bucket) decomposition — and therefore the physical index — stays
+    # identical at both core counts.
+    cfg = BuildConfig(
+        n_slices=int(os.environ.get("SCALING_SLICES", "16")),
+        term_buckets=int(os.environ.get("SCALING_BUCKETS", "16")),
+    )
 
     # ---- untimed warm-up: identical pipeline shape on a small slice ------
     warm = run_build(spark, corpus.filter(F.col("doc_id") < 4000), cfg)

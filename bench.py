@@ -90,6 +90,20 @@ def main() -> None:
     idx.search_many([q for _, q in BENCH_QUERIES], k=10).collect()
     batch_sec = time.time() - tb
 
+    # pruning instrumentation over the same query set (one job): blocks
+    # decoded vs skipped — a regression here means block-max/WAND pruning
+    # stopped engaging even if wall-times look fine at this SF
+    from bitfunnel_spark.plans.profile import profile_many
+
+    metrics, _ = profile_many(idx, [q for _, q in BENCH_QUERIES], k=10)
+    prow = (
+        metrics.groupBy()
+        .agg(F.sum("blocks_total").alias("bt"), F.sum("blocks_decoded").alias("bd"))
+        .collect()[0]
+    )
+    blocks_total = int(prow["bt"] or 0)
+    blocks_decoded = int(prow["bd"] or 0)
+
     total = time.time() - t_suite
     lat = sorted(queries.values())
     out = {
@@ -106,6 +120,9 @@ def main() -> None:
         "qps": round(len(lat) / sum(lat), 3),
         "batch_sec": round(batch_sec, 3),
         "qps_batched": round(len(BENCH_QUERIES) / batch_sec, 3),
+        "blocks_total": blocks_total,
+        "blocks_decoded": blocks_decoded,
+        "skip_ratio": round(1.0 - blocks_decoded / max(blocks_total, 1), 4),
         "cpus": cpus,
     }
     print(json.dumps(out))

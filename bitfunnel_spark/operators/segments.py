@@ -347,6 +347,7 @@ def _encode_posting_arrays(
     dense_df_frac: float = float("inf"),
     n_docs_group=0,
     run_break: np.ndarray | None = None,
+    partial_in: np.ndarray | None = None,
 ) -> dict:
     """Core block encoder over postings sorted by (run key, doc_id):
     returns per-block metadata arrays + buffer slices. Shared by the pandas
@@ -367,7 +368,13 @@ def _encode_posting_arrays(
     postings' positions delta+varbyte encoded (first position absolute per
     posting; per-posting counts are the tfs, so no extra length table)."""
     n_rows = len(docs)
-    partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    if partial_in is not None:
+        # segment-level merge path: partials were computed at the original
+        # encode (same epoch avgdl) — reusing them bit-exactly beats any
+        # doclen round-trip reconstruction
+        partial = partial_in
+    else:
+        partial = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     if run_break is not None:
         # caller-supplied run boundaries (multi-group partition encode: a
         # run breaks on (shard, slice, bucket, term_key), not term_key alone)
@@ -527,6 +534,130 @@ def build_segments_fused(corpus: DataFrame, avgdl: float, config: BuildConfig) -
 
     tok = exploded_tokens(corpus, config, keyed=True, packed=True)
     return tok.groupBy("gkey").applyInArrow(fn, SEGMENT_SCHEMA)
+
+
+def merge_segment_blocks(
+    segments: DataFrame, config: BuildConfig, tombstones=None
+) -> DataFrame:
+    """Segment-LEVEL tiered merge — fold interleaved blocks (main ∪
+    streaming increments) into clean monotone blocks per key WITHOUT
+    rescanning the corpus: one shuffle of ENCODED blocks (~2% of the token
+    exchange's volume), decode + merge + re-encode per (shard, slice,
+    term_bucket) group. Tombstoned doc ids are dropped physically.
+
+    This is the Lucene-style merge the immutable-generation layout was
+    designed for (the reference's slice recycling analogue): increments are
+    built against the epoch's frozen avgdl, so their stored BM25 partials
+    are reused BIT-EXACTLY — the merged store is byte-identical to a fused
+    rebuild of the union corpus at that avgdl (tested), while the merge
+    cost scales with index size, not corpus size. Epoch stats are NOT
+    refreshed here; run the full `ingest.compact` at epoch boundaries."""
+    bs = config.block_size
+    rare, dense = config.rare_df_frac, config.dense_df_frac
+    tomb = (
+        np.array(sorted({int(d) for d in tombstones}), dtype=np.int64)
+        if tombstones
+        else None
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
+        shard = int(pdf["shard"].iloc[0])
+        slc = int(pdf["slice"].iloc[0])
+        bucket = int(pdf["term_bucket"].iloc[0])
+        has_pos = any(
+            x is not None and len(bytes(x)) > 0 for x in pdf["pos_vb"]
+        )
+        docs_l, tfs_l, parts_l, rk_l, brk_l, pos_l = [], [], [], [], [], []
+        for tk, rows in sorted(pdf.groupby("term_key", sort=False), key=lambda kv: kv[0]):
+            if has_pos:
+                # decode_group_positions keeps block_id order (it cannot
+                # re-sort through the position spans); partials decode in
+                # the SAME order, then one argsort permutes all of it —
+                # spans move via a vectorized repeat-gather
+                d, t, pos = decode_group_positions(rows)
+                srows = rows.sort_values("block_id")
+                p = (
+                    np.concatenate(
+                        [np.frombuffer(bytes(x), dtype=np.float64) for x in srows["partials"]]
+                    )
+                    if len(srows)
+                    else np.empty(0, np.float64)
+                )
+                if d.size > 1 and np.any(np.diff(d) < 0):
+                    order = np.argsort(d, kind="stable")
+                    bounds = np.concatenate(([0], np.cumsum(t)))
+                    starts = bounds[:-1][order]
+                    lens = t[order]
+                    flat = np.repeat(starts, lens) + (
+                        np.arange(int(lens.sum()))
+                        - np.repeat(np.cumsum(lens) - lens, lens)
+                    )
+                    pos = pos[flat]
+                    d, t, p = d[order], t[order], p[order]
+            else:
+                d, t, p = decode_group(rows)
+                pos = None
+            if tomb is not None and d.size:
+                keep = ~np.isin(d, tomb)
+                if pos is not None:
+                    pos = pos[np.repeat(keep, t)]
+                d, t, p = d[keep], t[keep], p[keep]
+            if d.size == 0:
+                continue
+            docs_l.append(d)
+            tfs_l.append(t)
+            parts_l.append(p)
+            rk_l.append(np.full(d.size, int(tk), dtype=np.int64))
+            b0 = np.zeros(d.size, dtype=bool)
+            b0[0] = True
+            brk_l.append(b0)
+            if pos is not None:
+                pos_l.append(pos)
+        if not docs_l:
+            return pd.DataFrame({c: [] for c in _SEGMENT_COLS})
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        parts = np.concatenate(parts_l)
+        rk = np.concatenate(rk_l)
+        run_break = np.concatenate(brk_l)
+        if has_pos:
+            occ_pos = np.concatenate(pos_l)
+            posting_occ_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+        else:
+            occ_pos = posting_occ_starts = None
+        enc = _encode_posting_arrays(
+            docs, tfs, np.zeros(docs.size), rk, bs, 1.0, 0.0, 1.0,
+            occ_pos=occ_pos,
+            posting_occ_starts=posting_occ_starts,
+            rare_df_frac=rare, dense_df_frac=dense,
+            n_docs_group=int(np.unique(docs).size),
+            run_break=run_break,
+            partial_in=parts,
+        )
+        return pd.DataFrame(
+            {
+                "term_key": enc["run_keys"],
+                "shard": shard,
+                "slice": slc,
+                "term_bucket": bucket,
+                "block_id": enc["block_id"].astype(np.int32),
+                "n": enc["n"].astype(np.int32),
+                "first_doc": enc["first_doc"],
+                "last_doc": enc["last_doc"],
+                "max_partial": enc["max_partial"],
+                "enc": enc["enc"],
+                "docs_vb": enc["docs_vb"],
+                "tfs_vb": enc["tfs_vb"],
+                "partials": enc["partials"],
+                "pos_vb": enc["pos_vb"],
+            }
+        )[_SEGMENT_COLS]
+
+    return segments.groupBy("shard", "slice", "term_bucket").applyInPandas(
+        fn, SEGMENT_SCHEMA
+    )
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:

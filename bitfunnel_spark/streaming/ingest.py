@@ -125,6 +125,42 @@ def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
     return out
 
 
+def compact_merge(
+    spark: SparkSession,
+    index_root: str,
+    config: BuildConfig,
+    tombstones=None,
+) -> None:
+    """Segment-LEVEL compaction: fold main ∪ increments into clean blocks
+    with `operators.segments.merge_segment_blocks` — NO corpus rescan, cost
+    scales with index size. Keeps the epoch's frozen stats (the increments
+    were encoded against them, so stored partials are reused bit-exactly);
+    tombstones are dropped physically. Run the full `compact` (corpus
+    rebuild + stats refresh) at epoch boundaries; run this one between
+    them — at 100 TB this is the difference between a takedown costing an
+    index-sized merge and a corpus-sized rebuild."""
+    from bitfunnel_spark.operators.segments import merge_segment_blocks
+
+    live = read_live_segments(spark, index_root)
+    merged = merge_segment_blocks(live, config, tombstones=tombstones)
+    main = os.path.join(index_root, "segments")
+    tmp = main + "_tmp_compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    old = main + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(main):
+        os.rename(main, old)
+    os.rename(tmp, main)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    inc_root = os.path.join(index_root, "increments")
+    if os.path.exists(inc_root):
+        shutil.rmtree(inc_root)
+
+
 def compact(
     spark: SparkSession,
     index_root: str,

@@ -59,6 +59,14 @@ def get_spark(
         # waves balanced at every parallelism level; scan overhead per
         # split is negligible next to tokenization.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # Arrow batches sized so one (shard, slice, bucket) group crosses
+        # the JVM→Python boundary in one batch instead of ~20 flushes of
+        # the 10k default — measured ~1.8x on the fused build's segments
+        # stage at 8 cores (per-flush ArrowWriter overhead, see BENCH.md).
+        # The engine's kernel inputs are fixed-width ints (~24 B/row →
+        # ~6 MB/batch); if you stream LARGE payload columns (multimodal
+        # binary) through mapInPandas, lower this per-session.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(262144))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -10,6 +10,12 @@ statistics / termtable / repl's `query one` and `query log`):
                like the reference's QuerySummaryStatistics
                (/root/reference/src/Plan/src/QueryRunner.cpp:67-92)
     compact    fold streaming increments into the main segment store
+    stats      corpus-statistics pass (the reference `statistics` verb):
+               doclen histogram + df/idf/treatment table head
+    filterchunks  corpus sampling/filter over chunk files (FilterChunks
+               tool parity: random fraction / posting band / doc cap)
+    genqueries synthesize a benchmark query log from the index's df table
+               (QueryGenerator.cpp parity)
     verify     query log → kernel-vs-DataFrame cross check per query
                (false-positive/negative audit — the reference's
                `verify log`, src/Plan/src/MatchVerifier.cpp:205-221)
@@ -152,6 +158,53 @@ def cmd_profile(args) -> None:
     print(json.dumps(timings), file=sys.stderr)
 
 
+def cmd_filterchunks(args) -> None:
+    """Corpus sampling/filter over chunk files (the reference's
+    FilterChunks tool — FilterChunks.cpp:76-115: random fraction, posting
+    count band, doc cap — applied in the same order)."""
+    from bitfunnel_spark.sources.chunks import chunks_to_corpus, write_chunks
+    from bitfunnel_spark.sources.filters import composite_filter
+
+    spark = _spark(args)
+    corpus = chunks_to_corpus(spark, args.input)
+    out = composite_filter(
+        corpus,
+        fraction=args.fraction,
+        min_postings=args.min_postings,
+        max_postings=args.max_postings,
+        max_docs=args.count,
+        seed=args.seed,
+    )
+    n = write_chunks(out, args.out)
+    print(json.dumps({"chunks_written": n}))
+
+
+def cmd_stats(args) -> None:
+    """Corpus-statistics pass (the reference's `BitFunnel statistics`
+    verb): doclen histogram, shard plan, df/idf table head — the build-side
+    analytics over a corpus parquet."""
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+    from bitfunnel_spark.operators.sharding import doclen_histogram
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    cfg = BuildConfig()
+    idx = FullTextIndex.build(spark, corpus, cfg, cache=False)
+    meta = {"n_docs": idx.n_docs, "avgdl": round(idx.avgdl, 4)}
+    print(json.dumps(meta))
+    print("doclen\tdoc_count")
+    for r in doclen_histogram(idx.doc_stats).orderBy("doclen").collect():
+        print(f"{r['doclen']}\t{r['doc_count']}")
+    print("term\tstream\tdf\tidf_x10\ttreatment")
+    from pyspark.sql import functions as F
+
+    rows = (
+        idx.term_stats.orderBy(F.desc("df"), "term").limit(args.top).collect()
+    )
+    for r in rows:
+        print(f"{r['term']}\t{r['stream']}\t{r['df']}\t{r['idf_x10']}\t{r['treatment']}")
+
+
 def cmd_genqueries(args) -> None:
     """Synthesize a benchmark query log from the index's own df table (the
     reference tool's QueryGenerator — QueryGenerator.cpp:60-96)."""
@@ -255,6 +308,21 @@ def main(argv=None) -> None:
     pr.add_argument("--k", type=int, default=10)
     pr.add_argument("log")
     pr.set_defaults(fn=cmd_profile)
+
+    fc = sub.add_parser("filterchunks")
+    fc.add_argument("--input", required=True, help="chunk-file directory")
+    fc.add_argument("--out", required=True, help="output chunk directory")
+    fc.add_argument("--fraction", type=float, default=None)
+    fc.add_argument("--seed", type=int, default=42)
+    fc.add_argument("--min-postings", type=int, default=0)
+    fc.add_argument("--max-postings", type=int, default=None)
+    fc.add_argument("--count", type=int, default=None)
+    fc.set_defaults(fn=cmd_filterchunks)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--corpus", required=True)
+    st.add_argument("--top", type=int, default=20)
+    st.set_defaults(fn=cmd_stats)
 
     gq = sub.add_parser("genqueries")
     gq.add_argument("--corpus", required=True)

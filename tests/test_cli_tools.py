@@ -1,0 +1,51 @@
+"""CLI tool verbs: stats (reference `statistics`) and filterchunks
+(FilterChunks tool) — in-process via cli.main(argv)."""
+
+from __future__ import annotations
+
+import os
+
+from bitfunnel_spark import cli
+from bitfunnel_spark.sources.chunks import chunks_to_corpus, write_chunks
+
+
+def test_cli_stats(spark, corpus, tmp_path, capsys):
+    cpath = str(tmp_path / "corpus")
+    corpus.filter("doc_id < 60").write.parquet(cpath)
+    cli.main(["stats", "--corpus", cpath, "--top", "5"])
+    out = capsys.readouterr().out
+    assert '"n_docs": 59' in out or '"n_docs": 60' in out
+    assert "doclen\tdoc_count" in out
+    lines = [l for l in out.splitlines() if "\tbody\t" in l]
+    assert 1 <= len(lines) <= 5
+    # head is df-descending
+    dfs = [int(l.split("\t")[2]) for l in out.splitlines()[-5:] if "\t" in l]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cli_filterchunks(spark, corpus, tmp_path, capsys):
+    chunks_in = str(tmp_path / "chunks_in")
+    chunks_out = str(tmp_path / "chunks_out")
+    write_chunks(corpus.filter("doc_id < 60"), chunks_in)
+    cli.main(
+        [
+            "filterchunks",
+            "--input", chunks_in,
+            "--out", chunks_out,
+            "--fraction", "0.5",
+            "--count", "10",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert '"chunks_written"' in out
+    filtered = chunks_to_corpus(spark, chunks_out)
+    n = filtered.count()
+    assert 0 < n <= 10
+    # filtered docs are a subset of the originals, content preserved
+    orig = {
+        r["content_sha256"]
+        for r in corpus.filter("doc_id < 60").select("content_sha256").collect()
+    }
+    got = {r["content_sha256"] for r in filtered.select("content_sha256").collect()}
+    assert got <= orig
+    assert os.listdir(chunks_out)

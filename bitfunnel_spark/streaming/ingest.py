@@ -26,6 +26,7 @@ row-level operations on the corpus table followed by a shard rebuild
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -69,6 +70,8 @@ def ingest_increments(
         out = os.path.join(inc_root, f"batch={batch_id}")
         if os.path.exists(out):  # replayed batch after restart — idempotent skip
             return
+        if batch_id in _load_manifest(index_root)["consumed_batches"]:
+            return  # replayed batch already folded into a generation run
         postings = stats.postings(batch_df, config)
         seg = build_segments(postings, avgdl, config)
         tmp = os.path.join(inc_root, f"_tmp_batch={batch_id}")
@@ -89,14 +92,165 @@ def ingest_increments(
     return writer.start()
 
 
+# ---- generation manifest (LSM catalog) ---------------------------------
+#
+# Size-tiered compaction needs an atomic commit point: a promotion writes a
+# merged run, then swaps ONE small JSON manifest that (a) references the new
+# run and (b) marks its sources consumed. Readers trust the manifest, never
+# a directory listing, so a crash between "run written" and "sources
+# deleted" can only leave unreferenced garbage (swept on the next promote),
+# never duplicates or holes. This is Lucene's segments_N / RocksDB's
+# MANIFEST; on a real cluster the same commit is one Iceberg snapshot.
+
+_MANIFEST = "_generations.json"
+_EMPTY_MANIFEST = {"runs": [], "consumed_batches": [], "next_run": 1}
+
+
+def _load_manifest(index_root: str) -> dict:
+    path = os.path.join(index_root, _MANIFEST)
+    if not os.path.exists(path):
+        return {k: (list(v) if isinstance(v, list) else v) for k, v in _EMPTY_MANIFEST.items()}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_manifest(index_root: str, manifest: dict) -> None:
+    path = os.path.join(index_root, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)  # the atomic commit point
+
+
+def promote_increments(
+    spark: SparkSession,
+    index_root: str,
+    config: BuildConfig,
+    fanout: int = 8,
+    tombstones=None,
+) -> list[dict]:
+    """Size-tiered generation compaction of streaming increments (LSM style).
+
+    Tier-0 runs are the per-batch increment directories; whenever a tier
+    accumulates ``fanout`` runs, the oldest ``fanout`` are folded — with the
+    segment-LEVEL merge (`merge_segment_blocks`, no corpus rescan) — into
+    ONE run of the next tier under ``generations/tier=T/run=N``. The main
+    store is never rewritten here, so each posting is re-merged
+    O(log_fanout(#batches)) times between epoch compactions instead of once
+    per compaction — at 100 TB with thousands of micro-batches this is the
+    difference between bounded write amplification and re-folding the whole
+    increment set on every cadence tick. Queries keep reading
+    main ∪ generation runs ∪ unconsumed batches (`read_live_segments`);
+    increments were encoded against the epoch's frozen avgdl, so merged
+    partials stay bit-exact (tested in tests/test_merge.py).
+
+    Reference analogue: slice recycling / Shard::TemporaryRecycleSlice —
+    freshly filled slices are folded back into the shard's capacity without
+    a corpus pass (/root/reference/src/Index/src/Shard.cpp); our immutable
+    variant merges runs instead of mutating them.
+
+    Returns a list of {"tier", "run", "sources"} describing each promotion.
+    """
+    from bitfunnel_spark.operators.segments import merge_segment_blocks
+
+    man = _load_manifest(index_root)
+    _sweep_garbage(index_root, man)
+    inc_root = os.path.join(index_root, "increments")
+    gen_root = os.path.join(index_root, "generations")
+    promotions: list[dict] = []
+
+    def tier_runs(tier: int) -> list[dict]:
+        if tier == 0:
+            if not os.path.isdir(inc_root):
+                return []
+            consumed = set(man["consumed_batches"])
+            ids = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(inc_root)
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) not in consumed
+            )
+            return [{"tier": 0, "batch": i, "path": os.path.join(inc_root, f"batch={i}")} for i in ids]
+        return sorted(
+            (r for r in man["runs"] if r["tier"] == tier), key=lambda r: r["run"]
+        )
+
+    tier = 0
+    while True:
+        runs = tier_runs(tier)
+        if len(runs) < fanout:
+            if tier > 0 and not runs and tier > max((r["tier"] for r in man["runs"]), default=0):
+                break
+            tier += 1
+            if tier > 64:  # structurally impossible; loop guard
+                break
+            continue
+        victims = runs[:fanout]
+        run_id = man["next_run"]
+        out = os.path.join(gen_root, f"tier={tier + 1}", f"run={run_id}")
+        tmp = out + "_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        src = spark.read.parquet(*[v["path"] for v in victims])
+        merge_segment_blocks(src, config, tombstones=tombstones).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        os.rename(tmp, out)
+        # ONE manifest swap commits the promotion: new run in, sources out
+        man["next_run"] = run_id + 1
+        man["runs"] = [
+            r for r in man["runs"] if r["path"] not in {v["path"] for v in victims}
+        ] + [{"tier": tier + 1, "run": run_id, "path": out}]
+        man["consumed_batches"] = sorted(
+            set(man["consumed_batches"]) | {v["batch"] for v in victims if v["tier"] == 0}
+        )
+        _commit_manifest(index_root, man)
+        for v in victims:  # post-commit garbage collection (crash-safe: swept next time)
+            if os.path.exists(v["path"]):
+                shutil.rmtree(v["path"])
+        promotions.append(
+            {"tier": tier + 1, "run": run_id, "sources": [v["path"] for v in victims]}
+        )
+        # stay on this tier: more runs may still be ready; cascades upward
+    return promotions
+
+
+def _sweep_garbage(index_root: str, man: dict) -> None:
+    """Remove directories a crashed promotion left behind: consumed batch
+    dirs that were never deleted, and generation dirs the manifest does not
+    reference (including interrupted ``*_tmp`` writes)."""
+    inc_root = os.path.join(index_root, "increments")
+    if os.path.isdir(inc_root):
+        consumed = set(man["consumed_batches"])
+        for d in os.listdir(inc_root):
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) in consumed:
+                shutil.rmtree(os.path.join(inc_root, d))
+    gen_root = os.path.join(index_root, "generations")
+    if os.path.isdir(gen_root):
+        live = {r["path"] for r in man["runs"]}
+        for tier_d in os.listdir(gen_root):
+            tp = os.path.join(gen_root, tier_d)
+            for run_d in os.listdir(tp) if os.path.isdir(tp) else []:
+                rp = os.path.join(tp, run_d)
+                if rp not in live:
+                    shutil.rmtree(rp)
+
+
 def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
-    """main ∪ increments — the queryable view between compactions.
+    """main ∪ generation runs ∪ unconsumed increments — the queryable view
+    between compactions.
 
     Increments are discovered with ONE globbed Spark read
     (``increments/batch=*``): path resolution goes through Spark's Hadoop
     filesystem connector, which lists correctly on object storage (S3/GCS)
     where a driver-side ``os.listdir`` would not exist — and a single read
-    of N increment directories beats N separate reads + unions."""
+    of N increment directories beats N separate reads + unions. Batches the
+    generation manifest marked consumed are excluded with a partition
+    filter on the ``batch`` directory column — Catalyst prunes those
+    directories at planning time, so a crash window where a consumed batch
+    dir still exists cannot double-count it. Generation runs are read from
+    the manifest (never a directory listing — see the manifest note above),
+    all paths in one read."""
     from pyspark.errors import AnalysisException
 
     parts = []
@@ -105,12 +259,20 @@ def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
         parts.append(spark.read.parquet(main))
     except AnalysisException:
         pass  # no main store yet (pure-streaming start)
+    man = _load_manifest(index_root)
+    if man["runs"]:
+        gen = spark.read.parquet(*[r["path"] for r in man["runs"]])
+        if parts:
+            gen = gen.select(*parts[0].columns)
+        parts.append(gen)
     inc_root = os.path.join(index_root, "increments")
     try:
         inc = spark.read.option("basePath", inc_root).parquet(
             os.path.join(inc_root, "batch=*")
         )
         if "batch" in inc.columns:  # partition-dir column from the glob
+            if man["consumed_batches"]:
+                inc = inc.filter(~F.col("batch").isin(man["consumed_batches"]))
             inc = inc.drop("batch")
         if parts:
             inc = inc.select(*parts[0].columns)
@@ -156,9 +318,7 @@ def compact_merge(
     os.rename(tmp, main)
     if os.path.exists(old):
         shutil.rmtree(old)
-    inc_root = os.path.join(index_root, "increments")
-    if os.path.exists(inc_root):
-        shutil.rmtree(inc_root)
+    _retire_increments(index_root)
 
 
 def compact(
@@ -211,6 +371,27 @@ def compact(
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmpp, path)
+    _retire_increments(index_root)
+
+
+def _retire_increments(index_root: str) -> None:
+    """After a compaction folded everything into main: drop increment and
+    generation directories and reset the generation manifest (consumed-batch
+    ids are retained so a streaming replay of an old batch stays a no-op)."""
+    man = _load_manifest(index_root)
+    consumed = set(man["consumed_batches"])
     inc_root = os.path.join(index_root, "increments")
     if os.path.exists(inc_root):
+        consumed |= {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(inc_root)
+            if d.startswith("batch=")
+        }
         shutil.rmtree(inc_root)
+    gen_root = os.path.join(index_root, "generations")
+    if os.path.exists(gen_root):
+        shutil.rmtree(gen_root)
+    _commit_manifest(
+        index_root,
+        {"runs": [], "consumed_batches": sorted(consumed), "next_run": man["next_run"]},
+    )

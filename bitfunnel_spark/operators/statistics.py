@@ -243,6 +243,40 @@ def key_stats_from_segments(segments_df: DataFrame, n_docs: int, config: BuildCo
     )
 
 
+def write_dictionary(key_stats_df: DataFrame, path: str, config: BuildConfig) -> None:
+    """Persist the serve dictionary bucket-partitioned for point lookups.
+
+    Past `FullTextIndex.IDF_MAP_MAX_TERMS` the dictionary cannot live on the
+    driver (at 10^9 distinct keys it is tens of GB), so per-query idf comes
+    from a filtered read of THIS layout: partitioned by ``term_bucket``
+    (directory pruning: a q-term query opens ≤ q of ``term_buckets``
+    partition dirs) and sorted by ``term_key`` within files (parquet min/max
+    row-group pruning on the IN-list). A lookup therefore reads O(q) row
+    groups out of a dictionary of any size — the disk-resident analogue of
+    the reference's in-memory hash TermTable (TermTable.cpp lookup by term
+    hash), and the same two-predicate shape the segment store itself uses
+    (plans/kernel._segment_filter)."""
+    from bitfunnel_spark.operators.segments import term_bucket_col
+
+    out = key_stats_df.withColumn(
+        "term_bucket", term_bucket_col(F.col("term_key"), config.term_buckets)
+    )
+    (
+        out.repartition("term_bucket")
+        .sortWithinPartitions("term_key")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def read_dictionary(spark, path: str) -> DataFrame:
+    """The persisted serve dictionary (see :func:`write_dictionary`).
+    Assign to ``index.key_stats``; `index.idf_for_terms` adds the
+    (term_bucket, term_key) predicates that make lookups prune."""
+    return spark.read.parquet(path)
+
+
 def term_dictionary(corpus: DataFrame, config: BuildConfig) -> DataFrame:
     """(term_key, term, stream) — the human-readable vocabulary, a separate
     statistics artifact (one distinct-agg over exploded tokens; map-side

@@ -63,6 +63,13 @@ class CheckpointedBuild:
     spark: SparkSession
     root: str
     config: BuildConfig
+    # Resume granularity: each shard splits into this many slice-band units
+    # (unit = contiguous slice range, dir = segments/shard=K/band=J). The
+    # resume quantum is n_shards × slice_bands — at scale, 8 shards × 32
+    # bands means a preemption loses ≤ 1/256 of the segment work. Slices
+    # are a uniform doc-id hash, so bands are uniformly sized by
+    # construction. 1 keeps the per-shard layout.
+    slice_bands: int = 1
 
     # -- lineage ---------------------------------------------------------
 
@@ -145,17 +152,33 @@ class CheckpointedBuild:
         seg_root = os.path.join(self.root, "segments")
         os.makedirs(seg_root, exist_ok=True)
         n_shards = len(cfg.shard_boundaries)
+        bands = max(1, min(int(self.slice_bands), cfg.n_slices))
+        width = -(-cfg.n_slices // bands)  # ceil — last band may be narrower
         for shard in range(n_shards):
-            unit = f"segments:shard={shard}"
-            out = os.path.join(seg_root, f"shard={shard}")
-            self._stage(
-                unit,
-                out,
-                lambda s=shard: build_segments(
-                    postings.filter(F.col("shard") == s), meta["avgdl"], cfg
-                ).drop("shard"),
-                fault,
-            )
+            for band in range(bands):
+                lo, hi = band * width, min((band + 1) * width, cfg.n_slices)
+                if lo >= hi:
+                    continue
+                if bands == 1:
+                    unit = f"segments:shard={shard}"
+                    out = os.path.join(seg_root, f"shard={shard}")
+                    pred = F.col("shard") == shard
+                else:
+                    unit = f"segments:shard={shard}:band={band}"
+                    out = os.path.join(seg_root, f"shard={shard}", f"band={band}")
+                    pred = (
+                        (F.col("shard") == shard)
+                        & (F.col("slice") >= lo)
+                        & (F.col("slice") < hi)
+                    )
+                self._stage(
+                    unit,
+                    out,
+                    lambda p=pred: build_segments(
+                        postings.filter(p), meta["avgdl"], cfg
+                    ).drop("shard"),
+                    fault,
+                )
         postings.unpersist()
 
     # -- load ------------------------------------------------------------
@@ -164,6 +187,9 @@ class CheckpointedBuild:
         from bitfunnel_spark.index import FullTextIndex
 
         meta = self.spark.read.parquet(os.path.join(self.root, "meta")).collect()[0]
+        seg = self.spark.read.parquet(os.path.join(self.root, "segments"))
+        if "band" in seg.columns:  # slice-band partition dirs (slice_bands > 1)
+            seg = seg.drop("band")
         return FullTextIndex(
             spark=self.spark,
             config=self.config,

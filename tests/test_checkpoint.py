@@ -80,3 +80,42 @@ def test_rerun_noop(spark, corpus):
     n1 = ckpt.lineage().count()
     ckpt.build(corpus)  # everything checkpointed → no new attempts
     assert ckpt.lineage().count() == n1
+
+
+def test_slice_band_units_resume_identical(spark, corpus):
+    """Finer resume quantum: slice_bands=2 splits each shard into two
+    checkpoint units; a crash in one band resumes without redoing the
+    other, and the final store matches the per-shard layout's blocks."""
+    coarse_root = tempfile.mkdtemp(prefix="bf_band_coarse_")
+    band_root = tempfile.mkdtemp(prefix="bf_band_")
+    CheckpointedBuild(spark, coarse_root, CFG).build(corpus)
+
+    ckpt = CheckpointedBuild(spark, band_root, CFG, slice_bands=2)
+
+    def fault(unit):
+        if unit == "segments:shard=1:band=1":
+            raise FaultInjected(unit)
+
+    with pytest.raises(FaultInjected):
+        ckpt.build(corpus, fault=fault)
+    ckpt.build(corpus)
+
+    assert _segment_set(spark, band_root) == _segment_set(spark, coarse_root)
+
+    lineage = ckpt.lineage()
+    banded = lineage.filter(F.col("unit") == "segments:shard=1:band=1").orderBy("attempt").collect()
+    assert [r["status"] for r in banded] == ["failed", "done"]
+    # the sibling band committed once and was not rebuilt on resume
+    sib = lineage.filter(F.col("unit") == "segments:shard=1:band=0").collect()
+    assert len(sib) == 1 and sib[0]["status"] == "done"
+    # resume quantum = shards x bands segment units
+    seg_units = {
+        r["unit"]
+        for r in lineage.filter(F.col("status") == "done").collect()
+        if r["unit"].startswith("segments:")
+    }
+    assert len(seg_units) == 4 * 2
+
+    idx = ckpt.load_index(corpus)
+    got = sorted(r["doc_id"] for r in idx.search("p2 p3", k=10, mode="kernel").collect())
+    assert len(got) == 10 and all(d % 6 == 0 for d in got)

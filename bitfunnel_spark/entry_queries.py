@@ -315,6 +315,59 @@ capped AS (
 SELECT doc_id, content_sha256 FROM capped WHERE rn <= 50 ORDER BY doc_id"""
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sources.filters.hash_split):
+    md5-prefix band assignment, partitioning-independent, zero shuffle."""
+    from bitfunnel_spark.sources.filters import hash_split
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+def _sql_corpus_split() -> str:
+    from bitfunnel_spark.sources.filters import fraction_threshold_hex
+
+    t_train = fraction_threshold_hex(0.9)
+    t_val = fraction_threshold_hex(0.95)
+    return f"""WITH h AS (
+  SELECT doc_id, substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hx < '{t_train}' THEN 'train'
+            WHEN hx < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.contamination): train docs
+    sharing ≥ 2 distinct 3-gram shingles with the held-out set
+    (doc_id % 17 == 0 plays the benchmark)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup.contamination(tr, ev, n=3, min_overlap=2).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""WITH toklist AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toklist
+),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM shx WHERE doc_id % 17 = 0),
+tr AS (SELECT doc_id, shingle FROM shx WHERE doc_id % 17 <> 0)
+SELECT tr.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id HAVING count(*) >= 2 ORDER BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 
@@ -777,6 +830,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["ft_term_correlation"] = SQL_TERM_CORRELATION
     queries["corpus_filter"] = q_corpus_filter
     oracles["corpus_filter"] = SQL_CORPUS_FILTER
+    queries["corpus_split"] = q_corpus_split
+    oracles["corpus_split"] = _sql_corpus_split()
+    queries["decontaminate"] = q_decontaminate
+    oracles["decontaminate"] = SQL_DECONTAMINATE
 
     queries["dedup_exact"] = q_dedup_exact
     oracles["dedup_exact"] = SQL_DEDUP_EXACT

@@ -88,6 +88,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination scan: (doc_id, n_shared) for every training
+    doc sharing ≥ min_overlap distinct n-gram shingles with ANY eval doc.
+
+    The standard held-out-set leak check for training corpora. Shape at
+    100 TB: the eval side is a benchmark (KB–MB of distinct shingles), so
+    it BROADCASTS; the scan over the training side is then one narrow
+    semi-join + partial-aggregated count — no train-side self-join, no
+    skew (each train doc contributes at most its own shingle count).
+    """
+    t = shingle_sets(train, text_col, id_col, n)
+    ev = shingle_sets(eval_df, text_col, id_col, n).select("shingle").distinct()
+    return (
+        t.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))  # (doc_id, shingle) pairs are distinct
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Training corpus with contaminated docs removed (see
+    :func:`contamination`)."""
+    bad = contamination(train, eval_df, text_col, id_col, n, min_overlap)
+    return train.join(
+        bad.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -39,6 +39,34 @@ def deterministic_filter(corpus: DataFrame, fraction: float, seed: int = 42) -> 
     return corpus.filter(h < fraction_threshold_hex(fraction))
 
 
+def hash_split(
+    corpus: DataFrame,
+    weights: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a `split` column assigned by
+    md5(seed:id) hex-prefix ranges — partitioning-independent, reproducible
+    across engines and reruns (a training-data pipeline's split must never
+    depend on task scheduling), and a pure narrow map: no shuffle at any
+    scale. Weights are (name, fraction) in order summing to 1; the last
+    band absorbs hash-space rounding."""
+    fracs = [f for _, f in weights]
+    if not fracs or any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError("weights must be non-negative fractions summing to 1")
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in weights[:-1]:
+        cum += frac
+        cond = h < fraction_threshold_hex(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(weights[-1][0])
+    return corpus.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
 def posting_count_filter(corpus: DataFrame, min_postings: int = 0, max_postings: int | None = None) -> DataFrame:
     """PostingCountFilter analogue: keep docs whose distinct-term count
     (the reference's posting count — Document.cpp:59-62) is in range."""

@@ -368,6 +368,128 @@ FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id HAVING count(*) >= 2 ORDER BY doc_id"""
 
 
+_MIX_FRACTIONS = {"en": 0.5, "zh": 1.0}
+_MIX_DEFAULT = 0.25
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing stratified sample (sources.filters.stratified_sample):
+    downsample dominant 'en' to 0.5, keep all 'zh', 0.25 elsewhere — one
+    narrow scan, md5-band deterministic."""
+    from bitfunnel_spark.sources.filters import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        stratified_sample(docs, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_mix() -> str:
+    from bitfunnel_spark.sources.filters import band_threshold
+
+    cases = " ".join(
+        f"WHEN lang = '{name}' THEN '{band_threshold(frac)}'"
+        for name, frac in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"""SELECT doc_id, lang FROM documents
+WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE {cases} ELSE '{band_threshold(_MIX_DEFAULT)}' END
+ORDER BY doc_id"""
+
+
+def _lace_pii(text_col, doc_id):
+    """Deterministic PII-laced text (the synthetic corpus has none): append
+    an email, an IPv4, and a phone number derived from doc_id."""
+    return F.concat(
+        text_col,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com from 10.1."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7 tel +1555"),
+        F.lpad((doc_id % 10000).cast("string"), 7, "0"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators.text.scrub_pii): per-doc counts
+    of each PII kind and the md5 of the scrubbed text. Pure narrow map —
+    chained JVM regexes, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    laced = docs.select(
+        "doc_id", _lace_pii(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    return laced.select(
+        "doc_id",
+        text.pii_count("text", "email").alias("n_emails"),
+        text.pii_count("text", "ip").alias("n_ips"),
+        text.pii_count("text", "phone").alias("n_phones"),
+        F.md5(text.scrub_pii("text")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii_scrub() -> str:
+    pats = {k: p for k, p, _ in text.PII_PATTERNS}
+    scrub = "text"
+    for kind, pat, repl in text.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""WITH laced AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{pats["email"]}'))::INT AS n_emails,
+  len(regexp_extract_all(text, '{pats["ip"]}'))::INT AS n_ips,
+  len(regexp_extract_all(text, '{pats["phone"]}'))::INT AS n_phones,
+  md5({scrub}) AS scrub_md5
+FROM laced ORDER BY doc_id"""
+
+
+_PACK_BUDGET = 64
+_PACK_BUCKETS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators.packing.pack_sequences):
+    concat-and-split context windows per hash bucket; (bucket, seq, doc_id,
+    begin_tok, end_tok) spans."""
+    from bitfunnel_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    ).orderBy("bucket", "seq", "doc_id")
+
+
+SQL_PACK_SEQUENCES = f"""WITH toks AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         len(regexp_extract_all(lower(text), '{_PAT}'))::BIGINT AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+spans AS (
+  SELECT bucket, doc_id,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens)::BIGINT AS start_off,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id))::BIGINT AS end_off
+  FROM nz
+),
+seqs AS (
+  SELECT bucket, doc_id, start_off, end_off,
+         unnest(range(start_off // {_PACK_BUDGET}, (end_off - 1) // {_PACK_BUDGET} + 1)) AS seq
+  FROM spans
+)
+SELECT bucket, seq, doc_id,
+       greatest(start_off, seq * {_PACK_BUDGET}) - seq * {_PACK_BUDGET} AS begin_tok,
+       least(end_off, (seq + 1) * {_PACK_BUDGET}) - seq * {_PACK_BUDGET} AS end_tok
+FROM seqs ORDER BY bucket, seq, doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 
@@ -834,6 +956,12 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_split"] = _sql_corpus_split()
     queries["decontaminate"] = q_decontaminate
     oracles["decontaminate"] = SQL_DECONTAMINATE
+    queries["corpus_mix"] = q_corpus_mix
+    oracles["corpus_mix"] = _sql_corpus_mix()
+    queries["pii_scrub"] = q_pii_scrub
+    oracles["pii_scrub"] = _sql_pii_scrub()
+    queries["pack_sequences"] = q_pack_sequences
+    oracles["pack_sequences"] = SQL_PACK_SEQUENCES
 
     queries["dedup_exact"] = q_dedup_exact
     oracles["dedup_exact"] = SQL_DEDUP_EXACT

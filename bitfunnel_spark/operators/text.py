@@ -100,6 +100,35 @@ def fingerprint(text: Column | str, shingle: int = 5, keep: int = 4) -> Column:
     ).otherwise(F.md5(F.array_join(toks, " ")))
 
 
+# PII patterns — the common Java-regex/RE2 subset so the same pattern string
+# runs verbatim in both Spark (Java) and DuckDB (RE2) with identical matches.
+# Replacement order matters (emails contain dots that the IP pattern could
+# otherwise clip): EMAIL → IP → PHONE.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind ('email' | 'ip' | 'phone')."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, IPv4 addresses, and international phone numbers with
+    typed placeholder tokens. A pure narrow map (chained JVM regexp_replace,
+    no UDF, no shuffle): at 100 TB this runs at scan speed and pushes no
+    data anywhere. The standard pre-training redaction pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc: the full analysis bundle."""
     return df.select(

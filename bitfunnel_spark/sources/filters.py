@@ -29,6 +29,14 @@ def fraction_threshold_hex(fraction: float) -> str:
     return format(int(fraction * 16**8), "08x")
 
 
+def band_threshold(fraction: float) -> str:
+    """`fraction_threshold_hex` that also handles fraction == 1.0 for use in
+    per-row CASE thresholds: 'g' sorts above every 8-hex-digit string, so
+    `md5_prefix < 'g'` keeps everything (the 9-digit '100000000' would
+    string-compare BELOW 8-hex values and keep nothing)."""
+    return "g" if fraction >= 1.0 else fraction_threshold_hex(fraction)
+
+
 def deterministic_filter(corpus: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Partitioning-independent seeded sample: keep doc iff the first 8 hex
     chars of md5(seed:doc_id) compare below the fraction threshold — a pure
@@ -65,6 +73,37 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(weights[-1][0])
     return corpus.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def stratified_sample(
+    corpus: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Domain-mixing sampler: keep each row with a per-stratum fraction
+    (e.g. downsample the dominant language, keep all of a rare one) decided
+    by the same md5-band rule as `deterministic_filter` — partitioning-
+    independent, reproducible across engines, and a pure narrow filter: no
+    shuffle, no per-stratum pass. At 100 TB this is ONE scan with a
+    pushdown-friendly predicate, not one job per domain; changing the mix
+    re-runs only the scan."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    thresh = F.lit(band_threshold(default_fraction))
+    for name, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == name, F.lit(band_threshold(frac))
+        ).otherwise(thresh)
+    return corpus.filter(h < thresh)
 
 
 def posting_count_filter(corpus: DataFrame, min_postings: int = 0, max_postings: int | None = None) -> DataFrame:

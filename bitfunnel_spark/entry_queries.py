@@ -848,6 +848,58 @@ SELECT doc_id, n_tokens::INT AS n_tokens, n_ws_tokens::INT AS n_ws_tokens,
 FROM feat ORDER BY doc_id"""
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_QUALITY_REPETITION = f"""WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         regexp_extract_all(lower(text), '{_PAT}') AS tk
+  FROM documents),
+base AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+           AS dup_line_frac,
+         tk FROM d),
+bi AS (
+  SELECT doc_id, len(tk) - 1 AS n_bi,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))
+           AS bigram
+  FROM base),
+cnt AS (SELECT doc_id, n_bi, bigram, count(*) AS c FROM bi GROUP BY doc_id, n_bi, bigram),
+top AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n_bi, 4) AS tbf
+        FROM cnt GROUP BY doc_id, n_bi)
+SELECT b.doc_id, b.n_lines::INT AS n_lines, b.dup_line_frac,
+       coalesce(t.tbf, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# serving layer: facets, snippets, more-like-this (plans/serving.py)
+
+FACETS_QUERY = "(dup | vector) join"
+SNIPPETS_QUERY = "spark & join"
+MLT_DOC_ID = 123
+
+
+def q_ft_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.facet_counts(get_index(spark, sf_dir), FACETS_QUERY)
+
+
+def q_ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.snippets(get_index(spark, sf_dir), SNIPPETS_QUERY, k=10, window=4)
+
+
+def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.more_like_this(get_index(spark, sf_dir), MLT_DOC_ID, k=10, m=8)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -1005,6 +1057,23 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries["text_profile"] = q_text_profile
     oracles["text_profile"] = _sql_text_profile()
+    queries["quality_repetition"] = q_quality_repetition
+    oracles["quality_repetition"] = SQL_QUALITY_REPETITION
+
+    from bitfunnel_spark.plans.oracle import (
+        oracle_facets_sql,
+        oracle_mlt_sql,
+        oracle_snippets_sql,
+    )
+
+    queries["ft_facets"] = q_ft_facets
+    oracles["ft_facets"] = oracle_facets_sql(FACETS_QUERY, config=ENTRY_CONFIG)
+    queries["ft_snippets"] = q_ft_snippets
+    oracles["ft_snippets"] = oracle_snippets_sql(
+        SNIPPETS_QUERY, k=10, window=4, config=ENTRY_CONFIG
+    )
+    queries["ft_more_like_this"] = q_ft_more_like_this
+    oracles["ft_more_like_this"] = oracle_mlt_sql(MLT_DOC_ID, k=10, m=8, config=ENTRY_CONFIG)
 
     queries["media_metadata"] = q_media_metadata
     oracles["media_metadata"] = SQL_MEDIA_METADATA

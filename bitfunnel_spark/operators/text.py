@@ -141,3 +141,57 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         langid(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", §A1.1 quality heuristics — the standard LLM-corpus repetition
+    filters). One row per doc:
+
+    - ``n_lines`` — newline-split line count
+    - ``dup_line_frac`` — 1 - distinct_lines/lines (fraction of lines that
+      repeat an earlier line)
+    - ``top_bigram_frac`` — occurrences of the most frequent token bigram
+      / total bigrams (0.0 when the doc has < 2 tokens)
+
+    Scale shape: line metrics are pure narrow column expressions (scan
+    speed, no shuffle). The bigram mode is explode -> two partial-agg
+    groupBys keyed by doc_id — map-side combine collapses each doc's
+    bigrams before the exchange, so shuffled rows ≈ distinct bigrams per
+    doc, bounded by doc length; no skew (keys are doc-unique)."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+            4,
+        ).alias("dup_line_frac"),
+        tokenize(text_col).alias("tk"),
+    )
+    bi = base.select(
+        "doc_id",
+        (F.size("tk") - 1).alias("n_bi"),
+        F.explode(ngrams(F.col("tk"), 2)).alias("bigram"),
+    )
+    top = (
+        bi.groupBy("doc_id", "n_bi", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_bi")
+        .agg(F.max("c").alias("top_c"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c").cast("double") / F.col("n_bi"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return (
+        base.select("doc_id", "n_lines", "dup_line_frac")
+        .join(top, "doc_id", "left")
+        .fillna({"top_bigram_frac": 0.0})
+    )

@@ -146,3 +146,108 @@ def oracle_match_sql(query, config: BuildConfig | None = None) -> str:
         f"SELECT h.doc_id AS doc_id\nFROM hits h\nWHERE {_bool_sql(plan.ast)}\n"
         f"ORDER BY h.doc_id ASC"
     )
+
+
+# ---------------------------------------------------------------------------
+# serving-layer oracles (plans/serving.py)
+
+def oracle_facets_sql(
+    query, facets: tuple[str, ...] = ("lang", "repo"), config: BuildConfig | None = None
+) -> str:
+    """Facet-count oracle: SELECT facet, value, n_docs over the match set.
+
+    Facet names map to documents columns (lang -> lang, repo -> source),
+    mirroring sources/corpus.corpus_from_documents."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col_of = {"lang": "lang", "repo": "source"}
+    parts = [
+        f"SELECT '{f}' AS facet, d.{col_of[f]} AS value, count(*) AS n_docs\n"
+        f"  FROM m JOIN documents d USING (doc_id) GROUP BY d.{col_of[f]}"
+        for f in facets
+    ]
+    union = "\n  UNION ALL\n".join(parts)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT * FROM (\n{union}\n)\n"
+        f"ORDER BY facet ASC, n_docs DESC, value ASC"
+    )
+
+
+def oracle_snippets_sql(
+    query, k: int = 10, window: int = 4, config: BuildConfig | None = None
+) -> str:
+    """Snippet oracle mirroring plans/serving.snippets: token window of
+    ±window around the first body occurrence of the rarest (df asc, term
+    asc) scoring term present in each top-k document."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    terms = sorted(plan.scoring_terms)
+    topk = (
+        f"topk AS (\n  SELECT h.doc_id, round(h.score, 4) AS score FROM hits h\n"
+        f"  WHERE ({_bool_sql(plan.ast)})\n"
+        f"  ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {k})"
+    )
+    if not terms:
+        return (
+            f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n{topk}\n"
+            f"SELECT doc_id, score, '' AS snippet FROM topk\n"
+            f"ORDER BY score DESC, doc_id ASC"
+        )
+    vals = ", ".join(f"({_q(t)})" for t in terms)
+    return f"""WITH {CORPUS_CTE},
+{_hits_cte(plan, config)},
+{topk},
+tkn AS (SELECT c.doc_id, regexp_extract_all(c.body_text, '{_PAT}') AS toks
+        FROM corpus c JOIN topk USING (doc_id)),
+qterms(term) AS (VALUES {vals}),
+cand AS (
+  SELECT t.doc_id, f.df, q.term, list_position(t.toks, q.term) AS pos
+  FROM tkn t CROSS JOIN qterms q
+  JOIN dfreq f ON f.stream = 'body' AND f.term = q.term
+  WHERE list_position(t.toks, q.term) > 0),
+pick AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, term ASC) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT tk2.doc_id AS doc_id, tk2.score AS score,
+       coalesce(array_to_string(
+         t.toks[greatest(1, p.pos - {window}):(p.pos + {window})], ' '), '') AS snippet
+FROM topk tk2
+LEFT JOIN pick p ON tk2.doc_id = p.doc_id
+LEFT JOIN tkn t ON tk2.doc_id = t.doc_id
+ORDER BY tk2.score DESC, tk2.doc_id ASC"""
+
+
+def oracle_mlt_sql(
+    doc_id: int, k: int = 10, m: int = 8, config: BuildConfig | None = None
+) -> str:
+    """More-like-this oracle mirroring plans/serving.more_like_this: the
+    source document's m highest tf*idf body terms (ties term asc) scored
+    as a BM25 OR query, source doc excluded."""
+    config = config or BuildConfig()
+    k1, b = config.bm25.k1, config.bm25.b
+    return f"""WITH {CORPUS_CTE},
+src AS (SELECT term, count(*) AS tf FROM body_tok WHERE doc_id = {int(doc_id)} GROUP BY term),
+sel AS (
+  SELECT s.term FROM src s
+  JOIN dfreq f ON f.stream = 'body' AND f.term = s.term
+  CROSS JOIN meta
+  ORDER BY s.tf * ln((meta.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) DESC, s.term ASC
+  LIMIT {int(m)}),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r}
+             * coalesce(dl.doclen, 0) / meta.avgdl)))) AS score
+  FROM tf
+  JOIN dfreq USING (stream, term)
+  LEFT JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta
+  WHERE tf.stream = 'body' AND tf.term IN (SELECT term FROM sel)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM hits
+WHERE doc_id <> {int(doc_id)}
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {int(k)}"""

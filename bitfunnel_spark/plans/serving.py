@@ -1,0 +1,138 @@
+"""Serving-layer operators over the index: facets, snippets, more-like-this.
+
+The reference engine returns raw boolean match sets only (ResultsBuffer,
+/root/reference/inc/BitFunnel/Plan/ResultsBuffer.h) — faceting, result
+snippets, and related-document retrieval are the serving features every
+search deployment layers on top (public designs: Lucene faceting, the
+Lucene/Solr highlighter, Lucene MoreLikeThis). Spark-first shapes:
+
+- ``facet_counts`` — one semi-join of the match set against the corpus
+  metadata projection, then a partial-aggregated groupBy per facet (the
+  2-entry facet map explode doubles rows pre-agg; map-side combine folds
+  them immediately). No collect; scales with the match set.
+- ``snippets`` — touches ONLY the k result docs: the k-row result is
+  broadcast into a corpus join (pruned scan on doc_id at the parquet
+  level), tokenization and window slicing are Catalyst expressions
+  (zero Python).
+- ``more_like_this`` — one point fetch of the source document (pushed-down
+  doc_id predicate), driver-side selection of its m most distinctive terms
+  (tf·idf against the resident dictionary — the same TermTable lookup a
+  query makes), then a standard OR query through the block-max kernel.
+  The expensive part IS a normal query; MLT adds one point lookup.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.functions.tokenizer import tokenize
+from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.planner import plan_query
+
+
+def facet_counts(
+    index, query: str, facets: tuple[str, ...] = ("lang", "repo"),
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Facet value counts over a query's full match set.
+
+    Returns DataFrame[(facet, value, n_docs)] ordered (facet, n_docs desc,
+    value). ``facets`` name corpus metadata columns (lang, repo, ...).
+    """
+    matches = index.match(query, facts).select("doc_id")
+    meta = index.corpus.select("doc_id", *facets)
+    joined = meta.join(matches, "doc_id")
+    kv = []
+    for c in facets:
+        kv.extend([F.lit(c), F.col(c)])
+    pairs = joined.select(F.explode(F.create_map(*kv)).alias("facet", "value"))
+    return (
+        pairs.groupBy("facet", "value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("facet", F.desc("n_docs"), "value")
+    )
+
+
+def _ranked_scoring_terms(index, plan) -> list[str]:
+    """Scoring terms rarest-first: idf desc (== df asc), term asc; terms
+    absent from the dictionary (df = 0) are dropped — they cannot occur in
+    any document."""
+    idf = index.idf_for_terms({("body", t) for t in plan.scoring_terms})
+    return [t for t in sorted(idf, key=lambda t: (-idf[t], t))]
+
+
+def snippets(
+    index, query: str, k: int = 10, window: int = 4, mode: str = "kernel",
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Top-k search results with a token-window snippet.
+
+    The snippet is the ±``window`` token context around the first body
+    occurrence of the rarest scoring term present in the document
+    (rarest = max idf, ties by term asc); documents matched only through
+    non-body streams (lang:/repo:/path:) get an empty snippet. Returns
+    DataFrame[(doc_id, score, snippet)] ordered (score desc, doc_id asc).
+    """
+    res = index.search(query, k=k, mode=mode, facts=facts)
+    plan = plan_query(parse_query(query))
+    ordered = _ranked_scoring_terms(index, plan)
+
+    docs = index.corpus.select("doc_id", "content").join(F.broadcast(res), "doc_id")
+    docs = docs.select("doc_id", "score", tokenize("content").alias("tk"))
+    if ordered:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rank"),
+                    F.array_position("tk", F.lit(t)).alias("pos"),
+                )
+                for i, t in enumerate(ordered)
+            ]
+        )
+        first = F.element_at(F.filter(cands, lambda s: s["pos"] > 0), 1)
+        start = F.greatest(F.lit(1), first["pos"] - F.lit(window))
+        length = first["pos"] + F.lit(window) - start + F.lit(1)
+        snippet = F.when(
+            first.isNotNull(), F.concat_ws(" ", F.slice("tk", start, length))
+        ).otherwise(F.lit(""))
+    else:
+        snippet = F.lit("")
+    return docs.select(
+        "doc_id", "score", snippet.alias("snippet")
+    ).orderBy(F.desc("score"), "doc_id")
+
+
+def more_like_this(
+    index, doc_id: int, k: int = 10, m: int = 8, mode: str = "kernel",
+) -> DataFrame:
+    """Top-k documents most similar to ``doc_id`` (Lucene MoreLikeThis
+    shape): select the source document's ``m`` most distinctive body terms
+    by tf·idf (ties by term asc), then BM25-score their OR query through
+    the normal engine path, excluding the source document.
+
+    Returns DataFrame[(doc_id, score)] ordered (score desc, doc_id asc).
+    """
+    rows = (
+        index.corpus.filter(F.col("doc_id") == int(doc_id))
+        .select(tokenize("content").alias("tk"))
+        .collect()
+    )
+    tokens = rows[0]["tk"] if rows else []
+    tf = Counter(tokens)
+    idf = index.idf_for_terms({("body", t) for t in tf})
+    ranked = sorted(
+        ((tf[t] * idf[t], t) for t in tf if t in idf), key=lambda x: (-x[0], x[1])
+    )
+    selected = [t for _, t in ranked[:m]]
+    if not selected:
+        schema = "doc_id long, score double"
+        return index.spark.createDataFrame([], schema)
+    res = index.search(" | ".join(selected), k=k + 1, mode=mode)
+    return (
+        res.filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

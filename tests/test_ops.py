@@ -232,3 +232,25 @@ def test_embedding_neardup_lsh_within_bucket(spark):
            for r in dedup.embedding_neardup_pairs_lsh(emb, threshold=0.9).collect()}
     assert (0, 1) in got and got[(0, 1)] >= 0.9
     assert all(k == (0, 1) for k in got)
+
+
+def test_repetition_profile(spark, duck):
+    from bitfunnel_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),        # 3 lines, one duplicate
+            (1, "x y x y x y"),          # dominant bigram "x y"
+            (2, "tok"),                  # single token: no bigrams
+            (3, ""),                     # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+    assert got[0]["n_lines"] == 3
+    assert abs(got[0]["dup_line_frac"] - round(1 - 2 / 3, 4)) < 1e-9
+    # "x y x y x y": bigrams = x y, y x, x y, y x, x y -> top 3/5
+    assert abs(got[1]["top_bigram_frac"] - 0.6) < 1e-9
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["n_lines"] == 1 and got[3]["top_bigram_frac"] == 0.0

@@ -1,0 +1,70 @@
+"""Serving-layer operators (plans/serving.py) vs DuckDB oracles: facet
+counts over match sets, token-window snippets, more-like-this."""
+
+import pytest
+
+from bitfunnel_spark.plans import serving
+from bitfunnel_spark.plans.oracle import (
+    oracle_facets_sql,
+    oracle_mlt_sql,
+    oracle_snippets_sql,
+)
+
+FACET_QUERIES = ["(dup | vector) join", "data", "lang:en data", "data -slow"]
+
+
+@pytest.mark.parametrize("q", FACET_QUERIES)
+def test_facets_vs_oracle(index, duck, q):
+    got = [
+        (r["facet"], r["value"], r["n_docs"])
+        for r in serving.facet_counts(index, q).collect()
+    ]
+    exp = duck.execute(oracle_facets_sql(q)).fetchall()
+    assert sorted(got) == sorted(exp), f"facet mismatch for {q!r}"
+    # counts per facet must each sum to the match-set size
+    n_match = index.match(q).count()
+    for facet in ("lang", "repo"):
+        assert sum(n for f, _, n in got if f == facet) == n_match
+
+
+SNIPPET_QUERIES = ["spark & join", "dup | vector", "data -slow", "lang:en data"]
+
+
+@pytest.mark.parametrize("q", SNIPPET_QUERIES)
+def test_snippets_vs_oracle(index, duck, q):
+    got = [
+        (r["doc_id"], r["score"], r["snippet"])
+        for r in serving.snippets(index, q, k=10, window=4).collect()
+    ]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4), sn)
+        for d, s, sn in duck.execute(oracle_snippets_sql(q, k=10, window=4)).fetchall()
+    ]
+    assert exp == got, f"snippet mismatch for {q!r}"
+
+
+def test_snippet_contains_term(index):
+    rows = serving.snippets(index, "vector", k=5, window=3).collect()
+    assert rows
+    for r in rows:
+        assert "vector" in r["snippet"].split()
+        # window bound: at most 2*3+1 tokens
+        assert len(r["snippet"].split()) <= 7
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_more_like_this_vs_oracle(index, duck, doc_id):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in serving.more_like_this(index, doc_id, k=10, m=8).collect()
+    ]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4))
+        for d, s in duck.execute(oracle_mlt_sql(doc_id, k=10, m=8)).fetchall()
+    ]
+    assert exp == got, f"mlt mismatch for doc {doc_id}"
+    assert doc_id not in [d for d, _ in got]
+
+
+def test_more_like_this_missing_doc(index):
+    assert serving.more_like_this(index, 10**9, k=5).count() == 0

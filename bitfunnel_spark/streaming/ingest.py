@@ -103,7 +103,11 @@ def ingest_increments(
 # MANIFEST; on a real cluster the same commit is one Iceberg snapshot.
 
 _MANIFEST = "_generations.json"
-_EMPTY_MANIFEST = {"runs": [], "consumed_batches": [], "next_run": 1}
+_SNAPSHOT_DIR = "_snapshots"
+_EMPTY_MANIFEST = {
+    "runs": [], "consumed_batches": [], "next_run": 1,
+    "snapshot_id": 0, "retain_snapshots": 0,
+}
 
 
 def _load_manifest(index_root: str) -> dict:
@@ -111,15 +115,104 @@ def _load_manifest(index_root: str) -> dict:
     if not os.path.exists(path):
         return {k: (list(v) if isinstance(v, list) else v) for k, v in _EMPTY_MANIFEST.items()}
     with open(path) as f:
-        return json.load(f)
+        man = json.load(f)
+    for k, v in _EMPTY_MANIFEST.items():  # back-compat with pre-snapshot manifests
+        man.setdefault(k, list(v) if isinstance(v, list) else v)
+    return man
 
 
-def _commit_manifest(index_root: str, manifest: dict) -> None:
+def _live_batch_ids(index_root: str, man: dict) -> list[int]:
+    """Unconsumed increment batch ids present on disk right now."""
+    inc_root = os.path.join(index_root, "increments")
+    if not os.path.isdir(inc_root):
+        return []
+    consumed = set(man["consumed_batches"])
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(inc_root)
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) not in consumed
+    )
+
+
+def _commit_manifest(index_root: str, manifest: dict, operation: str = "commit") -> None:
+    # When snapshot retention is on, every commit is also an immutable
+    # versioned snapshot (the Iceberg snapshot log): the snapshot file
+    # captures the generation runs AND the unconsumed batches live at this
+    # instant, so `read_segments_at` can rebuild exactly this view later.
+    if manifest.get("retain_snapshots", 0) > 0:
+        import time
+
+        manifest["snapshot_id"] = int(manifest.get("snapshot_id", 0)) + 1
+        snap = dict(manifest)
+        snap["operation"] = operation
+        snap["committed_at"] = time.time()
+        snap["live_batches"] = _live_batch_ids(index_root, manifest)
+        sdir = os.path.join(index_root, _SNAPSHOT_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        spath = os.path.join(sdir, f"v{manifest['snapshot_id']}.json")
+        stmp = spath + ".tmp"
+        with open(stmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(stmp, spath)
     path = os.path.join(index_root, _MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, path)  # the atomic commit point
+
+
+def snapshots(index_root: str) -> list[dict]:
+    """Snapshot log, oldest first: [{snapshot_id, operation, committed_at,
+    runs, live_batches, ...}] — the Iceberg `snapshots` metadata table."""
+    sdir = os.path.join(index_root, _SNAPSHOT_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in os.listdir(sdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(sdir, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda s: s["snapshot_id"])
+
+
+def set_snapshot_retention(index_root: str, keep_last: int) -> None:
+    """Enable time travel: retain the last ``keep_last`` manifest commits as
+    immutable snapshots. Promotions and garbage sweeps then keep every
+    run/increment directory any retained snapshot references, so
+    ``read_segments_at`` can serve any retained version. 0 disables
+    retention (the default — storage is reclaimed aggressively)."""
+    man = _load_manifest(index_root)
+    man["retain_snapshots"] = int(keep_last)
+    _commit_manifest(index_root, man, operation="set_retention")
+
+
+def expire_snapshots(index_root: str, keep_last: int | None = None) -> None:
+    """Drop snapshot files beyond the newest ``keep_last`` (default: the
+    manifest's retention setting), then sweep directories no longer
+    referenced by any retained snapshot — Iceberg's expire_snapshots."""
+    man = _load_manifest(index_root)
+    if keep_last is None:
+        keep_last = man.get("retain_snapshots", 0)
+    snaps = snapshots(index_root)
+    for s in snaps[: max(0, len(snaps) - int(keep_last))]:
+        os.remove(os.path.join(index_root, _SNAPSHOT_DIR, f"v{s['snapshot_id']}.json"))
+    _sweep_garbage(index_root, man)
+
+
+def _protected_paths(index_root: str, man: dict) -> set[str]:
+    """Directories some retained snapshot still references — never deleted
+    by promotions or sweeps while the snapshot is retained."""
+    keep = man.get("retain_snapshots", 0)
+    if keep <= 0:
+        return set()
+    inc_root = os.path.join(index_root, "increments")
+    protected: set[str] = set()
+    for s in snapshots(index_root)[-keep:]:
+        protected.update(r["path"] for r in s["runs"])
+        protected.update(
+            os.path.join(inc_root, f"batch={b}") for b in s.get("live_batches", [])
+        )
+    return protected
 
 
 def promote_increments(
@@ -204,9 +297,10 @@ def promote_increments(
         man["consumed_batches"] = sorted(
             set(man["consumed_batches"]) | {v["batch"] for v in victims if v["tier"] == 0}
         )
-        _commit_manifest(index_root, man)
+        _commit_manifest(index_root, man, operation="promote")
+        protected = _protected_paths(index_root, man)
         for v in victims:  # post-commit garbage collection (crash-safe: swept next time)
-            if os.path.exists(v["path"]):
+            if os.path.exists(v["path"]) and v["path"] not in protected:
                 shutil.rmtree(v["path"])
         promotions.append(
             {"tier": tier + 1, "run": run_id, "sources": [v["path"] for v in victims]}
@@ -218,16 +312,23 @@ def promote_increments(
 def _sweep_garbage(index_root: str, man: dict) -> None:
     """Remove directories a crashed promotion left behind: consumed batch
     dirs that were never deleted, and generation dirs the manifest does not
-    reference (including interrupted ``*_tmp`` writes)."""
+    reference (including interrupted ``*_tmp`` writes). Directories a
+    retained snapshot references are kept (time travel)."""
+    protected = _protected_paths(index_root, man)
     inc_root = os.path.join(index_root, "increments")
     if os.path.isdir(inc_root):
         consumed = set(man["consumed_batches"])
         for d in os.listdir(inc_root):
-            if d.startswith("batch=") and int(d.split("=", 1)[1]) in consumed:
-                shutil.rmtree(os.path.join(inc_root, d))
+            p = os.path.join(inc_root, d)
+            if (
+                d.startswith("batch=")
+                and int(d.split("=", 1)[1]) in consumed
+                and p not in protected
+            ):
+                shutil.rmtree(p)
     gen_root = os.path.join(index_root, "generations")
     if os.path.isdir(gen_root):
-        live = {r["path"] for r in man["runs"]}
+        live = {r["path"] for r in man["runs"]} | protected
         for tier_d in os.listdir(gen_root):
             tp = os.path.join(gen_root, tier_d)
             for run_d in os.listdir(tp) if os.path.isdir(tp) else []:
@@ -279,6 +380,51 @@ def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
         parts.append(inc)
     except AnalysisException:
         pass  # no increments yet
+    if not parts:
+        raise FileNotFoundError(f"no segments under {index_root}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_segments_at(spark: SparkSession, index_root: str, snapshot_id: int) -> DataFrame:
+    """Time travel: the queryable segment view exactly as of a retained
+    snapshot (Iceberg's `VERSION AS OF`). Requires snapshot retention
+    (`set_snapshot_retention`); raises if the snapshot was expired or its
+    directories were reclaimed. Valid within an epoch — an epoch compaction
+    rewrites main and resets the timeline."""
+    spath = os.path.join(index_root, _SNAPSHOT_DIR, f"v{int(snapshot_id)}.json")
+    if not os.path.exists(spath):
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} not found (expired, never retained, or "
+            f"reset by an epoch compaction) under {index_root}"
+        )
+    with open(spath) as f:
+        snap = json.load(f)
+    inc_root = os.path.join(index_root, "increments")
+    paths = [r["path"] for r in snap["runs"]] + [
+        os.path.join(inc_root, f"batch={b}") for b in snap.get("live_batches", [])
+    ]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} references reclaimed directories "
+            f"(raise retention before promoting): {missing}"
+        )
+    parts = []
+    main = os.path.join(index_root, "segments")
+    from pyspark.errors import AnalysisException
+
+    try:
+        parts.append(spark.read.parquet(main))
+    except AnalysisException:
+        pass
+    if paths:
+        extra = spark.read.parquet(*paths)
+        if parts:
+            extra = extra.select(*parts[0].columns)
+        parts.append(extra)
     if not parts:
         raise FileNotFoundError(f"no segments under {index_root}")
     out = parts[0]
@@ -391,7 +537,17 @@ def _retire_increments(index_root: str) -> None:
     gen_root = os.path.join(index_root, "generations")
     if os.path.exists(gen_root):
         shutil.rmtree(gen_root)
+    # an epoch compaction rewrites main, which invalidates every pre-epoch
+    # view — the snapshot timeline resets (retention setting survives)
+    sdir = os.path.join(index_root, _SNAPSHOT_DIR)
+    if os.path.exists(sdir):
+        shutil.rmtree(sdir)
     _commit_manifest(
         index_root,
-        {"runs": [], "consumed_batches": sorted(consumed), "next_run": man["next_run"]},
+        {
+            "runs": [], "consumed_batches": sorted(consumed),
+            "next_run": man["next_run"], "snapshot_id": man.get("snapshot_id", 0),
+            "retain_snapshots": man.get("retain_snapshots", 0),
+        },
+        operation="epoch_compact",
     )

@@ -22,9 +22,14 @@ statistics / termtable / repl's `query one` and `query log`):
     profile    query log → per-query blocks decoded/skipped + timings
                (QueryInstrumentation.h:63-70 parity, plans/profile.py)
     repl       interactive loop: `<query>` searches, `!match <q>` matches,
-               `!verify <q>` cross-checks, `!profile <q>` instruments
+               `!verify <q>` cross-checks, `!profile <q>` instruments,
+               `!facets <q>` / `!snippets <q>` / `!mlt <doc_id>` serve
                (the reference tool's REPL, tools/BitFunnel/src/
                REPL.cpp / QueryCommand.cpp / VerifyCommand.cpp)
+    facets     facet value counts over a query's match set
+    snippets   top-k with token-window snippets
+    mlt        more-like-this: top-k docs similar to a given doc_id
+    snapshots  list the index's retained snapshot log (time travel)
 
 Example (cluster: ship the package as a zip, run cli.py as the driver
 script — exercised end-to-end by tests/test_spark_submit.py):
@@ -77,6 +82,49 @@ def cmd_query(args) -> None:
     idx = _load(spark, args)
     for r in idx.search(args.query, k=args.k, mode=args.mode).collect():
         print(f"{r['doc_id']}\t{r['score']}")
+
+
+def cmd_facets(args) -> None:
+    from bitfunnel_spark.plans.serving import facet_counts
+
+    spark = _spark(args)
+    idx = _load(spark, args)
+    for r in facet_counts(idx, args.query, facets=tuple(args.facets.split(","))).collect():
+        print(f"{r['facet']}\t{r['value']}\t{r['n_docs']}")
+
+
+def cmd_snippets(args) -> None:
+    from bitfunnel_spark.plans.serving import snippets
+
+    spark = _spark(args)
+    idx = _load(spark, args)
+    for r in snippets(idx, args.query, k=args.k, window=args.window, mode=args.mode).collect():
+        print(f"{r['doc_id']}\t{r['score']}\t{r['snippet']}")
+
+
+def cmd_mlt(args) -> None:
+    from bitfunnel_spark.plans.serving import more_like_this
+
+    spark = _spark(args)
+    idx = _load(spark, args)
+    for r in more_like_this(idx, args.doc_id, k=args.k, m=args.m, mode=args.mode).collect():
+        print(f"{r['doc_id']}\t{r['score']}")
+
+
+def cmd_snapshots(args) -> None:
+    from bitfunnel_spark.streaming.ingest import snapshots
+
+    for s in snapshots(args.index):
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "operation": s.get("operation"),
+                    "runs": len(s["runs"]),
+                    "live_batches": s.get("live_batches", []),
+                }
+            )
+        )
 
 
 def cmd_querylog(args) -> None:
@@ -219,7 +267,10 @@ def cmd_genqueries(args) -> None:
 def cmd_repl(args) -> None:
     spark = _spark(args)
     idx = _load(spark, args)
-    print("bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q> | !quit")
+    print(
+        "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
+        " | !facets <q> | !snippets <q> | !mlt <doc_id> | !quit"
+    )
     while True:
         try:
             line = input("bf> ").strip()
@@ -235,6 +286,21 @@ def cmd_repl(args) -> None:
                 print(f"{len(docs)} matches: {docs[:50]}{' ...' if len(docs) > 50 else ''}")
             elif line.startswith("!verify "):
                 print(json.dumps(_verify_one(idx, line[8:], args.k)))
+            elif line.startswith("!facets "):
+                from bitfunnel_spark.plans.serving import facet_counts
+
+                for r in facet_counts(idx, line[8:]).collect():
+                    print(f"{r['facet']}\t{r['value']}\t{r['n_docs']}")
+            elif line.startswith("!snippets "):
+                from bitfunnel_spark.plans.serving import snippets
+
+                for r in snippets(idx, line[10:], k=args.k, mode=args.mode).collect():
+                    print(f"{r['doc_id']}\t{r['score']}\t{r['snippet']}")
+            elif line.startswith("!mlt "):
+                from bitfunnel_spark.plans.serving import more_like_this
+
+                for r in more_like_this(idx, int(line[5:]), k=args.k, mode=args.mode).collect():
+                    print(f"{r['doc_id']}\t{r['score']}")
             elif line.startswith("!profile "):
                 from bitfunnel_spark.plans.profile import profile_many, summarize
 
@@ -337,6 +403,35 @@ def main(argv=None) -> None:
     r.add_argument("--k", type=int, default=10)
     r.add_argument("--mode", default="kernel", choices=["kernel", "dataframe"])
     r.set_defaults(fn=cmd_repl)
+
+    fa = sub.add_parser("facets")
+    fa.add_argument("--corpus", required=True)
+    fa.add_argument("--index", required=True)
+    fa.add_argument("--facets", default="lang,repo")
+    fa.add_argument("query")
+    fa.set_defaults(fn=cmd_facets)
+
+    sn = sub.add_parser("snippets")
+    sn.add_argument("--corpus", required=True)
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--k", type=int, default=10)
+    sn.add_argument("--window", type=int, default=4)
+    sn.add_argument("--mode", default="kernel", choices=["kernel", "dataframe"])
+    sn.add_argument("query")
+    sn.set_defaults(fn=cmd_snippets)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--corpus", required=True)
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--m", type=int, default=8)
+    ml.add_argument("--mode", default="kernel", choices=["kernel", "dataframe"])
+    ml.add_argument("doc_id", type=int)
+    ml.set_defaults(fn=cmd_mlt)
+
+    sp = sub.add_parser("snapshots")
+    sp.add_argument("--index", required=True)
+    sp.set_defaults(fn=cmd_snapshots)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -49,3 +49,32 @@ def test_cli_filterchunks(spark, corpus, tmp_path, capsys):
     got = {r["content_sha256"] for r in filtered.select("content_sha256").collect()}
     assert got <= orig
     assert os.listdir(chunks_out)
+
+
+def test_cli_serving_verbs(spark, corpus, tmp_path, capsys):
+    cpath = str(tmp_path / "corpus")
+    ipath = str(tmp_path / "index")
+    corpus.filter("doc_id < 60").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    cli.main(["facets", "--corpus", cpath, "--index", ipath, "data"])
+    out = capsys.readouterr().out
+    assert any(l.startswith("lang\t") for l in out.splitlines())
+    assert any(l.startswith("repo\t") for l in out.splitlines())
+
+    cli.main(["snippets", "--corpus", cpath, "--index", ipath, "--k", "3", "data"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "\t" in l]
+    assert lines
+    for l in lines:  # single-term query: every hit's snippet contains it
+        assert "data" in l.split("\t")[2].split()
+
+    cli.main(["mlt", "--corpus", cpath, "--index", ipath, "--k", "3", "5"])
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines() if "\t" in l]
+    assert len(rows) == 3
+    assert all(l.split("\t")[0] != "5" for l in rows)
+
+    cli.main(["snapshots", "--index", ipath])
+    assert capsys.readouterr().out == ""  # no snapshot log on a plain build

@@ -980,6 +980,18 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "spark & join", k=10, config=ENTRY_CONFIG,
         extra_where=f"h.doc_id NOT IN ({', '.join(str(d) for d in DELETED_IDS)})",
     )
+    from bitfunnel_spark.plans.oracle import oracle_expansion_search_sql
+
+    # dictionary expansion: prefix wildcard + fuzzy term (plans/expand.py)
+    queries["ft_bm25_prefix"] = _mk_search("s*", "kernel")
+    oracles["ft_bm25_prefix"] = oracle_expansion_search_sql(
+        "term LIKE 's%'", k=10, config=ENTRY_CONFIG
+    )
+    queries["ft_bm25_fuzzy"] = _mk_search("vektor~", "dataframe")
+    oracles["ft_bm25_fuzzy"] = oracle_expansion_search_sql(
+        "levenshtein(term, 'vektor') <= 1", k=10, config=ENTRY_CONFIG
+    )
+
     queries["ft_bm25_fact"] = q_bm25_fact
     oracles["ft_bm25_fact"] = oracle_search_sql(
         "data fast", k=10, config=ENTRY_CONFIG, extra_where="h.doc_id % 2 = 0"

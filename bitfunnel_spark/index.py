@@ -260,12 +260,24 @@ class FullTextIndex:
 
     # ---- query API ----------------------------------------------------
 
+    def prepare_query(self, query):
+        """Parse (if a string) and resolve dictionary expansions (``dat*``,
+        ``term~``) into a plain AST — plans/expand.py. Queries without
+        expansion operators pass through unchanged."""
+        from bitfunnel_spark.plans import expand
+        from bitfunnel_spark.plans.parser import parse_query
+
+        node = parse_query(query) if isinstance(query, str) else query
+        if expand.has_expansions(node):
+            node = expand.expand_query(self, node)
+        return node
+
     def match(self, query: str, facts: list[str] | None = None) -> DataFrame:
         """Reference semantics: the full unscored boolean match set
         (ResultsBuffer analogue) as DataFrame[doc_id]."""
         from bitfunnel_spark.plans.executor import match_dataframe
 
-        return match_dataframe(self, query, facts)
+        return match_dataframe(self, self.prepare_query(query), facts)
 
     def search(
         self, query: str, k: int = 10, mode: str = "dataframe",
@@ -274,6 +286,7 @@ class FullTextIndex:
         """BM25 top-k: DataFrame[(doc_id, score)], score rounded to 4 dp,
         ordered (score desc, doc_id asc). ``facts`` ANDs named fact sets
         (define_fact) into the match."""
+        query = self.prepare_query(query)
         if mode == "dataframe":
             from bitfunnel_spark.plans.executor import search_dataframe
 

@@ -35,6 +35,27 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class Prefix(Node):
+    """``text*`` — expands to every dictionary term starting with ``text``
+    (Lucene PrefixQuery shape; resolved by plans/expand.py before
+    planning)."""
+
+    text: str  # the prefix, without the trailing '*'
+    stream: str = DEFAULT_STREAM
+
+
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """``text~`` / ``text~2`` — expands to dictionary terms within edit
+    distance ``dist`` (Lucene FuzzyQuery shape; resolved by
+    plans/expand.py before planning)."""
+
+    text: str
+    stream: str = DEFAULT_STREAM
+    dist: int = 1
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...] = field(default_factory=tuple)
 
@@ -56,6 +77,12 @@ def fmt(node: Node) -> str:
         return node.text if node.stream == DEFAULT_STREAM else f"{node.stream}:{node.text}"
     if isinstance(node, Phrase):
         body = '"' + " ".join(node.tokens) + '"'
+        return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Prefix):
+        body = f"{node.text}*"
+        return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Fuzzy):
+        body = f"{node.text}~{node.dist}"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
     if isinstance(node, Not):
         return f"Not({fmt(node.child)})"

@@ -27,7 +27,6 @@ from bitfunnel_spark.plans.kernel import (
     _mask,
     _score,
 )
-from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
 _OUT_EMPTY = pd.DataFrame(
@@ -132,7 +131,7 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
 
     from bitfunnel_spark.plans.kernel import filter_terms, use_gram_phrase
 
-    plans = [plan_query(parse_query(q)) for q in queries]
+    plans = [plan_query(index.prepare_query(q)) for q in queries]
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     all_filter_terms = set().union(*(filter_terms(index, p) for p in plans)) if plans else set()
     seg = index.segments.filter(_segment_filter(index, all_filter_terms))

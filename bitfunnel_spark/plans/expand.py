@@ -1,0 +1,80 @@
+"""Dictionary-driven query expansion: prefix (``dat*``) and fuzzy
+(``term~``/``term~2``) terms.
+
+The public design this follows is Lucene's MultiTermQuery rewrite:
+PrefixQuery / FuzzyQuery enumerate matching dictionary terms and rewrite
+into a boolean OR over them, capped at ``max_expansions`` preferring the
+most frequent terms. (The reference engine has no term dictionary with
+retained text — Term.h:44-47 hashes text away — so it cannot offer these;
+our dictionary keeps the text precisely to enable them.)
+
+Scale shape: a prefix expansion is ONE filtered scan of the term
+dictionary with a pushdown-friendly ``StartsWith`` predicate; a fuzzy
+expansion adds a length-band prune (``abs(len(term) - len(q)) <= d``)
+before the JVM-side ``levenshtein``. The cap is a Spark-side TakeOrdered
+(df desc, term asc) — at most ``max_expansions`` terms reach the driver,
+then the rewritten query runs through the normal block-max kernel like any
+hand-written OR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.plans.ast import And, Fuzzy, Node, Not, Or, Phrase, Prefix, Term
+
+MAX_EXPANSIONS = 64
+
+
+def has_expansions(node: Node) -> bool:
+    if isinstance(node, (Prefix, Fuzzy)):
+        return True
+    if isinstance(node, Not):
+        return has_expansions(node.child)
+    if isinstance(node, (And, Or)):
+        return any(has_expansions(c) for c in node.children)
+    return False
+
+
+def _matching_terms(index, node: Prefix | Fuzzy, max_expansions: int) -> list[str]:
+    ts = index.term_stats.filter(F.col("stream") == node.stream)
+    if isinstance(node, Prefix):
+        ts = ts.filter(F.col("term").startswith(node.text))
+    else:
+        q, d = node.text, int(node.dist)
+        ts = ts.filter(
+            (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+        ).filter(F.levenshtein(F.col("term"), F.lit(q)) <= d)
+    rows = (
+        ts.select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _expand(index, node: Node, max_expansions: int) -> Node:
+    if isinstance(node, (Prefix, Fuzzy)):
+        terms = _matching_terms(index, node, max_expansions)
+        if not terms:
+            # no dictionary term matches: rewrite to a token that cannot
+            # tokenize ('*'/'~' never appear in tokens) — empty posting list
+            marker = node.text + ("*" if isinstance(node, Prefix) else "~")
+            return Term(marker, node.stream)
+        if len(terms) == 1:
+            return Term(terms[0], node.stream)
+        return Or(tuple(Term(t, node.stream) for t in sorted(terms)))
+    if isinstance(node, Not):
+        return Not(_expand(index, node.child, max_expansions))
+    if isinstance(node, And):
+        return And(tuple(_expand(index, c, max_expansions) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_expand(index, c, max_expansions) for c in node.children))
+    return node  # Term / Phrase
+
+
+def expand_query(index, node: Node, max_expansions: int = MAX_EXPANSIONS) -> Node:
+    """Resolve every Prefix/Fuzzy node against the index's term dictionary,
+    returning a plain And/Or/Not/Term/Phrase tree the planner accepts."""
+    return _expand(index, node, max_expansions)

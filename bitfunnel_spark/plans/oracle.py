@@ -251,3 +251,35 @@ hits AS (
 SELECT doc_id, round(score, 4) AS score FROM hits
 WHERE doc_id <> {int(doc_id)}
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+def oracle_expansion_search_sql(
+    term_predicate_sql: str,
+    k: int = 10,
+    max_expansions: int = 64,
+    config: BuildConfig | None = None,
+) -> str:
+    """Top-k BM25 oracle for a dictionary-expanded query (plans/expand.py):
+    ``term_predicate_sql`` selects the matching body terms from dfreq (e.g.
+    ``term LIKE 's%'`` or ``levenshtein(term, 'vektor') <= 1``), capped like
+    the engine at ``max_expansions`` preferring (df desc, term asc); the
+    selected terms score as one OR query."""
+    config = config or BuildConfig()
+    k1, b = config.bm25.k1, config.bm25.b
+    return f"""WITH {CORPUS_CTE},
+sel AS (
+  SELECT term FROM dfreq WHERE stream = 'body' AND ({term_predicate_sql})
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r}
+             * coalesce(dl.doclen, 0) / meta.avgdl)))) AS score
+  FROM tf
+  JOIN dfreq USING (stream, term)
+  LEFT JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta
+  WHERE tf.stream = 'body' AND tf.term IN (SELECT term FROM sel)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM hits
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {int(k)}"""

@@ -10,13 +10,32 @@ src/Plan/src/QueryParser.cpp):
 Unigram characters: anything except space and the specials ``& | ( ) " -``;
 ``\`` escapes the next character. Terms are lowercased (the engine tokenizes
 lowercased text). Driver-side pure Python — no Spark here.
+
+Engine extension beyond the reference grammar: a unigram with a trailing
+``*`` is a prefix wildcard (``dat*``), with a trailing ``~``/``~2`` a fuzzy
+term (edit distance 1/2). Both expand against the term dictionary
+(plans/expand.py) into an OR of matching terms before planning.
 """
 
 from __future__ import annotations
 
-from bitfunnel_spark.plans.ast import DEFAULT_STREAM, STREAMS, And, Node, Not, Or, Phrase, Term
+import re
+
+from bitfunnel_spark.plans.ast import (
+    DEFAULT_STREAM,
+    STREAMS,
+    And,
+    Fuzzy,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+)
 
 SPECIALS = set('&|()"- \t\n\r')
+_FUZZY_RE = re.compile(r"([^~*]+)~([0-9]?)")
 
 
 class QueryParseError(ValueError):
@@ -129,6 +148,15 @@ class _Parser:
         if word is None:
             self.i = save
             word = self.parse_unigram()
+        # expansion operators (engine extension beyond the reference
+        # grammar, Lucene PrefixQuery/FuzzyQuery shapes): a trailing '*'
+        # is a prefix wildcard, a trailing '~' (optionally '~2') a fuzzy
+        # term. Resolved against the term dictionary by plans/expand.py.
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            return Prefix(word[:-1], stream)
+        m = _FUZZY_RE.fullmatch(word)
+        if m:
+            return Fuzzy(m.group(1), stream, int(m.group(2) or 1))
         return Term(word, stream)
 
 

@@ -32,7 +32,6 @@ from bitfunnel_spark.plans.kernel import (
     _segment_filter,
     use_positional_phrases,
 )
-from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import plan_query
 from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
 
@@ -138,7 +137,7 @@ def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dic
     if index.segments is None:
         index.build_segments()
     t0 = time.perf_counter()
-    plans = [plan_query(parse_query(q)) for q in queries]
+    plans = [plan_query(index.prepare_query(q)) for q in queries]
     t_parse = time.perf_counter()
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     seg = index.segments.filter(_segment_filter(index, all_terms))

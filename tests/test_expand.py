@@ -1,0 +1,86 @@
+"""Prefix/fuzzy dictionary expansion (plans/expand.py): parser nodes,
+engine-vs-DuckDB-oracle parity on both executors, internal consistency of
+mixed queries, cap and no-match behavior."""
+
+import pytest
+
+from bitfunnel_spark.plans import expand
+from bitfunnel_spark.plans.ast import Fuzzy, Or, Prefix, Term, fmt
+from bitfunnel_spark.plans.oracle import oracle_expansion_search_sql
+from bitfunnel_spark.plans.parser import parse_query
+
+
+def test_parse_expansion_nodes():
+    assert parse_query("dat*") == Prefix("dat")
+    assert parse_query("vektor~") == Fuzzy("vektor", dist=1)
+    assert parse_query("qroup~2") == Fuzzy("qroup", dist=2)
+    assert parse_query("path:txt*") == Prefix("txt", "path")
+    assert fmt(parse_query("dat* -vektor~")) == "And(dat*, Not(vektor~1))"
+    # a bare '*' or mid-token '*'/'~' stays a literal term
+    assert parse_query("a*b") == Term("a*b")
+    assert parse_query("data") == Term("data")
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_prefix_vs_oracle(index, duck, mode):
+    got = [(r["doc_id"], r["score"]) for r in index.search("s*", k=10, mode=mode).collect()]
+    exp = duck.execute(oracle_expansion_search_sql("term LIKE 's%'", k=10)).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_fuzzy_vs_oracle(index, duck, mode):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in index.search("vektor~", k=10, mode=mode).collect()
+    ]
+    exp = duck.execute(
+        oracle_expansion_search_sql("levenshtein(term, 'vektor') <= 1", k=10)
+    ).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+    # sanity: 'vektor~' resolved to the real term 'vector'
+    direct = [
+        (r["doc_id"], r["score"]) for r in index.search("vector", k=10, mode=mode).collect()
+    ]
+    assert got == direct
+
+
+def test_mixed_expansion_consistency(index):
+    expanded = expand.expand_query(index, parse_query("s*"))
+    assert isinstance(expanded, Or) and len(expanded.children) >= 3
+    manual = "(" + " | ".join(t.text for t in expanded.children) + ") & data"
+    a = [(r["doc_id"], r["score"]) for r in index.search("s* & data", k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in index.search(manual, k=10).collect()]
+    assert a == b
+    assert sorted(r["doc_id"] for r in index.match("s* & data").collect()) == sorted(
+        r["doc_id"] for r in index.match(manual).collect()
+    )
+
+
+def test_expansion_cap(index):
+    capped = expand.expand_query(index, parse_query("s*"), max_expansions=2)
+    full = expand.expand_query(index, parse_query("s*"))
+    assert isinstance(capped, Or) and len(capped.children) == 2
+    # the cap keeps the highest-df terms
+    caps = {t.text for t in capped.children}
+    assert caps <= {t.text for t in full.children}
+
+
+def test_no_match_expansion(index):
+    assert index.search("zzzz*", k=5).count() == 0
+    assert index.search("zzzzzzzzzz~", k=5).count() == 0
+    # negated expansion: everything matches (driven by the positive term)
+    n = index.match("data -zzzz*").count()
+    assert n == index.match("data").count()
+
+
+def test_batch_and_profile_expansion(index):
+    res = index.search_many(["s*", "data"], k=5).collect()
+    qids = {r["query_id"] for r in res}
+    assert qids == {0, 1}
+    single = [(r["doc_id"], r["score"]) for r in index.search("s*", k=5).collect()]
+    batch0 = sorted(
+        ((r["doc_id"], r["score"]) for r in res if r["query_id"] == 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert batch0 == single

@@ -26,8 +26,15 @@ class Term(Node):
 
 @dataclass(frozen=True)
 class Phrase(Node):
+    """``"t1 .. tn"`` — ordered adjacency when ``slop`` is 0 (the exact
+    phrase). ``"t1 .. tn"~s`` (slop s > 0, Lucene sloppy-phrase shape, our
+    semantics): positions p1 < p2 < ... < pn exist with total span
+    pn - p1 <= (n-1) + s — order preserved, up to ``s`` extra tokens
+    interleaved anywhere."""
+
     tokens: tuple[str, ...]
     stream: str = DEFAULT_STREAM
+    slop: int = 0
 
     @property
     def text(self) -> str:
@@ -77,6 +84,8 @@ def fmt(node: Node) -> str:
         return node.text if node.stream == DEFAULT_STREAM else f"{node.stream}:{node.text}"
     if isinstance(node, Phrase):
         body = '"' + " ".join(node.tokens) + '"'
+        if node.slop:
+            body += f"~{node.slop}"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
     if isinstance(node, Prefix):
         body = f"{node.text}*"

@@ -35,18 +35,52 @@ from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 _STREAM_TEXT = {"body": "content", "path": "path", "lang": "lang", "repo": "repo"}
 
 
+def _slop_phrase_expr(phrase: Phrase, col: str) -> Column:
+    """Catalyst predicate for a sloppy phrase (ast.Phrase.slop > 0): there
+    exist 0-based token positions p1 < p2 < ... < pn, one per constituent,
+    with pn - p1 <= (n-1) + slop. Built as nested higher-order ``exists``
+    over per-constituent position arrays — pure JVM expressions, no UDF."""
+    toks = tokenize(col)
+
+    # NOTE: pyspark decides unary-vs-binary HOF lambdas by parameter COUNT,
+    # so no default-arg captures here — closures only.
+    def _positions(t: str) -> Column:
+        def mark(x, i):
+            return F.when(x == F.lit(t), i).otherwise(F.lit(-1))
+
+        return F.filter(F.transform(toks, mark), lambda v: v >= 0)
+
+    pos_arrays = [_positions(t) for t in phrase.tokens]
+    n = len(phrase.tokens)
+    span = F.lit(n - 1 + int(phrase.slop))
+
+    def chain(k: int, prev: Column, first: Column) -> Column:
+        if k == n:
+            return F.lit(True)
+
+        def pred(p):
+            return (p > prev) & ((p - first) <= span) & chain(k + 1, p, first)
+
+        return F.exists(pos_arrays[k], pred)
+
+    return F.exists(pos_arrays[0], lambda p0: chain(1, p0, p0))
+
+
 def _phrase_doc_ids(index, phrase: Phrase, candidates: DataFrame | None) -> DataFrame:
-    """doc_ids whose tokenized stream text contains the phrase adjacently.
+    """doc_ids whose tokenized stream text contains the phrase (adjacently
+    when slop is 0; within the slop window otherwise).
 
     Scoped to candidate docs first (semi-join) so the corpus scan + regex
     only touches documents that already contain all constituents. The scale
     path replaces this with positional postings; the semantics anchor stays.
     """
     col = _STREAM_TEXT[phrase.stream]
-    padded = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
     src = index.corpus
     if candidates is not None:
         src = src.join(candidates.select("doc_id"), "doc_id", "left_semi")
+    if getattr(phrase, "slop", 0):
+        return src.filter(_slop_phrase_expr(phrase, col)).select("doc_id")
+    padded = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
     return src.filter(padded.contains(f" {phrase.text} ")).select("doc_id")
 
 

@@ -152,37 +152,77 @@ def _candidates_pruned(ast: Node, raw: dict, gram_phrases=frozenset()) -> np.nda
     return np.unique(np.concatenate(arrs)) if arrs else _EMPTY
 
 
-def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
-    """Docs (within one (shard, slice) group) containing the phrase
-    adjacently, from positional postings — no corpus access.
+MAX_SLOP_PATTERNS = 512
 
-    Each occurrence of constituent k at position p supports a phrase start
-    s = p - k; pack (doc, s) into one int64 key (doc << POS_BITS | s+off)
-    and intersect the start-sets across constituents. Fully vectorized
-    (np.repeat + np.isin). off = max(16, phrase_len) keeps s+off >= 1 for
-    every k (so long phrases never borrow from the doc-id field), and
-    packed values >= 2^POS_BITS are filtered out (indexes whose documents
-    could reach that bound route phrases to the corpus path instead — see
-    _descriptor / POS_SAFE_DOCLEN).
-    """
-    keys = None
-    off = max(16, len(ph.tokens))
+
+def _slop_offset_vectors(n: int, slop: int) -> list[tuple[int, ...]]:
+    """Every position pattern a sloppy phrase allows: strictly increasing
+    offsets (0, o2, .., on) with on <= (n-1)+slop. C((n-1)+slop, n-1)
+    vectors; bounded by MAX_SLOP_PATTERNS (a 2-term phrase allows slop up
+    to 511, a 4-term phrase up to ~13 — beyond that the query is a
+    different operator, not a phrase)."""
+    from itertools import combinations
+    from math import comb
+
+    if comb(n - 1 + slop, n - 1) > MAX_SLOP_PATTERNS:
+        raise ValueError(
+            f"phrase slop {slop} over {n} tokens needs "
+            f"{comb(n - 1 + slop, n - 1)} patterns (max {MAX_SLOP_PATTERNS})"
+        )
+    return [(0, *c) for c in combinations(range(1, n + slop), n - 1)]
+
+
+def phrase_docs_from_positions(ph: Phrase, raw: dict) -> np.ndarray:
+    """Docs (within one (shard, slice) group) containing the phrase,
+    from positional postings — no corpus access.
+
+    Exact phrase (slop 0): each occurrence of constituent k at position p
+    supports a phrase start s = p - k; pack (doc, s) into one int64 key
+    (doc << POS_BITS | s+off) and intersect the start-sets across
+    constituents. Fully vectorized (np.repeat + np.isin). off =
+    max(16, phrase_len + slop) keeps s+off >= 1 for every k (so long
+    phrases never borrow from the doc-id field), and packed values >=
+    2^POS_BITS are filtered out (indexes whose documents could reach that
+    bound route phrases to the corpus path instead — see _descriptor /
+    POS_SAFE_DOCLEN).
+
+    Sloppy phrase (``"a b"~s``, ast.Phrase.slop): the same intersect run
+    once per allowed offset vector (_slop_offset_vectors), union of the
+    resulting doc sets. Constituent positions are decoded ONCE and reused
+    across patterns."""
+    n = len(ph.tokens)
+    slop = int(getattr(ph, "slop", 0))
+    off = max(16, n + slop)
     lim = np.int64(1) << np.int64(POS_BITS)
-    for k, tok in enumerate(ph.tokens):
+    occ: list[tuple[np.ndarray, np.ndarray]] = []
+    for tok in ph.tokens:
         rows = raw.get((ph.stream, tok))
         if rows is None:
             return _EMPTY
         d, t, p = decode_group_positions(rows)
         if d.size == 0:
             return _EMPTY
-        occ_docs = np.repeat(d, t)
-        shifted = p.astype(np.int64) - k + off
-        ok = shifted < lim  # keep the packed key inside the position field
-        kk = (occ_docs[ok] << np.int64(POS_BITS)) + shifted[ok]
-        keys = kk if keys is None else keys[np.isin(keys, kk)]
-        if keys.size == 0:
-            return _EMPTY
-    return np.unique(keys >> np.int64(POS_BITS))
+        occ.append((np.repeat(d, t).astype(np.int64), p.astype(np.int64)))
+    patterns = (
+        [tuple(range(n))] if slop == 0 else _slop_offset_vectors(n, slop)
+    )
+    packed = []
+    for offsets in patterns:
+        keys = None
+        for k in range(n):
+            docs_k, p_k = occ[k]
+            shifted = p_k - offsets[k] + off
+            ok = shifted < lim  # keep the packed key inside the position field
+            kk = (docs_k[ok] << np.int64(POS_BITS)) + shifted[ok]
+            keys = kk if keys is None else keys[np.isin(keys, kk)]
+            if keys.size == 0:
+                keys = None
+                break
+        if keys is not None:
+            packed.append(keys >> np.int64(POS_BITS))
+    if not packed:
+        return _EMPTY
+    return np.unique(np.concatenate(packed))
 
 
 def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
@@ -393,6 +433,7 @@ def use_gram_phrase(index, ph: Phrase) -> bool:
     return (
         1 < len(ph.tokens) <= int(getattr(index.config, "max_gram_size", 1))
         and ph.stream == "body"
+        and getattr(ph, "slop", 0) == 0  # gram postings encode exact adjacency only
         and not use_positional_phrases(index)
     )
 

@@ -60,10 +60,32 @@ def _q(s: str) -> str:
 
 def _phrase_subquery(ph: Phrase) -> str:
     col = _STREAM_TEXT[ph.stream]
+    slop = int(getattr(ph, "slop", 0))
+    if slop == 0:
+        return (
+            "h.doc_id IN (SELECT doc_id FROM corpus WHERE contains("
+            f"' ' || array_to_string(regexp_extract_all({col}, '{_PAT}'), ' ') || ' ', "
+            f"{_q(' ' + ph.text + ' ')}))"
+        )
+    # sloppy phrase: ordered positions p1 < .. < pn with span <= (n-1)+slop
+    n = len(ph.tokens)
+    ptok = (
+        f"(SELECT doc_id, unnest(regexp_extract_all({col}, '{_PAT}')) AS t, "
+        f"unnest(range(1, len(regexp_extract_all({col}, '{_PAT}')) + 1)) AS p "
+        f"FROM corpus)"
+    )
+    joins = [f"{ptok} p1"]
+    conds = [f"p1.t = {_q(ph.tokens[0])}"]
+    for k in range(2, n + 1):
+        joins.append(f"JOIN {ptok} p{k} ON p{k}.doc_id = p1.doc_id AND p{k}.p > p{k - 1}.p")
+        conds.append(f"p{k}.t = {_q(ph.tokens[k - 1])}")
+    conds.append(f"p{n}.p - p1.p <= {n - 1 + slop}")
     return (
-        "h.doc_id IN (SELECT doc_id FROM corpus WHERE contains("
-        f"' ' || array_to_string(regexp_extract_all({col}, '{_PAT}'), ' ') || ' ', "
-        f"{_q(' ' + ph.text + ' ')}))"
+        "h.doc_id IN (SELECT DISTINCT p1.doc_id FROM "
+        + " ".join(joins)
+        + " WHERE "
+        + " AND ".join(conds)
+        + ")"
     )
 
 

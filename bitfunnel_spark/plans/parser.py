@@ -142,9 +142,17 @@ class _Parser:
                 tokens.append(self.parse_unigram())
             if not tokens:
                 raise QueryParseError("empty phrase")
+            slop = 0
+            if self.peek() == "~":  # '"a b"~2' — sloppy phrase (proximity)
+                self.i += 1
+                digits = []
+                while self.peek() is not None and self.peek().isdigit():
+                    digits.append(self.s[self.i])
+                    self.i += 1
+                slop = int("".join(digits) or "1")
             if len(tokens) == 1:
                 return Term(tokens[0], stream)
-            return Phrase(tuple(tokens), stream)
+            return Phrase(tuple(tokens), stream, slop)
         if word is None:
             self.i = save
             word = self.parse_unigram()

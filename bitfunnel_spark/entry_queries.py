@@ -656,6 +656,33 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD
     ).orderBy("id_a", "id_b")
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the exact embedding pair list: connected
+    components with the min id as the canonical representative."""
+    pairs = dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD)
+    return (
+        dedup.connected_components(pairs)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round({_COS}, 4) >= {EMB_NEARDUP_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON e2.b = r.node)
+SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach
+GROUP BY node ORDER BY vec_id"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1042,6 +1069,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["neardup_embedding"] = SQL_NEARDUP_EMBEDDING
     queries["neardup_embedding_lsh"] = q_neardup_embedding_lsh
     oracles["neardup_embedding_lsh"] = SQL_NEARDUP_EMBEDDING_LSH
+    queries["dedup_clusters"] = q_dedup_clusters
+    oracles["dedup_clusters"] = SQL_DEDUP_CLUSTERS
 
     queries["ann_cosine_topk"] = q_ann_cosine_topk
     oracles["ann_cosine_topk"] = SQL_ANN_COSINE_TOPK

@@ -359,3 +359,74 @@ def embedding_neardup_pairs_lsh(
     return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair list: DataFrame[(node,
+    cluster_id)] where cluster_id is the minimum node id of the connected
+    component (the canonical representative). Only nodes that appear in a
+    pair are returned — singletons are their own trivial cluster.
+
+    Algorithm: min-label propagation with pointer-jumping. Each round
+    (a) takes per node the minimum of its own and its neighbors' labels
+    (one edge join + partial-agg groupBy) and (b) shortcuts each label to
+    its label's label (one self-join) — the classic hook+shortcut scheme,
+    so convergence is O(log diameter) rounds, not O(diameter). Every round
+    ends in an EAGER ``localCheckpoint`` — without it the plan for round k
+    embeds all k-1 predecessors and planning time balloons (measured: the
+    cached-only variant grew 1s -> 12s+ per round by iteration 4); the
+    checkpoint truncates lineage so per-round cost is flat. The driver
+    sees ONE scalar per round (the change count), never data — the
+    standard Spark shape for iterative graph algorithms (GraphFrames'
+    label propagation loops the same way).
+    """
+    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    rev = pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b"
+        ).select(F.col("a").alias("node"), F.col("nlbl").alias("lbl"))
+        hooked = labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # shortcut: lbl <- lbl(lbl); labels only decrease, so lbl2 <= lbl
+        new = (
+            hooked.join(
+                hooked.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
+                "lbl",
+                "left",
+            )
+            .select("node", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("node", F.col("lbl").alias("old")), "node")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def neardup_drop_list(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Documents a dedup pass should DROP: every clustered node except its
+    cluster's canonical representative (the minimum id). The standard
+    keep-one-per-cluster policy of LLM-corpus dedup pipelines."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

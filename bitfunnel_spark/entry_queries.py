@@ -876,6 +876,23 @@ SELECT doc_id, n_tokens::INT AS n_tokens, n_ws_tokens::INT AS n_ws_tokens,
 FROM feat ORDER BY doc_id"""
 
 
+def q_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_QUALITY_LOGPROB = f"""WITH b AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS tk FROM documents),
+occ AS (SELECT doc_id, unnest(tk) AS term FROM b),
+cnt AS (SELECT term, count(*) AS c FROM occ GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+lm AS (SELECT term, -log2(c / t) AS bits FROM cnt CROSS JOIN tot),
+doc AS (SELECT occ.doc_id, avg(bits) AS bpt FROM occ JOIN lm USING (term)
+        GROUP BY occ.doc_id)
+SELECT b.doc_id, len(b.tk)::INT AS n_tokens,
+       coalesce(round(d.bpt, 4), 0.0) AS bits_per_token
+FROM b LEFT JOIN doc d USING (doc_id) ORDER BY b.doc_id"""
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_profile(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1101,6 +1118,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["text_profile"] = _sql_text_profile()
     queries["quality_repetition"] = q_quality_repetition
     oracles["quality_repetition"] = SQL_QUALITY_REPETITION
+    queries["quality_logprob"] = q_quality_logprob
+    oracles["quality_logprob"] = SQL_QUALITY_LOGPROB
 
     from bitfunnel_spark.plans.oracle import (
         oracle_facets_sql,

@@ -195,3 +195,47 @@ def repetition_profile(
         .join(top, "doc_id", "left")
         .fillna({"top_bigram_frac": 0.0})
     )
+
+
+def unigram_logprob_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — filter/bucket documents by LM perplexity). The LM slot here is
+    the corpus's own unigram distribution (self-contained, no external
+    model); a KenLM n-gram model drops into the same join without changing
+    the dataflow. Per doc: ``bits_per_token`` = mean over token
+    occurrences of -log2 p(token), i.e. the unigram cross-entropy —
+    high values = unusual token mix (noise, other languages, binary
+    junk), the CCNet "tail" bucket.
+
+    Scale shape: one explode + two partial-agg groupBys to train
+    (occurrences -> term counts), one broadcast-or-shuffle join of
+    occurrences against the |vocab|-row LM, one per-doc avg. The corpus
+    total is the only driver scalar (2-scalar agg precedent:
+    operators/statistics.corpus_meta)."""
+    base = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    occ = base.select("doc_id", F.explode("tk").alias("term"))
+    counts = occ.groupBy("term").agg(F.count("*").alias("c"))
+    total = float(counts.agg(F.sum("c")).collect()[0][0] or 0.0)
+    if total == 0:
+        return base.select(
+            "doc_id",
+            F.lit(0).alias("n_tokens"),
+            F.lit(0.0).alias("bits_per_token"),
+        )
+    lm = counts.select("term", (-F.log2(F.col("c") / F.lit(total))).alias("bits"))
+    doc = (
+        occ.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(F.avg("bits").alias("bpt"))
+    )
+    return (
+        base.join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.coalesce(F.round("bpt", 4), F.lit(0.0)).alias("bits_per_token"),
+        )
+    )

@@ -254,3 +254,25 @@ def test_repetition_profile(spark, duck):
     assert got[1]["dup_line_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 0.0
     assert got[3]["n_lines"] == 1 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_unigram_logprob_profile(spark):
+    import math
+
+    from bitfunnel_spark.operators.text import unigram_logprob_profile
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in unigram_logprob_profile(docs).collect()}
+    # corpus counts: a=3, b=2, c=1, total=6
+    bits = {t: -math.log2(c / 6) for t, c in [("a", 3), ("b", 2), ("c", 1)]}
+    want0 = (3 * bits["a"] + bits["b"]) / 4
+    want1 = (bits["b"] + bits["c"]) / 2
+    assert got[0]["n_tokens"] == 4
+    assert abs(got[0]["bits_per_token"] - round(want0, 4)) < 1e-9
+    assert abs(got[1]["bits_per_token"] - round(want1, 4)) < 1e-9
+    assert got[2] == {"doc_id": 2, "n_tokens": 0, "bits_per_token": 0.0}
+    # rarer mix -> higher cross-entropy
+    assert got[1]["bits_per_token"] > got[0]["bits_per_token"]

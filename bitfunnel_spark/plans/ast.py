@@ -63,6 +63,16 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class Boost(Node):
+    """``term^2`` — multiplies the wrapped term's BM25 contribution
+    (Lucene query-time boost). The planner strips Boost nodes into
+    ``QueryPlan.boosts`` before matching; match semantics are unchanged."""
+
+    child: Node  # a Term (the parser only boosts plain unigrams)
+    factor: float = 1.0
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...] = field(default_factory=tuple)
 
@@ -87,6 +97,8 @@ def fmt(node: Node) -> str:
         if node.slop:
             body += f"~{node.slop}"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Boost):
+        return f"{fmt(node.child)}^{node.factor:g}"
     if isinstance(node, Prefix):
         body = f"{node.text}*"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"

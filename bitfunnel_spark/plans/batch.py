@@ -72,7 +72,10 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
         k = descriptor["k"]
         allow = descriptor.get("allow")
         deny = descriptor.get("deleted")
+        from bitfunnel_spark.plans.planner import effective_idf
+
         for qid, plan in enumerate(plans):
+            qidf = effective_idf(plan, descriptor["idf"])  # per-query boosts
             flat = route_flat(plan.ast) if k is not None else None
             if flat is not None:
                 # block-max pruned paths (plans/wand.py); a single term is a
@@ -80,7 +83,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
                 kind, keys = flat
                 skeys = [("body", t) for t in sorted(plan.scoring_terms)]
                 fn = or_topk if kind == "or" else and_topk
-                res = fn(keys, skeys, descriptor["idf"], k, cache, allow=allow, deny=deny)
+                res = fn(keys, skeys, qidf, k, cache, allow=allow, deny=deny)
                 if len(res):
                     out_q.append(np.full(len(res), qid, dtype=np.int32))
                     out_d.append(res["doc_id"].to_numpy())
@@ -97,7 +100,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             cand = cand[m]
             if cand.size == 0:
                 continue
-            score = _score(cand, postings, sorted(plan.scoring_terms), descriptor["idf"])
+            score = _score(cand, postings, sorted(plan.scoring_terms), qidf)
             if k is not None and cand.size > k:
                 r = np.round(score, 4)
                 idx = np.lexsort((cand, -r))[:k]

@@ -123,9 +123,18 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     # between executors (the kernel reads the partial precomputed at build).
     norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
     partial = F.col("tf") * (bm.k1 + 1.0) / (F.col("tf") + norm)
+    # query-time boosts multiply into idf FIRST — (idf·boost)·partial — the
+    # same association as the kernel's effective_idf, so float64 results
+    # stay bit-identical between executors
+    eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
+    if plan.boosts:
+        boost = F.lit(1.0)
+        for t, b in sorted(plan.boosts.items()):
+            boost = F.when(F.col("term") == F.lit(t), F.lit(float(b))).otherwise(boost)
+        eff_idf = eff_idf * boost
     contrib = F.when(
         (F.col("stream") == BODY) & F.col("term").isin(sorted(plan.scoring_terms)),
-        F.coalesce(F.col("idf"), F.lit(0.0)) * partial,
+        eff_idf * partial,
     ).otherwise(F.lit(0.0))
     return (
         joined.withColumn("contrib", contrib)

@@ -472,8 +472,11 @@ def _restriction_arrays(index, facts: list[str] | None) -> dict:
 
 def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
     # driver-resident hash dictionary (TermTable analogue) when it fits,
-    # else one filtered collect — index.idf_for_terms
-    idf = index.idf_for_terms(plan.terms)
+    # else one filtered collect — index.idf_for_terms; query-time boosts
+    # fold into idf here so every downstream scorer/bound sees (idf·boost)
+    from bitfunnel_spark.plans.planner import effective_idf
+
+    idf = effective_idf(plan, index.idf_for_terms(plan.terms))
     phrase_docs: dict[Phrase, np.ndarray] = {}
     gram_phrases: set = set()
     use_positions = use_positional_phrases(index)

@@ -25,6 +25,7 @@ from bitfunnel_spark.plans.ast import (
     DEFAULT_STREAM,
     STREAMS,
     And,
+    Boost,
     Fuzzy,
     Node,
     Not,
@@ -36,6 +37,7 @@ from bitfunnel_spark.plans.ast import (
 
 SPECIALS = set('&|()"- \t\n\r')
 _FUZZY_RE = re.compile(r"([^~*]+)~([0-9]?)")
+_BOOST_RE = re.compile(r"(.+)\^([0-9]+(?:\.[0-9]+)?)")
 
 
 class QueryParseError(ValueError):
@@ -156,10 +158,19 @@ class _Parser:
         if word is None:
             self.i = save
             word = self.parse_unigram()
-        # expansion operators (engine extension beyond the reference
-        # grammar, Lucene PrefixQuery/FuzzyQuery shapes): a trailing '*'
-        # is a prefix wildcard, a trailing '~' (optionally '~2') a fuzzy
-        # term. Resolved against the term dictionary by plans/expand.py.
+        # engine extensions beyond the reference grammar: a trailing '^N'
+        # is a query-time scoring boost (Lucene boost); a trailing '*' a
+        # prefix wildcard, a trailing '~' (optionally '~2') a fuzzy term
+        # (Lucene PrefixQuery/FuzzyQuery shapes, resolved against the term
+        # dictionary by plans/expand.py).
+        bm = _BOOST_RE.fullmatch(word)
+        if bm:
+            inner = bm.group(1)
+            if inner.endswith(("*", "~")) or _FUZZY_RE.fullmatch(inner):
+                raise QueryParseError(
+                    f"boost on an expansion term is not supported: {word!r}"
+                )
+            return Boost(Term(inner, stream), float(bm.group(2)))
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             return Prefix(word[:-1], stream)
         m = _FUZZY_RE.fullmatch(word)

@@ -12,11 +12,35 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.ast import And, Boost, Node, Not, Or, Phrase, Term
 
 
 class QueryPlanError(ValueError):
     pass
+
+
+def strip_boosts(node: Node, boosts: dict[str, float]) -> Node:
+    """Replace Boost(Term, f) wrappers with the bare Term, accumulating
+    body-term factors (multiplicatively for repeats) into ``boosts``.
+    Match semantics are untouched — only scoring consumes the dict."""
+    if isinstance(node, Boost):
+        inner = strip_boosts(node.child, boosts)
+        if isinstance(inner, Term) and inner.stream == "body":
+            boosts[inner.text] = boosts.get(inner.text, 1.0) * float(node.factor)
+        return inner
+    if isinstance(node, Not):
+        return Not(strip_boosts(node.child, boosts))
+    if isinstance(node, (And, Or)):
+        return type(node)(tuple(strip_boosts(c, boosts) for c in node.children))
+    return node
+
+
+def effective_idf(plan, idf: dict[str, float]) -> dict[str, float]:
+    """Query-time boosted idf: contribution = (idf·boost)·partial — the
+    single multiply-in point every scoring path shares."""
+    if not getattr(plan, "boosts", None):
+        return idf
+    return {t: v * plan.boosts.get(t, 1.0) for t, v in idf.items()}
 
 
 def normalize(node: Node) -> Node:
@@ -118,9 +142,12 @@ class QueryPlan:
     terms: set[tuple[str, str]]  # all (stream, token) incl. phrase constituents
     scoring_terms: set[str]  # positive body tokens that contribute BM25
     phrases: list[tuple[Phrase, bool]] = field(default_factory=list)
+    boosts: dict[str, float] = field(default_factory=dict)  # body term -> factor
 
 
 def plan_query(node: Node) -> QueryPlan:
+    boosts: dict[str, float] = {}
+    node = strip_boosts(node, boosts)
     node = normalize(node)
     if not requires_positive(node):
         raise QueryPlanError(
@@ -132,4 +159,5 @@ def plan_query(node: Node) -> QueryPlan:
         terms=collect_terms(node),
         scoring_terms=positive_scoring_terms(node),
         phrases=collect_phrases(node),
+        boosts=boosts,
     )

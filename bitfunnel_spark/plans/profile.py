@@ -68,7 +68,10 @@ def _profiled_batch_kernel(plans, descriptor):
         }
         k = descriptor["k"]
         out = []
+        from bitfunnel_spark.plans.planner import effective_idf
+
         for qid, plan in enumerate(plans):
+            qidf = effective_idf(plan, descriptor["idf"])
             stats: dict = {}
             cache = BlockCache(raw, stats)  # fresh per query: exact attribution
             t0 = time.perf_counter()
@@ -77,7 +80,7 @@ def _profiled_batch_kernel(plans, descriptor):
             if flat is not None:
                 kind, keys = flat
                 fn = or_topk if kind == "or" else and_topk
-                res = fn(keys, skeys, descriptor["idf"], k, cache)
+                res = fn(keys, skeys, qidf, k, cache)
                 nrows = len(res)
                 # blocks_total counts only terms the traversal touched; add
                 # untouched terms' blocks so the denominator is the query's
@@ -108,7 +111,7 @@ def _profiled_batch_kernel(plans, descriptor):
                     m = _mask(plan.ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
                     cand = cand[m]
                     if cand.size:
-                        score = _score(cand, postings, sorted(plan.scoring_terms), descriptor["idf"])
+                        score = _score(cand, postings, sorted(plan.scoring_terms), qidf)
                         nrows = min(cand.size, k) if k is not None else cand.size
                         del score
             ms = (time.perf_counter() - t0) * 1000.0

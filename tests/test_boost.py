@@ -1,0 +1,53 @@
+"""Query-time term boosts (`term^2`): parser/planner stripping, both
+executors vs the DuckDB oracle, batch path, and boost-neutrality at 1.0."""
+
+import pytest
+
+from bitfunnel_spark.plans.ast import Boost, Term
+from bitfunnel_spark.plans.oracle import oracle_search_sql
+from bitfunnel_spark.plans.parser import QueryParseError, parse_query
+from bitfunnel_spark.plans.planner import plan_query
+
+
+def test_parse_and_strip():
+    assert parse_query("data^2") == Boost(Term("data"), 2.0)
+    assert parse_query("data^0.5") == Boost(Term("data"), 0.5)
+    plan = plan_query(parse_query("data^2 fast"))
+    assert plan.boosts == {"data": 2.0}
+    assert ("body", "data") in plan.terms  # match semantics unchanged
+    with pytest.raises(QueryParseError):
+        parse_query("dat*^2")  # boost on expansions unsupported
+
+
+@pytest.mark.parametrize("q", ["data^2 fast", "dup^3 | vector", "data^0.5 -slow"])
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_boost_vs_oracle(index, duck, q, mode):
+    got = [(r["doc_id"], r["score"]) for r in index.search(q, k=10, mode=mode).collect()]
+    exp = duck.execute(oracle_search_sql(q, k=10)).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got, f"{q!r} {mode}"
+
+
+def test_boost_changes_ranking(index):
+    base = [r["doc_id"] for r in index.search("data fast", k=10).collect()]
+    boosted = [r["doc_id"] for r in index.search("data^5 fast", k=10).collect()]
+    assert base != boosted  # a 5x boost on one term must reorder the top-10
+    # match sets identical — boosts affect scoring only
+    a = sorted(r["doc_id"] for r in index.match("data fast").collect())
+    b = sorted(r["doc_id"] for r in index.match("data^5 fast").collect())
+    assert a == b
+
+
+def test_boost_one_is_neutral(index):
+    a = [(r["doc_id"], r["score"]) for r in index.search("data fast", k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in index.search("data^1 fast", k=10).collect()]
+    assert a == b
+
+
+def test_boost_in_batch(index):
+    res = index.search_many(["data^2 fast", "data fast"], k=5).collect()
+    b0 = sorted(
+        ((r["doc_id"], r["score"]) for r in res if r["query_id"] == 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    single = [(r["doc_id"], r["score"]) for r in index.search("data^2 fast", k=5, mode="kernel").collect()]
+    assert b0 == single

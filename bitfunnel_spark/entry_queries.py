@@ -84,6 +84,7 @@ SEARCH_QUERIES = {
     "ft_bm25_phrase": ('"batch batch"', "kernel"),
     "ft_bm25_slop": ('"batch data"~2', "kernel"),
     "ft_bm25_boost": ("data^2 fast", "kernel"),
+    "ft_bm25_field_boost": ("path:txt^2 data", "dataframe"),
     "ft_bm25_field": ("lang:en data", "dataframe"),
     "ft_bm25_path": ("path:txt data fast", "kernel"),
 }

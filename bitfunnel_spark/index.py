@@ -104,6 +104,29 @@ class FullTextIndex:
         by_key = {int(r[0]): float(r[1]) for r in rows}
         return {t: by_key[k] for t, k in keys.items() if k in by_key}
 
+    def idf_for_keys(self, terms) -> dict:
+        """{(stream, term): idf} for a query's keys — ALL streams (the
+        field-weighted scoring path needs non-body idf too). Same lookup
+        machinery as idf_for_terms: resident map when it fits, else one
+        bucket-pruned filtered collect."""
+        from bitfunnel_spark.operators.segments import _term_bucket_py, _term_key_py
+
+        pairs = sorted({(s, t) for s, t in terms})
+        keys = {p: _term_key_py(p[0], p[1]) for p in pairs}
+        m = self.idf_map()
+        if m is not None:
+            return {p: m[k] for p, k in keys.items() if k in m}
+        ks = self._key_stats_df()
+        pred = F.col("term_key").isin(list(keys.values()))
+        if "term_bucket" in ks.columns:
+            buckets = sorted(
+                {_term_bucket_py(k, self.config.term_buckets) for k in keys.values()}
+            )
+            pred = F.col("term_bucket").isin(buckets) & pred
+        rows = ks.filter(pred).select("term_key", "idf").collect()
+        by_key = {int(r[0]): float(r[1]) for r in rows}
+        return {p: by_key[k] for p, k in keys.items() if k in by_key}
+
     # ---- soft deletes + fact sets -------------------------------------
 
     def delete_docs(self, doc_ids) -> None:

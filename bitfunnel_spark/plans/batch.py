@@ -81,7 +81,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
                 # block-max pruned paths (plans/wand.py); a single term is a
                 # 1-conjunct AND — same block-max traversal
                 kind, keys = flat
-                skeys = [("body", t) for t in sorted(plan.scoring_terms)]
+                skeys = sorted(plan.scoring_keys)
                 fn = or_topk if kind == "or" else and_topk
                 res = fn(keys, skeys, qidf, k, cache, allow=allow, deny=deny)
                 if len(res):
@@ -100,7 +100,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             cand = cand[m]
             if cand.size == 0:
                 continue
-            score = _score(cand, postings, sorted(plan.scoring_terms), qidf)
+            score = _score(cand, postings, sorted(plan.scoring_keys), qidf)
             if k is not None and cand.size > k:
                 r = np.round(score, 4)
                 idx = np.lexsort((cand, -r))[:k]
@@ -141,7 +141,7 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
 
     # driver-resident hash dictionary (TermTable analogue) when it fits,
     # else one filtered collect — index.idf_for_terms
-    idf = index.idf_for_terms(all_terms)
+    idf = index.idf_for_keys(all_terms)
     from bitfunnel_spark.plans.kernel import use_positional_phrases
 
     phrase_docs = {}

@@ -16,7 +16,8 @@ Semantics (SURVEY §2.5):
 - Phrase = adjacency of constituent tokens (exact, via the tokenized text);
   constituents also contribute to BM25 like unigrams (the reference treats a
   phrase as the AND of its grams — TermMatchTreeConverter.cpp:55-229).
-- Scoring: standard BM25 over the positive BODY-stream terms present.
+- Scoring: BM25 over the positive scoring keys — body terms always, non-body
+  (field) terms when query-boosted (field-weighted scoring).
 - Determinism contract with the oracle: score rounded half-up to 4 dp,
   ordered (score desc, doc_id asc), ties broken by doc_id.
 """
@@ -27,7 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.functions.tokenizer import tokenize
-from bitfunnel_spark.operators.statistics import BODY
 from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
@@ -129,12 +129,16 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
     if plan.boosts:
         boost = F.lit(1.0)
-        for t, b in sorted(plan.boosts.items()):
-            boost = F.when(F.col("term") == F.lit(t), F.lit(float(b))).otherwise(boost)
+        for (s, t), b in sorted(plan.boosts.items()):
+            boost = F.when(
+                F.col("key") == F.lit(f"{s}:{t}"), F.lit(float(b))
+            ).otherwise(boost)
         eff_idf = eff_idf * boost
+    # body keys always score; non-body keys score when field-boosted
+    # (plan.scoring_keys — planner.plan_query)
+    score_keys = sorted(f"{s}:{t}" for s, t in plan.scoring_keys)
     contrib = F.when(
-        (F.col("stream") == BODY) & F.col("term").isin(sorted(plan.scoring_terms)),
-        eff_idf * partial,
+        F.col("key").isin(score_keys), eff_idf * partial
     ).otherwise(F.lit(0.0))
     return (
         joined.withColumn("contrib", contrib)

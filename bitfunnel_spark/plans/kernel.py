@@ -264,17 +264,19 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     raise TypeError(type(node))
 
 
-def _score(cand: np.ndarray, postings, scoring_terms: list[str], idf: dict[str, float]) -> np.ndarray:
-    """BM25 from stored partials: score = Σ idf_t · partial_t(doc)."""
+def _score(cand: np.ndarray, postings, scoring_keys: list, idf: dict) -> np.ndarray:
+    """BM25 from stored partials: score = Σ over scoring (stream, term)
+    keys of idf_key · partial_key(doc). Keys and idf are (stream, term)-
+    keyed — body terms always, non-body keys when field-boosted."""
     score = np.zeros(cand.shape, dtype=np.float64)
-    for t in scoring_terms:
-        docs, _tfs, parts = postings.get(("body", t), (_EMPTY, _EMPTY, _EMPTYF))
+    for key in scoring_keys:
+        docs, _tfs, parts = postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))
         if docs.size == 0:
             continue
         m = _member(docs, cand)
         if not m.any():
             continue
-        score[m] += idf.get(t, 0.0) * parts[np.searchsorted(docs, cand[m])]
+        score[m] += idf.get(key, 0.0) * parts[np.searchsorted(docs, cand[m])]
     return score
 
 
@@ -327,7 +329,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
     from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
 
     ast = plan.ast
-    scoring = sorted(plan.scoring_terms)
+    scoring = sorted(plan.scoring_keys)
 
     gram_set = frozenset(descriptor.get("gram_phrases") or frozenset())
     keymap = _keymap(
@@ -350,13 +352,13 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             k0 is not None
             and not restricted
             and isinstance(ast, Term)
-            and ast.stream == "body"
-            and descriptor["idf"].get(ast.text, 0.0) > 0
+            and (ast.stream, ast.text) in plan.scoring_keys
+            and descriptor["idf"].get((ast.stream, ast.text), 0.0) > 0
         ):
             rows = raw.get((ast.stream, ast.text))
             if rows is None:
                 return _OUT_EMPTY
-            return _single_term_topk(rows, descriptor["idf"][ast.text], k0)
+            return _single_term_topk(rows, descriptor["idf"][(ast.stream, ast.text)], k0)
         flat = route_flat(ast) if k0 is not None else None
         if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
             # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
@@ -364,7 +366,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             # reference's fact rows + "document active" row, Row.h:34-35)
             kind, keys = flat
             cache = BlockCache(raw)
-            skeys = [("body", t) for t in scoring]
+            skeys = scoring  # (stream, term) scoring keys
             fn = or_topk if kind == "or" else and_topk
             return fn(keys, skeys, descriptor["idf"], k0, cache, allow=allow, deny=deny)
         cand = _candidates_pruned(ast, raw, gram_set)
@@ -476,7 +478,7 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
     # fold into idf here so every downstream scorer/bound sees (idf·boost)
     from bitfunnel_spark.plans.planner import effective_idf
 
-    idf = effective_idf(plan, index.idf_for_terms(plan.terms))
+    idf = effective_idf(plan, index.idf_for_keys(plan.terms))
     phrase_docs: dict[Phrase, np.ndarray] = {}
     gram_phrases: set = set()
     use_positions = use_positional_phrases(index)

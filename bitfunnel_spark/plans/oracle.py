@@ -114,22 +114,24 @@ def _as_plan(query) -> QueryPlan:
 def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
     keys = sorted(f"{s}:{t}" for s, t in plan.terms)
     key_list = ", ".join(_q(k) for k in keys)
-    scoring = sorted(plan.scoring_terms)
+    scoring = sorted(getattr(plan, "scoring_keys", set()))
     k1, b = config.bm25.k1, config.bm25.b
     if scoring:
-        scoring_list = ", ".join(_q(t) for t in scoring)
+        # scoring is (stream, term)-keyed: body keys always, non-body keys
+        # when field-boosted (planner.plan_query)
+        scoring_list = ", ".join(_q(f"{s}:{t}") for s, t in scoring)
         # association mirrors both Spark executors: (idf·boost) * partial —
         # SQL '*' is left-associative, so idf * boost * partial groups the
         # same way as planner.effective_idf followed by the scorer
         boost_sql = ""
         if getattr(plan, "boosts", None):
             whens = " ".join(
-                f"WHEN {_q(t)} THEN {float(f)!r}"
-                for t, f in sorted(plan.boosts.items())
+                f"WHEN {_q(f'{s}:{t}')} THEN {float(f)!r}"
+                for (s, t), f in sorted(plan.boosts.items())
             )
-            boost_sql = f"* CASE tf.term {whens} ELSE 1.0 END "
+            boost_sql = f"* CASE (tf.stream || ':' || tf.term) {whens} ELSE 1.0 END "
         contrib = (
-            f"CASE WHEN tf.stream = 'body' AND tf.term IN ({scoring_list}) THEN "
+            f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
             f"ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
             f"{boost_sql}"
             f"* (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "

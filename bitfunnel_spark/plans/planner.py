@@ -19,14 +19,19 @@ class QueryPlanError(ValueError):
     pass
 
 
-def strip_boosts(node: Node, boosts: dict[str, float]) -> Node:
+def strip_boosts(node: Node, boosts: dict[tuple[str, str], float]) -> Node:
     """Replace Boost(Term, f) wrappers with the bare Term, accumulating
-    body-term factors (multiplicatively for repeats) into ``boosts``.
-    Match semantics are untouched — only scoring consumes the dict."""
+    (stream, token)-keyed factors (multiplicatively for repeats) into
+    ``boosts``. Match semantics are untouched — only scoring consumes the
+    dict. Boosting a NON-body term (``path:txt^2``) additionally promotes
+    that field key into the scoring set: field-weighted relevance (the
+    Lucene multi-field query-boost shape; a linear per-field BM25
+    combination, not saturation-mixing BM25F — documented difference)."""
     if isinstance(node, Boost):
         inner = strip_boosts(node.child, boosts)
-        if isinstance(inner, Term) and inner.stream == "body":
-            boosts[inner.text] = boosts.get(inner.text, 1.0) * float(node.factor)
+        if isinstance(inner, Term):
+            key = (inner.stream, inner.text)
+            boosts[key] = boosts.get(key, 1.0) * float(node.factor)
         return inner
     if isinstance(node, Not):
         return Not(strip_boosts(node.child, boosts))
@@ -35,12 +40,15 @@ def strip_boosts(node: Node, boosts: dict[str, float]) -> Node:
     return node
 
 
-def effective_idf(plan, idf: dict[str, float]) -> dict[str, float]:
-    """Query-time boosted idf: contribution = (idf·boost)·partial — the
-    single multiply-in point every scoring path shares."""
+def effective_idf(
+    plan, idf: dict[tuple[str, str], float]
+) -> dict[tuple[str, str], float]:
+    """Query-time boosted idf, keyed (stream, term): contribution =
+    (idf·boost)·partial — the single multiply-in point every scoring path
+    shares."""
     if not getattr(plan, "boosts", None):
         return idf
-    return {t: v * plan.boosts.get(t, 1.0) for t, v in idf.items()}
+    return {k: v * plan.boosts.get(k, 1.0) for k, v in idf.items()}
 
 
 def normalize(node: Node) -> Node:
@@ -120,6 +128,29 @@ def positive_scoring_terms(node: Node) -> set[str]:
     return out
 
 
+def positive_keys(node: Node) -> set[tuple[str, str]]:
+    """Every positive (stream, token) occurrence — the candidate scoring
+    surface. Body keys always score; non-body keys score only when the
+    query boosts them (field-weighted scoring, see plan_query)."""
+    out: set[tuple[str, str]] = set()
+
+    def walk(n: Node, neg: bool) -> None:
+        if isinstance(n, Term):
+            if not neg:
+                out.add((n.stream, n.text))
+        elif isinstance(n, Phrase):
+            if not neg:
+                out.update((n.stream, t) for t in n.tokens)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, neg)
+
+    walk(node, False)
+    return out
+
+
 def requires_positive(node: Node) -> bool:
     """True iff every matching document must contain ≥1 positive term —
     the condition under which hit-set evaluation (and any posting-driven
@@ -142,7 +173,8 @@ class QueryPlan:
     terms: set[tuple[str, str]]  # all (stream, token) incl. phrase constituents
     scoring_terms: set[str]  # positive body tokens that contribute BM25
     phrases: list[tuple[Phrase, bool]] = field(default_factory=list)
-    boosts: dict[str, float] = field(default_factory=dict)  # body term -> factor
+    boosts: dict[tuple[str, str], float] = field(default_factory=dict)  # (stream, term) -> factor
+    scoring_keys: set[tuple[str, str]] = field(default_factory=set)  # keys that contribute BM25
 
 
 def plan_query(node: Node) -> QueryPlan:
@@ -154,10 +186,14 @@ def plan_query(node: Node) -> QueryPlan:
             "query match set is not driven by any positive term "
             "(pure-NOT / NOT-only disjunct); not evaluable by a posting-driven engine"
         )
+    pos = positive_keys(node)
     return QueryPlan(
         ast=node,
         terms=collect_terms(node),
         scoring_terms=positive_scoring_terms(node),
         phrases=collect_phrases(node),
         boosts=boosts,
+        # body keys always score; non-body keys score only when boosted
+        # (field-weighted scoring) — matching stays stream-agnostic
+        scoring_keys={k for k in pos if k[0] == "body" or k in boosts},
     )

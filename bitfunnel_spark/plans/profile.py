@@ -76,7 +76,7 @@ def _profiled_batch_kernel(plans, descriptor):
             cache = BlockCache(raw, stats)  # fresh per query: exact attribution
             t0 = time.perf_counter()
             flat = route_flat(plan.ast) if k is not None else None
-            skeys = [("body", t) for t in sorted(plan.scoring_terms)]
+            skeys = sorted(plan.scoring_keys)
             if flat is not None:
                 kind, keys = flat
                 fn = or_topk if kind == "or" else and_topk
@@ -111,7 +111,7 @@ def _profiled_batch_kernel(plans, descriptor):
                     m = _mask(plan.ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
                     cand = cand[m]
                     if cand.size:
-                        score = _score(cand, postings, sorted(plan.scoring_terms), qidf)
+                        score = _score(cand, postings, sorted(plan.scoring_keys), qidf)
                         nrows = min(cand.size, k) if k is not None else cand.size
                         del score
             ms = (time.perf_counter() - t0) * 1000.0
@@ -144,7 +144,7 @@ def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dic
     t_parse = time.perf_counter()
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     seg = index.segments.filter(_segment_filter(index, all_terms))
-    idf = index.idf_for_terms(all_terms)
+    idf = index.idf_for_keys(all_terms)
     phrase_docs: dict = {}
     use_positions = use_positional_phrases(index)
     if not use_positions:

@@ -174,7 +174,7 @@ def score_selected(
     float accumulation is bit-identical to the exhaustive path."""
     score = np.zeros(cand.shape, dtype=np.float64)
     for key in scoring_keys:
-        w = idf.get(key[1], 0.0)
+        w = idf.get(key, 0.0)
         if w == 0.0:
             continue
         docs, parts = cache.docs_partials_for(key, cand)
@@ -277,7 +277,7 @@ def and_topk(
     scoring_set = set(scoring_keys)
     ub = np.zeros(d_first.shape, dtype=np.float64)
     if driver in scoring_set:
-        ub += idf.get(driver[1], 0.0) * d_maxp
+        ub += idf.get(driver, 0.0) * d_maxp
     for key in keys[1:]:
         f, l, mp = cache.meta(key)[:3]
         if f.size == 0:
@@ -286,7 +286,7 @@ def and_topk(
         dead = hi <= lo
         if key in scoring_set:
             om = _range_max(mp, lo, hi)
-            ub = ub + np.where(dead, -np.inf, idf.get(key[1], 0.0) * np.maximum(om, 0.0))
+            ub = ub + np.where(dead, -np.inf, idf.get(key, 0.0) * np.maximum(om, 0.0))
         else:
             ub[dead] = -np.inf
     order = np.argsort(-ub, kind="stable")
@@ -335,7 +335,12 @@ def or_topk(
     score beats that bound, the block (or the whole remaining term tail) is
     skipped. Every emitted doc is scored exactly over ALL terms."""
     keys = sorted(set(or_keys))
-    maxc = {key: idf.get(key[1], 0.0) * cache.max_partial(key) for key in keys}
+    scoring_set = set(scoring_keys)
+
+    def _w(key):  # weight only for scoring keys — bounds stay tight
+        return idf.get(key, 0.0) if key in scoring_set else 0.0
+
+    maxc = {key: _w(key) * cache.max_partial(key) for key in keys}
     order = sorted(keys, key=lambda kk: (-maxc[kk], kk))
     suffix = np.zeros(len(order) + 1, dtype=np.float64)
     for i in range(len(order) - 1, -1, -1):
@@ -351,7 +356,7 @@ def or_topk(
         f, _l, mp = cache.meta(key)[:3]
         if f.size == 0:
             continue
-        w = idf.get(key[1], 0.0)
+        w = _w(key)
         if count >= k:
             bsel = np.flatnonzero(w * mp + suffix[i + 1] >= kth - EPS)
         else:

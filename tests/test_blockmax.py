@@ -117,7 +117,7 @@ def _exhaustive(raw, keys, skeys, idf, k, kind):
     for s, t in skeys:
         d, _tf, p = full.get((s, t), (np.empty(0, np.int64), None, np.empty(0)))
         m = _member(d, cand)
-        score[m] += idf.get(t, 0.0) * p[np.searchsorted(d, cand[m])]
+        score[m] += idf.get((s, t), 0.0) * p[np.searchsorted(d, cand[m])]
     r4 = np.round(score, 4)
     idx = np.lexsort((cand, -r4))[:k]
     return list(zip(cand[idx].tolist(), r4[idx].tolist()))
@@ -136,7 +136,7 @@ def test_and_topk_prunes_blocks():
     # common "b": docs 0..127, tf 1 → 32 blocks of 4
     b = _seg_rows(list(range(128)), [1] * 128, [10.0] * 128)
     raw = {("body", "a"): a, ("body", "b"): b}
-    idf = {"a": 3.0, "b": 0.05}
+    idf = {("body", "a"): 3.0, ("body", "b"): 0.05}
     skeys = [("body", "a"), ("body", "b")]
     keys = [("body", "a"), ("body", "b")]
     stats = {}
@@ -159,7 +159,7 @@ def test_or_topk_prunes_terms():
     a = _seg_rows([0, 1, 2, 3], [5] * 4, [5.0] * 4)              # rare, strong
     b = _seg_rows(list(range(128)), [1] * 128, [10.0] * 128)     # common, weak
     raw = {("body", "a"): a, ("body", "b"): b}
-    idf = {"a": 3.0, "b": 0.001}
+    idf = {("body", "a"): 3.0, ("body", "b"): 0.001}
     keys = [("body", "a"), ("body", "b")]
     stats = {}
     got = or_topk(keys, keys, idf, 3, BlockCache(raw, stats))

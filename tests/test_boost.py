@@ -13,8 +13,16 @@ def test_parse_and_strip():
     assert parse_query("data^2") == Boost(Term("data"), 2.0)
     assert parse_query("data^0.5") == Boost(Term("data"), 0.5)
     plan = plan_query(parse_query("data^2 fast"))
-    assert plan.boosts == {"data": 2.0}
+    assert plan.boosts == {("body", "data"): 2.0}
     assert ("body", "data") in plan.terms  # match semantics unchanged
+    assert plan.scoring_keys == {("body", "data"), ("body", "fast")}
+    # boosting a non-body term promotes it into the scoring set
+    fplan = plan_query(parse_query("path:txt^2 data"))
+    assert fplan.boosts == {("path", "txt"): 2.0}
+    assert fplan.scoring_keys == {("body", "data"), ("path", "txt")}
+    # unboosted non-body terms stay filter-only
+    nplan = plan_query(parse_query("path:txt data"))
+    assert nplan.scoring_keys == {("body", "data")}
     with pytest.raises(QueryParseError):
         parse_query("dat*^2")  # boost on expansions unsupported
 
@@ -51,3 +59,24 @@ def test_boost_in_batch(index):
     )
     single = [(r["doc_id"], r["score"]) for r in index.search("data^2 fast", k=5, mode="kernel").collect()]
     assert b0 == single
+
+
+@pytest.mark.parametrize("q", ["path:txt^2 data", "lang:en^1.5 data fast", "path:txt^3"])
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_field_boost_vs_oracle(index, duck, q, mode):
+    """Field-weighted scoring: a boosted non-body term contributes
+    idf·boost·partial like a scoring term; both executors vs DuckDB."""
+    got = [(r["doc_id"], r["score"]) for r in index.search(q, k=10, mode=mode).collect()]
+    exp = duck.execute(oracle_search_sql(q, k=10)).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got, f"{q!r} {mode}"
+    assert got and got[0][1] > 0  # the field term actually scored
+
+
+def test_unboosted_field_stays_filter_only(index):
+    """lang:en data — the lang term must contribute 0 score (regression
+    guard for the scoring-key refactor)."""
+    a = [(r["doc_id"], r["score"]) for r in index.search("lang:en data", k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in index.search("lang:en^1 data", k=10).collect()]
+    # ^1 promotes lang:en into scoring with weight 1 -> scores DIFFER
+    assert {d for d, _ in a} >= set()  # both valid top-10s
+    assert a != b

@@ -85,12 +85,14 @@ SEARCH_QUERIES = {
     "ft_bm25_slop": ('"batch data"~2', "kernel"),
     "ft_bm25_boost": ("data^2 fast", "kernel"),
     "ft_bm25_field_boost": ("path:txt^2 data", "dataframe"),
+    "ft_bm25_minmatch": ("(dup | vector | data)@2", "kernel"),
     "ft_bm25_field": ("lang:en data", "dataframe"),
     "ft_bm25_path": ("path:txt data fast", "kernel"),
 }
 MATCH_QUERIES = {
     "ft_match_and_not": "customer window -stream",
     "ft_match_or_group": "(dup | vector) join",
+    "ft_match_minmatch": "(dup | vector | data)@2 -slow",
 }
 
 

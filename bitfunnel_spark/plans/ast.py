@@ -79,7 +79,12 @@ class And(Node):
 
 @dataclass(frozen=True)
 class Or(Node):
+    """Disjunction; ``min_match`` > 1 makes it a minimum-should-match group
+    (Lucene minimumShouldMatch): a doc matches when at least ``min_match``
+    children match. Parser syntax: ``(a | b | c)@2``."""
+
     children: tuple[Node, ...] = field(default_factory=tuple)
+    min_match: int = 1
 
 
 @dataclass(frozen=True)
@@ -110,5 +115,6 @@ def fmt(node: Node) -> str:
     if isinstance(node, And):
         return "And(" + ", ".join(fmt(c) for c in node.children) + ")"
     if isinstance(node, Or):
-        return "Or(" + ", ".join(fmt(c) for c in node.children) + ")"
+        body = "Or(" + ", ".join(fmt(c) for c in node.children) + ")"
+        return body if node.min_match <= 1 else f"{body}@{node.min_match}"
     raise TypeError(type(node))

@@ -97,6 +97,12 @@ def _bool_expr(node: Node, phrase_cols: dict[Phrase, str]) -> Column:
             out = out & _bool_expr(c, phrase_cols)
         return out
     if isinstance(node, Or):
+        mm = getattr(node, "min_match", 1)
+        if mm > 1:  # minimum-should-match: count matching children
+            total = F.lit(0)
+            for c in node.children:
+                total = total + _bool_expr(c, phrase_cols).cast("int")
+            return total >= F.lit(mm)
         out = F.lit(False)
         for c in node.children:
             out = out | _bool_expr(c, phrase_cols)

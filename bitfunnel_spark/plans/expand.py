@@ -70,7 +70,10 @@ def _expand(index, node: Node, max_expansions: int) -> Node:
     if isinstance(node, And):
         return And(tuple(_expand(index, c, max_expansions) for c in node.children))
     if isinstance(node, Or):
-        return Or(tuple(_expand(index, c, max_expansions) for c in node.children))
+        return Or(
+            tuple(_expand(index, c, max_expansions) for c in node.children),
+            node.min_match,
+        )
     return node  # Term / Phrase
 
 

@@ -257,10 +257,17 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
             out &= _mask(c, cand, postings, phrase_docs)
         return out
     if isinstance(node, Or):
-        out = np.zeros(cand.shape, dtype=bool)
+        mm = getattr(node, "min_match", 1)
+        if mm <= 1:
+            out = np.zeros(cand.shape, dtype=bool)
+            for c in node.children:
+                out |= _mask(c, cand, postings, phrase_docs)
+            return out
+        # minimum-should-match: count matching children per candidate
+        n = np.zeros(cand.shape, dtype=np.int32)
         for c in node.children:
-            out |= _mask(c, cand, postings, phrase_docs)
-        return out
+            n += _mask(c, cand, postings, phrase_docs)
+        return n >= mm
     raise TypeError(type(node))
 
 

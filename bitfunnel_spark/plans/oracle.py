@@ -99,6 +99,11 @@ def _bool_sql(node: Node) -> str:
     if isinstance(node, And):
         return "(" + " AND ".join(_bool_sql(c) for c in node.children) + ")"
     if isinstance(node, Or):
+        if getattr(node, "min_match", 1) > 1:
+            counted = " + ".join(
+                f"CAST({_bool_sql(c)} AS INT)" for c in node.children
+            )
+            return f"(({counted}) >= {node.min_match})"
         return "(" + " OR ".join(_bool_sql(c) for c in node.children) + ")"
     raise TypeError(type(node))
 

@@ -99,6 +99,21 @@ class _Parser:
             node = self.parse_or()
             self.skip_ws()
             self.expect(")")
+            if self.peek() == "@":  # '(a | b | c)@2' — minimum-should-match
+                self.i += 1
+                digits = []
+                while self.peek() is not None and self.peek().isdigit():
+                    digits.append(self.s[self.i])
+                    self.i += 1
+                if not digits:
+                    raise QueryParseError("expected a count after '@'")
+                m = int("".join(digits))
+                if not isinstance(node, Or):
+                    raise QueryParseError(
+                        "min-should-match '@N' requires an OR group of 2+ terms"
+                    )
+                if m > 1:
+                    node = Or(node.children, m)
             return node
         return self.parse_term()
 

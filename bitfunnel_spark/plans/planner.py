@@ -35,8 +35,12 @@ def strip_boosts(node: Node, boosts: dict[tuple[str, str], float]) -> Node:
         return inner
     if isinstance(node, Not):
         return Not(strip_boosts(node.child, boosts))
-    if isinstance(node, (And, Or)):
-        return type(node)(tuple(strip_boosts(c, boosts) for c in node.children))
+    if isinstance(node, Or):
+        return Or(
+            tuple(strip_boosts(c, boosts) for c in node.children), node.min_match
+        )
+    if isinstance(node, And):
+        return And(tuple(strip_boosts(c, boosts) for c in node.children))
     return node
 
 
@@ -60,18 +64,29 @@ def normalize(node: Node) -> Node:
         return Not(child)
     if isinstance(node, (And, Or)):
         cls = type(node)
+        parent_mm = getattr(node, "min_match", 1) if isinstance(node, Or) else 1
         out: list[Node] = []
         seen = set()
         for c in node.children:
             c = normalize(c)
-            subs = c.children if isinstance(c, cls) else (c,)
+            # never flatten across a minimum-should-match boundary: an
+            # Or@N child keeps its count semantics, and an Or@N parent
+            # keeps its children countable
+            flat = (
+                isinstance(c, cls)
+                and parent_mm <= 1
+                and getattr(c, "min_match", 1) <= 1
+            )
+            subs = c.children if flat else (c,)
             for s in subs:
                 if s not in seen:
                     seen.add(s)
                     out.append(s)
-        if len(out) == 1:
+        if len(out) == 1 and parent_mm <= 1:
             return out[0]
-        return cls(tuple(out))
+        if isinstance(node, Or):
+            return Or(tuple(out), parent_mm)
+        return And(tuple(out))
     return node
 
 

@@ -388,6 +388,7 @@ def route_flat(ast):
         return ("and", [(c.stream, c.text) for c in ast.children])
     if (
         isinstance(ast, Or)
+        and getattr(ast, "min_match", 1) <= 1
         and all(isinstance(c, Term) and c.stream == "body" for c in ast.children)
     ):
         return ("or", [(c.stream, c.text) for c in ast.children])

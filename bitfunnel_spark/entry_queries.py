@@ -555,6 +555,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+INC_SPLIT = 250  # main: doc_id < 250; new streaming batch: doc_id >= 250
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-batch dedup step: new docs surviving minhash near-dup
+    filtering against the main corpus + earlier batch docs."""
+    docs = _docs(spark, sf_dir)
+    main = docs.filter(F.col("doc_id") < INC_SPLIT)
+    new = docs.filter(F.col("doc_id") >= INC_SPLIT)
+    return dedup.incremental_minhash_filter(
+        new, main, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_incremental() -> str:
+    # survivors = new ids never appearing as doc_b of a verified LSH pair
+    # (partners always carry lower ids under the id-ordered split)
+    return f"""WITH pairs AS ({_sql_minhash()})
+SELECT doc_id FROM documents
+WHERE doc_id >= {INC_SPLIT}
+  AND doc_id NOT IN (SELECT doc_b FROM pairs WHERE doc_b >= {INC_SPLIT})
+ORDER BY doc_id"""
+
+
 def _sql_minhash() -> str:
     sig = ", ".join(
         f"list_min(list_transform(shingles, g -> md5('{i}:' || g))) AS h{i}"
@@ -1082,6 +1107,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh
     oracles["dedup_minhash_lsh"] = _sql_minhash()
+    queries["dedup_incremental"] = q_dedup_incremental
+    oracles["dedup_incremental"] = _sql_dedup_incremental()
     queries["dedup_simhash"] = q_dedup_simhash
     oracles["dedup_simhash"] = _sql_simhash()
     queries["dedup_simhash_pairs"] = q_dedup_simhash_pairs

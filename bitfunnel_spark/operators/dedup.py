@@ -137,17 +137,49 @@ def minhash_signature(
     """(doc_id, sig: array<string>) — sig[i] = min over shingles of
     md5(i || ':' || shingle). Lexicographic min of md5 hex ≡ min of the
     128-bit integer — a valid minwise family, and identical in any engine.
-    Computed entirely with higher-order functions: no explode, no shuffle."""
+    Computed entirely with higher-order functions: no explode, no shuffle.
+
+    NB: the per-i prefix is captured via a closure, never a lambda default
+    arg — pyspark infers HOF arity from the parameter COUNT, so
+    ``lambda g, i=i`` becomes a (element, index) binary lambda and the
+    "prefix" silently renders as the index column's repr. That bug kept a
+    valid (distinct-prefix) min-wise family, so verified pairs stayed
+    correct, but broke the cross-engine md5('i:'||g) contract."""
     sh = _shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda g, i=i: F.md5(F.concat(F.lit(f"{i}:"), g))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _mh(i: int):
+        pref = f"{i}:"
+        return F.array_min(F.transform(sh, lambda g: F.md5(F.concat(F.lit(pref), g))))
+
+    sig = F.array(*[_mh(i) for i in range(num_hashes)])
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
         F.size(sh) > 0
     )
+
+
+def band_rows(sig_df: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH band index of a signature
+    table. At scale this IS the persisted dedup artifact: append each new
+    batch's bands, equi-join to find candidates; the corpus itself is
+    never rescanned."""
+    n_bands = num_hashes // band_size
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col("sig")[bi * band_size + j] for j in range(band_size)],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
 
 
 def minhash_lsh_pairs(
@@ -172,21 +204,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_size == 0
     sig = minhash_signature(df, text_col, id_col, n, num_hashes)
-    n_bands = num_hashes // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.concat_ws("|", *[F.col("sig")[bi * band_size + j] for j in range(band_size)]).alias("band_key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_key")
+    bands = band_rows(sig, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -430,3 +448,86 @@ def neardup_drop_list(
     return cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+def incremental_exact_filter(
+    new_df: DataFrame,
+    main_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids of NEW docs surviving exact dedup against MAIN plus earlier
+    (lower-id) docs of the same batch — the per-batch step of a streaming
+    dedup pipeline. One anti-join against main's content-hash set (at
+    scale: a persisted, incrementally-appended hash table) + one keep-min
+    per hash within the batch."""
+    main_h = main_df.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    w = new_df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+    survived = w.join(main_h, "h", "left_anti")
+    first = survived.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return first.select("doc_id")
+
+
+def incremental_minhash_filter(
+    new_df: DataFrame,
+    main_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ids of NEW docs surviving near-dup filtering against an
+    already-deduplicated MAIN corpus — the streaming-dedup batch step.
+
+    A new doc is dropped when its exact n-gram Jaccard reaches
+    ``threshold`` with ANY main doc or any EARLIER (lower-id) doc of the
+    same batch (greedy streaming semantics: an earlier new doc kills
+    later ones regardless of its own fate — the policy of C4/RefinedWeb
+    style pipelines). Candidates come from the band index equi-join
+    (new×main and new×new); MAIN is touched only through its band table —
+    at scale a persisted artifact appended once per batch (band_rows) —
+    and through the shingle arrays of candidate-bearing docs only.
+    """
+    sig_new = minhash_signature(new_df, text_col, id_col, n, num_hashes)
+    sig_main = minhash_signature(main_df, text_col, id_col, n, num_hashes)
+    bn = band_rows(sig_new, num_hashes, band_size)
+    bm = band_rows(sig_main, num_hashes, band_size)
+
+    v, p = bn.alias("v"), bm.alias("p")
+    cand_nm = v.join(
+        p,
+        (F.col("v.band_id") == F.col("p.band_id"))
+        & (F.col("v.band_key") == F.col("p.band_key")),
+    ).select(F.col("v.doc_id").alias("victim"), F.col("p.doc_id").alias("partner"))
+    a, b = bn.alias("a"), bn.alias("b")
+    cand_nn = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("b.doc_id").alias("victim"), F.col("a.doc_id").alias("partner"))
+    cand = cand_nm.union(cand_nn).distinct()
+
+    sh_all = (
+        new_df.select(F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("sh"))
+        .union(
+            main_df.select(F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("sh"))
+        )
+        .filter(F.size("sh") > 0)
+    )
+    vs = sh_all.select(F.col("doc_id").alias("victim"), F.col("sh").alias("sh_v"))
+    ps = sh_all.select(F.col("doc_id").alias("partner"), F.col("sh").alias("sh_p"))
+    jac = F.size(F.array_intersect("sh_v", "sh_p")).cast("double") / F.size(
+        F.array_union("sh_v", "sh_p")
+    )
+    victims = (
+        cand.join(vs, "victim")
+        .join(ps, "partner")
+        .filter(F.round(jac, 4) >= threshold)
+        .select("victim")
+        .distinct()
+    )
+    ids = new_df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(victims.withColumnRenamed("victim", "doc_id"), "doc_id", "left_anti")

@@ -286,6 +286,11 @@ def cmd_repl(args) -> None:
                 print(f"{len(docs)} matches: {docs[:50]}{' ...' if len(docs) > 50 else ''}")
             elif line.startswith("!verify "):
                 print(json.dumps(_verify_one(idx, line[8:], args.k)))
+            elif line.startswith("!suggest "):
+                from bitfunnel_spark.plans.expand import suggest
+
+                for r in suggest(idx, line[9:].strip(), k=args.k).collect():
+                    print(f"{r['term']}\t{r['df']}")
             elif line.startswith("!facets "):
                 from bitfunnel_spark.plans.serving import facet_counts
 

@@ -1072,6 +1072,19 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     )
     queries["ft_query_profile"] = q_query_profile  # rows-only (decode counters)
 
+    def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.expand import suggest
+
+        return suggest(get_index(spark, sf_dir), "s", k=10)
+
+    queries["ft_suggest"] = q_suggest
+    oracles["ft_suggest"] = f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term
+  FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM d WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10"""
+
     queries["ft_df_table"] = q_df_table
     oracles["ft_df_table"] = SQL_DF_TABLE
     queries["ft_idf_table"] = q_idf_table

@@ -81,3 +81,19 @@ def expand_query(index, node: Node, max_expansions: int = MAX_EXPANSIONS) -> Nod
     """Resolve every Prefix/Fuzzy node against the index's term dictionary,
     returning a plain And/Or/Not/Term/Phrase tree the planner accepts."""
     return _expand(index, node, max_expansions)
+
+
+def suggest(index, prefix: str, k: int = 10):
+    """Typeahead / query completion: the top-``k`` dictionary terms with
+    the given prefix, most frequent first (df desc, term asc) — the
+    Lucene/ES term-suggester shape. One filtered dictionary scan with a
+    pushdown-friendly StartsWith predicate + TakeOrdered(k); at 10^9-term
+    scale a prefix-ordered dictionary projection makes this a range scan."""
+    return (
+        index.term_stats.filter(
+            (F.col("stream") == "body") & F.col("term").startswith(prefix)
+        )
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -84,3 +84,17 @@ def test_batch_and_profile_expansion(index):
         key=lambda x: (-x[1], x[0]),
     )
     assert batch0 == single
+
+
+def test_suggest(index, duck):
+    from bitfunnel_spark.plans.expand import suggest
+
+    got = [(r["term"], r["df"]) for r in suggest(index, "s", k=5).collect()]
+    exp = duck.execute("""
+        WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+            '[a-z_][a-z0-9_]*|[0-9]+')) AS term FROM documents),
+        d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+        SELECT term, df FROM d WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 5""").fetchall()
+    assert got == exp
+    assert all(t.startswith("s") for t, _ in got)

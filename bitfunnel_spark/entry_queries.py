@@ -974,6 +974,14 @@ def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.more_like_this(get_index(spark, sf_dir), MLT_DOC_ID, k=10, m=8)
 
 
+def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.collapse_topk(
+        get_index(spark, sf_dir), FACETS_QUERY, by="repo", k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -1064,6 +1072,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_fuzzy"] = _mk_search("vektor~", "dataframe")
     oracles["ft_bm25_fuzzy"] = oracle_expansion_search_sql(
         "levenshtein(term, 'vektor') <= 1", k=10, config=ENTRY_CONFIG
+    )
+    queries["ft_bm25_wildcard"] = _mk_search("s?a*", "kernel")
+    oracles["ft_bm25_wildcard"] = oracle_expansion_search_sql(
+        "term LIKE 's_a%'", k=10, config=ENTRY_CONFIG
     )
 
     queries["ft_bm25_fact"] = q_bm25_fact
@@ -1166,6 +1178,7 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["quality_logprob"] = SQL_QUALITY_LOGPROB
 
     from bitfunnel_spark.plans.oracle import (
+        oracle_collapse_sql,
         oracle_facets_sql,
         oracle_mlt_sql,
         oracle_snippets_sql,
@@ -1179,6 +1192,10 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     )
     queries["ft_more_like_this"] = q_ft_more_like_this
     oracles["ft_more_like_this"] = oracle_mlt_sql(MLT_DOC_ID, k=10, m=8, config=ENTRY_CONFIG)
+    queries["ft_collapse"] = q_ft_collapse
+    oracles["ft_collapse"] = oracle_collapse_sql(
+        FACETS_QUERY, by="repo", k=10, config=ENTRY_CONFIG
+    )
 
     queries["media_metadata"] = q_media_metadata
     oracles["media_metadata"] = SQL_MEDIA_METADATA

@@ -52,6 +52,17 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """``d?t*a`` — expands to every dictionary term matching the glob
+    pattern (``*`` = any run, ``?`` = one char; Lucene WildcardQuery
+    shape; resolved by plans/expand.py before planning). A pattern whose
+    only wildcard is one trailing ``*`` parses as the cheaper Prefix."""
+
+    text: str  # the glob pattern, wildcards included
+    stream: str = DEFAULT_STREAM
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """``text~`` / ``text~2`` — expands to dictionary terms within edit
     distance ``dist`` (Lucene FuzzyQuery shape; resolved by
@@ -110,6 +121,8 @@ def fmt(node: Node) -> str:
     if isinstance(node, Fuzzy):
         body = f"{node.text}~{node.dist}"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Wildcard):
+        return node.text if node.stream == DEFAULT_STREAM else f"{node.stream}:{node.text}"
     if isinstance(node, Not):
         return f"Not({fmt(node.child)})"
     if isinstance(node, And):

@@ -1,10 +1,10 @@
-"""Dictionary-driven query expansion: prefix (``dat*``) and fuzzy
-(``term~``/``term~2``) terms.
+"""Dictionary-driven query expansion: prefix (``dat*``), glob wildcard
+(``d?t*a``) and fuzzy (``term~``/``term~2``) terms.
 
 The public design this follows is Lucene's MultiTermQuery rewrite:
-PrefixQuery / FuzzyQuery enumerate matching dictionary terms and rewrite
-into a boolean OR over them, capped at ``max_expansions`` preferring the
-most frequent terms. (The reference engine has no term dictionary with
+PrefixQuery / WildcardQuery / FuzzyQuery enumerate matching dictionary
+terms and rewrite into a boolean OR over them, capped at
+``max_expansions`` preferring the most frequent terms. (The reference engine has no term dictionary with
 retained text — Term.h:44-47 hashes text away — so it cannot offer these;
 our dictionary keeps the text precisely to enable them.)
 
@@ -21,13 +21,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bitfunnel_spark.plans.ast import And, Fuzzy, Node, Not, Or, Phrase, Prefix, Term
+from bitfunnel_spark.plans.ast import (
+    And,
+    Fuzzy,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+    Wildcard,
+)
 
 MAX_EXPANSIONS = 64
 
 
 def has_expansions(node: Node) -> bool:
-    if isinstance(node, (Prefix, Fuzzy)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
         return True
     if isinstance(node, Not):
         return has_expansions(node.child)
@@ -36,10 +46,37 @@ def has_expansions(node: Node) -> bool:
     return False
 
 
-def _matching_terms(index, node: Prefix | Fuzzy, max_expansions: int) -> list[str]:
+def _glob_to_like(pattern: str) -> str:
+    """Glob (``*``/``?``) → SQL LIKE pattern. Literal ``%``/``_``/``\\``
+    are escaped with ``\\`` (tokens can contain ``_`` — TOKEN_PATTERN)."""
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _matching_terms(index, node: Prefix | Fuzzy | Wildcard, max_expansions: int) -> list[str]:
     ts = index.term_stats.filter(F.col("stream") == node.stream)
     if isinstance(node, Prefix):
         ts = ts.filter(F.col("term").startswith(node.text))
+    elif isinstance(node, Wildcard):
+        # leading literal run → pushdown-friendly StartsWith prune before
+        # the LIKE; a minimum-length bound prunes further (every literal
+        # char and every '?' consumes at least one term char)
+        lead = node.text.split("*", 1)[0].split("?", 1)[0]
+        if lead:
+            ts = ts.filter(F.col("term").startswith(lead))
+        min_len = sum(1 for c in node.text if c != "*")
+        ts = ts.filter(F.length("term") >= min_len).filter(
+            F.col("term").like(_glob_to_like(node.text))
+        )
     else:
         q, d = node.text, int(node.dist)
         ts = ts.filter(
@@ -55,12 +92,15 @@ def _matching_terms(index, node: Prefix | Fuzzy, max_expansions: int) -> list[st
 
 
 def _expand(index, node: Node, max_expansions: int) -> Node:
-    if isinstance(node, (Prefix, Fuzzy)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
         terms = _matching_terms(index, node, max_expansions)
         if not terms:
             # no dictionary term matches: rewrite to a token that cannot
-            # tokenize ('*'/'~' never appear in tokens) — empty posting list
-            marker = node.text + ("*" if isinstance(node, Prefix) else "~")
+            # tokenize ('*'/'?'/'~' never appear in tokens) — empty posting list
+            if isinstance(node, Wildcard):
+                marker = node.text
+            else:
+                marker = node.text + ("*" if isinstance(node, Prefix) else "~")
             return Term(marker, node.stream)
         if len(terms) == 1:
             return Term(terms[0], node.stream)

@@ -214,6 +214,30 @@ def oracle_facets_sql(
     )
 
 
+def oracle_collapse_sql(
+    query, by: str = "repo", k: int = 10, per_group: int = 1,
+    config: BuildConfig | None = None,
+) -> str:
+    """Field-collapse oracle mirroring plans/serving.collapse_topk: best
+    ``per_group`` docs per ``by``-group over the full scored match set,
+    then global top-k. ``by`` maps to documents columns like facets
+    (repo -> source, lang -> lang)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS score FROM hits h\n"
+        f"      WHERE ({_bool_sql(plan.ast)})),\n"
+        f"g AS (SELECT m.doc_id, m.score, d.{col} AS {by},\n"
+        f"             row_number() OVER (PARTITION BY d.{col}\n"
+        f"               ORDER BY m.score DESC, m.doc_id ASC) AS rn\n"
+        f"      FROM m JOIN documents d USING (doc_id))\n"
+        f"SELECT doc_id, score, {by} FROM g WHERE rn <= {int(per_group)}\n"
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_snippets_sql(
     query, k: int = 10, window: int = 4, config: BuildConfig | None = None
 ) -> str:

@@ -12,9 +12,10 @@ Unigram characters: anything except space and the specials ``& | ( ) " -``;
 lowercased text). Driver-side pure Python — no Spark here.
 
 Engine extension beyond the reference grammar: a unigram with a trailing
-``*`` is a prefix wildcard (``dat*``), with a trailing ``~``/``~2`` a fuzzy
-term (edit distance 1/2). Both expand against the term dictionary
-(plans/expand.py) into an OR of matching terms before planning.
+``*`` is a prefix wildcard (``dat*``), one with ``*``/``?`` elsewhere a
+general glob (``d?t*a``), and a trailing ``~``/``~2`` a fuzzy term (edit
+distance 1/2). All expand against the term dictionary (plans/expand.py)
+into an OR of matching terms before planning.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ from bitfunnel_spark.plans.ast import (
     Phrase,
     Prefix,
     Term,
+    Wildcard,
 )
 
 SPECIALS = set('&|()"- \t\n\r')
@@ -181,13 +183,20 @@ class _Parser:
         bm = _BOOST_RE.fullmatch(word)
         if bm:
             inner = bm.group(1)
-            if inner.endswith(("*", "~")) or _FUZZY_RE.fullmatch(inner):
+            if "*" in inner or "?" in inner or inner.endswith("~") or _FUZZY_RE.fullmatch(inner):
                 raise QueryParseError(
                     f"boost on an expansion term is not supported: {word!r}"
                 )
             return Boost(Term(inner, stream), float(bm.group(2)))
-        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] and "?" not in word:
             return Prefix(word[:-1], stream)
+        if "*" in word or "?" in word:
+            # general glob (Lucene WildcardQuery shape): '*' any run, '?' one
+            # char, anywhere in the token. Requires at least one literal char
+            # (a bare '*' would expand to the whole dictionary).
+            if not word.strip("*?"):
+                raise QueryParseError(f"wildcard needs at least one literal char: {word!r}")
+            return Wildcard(word, stream)
         m = _FUZZY_RE.fullmatch(word)
         if m:
             return Fuzzy(m.group(1), stream, int(m.group(2) or 1))

@@ -105,6 +105,54 @@ def snippets(
     ).orderBy(F.desc("score"), "doc_id")
 
 
+def collapse_topk(
+    index, query: str, by: str = "repo", k: int = 10, per_group: int = 1,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Top-k results collapsed to the best ``per_group`` documents per
+    ``by``-field value (Lucene/Solr field collapsing / result grouping).
+
+    Best-in-group = (score desc, doc_id asc) over the query's FULL scored
+    match set — a group whose docs flood the raw top-k cannot crowd out
+    other groups. Returns DataFrame[(doc_id, score, <by>)] ordered
+    (score desc, doc_id asc), at most ``k`` rows.
+
+    Scale shape: scoring reuses the executor's match surface (one job);
+    the collapse for ``per_group=1`` is a plain groupBy(``by``).max_by —
+    map-side partial aggregation, so a mega-group (one repo matching
+    everything) combines locally and never skews the shuffle. ``per_group
+    > 1`` uses a window (rank over the group) — still one shuffle keyed by
+    ``by``.
+    """
+    from bitfunnel_spark.plans.executor import _matched
+
+    plan = plan_query(index.prepare_query(query))
+    scored = _matched(index, plan, facts).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    meta = index.corpus.select("doc_id", by)
+    rows = scored.join(meta, "doc_id")
+    if per_group == 1:
+        # lexicographic max of (score, -doc_id) == best by (score desc, doc asc)
+        best = rows.groupBy(by).agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nd")),
+            ).alias("best")
+        )
+        out = best.select("best.doc_id", "best.score", by)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(per_group))
+            .select("doc_id", "score", by)
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def more_like_this(
     index, doc_id: int, k: int = 10, m: int = 8, mode: str = "kernel",
 ) -> DataFrame:

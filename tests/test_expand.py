@@ -5,9 +5,9 @@ mixed queries, cap and no-match behavior."""
 import pytest
 
 from bitfunnel_spark.plans import expand
-from bitfunnel_spark.plans.ast import Fuzzy, Or, Prefix, Term, fmt
+from bitfunnel_spark.plans.ast import Fuzzy, Or, Prefix, Term, Wildcard, fmt
 from bitfunnel_spark.plans.oracle import oracle_expansion_search_sql
-from bitfunnel_spark.plans.parser import parse_query
+from bitfunnel_spark.plans.parser import QueryParseError, parse_query
 
 
 def test_parse_expansion_nodes():
@@ -16,8 +16,15 @@ def test_parse_expansion_nodes():
     assert parse_query("qroup~2") == Fuzzy("qroup", dist=2)
     assert parse_query("path:txt*") == Prefix("txt", "path")
     assert fmt(parse_query("dat* -vektor~")) == "And(dat*, Not(vektor~1))"
-    # a bare '*' or mid-token '*'/'~' stays a literal term
-    assert parse_query("a*b") == Term("a*b")
+    # mid-token '*' / any '?' is a general glob (Lucene WildcardQuery shape)
+    assert parse_query("a*b") == Wildcard("a*b")
+    assert parse_query("s?a*") == Wildcard("s?a*")
+    assert parse_query("path:d?ta") == Wildcard("d?ta", "path")
+    assert fmt(parse_query("s?a* & data")) == "And(s?a*, data)"
+    with pytest.raises(QueryParseError):
+        parse_query("*")  # bare wildcard: no literal chars
+    with pytest.raises(QueryParseError):
+        parse_query("s?a*^2")  # boost on an expansion term
     assert parse_query("data") == Term("data")
 
 
@@ -26,6 +33,35 @@ def test_prefix_vs_oracle(index, duck, mode):
     got = [(r["doc_id"], r["score"]) for r in index.search("s*", k=10, mode=mode).collect()]
     exp = duck.execute(oracle_expansion_search_sql("term LIKE 's%'", k=10)).fetchall()
     assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_wildcard_vs_oracle(index, duck, mode):
+    got = [
+        (r["doc_id"], r["score"]) for r in index.search("s?a*", k=10, mode=mode).collect()
+    ]
+    exp = duck.execute(oracle_expansion_search_sql("term LIKE 's_a%'", k=10)).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+def test_wildcard_expansion_terms(index):
+    expanded = expand.expand_query(index, parse_query("s?a*"))
+    assert isinstance(expanded, Or)
+    assert {t.text for t in expanded.children} == {"scan", "spark", "small"}
+    # leading glob (no literal prefix to prune on) still resolves correctly
+    tail = expand.expand_query(index, parse_query("*tream"))
+    assert tail == Term("stream")
+    # '?' consumes exactly one char: 'dat?' must not match 'data'+'date'-less vocab
+    one = expand.expand_query(index, parse_query("?ata"))
+    assert one == Term("data")
+    # no-match glob rewrites to an untokenizable marker (empty posting list)
+    assert index.search("zz*qq?", k=5).count() == 0
+
+
+def test_glob_to_like_escaping():
+    assert expand._glob_to_like("a*b?c") == "a%b_c"
+    assert expand._glob_to_like("a_b") == "a\\_b"  # literal '_' in a token
+    assert expand._glob_to_like("%*") == "\\%%"
 
 
 @pytest.mark.parametrize("mode", ["dataframe", "kernel"])

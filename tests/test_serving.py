@@ -5,6 +5,7 @@ import pytest
 
 from bitfunnel_spark.plans import serving
 from bitfunnel_spark.plans.oracle import (
+    oracle_collapse_sql,
     oracle_facets_sql,
     oracle_mlt_sql,
     oracle_snippets_sql,
@@ -68,3 +69,51 @@ def test_more_like_this_vs_oracle(index, duck, doc_id):
 
 def test_more_like_this_missing_doc(index):
     assert serving.more_like_this(index, 10**9, k=5).count() == 0
+
+
+COLLAPSE_QUERIES = ["data", "(dup | vector) join", "data -slow", "lang:en data"]
+
+
+@pytest.mark.parametrize("q", COLLAPSE_QUERIES)
+def test_collapse_vs_oracle(index, duck, q):
+    got = [
+        (r["doc_id"], r["score"], r["repo"])
+        for r in serving.collapse_topk(index, q, by="repo", k=10).collect()
+    ]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4), g)
+        for d, s, g in duck.execute(oracle_collapse_sql(q, by="repo", k=10)).fetchall()
+    ]
+    assert exp == got, f"collapse mismatch for {q!r}"
+    # one doc per group, and each group's doc is its argmax
+    assert len({g for _, _, g in got}) == len(got)
+
+
+def test_collapse_per_group_2_vs_oracle(index, duck):
+    q = "data"
+    got = [
+        (r["doc_id"], r["score"], r["repo"])
+        for r in serving.collapse_topk(index, q, by="repo", k=10, per_group=2).collect()
+    ]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4), g)
+        for d, s, g in duck.execute(
+            oracle_collapse_sql(q, by="repo", k=10, per_group=2)
+        ).fetchall()
+    ]
+    assert exp == got
+    from collections import Counter
+
+    assert max(Counter(g for _, _, g in got).values()) <= 2
+
+
+def test_collapse_never_crowded_out(index):
+    # every group value present in the match set appears in a large-enough k
+    q = "data"
+    matches = index.match(q)
+    groups = (
+        index.corpus.select("doc_id", "repo").join(matches, "doc_id")
+        .select("repo").distinct().count()
+    )
+    rows = serving.collapse_topk(index, q, by="repo", k=1000).collect()
+    assert len(rows) == groups

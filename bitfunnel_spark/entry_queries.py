@@ -1077,6 +1077,25 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["ft_bm25_wildcard"] = oracle_expansion_search_sql(
         "term LIKE 's_a%'", k=10, config=ENTRY_CONFIG
     )
+    queries["ft_bm25_regex"] = _mk_search("/s.a[nr]k?/", "kernel")
+    oracles["ft_bm25_regex"] = oracle_expansion_search_sql(
+        "regexp_full_match(term, 's.a[nr]k?')", k=10, config=ENTRY_CONFIG
+    )
+
+    def q_bm25_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = get_index(spark, sf_dir)
+        idx.set_synonyms({"join": ["merge"]})
+        try:
+            # prepare_query rewrites eagerly, so the returned plan is fixed
+            # before the synonym map is cleared for the other entries
+            return idx.search("join & data", k=10, mode="kernel")
+        finally:
+            idx.set_synonyms(None)
+
+    queries["ft_bm25_synonym"] = q_bm25_synonym
+    oracles["ft_bm25_synonym"] = oracle_search_sql(
+        "(join | merge) & data", k=10, config=ENTRY_CONFIG
+    )
 
     queries["ft_bm25_fact"] = q_bm25_fact
     oracles["ft_bm25_fact"] = oracle_search_sql(

@@ -38,6 +38,7 @@ class FullTextIndex:
     _idf_map_over_limit: bool = False  # memoized "dictionary too big" outcome
     tombstones: frozenset = frozenset()  # soft-deleted doc ids (delete_docs)
     facts: dict = field(default_factory=dict)  # name -> doc-id DataFrame (define_fact)
+    synonyms: dict | None = None  # body-term synonym map (set_synonyms)
 
     # fact doc-sets are collected driver-side and broadcast into kernels
     # (the reference's FactSet is likewise an in-memory per-doc bit row —
@@ -283,14 +284,33 @@ class FullTextIndex:
 
     # ---- query API ----------------------------------------------------
 
+    def set_synonyms(self, mapping: dict[str, list[str]] | None) -> None:
+        """Install (or clear, with None) a query-time synonym map over BODY
+        terms (Lucene query-expansion shape): every plain body Term that is
+        a key rewrites to an OR of itself and its synonyms in prepare_query.
+        The map is directed (key -> alternatives), applied before dictionary
+        expansion; phrases and boosted terms keep their exact tokens. Each
+        alternative scores independently (standard OR BM25) — documented
+        expansion semantics, not SynonymQuery's blended-df scoring."""
+        if not mapping:
+            self.synonyms = None
+            return
+        self.synonyms = {
+            k.lower(): tuple(dict.fromkeys(s.lower() for s in v if s.lower() != k.lower()))
+            for k, v in mapping.items()
+        }
+
     def prepare_query(self, query):
-        """Parse (if a string) and resolve dictionary expansions (``dat*``,
+        """Parse (if a string), apply query-time synonyms (set_synonyms),
+        and resolve dictionary expansions (``dat*``, ``d?t*a``, ``/re/``,
         ``term~``) into a plain AST — plans/expand.py. Queries without
-        expansion operators pass through unchanged."""
+        synonyms or expansion operators pass through unchanged."""
         from bitfunnel_spark.plans import expand
         from bitfunnel_spark.plans.parser import parse_query
 
         node = parse_query(query) if isinstance(query, str) else query
+        if self.synonyms:
+            node = expand.apply_synonyms(node, self.synonyms)
         if expand.has_expansions(node):
             node = expand.expand_query(self, node)
         return node

@@ -63,6 +63,18 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Regex(Node):
+    """``/s[ck]an/`` — expands to every dictionary term fully matching the
+    regular expression (Lucene RegexpQuery shape — whole-term anchored;
+    resolved by plans/expand.py before planning). Regex metachars that are
+    query-grammar specials (``( ) | & " -`` and space) must be
+    backslash-escaped in the query string."""
+
+    text: str  # the regex body, without the surrounding slashes
+    stream: str = DEFAULT_STREAM
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """``text~`` / ``text~2`` — expands to dictionary terms within edit
     distance ``dist`` (Lucene FuzzyQuery shape; resolved by
@@ -123,6 +135,9 @@ def fmt(node: Node) -> str:
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
     if isinstance(node, Wildcard):
         return node.text if node.stream == DEFAULT_STREAM else f"{node.stream}:{node.text}"
+    if isinstance(node, Regex):
+        body = f"/{node.text}/"
+        return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
     if isinstance(node, Not):
         return f"Not({fmt(node.child)})"
     if isinstance(node, And):

@@ -1,9 +1,9 @@
 """Dictionary-driven query expansion: prefix (``dat*``), glob wildcard
-(``d?t*a``) and fuzzy (``term~``/``term~2``) terms.
+(``d?t*a``), regex (``/s[ck]an/``) and fuzzy (``term~``/``term~2``) terms.
 
 The public design this follows is Lucene's MultiTermQuery rewrite:
-PrefixQuery / WildcardQuery / FuzzyQuery enumerate matching dictionary
-terms and rewrite into a boolean OR over them, capped at
+PrefixQuery / WildcardQuery / RegexpQuery / FuzzyQuery enumerate matching
+dictionary terms and rewrite into a boolean OR over them, capped at
 ``max_expansions`` preferring the most frequent terms. (The reference engine has no term dictionary with
 retained text — Term.h:44-47 hashes text away — so it cannot offer these;
 our dictionary keeps the text precisely to enable them.)
@@ -29,15 +29,18 @@ from bitfunnel_spark.plans.ast import (
     Or,
     Phrase,
     Prefix,
+    Regex,
     Term,
     Wildcard,
 )
 
 MAX_EXPANSIONS = 64
 
+_RE_META = set(".[]()*+?{}|^$\\")
+
 
 def has_expansions(node: Node) -> bool:
-    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex)):
         return True
     if isinstance(node, Not):
         return has_expansions(node.child)
@@ -62,10 +65,23 @@ def _glob_to_like(pattern: str) -> str:
     return "".join(out)
 
 
-def _matching_terms(index, node: Prefix | Fuzzy | Wildcard, max_expansions: int) -> list[str]:
+def _matching_terms(
+    index, node: Prefix | Fuzzy | Wildcard | Regex, max_expansions: int
+) -> list[str]:
     ts = index.term_stats.filter(F.col("stream") == node.stream)
     if isinstance(node, Prefix):
         ts = ts.filter(F.col("term").startswith(node.text))
+    elif isinstance(node, Regex):
+        # leading literal run (chars before the first regex metachar) →
+        # pushdown-friendly StartsWith prune before the anchored rlike
+        lead = []
+        for c in node.text:
+            if c in _RE_META:
+                break
+            lead.append(c)
+        if lead:
+            ts = ts.filter(F.col("term").startswith("".join(lead)))
+        ts = ts.filter(F.col("term").rlike(f"^(?:{node.text})$"))
     elif isinstance(node, Wildcard):
         # leading literal run → pushdown-friendly StartsWith prune before
         # the LIKE; a minimum-length bound prunes further (every literal
@@ -92,13 +108,16 @@ def _matching_terms(index, node: Prefix | Fuzzy | Wildcard, max_expansions: int)
 
 
 def _expand(index, node: Node, max_expansions: int) -> Node:
-    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex)):
         terms = _matching_terms(index, node, max_expansions)
         if not terms:
             # no dictionary term matches: rewrite to a token that cannot
-            # tokenize ('*'/'?'/'~' never appear in tokens) — empty posting list
+            # tokenize ('*'/'?'/'~'/'/' never appear in tokens) — empty
+            # posting list
             if isinstance(node, Wildcard):
                 marker = node.text
+            elif isinstance(node, Regex):
+                marker = f"/{node.text}/"
             else:
                 marker = node.text + ("*" if isinstance(node, Prefix) else "~")
             return Term(marker, node.stream)
@@ -121,6 +140,32 @@ def expand_query(index, node: Node, max_expansions: int = MAX_EXPANSIONS) -> Nod
     """Resolve every Prefix/Fuzzy node against the index's term dictionary,
     returning a plain And/Or/Not/Term/Phrase tree the planner accepts."""
     return _expand(index, node, max_expansions)
+
+
+def apply_synonyms(node: Node, mapping: dict[str, tuple[str, ...]]) -> Node:
+    """Rewrite plain body Terms through a query-time synonym map
+    (index.set_synonyms): Term(t) -> Or(t, s1, ..) when t is a key with
+    alternatives. Recurses through And/Or/Not; an Or@N parent counts the
+    synonym group as ONE countable child (planner.normalize never flattens
+    across a min-match boundary). Phrases, boosted terms, and expansion
+    nodes (prefix/glob/regex/fuzzy) are left untouched — their token
+    identity is the point."""
+    from bitfunnel_spark.plans.ast import DEFAULT_STREAM
+
+    if isinstance(node, Term) and node.stream == DEFAULT_STREAM:
+        alts = mapping.get(node.text)
+        if alts:
+            return Or((node, *(Term(t) for t in alts)))
+        return node
+    if isinstance(node, Not):
+        return Not(apply_synonyms(node.child, mapping))
+    if isinstance(node, And):
+        return And(tuple(apply_synonyms(c, mapping) for c in node.children))
+    if isinstance(node, Or):
+        return Or(
+            tuple(apply_synonyms(c, mapping) for c in node.children), node.min_match
+        )
+    return node
 
 
 def suggest(index, prefix: str, k: int = 10):

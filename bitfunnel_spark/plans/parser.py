@@ -33,6 +33,7 @@ from bitfunnel_spark.plans.ast import (
     Or,
     Phrase,
     Prefix,
+    Regex,
     Term,
     Wildcard,
 )
@@ -183,13 +184,30 @@ class _Parser:
         bm = _BOOST_RE.fullmatch(word)
         if bm:
             inner = bm.group(1)
-            if "*" in inner or "?" in inner or inner.endswith("~") or _FUZZY_RE.fullmatch(inner):
+            if (
+                "*" in inner
+                or "?" in inner
+                or inner.startswith("/")
+                or inner.endswith("~")
+                or _FUZZY_RE.fullmatch(inner)
+            ):
                 raise QueryParseError(
                     f"boost on an expansion term is not supported: {word!r}"
                 )
             return Boost(Term(inner, stream), float(bm.group(2)))
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] and "?" not in word:
             return Prefix(word[:-1], stream)
+        if len(word) >= 3 and word.startswith("/") and word.endswith("/"):
+            # /regex/ — whole-term regex (Lucene RegexpQuery shape). '/'
+            # never appears in tokens (TOKEN_PATTERN), so this cannot
+            # shadow a literal term. Validate driver-side so a broken
+            # pattern fails at parse time, not inside a Spark task.
+            body = word[1:-1]
+            try:
+                re.compile(body)
+            except re.error as ex:
+                raise QueryParseError(f"invalid regex {body!r}: {ex}") from None
+            return Regex(body, stream)
         if "*" in word or "?" in word:
             # general glob (Lucene WildcardQuery shape): '*' any run, '?' one
             # char, anywhere in the token. Requires at least one literal char

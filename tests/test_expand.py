@@ -58,6 +58,38 @@ def test_wildcard_expansion_terms(index):
     assert index.search("zz*qq?", k=5).count() == 0
 
 
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_regex_vs_oracle(index, duck, mode):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in index.search("/s.a[nr]k?/", k=10, mode=mode).collect()
+    ]
+    exp = duck.execute(
+        oracle_expansion_search_sql("regexp_full_match(term, 's.a[nr]k?')", k=10)
+    ).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+def test_regex_expansion_terms(index):
+    from bitfunnel_spark.plans.ast import Regex
+
+    assert parse_query("/s.a[nr]k?/") == Regex("s.a[nr]k?")
+    assert parse_query("path:/t.t/") == Regex("t.t", "path")
+    expanded = expand.expand_query(index, parse_query("/s.a[nr]k?/"))
+    assert isinstance(expanded, Or)
+    assert {t.text for t in expanded.children} == {"scan", "spark"}
+    # whole-term anchoring: /can/ must NOT match 'scan'
+    assert expand.expand_query(index, parse_query("/can/")) == Term("/can/")
+    assert index.search("/can/", k=5).count() == 0
+    # grammar specials inside a regex are backslash-escaped
+    alt = expand.expand_query(index, parse_query(r"/s\(can\|mall\)/"))
+    assert {t.text for t in alt.children} == {"scan", "small"}
+    with pytest.raises(QueryParseError):
+        parse_query("/s.an/^2")  # boost on an expansion term
+    with pytest.raises(QueryParseError):
+        parse_query("/a[b/")  # broken pattern fails at parse time
+
+
 def test_glob_to_like_escaping():
     assert expand._glob_to_like("a*b?c") == "a%b_c"
     assert expand._glob_to_like("a_b") == "a\\_b"  # literal '_' in a token
@@ -134,3 +166,40 @@ def test_suggest(index, duck):
         ORDER BY df DESC, term ASC LIMIT 5""").fetchall()
     assert got == exp
     assert all(t.startswith("s") for t, _ in got)
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_synonyms_vs_manual_or(index, mode):
+    index.set_synonyms(None)
+    manual = index.search("(join | merge) & data", k=10, mode=mode).collect()
+    index.set_synonyms({"join": ["merge"]})
+    try:
+        got = index.search("join & data", k=10, mode=mode).collect()
+    finally:
+        index.set_synonyms(None)
+    assert got == manual
+
+
+def test_synonyms_semantics(index):
+    index.set_synonyms({"join": ["merge"]})
+    try:
+        # negation excludes the whole synonym group
+        neg = sorted(r["doc_id"] for r in index.match("data -join").collect())
+        # min-should-match counts the synonym group as ONE clause
+        mm = sorted(r["doc_id"] for r in index.match("(join | vector | dup)@2").collect())
+        # phrases and boosts keep exact tokens (no rewrite inside)
+        ph = sorted(r["doc_id"] for r in index.match('"join data"').collect())
+    finally:
+        index.set_synonyms(None)
+    assert neg == sorted(r["doc_id"] for r in index.match("data -(join | merge)").collect())
+    assert mm == sorted(
+        r["doc_id"] for r in index.match("((join | merge) | vector | dup)@2").collect()
+    )
+    assert ph == sorted(r["doc_id"] for r in index.match('"join data"').collect())
+    # map normalization: self-mapping and case fold
+    index.set_synonyms({"JOIN": ["Join", "MERGE"]})
+    try:
+        assert index.synonyms == {"join": ("merge",)}
+    finally:
+        index.set_synonyms(None)
+    assert index.synonyms is None

@@ -982,6 +982,12 @@ def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.facet_stats(get_index(spark, sf_dir), FACETS_QUERY, by="lang")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -1198,6 +1204,7 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     from bitfunnel_spark.plans.oracle import (
         oracle_collapse_sql,
+        oracle_facet_stats_sql,
         oracle_facets_sql,
         oracle_mlt_sql,
         oracle_snippets_sql,
@@ -1214,6 +1221,10 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_collapse"] = q_ft_collapse
     oracles["ft_collapse"] = oracle_collapse_sql(
         FACETS_QUERY, by="repo", k=10, config=ENTRY_CONFIG
+    )
+    queries["ft_facet_stats"] = q_ft_facet_stats
+    oracles["ft_facet_stats"] = oracle_facet_stats_sql(
+        FACETS_QUERY, by="lang", config=ENTRY_CONFIG
     )
 
     queries["media_metadata"] = q_media_metadata

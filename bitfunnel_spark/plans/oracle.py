@@ -214,6 +214,28 @@ def oracle_facets_sql(
     )
 
 
+def oracle_facet_stats_sql(
+    query, by: str = "lang", config: BuildConfig | None = None
+) -> str:
+    """Per-facet doclen statistics oracle mirroring
+    plans/serving.facet_stats; ``by`` maps like facets (repo -> source)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT d.{col} AS {by}, count(*) AS n_docs,\n"
+        f"       CAST(sum(coalesce(dl.doclen, 0)) AS BIGINT) AS sum_doclen,\n"
+        f"       round(avg(coalesce(dl.doclen, 0)), 4) AS avg_doclen,\n"
+        f"       min(coalesce(dl.doclen, 0)) AS min_doclen,\n"
+        f"       max(coalesce(dl.doclen, 0)) AS max_doclen\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+        f"GROUP BY d.{col} ORDER BY d.{col} ASC"
+    )
+
+
 def oracle_collapse_sql(
     query, by: str = "repo", k: int = 10, per_group: int = 1,
     config: BuildConfig | None = None,

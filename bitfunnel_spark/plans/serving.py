@@ -105,6 +105,38 @@ def snippets(
     ).orderBy(F.desc("score"), "doc_id")
 
 
+def facet_stats(
+    index, query: str, by: str = "lang", facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-facet numeric statistics over a query's full match set (the
+    Elasticsearch stats-aggregation shape): document count plus
+    sum/avg/min/max of body document length per ``by``-facet value.
+
+    Returns DataFrame[(<by>, n_docs, sum_doclen, avg_doclen, min_doclen,
+    max_doclen)] ordered by the facet value; avg rounded to 4 dp.
+
+    Scale shape: match set → two doc_id equi-joins (facet value, doclen)
+    → one groupBy with map-side partial aggregation. No windows, no
+    collects; skew-safe for the same reason facet_counts is (a mega-facet
+    partially aggregates before the shuffle).
+    """
+    matches = index.match(query, facts).select("doc_id")
+    grp = index.corpus.select("doc_id", by)
+    dl = index.doc_stats.select("doc_id", "doclen")
+    rows = matches.join(grp, "doc_id").join(dl, "doc_id")
+    return (
+        rows.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doclen").alias("sum_doclen"),
+            F.round(F.avg("doclen"), 4).alias("avg_doclen"),
+            F.min("doclen").alias("min_doclen"),
+            F.max("doclen").alias("max_doclen"),
+        )
+        .orderBy(by)
+    )
+
+
 def collapse_topk(
     index, query: str, by: str = "repo", k: int = 10, per_group: int = 1,
     facts: list[str] | None = None,

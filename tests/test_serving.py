@@ -6,6 +6,7 @@ import pytest
 from bitfunnel_spark.plans import serving
 from bitfunnel_spark.plans.oracle import (
     oracle_collapse_sql,
+    oracle_facet_stats_sql,
     oracle_facets_sql,
     oracle_mlt_sql,
     oracle_snippets_sql,
@@ -117,3 +118,16 @@ def test_collapse_never_crowded_out(index):
     )
     rows = serving.collapse_topk(index, q, by="repo", k=1000).collect()
     assert len(rows) == groups
+
+
+@pytest.mark.parametrize("q,by", [("data", "lang"), ("(dup | vector) join", "repo"),
+                                  ("data -slow", "lang")])
+def test_facet_stats_vs_oracle(index, duck, q, by):
+    got = [tuple(r) for r in serving.facet_stats(index, q, by=by).collect()]
+    exp = [
+        (v, n, s, pytest.approx(a, abs=2e-4), lo, hi)
+        for v, n, s, a, lo, hi in duck.execute(oracle_facet_stats_sql(q, by=by)).fetchall()
+    ]
+    assert exp == got, f"facet_stats mismatch for {q!r} by {by}"
+    # per-facet counts must sum to the match-set size
+    assert sum(n for _, n, *_ in got) == index.match(q).count()

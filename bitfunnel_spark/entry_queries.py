@@ -988,6 +988,25 @@ def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.facet_stats(get_index(spark, sf_dir), FACETS_QUERY, by="lang")
 
 
+HYBRID_QUERY = "data fast"
+HYBRID_VEC_ID = 7
+
+
+def q_ft_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    res = serving.hybrid_search(
+        get_index(spark, sf_dir), _emb(spark, sf_dir), HYBRID_QUERY, HYBRID_VEC_ID, k=10
+    )
+    # NULL rank = absent from that list; the driver canonicalizer sorts rows,
+    # so emit 0 instead of NULL (mirrored in the oracle)
+    return res.select(
+        "doc_id", "rrf",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -1206,6 +1225,7 @@ ORDER BY df DESC, term ASC LIMIT 10"""
         oracle_collapse_sql,
         oracle_facet_stats_sql,
         oracle_facets_sql,
+        oracle_hybrid_sql,
         oracle_mlt_sql,
         oracle_snippets_sql,
     )
@@ -1225,6 +1245,10 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(
         FACETS_QUERY, by="lang", config=ENTRY_CONFIG
+    )
+    queries["ft_hybrid"] = q_ft_hybrid
+    oracles["ft_hybrid"] = oracle_hybrid_sql(
+        HYBRID_QUERY, HYBRID_VEC_ID, k=10, config=ENTRY_CONFIG
     )
 
     queries["media_metadata"] = q_media_metadata

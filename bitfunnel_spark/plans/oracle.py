@@ -214,6 +214,45 @@ def oracle_facets_sql(
     )
 
 
+def oracle_hybrid_sql(
+    query, query_vec_id: int, k: int = 10, k_each: int = 20, rrf_k: int = 60,
+    config: BuildConfig | None = None,
+) -> str:
+    """RRF hybrid-search oracle mirroring plans/serving.hybrid_search:
+    BM25 top-k_each fused with exact-cosine top-k_each of the query
+    vector, rrf = Σ 1/(rrf_k + rank), NULL rank when absent from a list."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    qid = int(query_vec_id)
+    return f"""WITH {CORPUS_CTE},
+{_hits_cte(plan, config)},
+bm0 AS (SELECT h.doc_id, round(h.score, 4) AS score FROM hits h
+        WHERE ({_bool_sql(plan.ast)})
+        ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k_each)}),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+       FROM bm0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = {qid}),
+cs0 AS (SELECT e.vec_id AS doc_id,
+               round(list_dot_product(qv.v, e.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+        FROM e CROSS JOIN qv WHERE e.vec_id <> {qid}
+        ORDER BY cosine DESC, doc_id ASC LIMIT {int(k_each)}),
+ct AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS cos_rank
+       FROM cs0),
+f AS (SELECT coalesce(bm.doc_id, ct.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({int(rrf_k)} + bm.bm25_rank), 0)
+                   + coalesce(1.0 / ({int(rrf_k)} + ct.cos_rank), 0), 6) AS rrf,
+             coalesce(bm.bm25_rank, 0) AS bm25_rank,
+             coalesce(ct.cos_rank, 0) AS cos_rank
+      FROM bm FULL OUTER JOIN ct ON bm.doc_id = ct.doc_id)
+SELECT doc_id, rrf, bm25_rank, cos_rank FROM f
+ORDER BY rrf DESC, doc_id ASC LIMIT {int(k)}"""
+
+
 def oracle_facet_stats_sql(
     query, by: str = "lang", config: BuildConfig | None = None
 ) -> str:

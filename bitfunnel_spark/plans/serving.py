@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.functions.tokenizer import tokenize
@@ -183,6 +183,50 @@ def collapse_topk(
             .select("doc_id", "score", by)
         )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def hybrid_search(
+    index, emb: DataFrame, query: str, query_vec_id: int, k: int = 10,
+    k_each: int = 20, rrf_k: int = 60, mode: str = "kernel",
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval fused with reciprocal-rank fusion
+    (RRF — the published Cormack/Clarke/Buettcher fusion every hybrid
+    search deployment uses): the BM25 top-``k_each`` for ``query`` and the
+    exact-cosine top-``k_each`` neighbors of ``query_vec_id``'s embedding,
+    fused as rrf = Σ_lists 1/(rrf_k + rank).
+
+    Returns DataFrame[(doc_id, rrf, bm25_rank, cos_rank)] ordered
+    (rrf desc, doc_id asc), at most ``k`` rows; a doc absent from one list
+    has a NULL rank there. Embedding ids are document ids.
+
+    Scale shape: both arms are the engine's existing top-k paths (block-max
+    kernel; broadcast-query cosine scan); the fusion is a full outer join
+    of two ≤k_each-row frames — trivially broadcastable.
+    """
+    from bitfunnel_spark.operators.similarity import brute_cosine_topk
+
+    bm = index.search(query, k=k_each, mode=mode)
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = bm.select("doc_id", F.row_number().over(w1).alias("bm25_rank"))
+    cs = brute_cosine_topk(emb, [int(query_vec_id)], k=k_each,
+                           vec_col=vec_col, id_col=id_col)
+    w2 = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cs = cs.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(w2).alias("cos_rank")
+    )
+    fused = bm.join(cs, "doc_id", "full_outer")
+    contrib = lambda r: F.coalesce(1.0 / (F.lit(float(rrf_k)) + F.col(r)), F.lit(0.0))  # noqa: E731
+    return (
+        fused.select(
+            "doc_id",
+            F.round(contrib("bm25_rank") + contrib("cos_rank"), 6).alias("rrf"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def more_like_this(

@@ -8,6 +8,7 @@ from bitfunnel_spark.plans.oracle import (
     oracle_collapse_sql,
     oracle_facet_stats_sql,
     oracle_facets_sql,
+    oracle_hybrid_sql,
     oracle_mlt_sql,
     oracle_snippets_sql,
 )
@@ -131,3 +132,34 @@ def test_facet_stats_vs_oracle(index, duck, q, by):
     assert exp == got, f"facet_stats mismatch for {q!r} by {by}"
     # per-facet counts must sum to the match-set size
     assert sum(n for _, n, *_ in got) == index.match(q).count()
+
+
+@pytest.mark.parametrize("q,qid", [("data fast", 7), ("dup | vector", 123)])
+def test_hybrid_search_vs_oracle(index, duck, spark, q, qid):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["doc_id"], r["rrf"], r["bm25_rank"] or 0, r["cos_rank"] or 0)
+        for r in serving.hybrid_search(index, emb, q, qid, k=10).collect()
+    ]
+    # the oracle coalesces NULL ranks to 0 (driver canonicalizer constraint)
+    exp = [
+        (d, pytest.approx(s, abs=2e-6), b, c)
+        for d, s, b, c in duck.execute(oracle_hybrid_sql(q, qid, k=10)).fetchall()
+    ]
+    assert exp == got, f"hybrid mismatch for {q!r} qid={qid}"
+    # a doc in both lists outranks equal-rank single-list docs
+    assert all(s > 0 for _, s, _, _ in got)
+
+
+def test_hybrid_rank_semantics(index, spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = serving.hybrid_search(index, emb, "data fast", 7, k=50, k_each=10).collect()
+    # ranks are 1..k_each and at least one doc carries a NULL rank on one side
+    for r in rows:
+        for rank in (r["bm25_rank"], r["cos_rank"]):
+            assert rank is None or 1 <= rank <= 10
+    assert any(r["bm25_rank"] is None or r["cos_rank"] is None for r in rows)
+    # rrf recomputes from the ranks
+    for r in rows:
+        want = sum(1.0 / (60 + x) for x in (r["bm25_rank"], r["cos_rank"]) if x)
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9

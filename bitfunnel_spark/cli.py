@@ -269,7 +269,8 @@ def cmd_repl(args) -> None:
     idx = _load(spark, args)
     print(
         "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
-        " | !facets <q> | !snippets <q> | !mlt <doc_id> | !quit"
+        " | !facets <q> | !fstats <q> | !collapse <q> | !snippets <q>"
+        " | !mlt <doc_id> | !suggest <prefix> | !quit"
     )
     while True:
         try:
@@ -296,6 +297,19 @@ def cmd_repl(args) -> None:
 
                 for r in facet_counts(idx, line[8:]).collect():
                     print(f"{r['facet']}\t{r['value']}\t{r['n_docs']}")
+            elif line.startswith("!fstats "):
+                from bitfunnel_spark.plans.serving import facet_stats
+
+                for r in facet_stats(idx, line[8:]).collect():
+                    print(
+                        f"{r[0]}\tn={r['n_docs']}\tavg={r['avg_doclen']}"
+                        f"\tmin={r['min_doclen']}\tmax={r['max_doclen']}"
+                    )
+            elif line.startswith("!collapse "):
+                from bitfunnel_spark.plans.serving import collapse_topk
+
+                for r in collapse_topk(idx, line[10:], k=args.k).collect():
+                    print(f"{r['doc_id']}\t{r['score']}\t{r[2]}")
             elif line.startswith("!snippets "):
                 from bitfunnel_spark.plans.serving import snippets
 

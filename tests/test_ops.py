@@ -276,3 +276,48 @@ def test_unigram_logprob_profile(spark):
     assert got[2] == {"doc_id": 2, "n_tokens": 0, "bits_per_token": 0.0}
     # rarer mix -> higher cross-entropy
     assert got[1]["bits_per_token"] > got[0]["bits_per_token"]
+
+
+def test_sq8_quantize_codes(spark):
+    rows = [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["qv"]
+        for r in df.select(
+            "vec_id", similarity.quantize_sq8_expr(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    # trunc toward zero: 127, -63 (not -64), 31, 0; zero vector stays zero
+    assert got[0] == [127, -63, 31, 0]
+    assert got[1] == [0, 0, 0, 0]
+
+
+def test_sq8_topk_vs_oracle(spark, duck):
+    from bitfunnel_spark.entry_queries import SQL_ANN_SQ8_TOPK
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in similarity.sq8_cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    exp = [
+        (q, v, pytest.approx(c, abs=2e-4))
+        for q, v, c in duck.execute(SQL_ANN_SQ8_TOPK).fetchall()
+    ]
+    assert exp == got
+
+
+def test_sq8_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_cosine_topk(emb, [0, 1], k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.sq8_cosine_topk(emb, [0, 1], k=10, rescore_factor=4).collect()
+    }
+    # SQ8+rescore at 4x should recover nearly all exact neighbors
+    assert len(exact & approx) >= int(0.8 * len(exact))

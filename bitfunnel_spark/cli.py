@@ -270,7 +270,7 @@ def cmd_repl(args) -> None:
     print(
         "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
         " | !facets <q> | !fstats <q> | !collapse <q> | !snippets <q>"
-        " | !mlt <doc_id> | !suggest <prefix> | !quit"
+        " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !quit"
     )
     while True:
         try:
@@ -292,6 +292,11 @@ def cmd_repl(args) -> None:
 
                 for r in suggest(idx, line[9:].strip(), k=args.k).collect():
                     print(f"{r['term']}\t{r['df']}")
+            elif line.startswith("!dym "):
+                from bitfunnel_spark.plans.expand import did_you_mean
+
+                for r in did_you_mean(idx, line[5:].strip(), k=args.k).collect():
+                    print(f"{r['term']}\tdist={r['dist']}\tdf={r['df']}")
             elif line.startswith("!facets "):
                 from bitfunnel_spark.plans.serving import facet_counts
 

@@ -1166,6 +1166,20 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
         return suggest(get_index(spark, sf_dir), "s", k=10)
 
+    def q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.expand import did_you_mean
+
+        return did_you_mean(get_index(spark, sf_dir), "qroup", k=5)
+
+    queries["ft_did_you_mean"] = q_did_you_mean
+    oracles["ft_did_you_mean"] = f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term
+  FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df, levenshtein(term, 'qroup') AS dist FROM d
+WHERE levenshtein(term, 'qroup') <= 2 AND term != 'qroup'
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
     queries["ft_suggest"] = q_suggest
     oracles["ft_suggest"] = f"""WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term

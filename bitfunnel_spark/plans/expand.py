@@ -168,6 +168,32 @@ def apply_synonyms(node: Node, mapping: dict[str, tuple[str, ...]]) -> Node:
     return node
 
 
+def did_you_mean(index, term: str, k: int = 5, max_dist: int = 2):
+    """Spell-correction suggester ("did you mean" — the ES/Lucene
+    term-suggester shape): dictionary body terms within edit distance
+    ``max_dist`` of ``term``, the input itself excluded, ordered
+    (distance asc, df desc, term asc). Returns DataFrame[(term, df,
+    dist)].
+
+    Scale shape: one filtered dictionary scan — a length-band prune
+    (|len(term) - len(q)| <= max_dist) cuts the scan before the JVM-side
+    levenshtein, then TakeOrdered(k). Same plan as fuzzy expansion."""
+    t = term.lower()
+    ts = index.term_stats.filter(F.col("stream") == "body")
+    ts = ts.filter(
+        (F.length("term") >= len(t) - max_dist)
+        & (F.length("term") <= len(t) + max_dist)
+        & (F.col("term") != t)
+    )
+    d = F.levenshtein(F.col("term"), F.lit(t))
+    return (
+        ts.select("term", "df", d.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def suggest(index, prefix: str, k: int = 10):
     """Typeahead / query completion: the top-``k`` dictionary terms with
     the given prefix, most frequent first (df desc, term asc) — the

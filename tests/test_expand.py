@@ -203,3 +203,20 @@ def test_synonyms_semantics(index):
     finally:
         index.set_synonyms(None)
     assert index.synonyms is None
+
+
+def test_did_you_mean(index, duck):
+    from bitfunnel_spark.plans.expand import did_you_mean
+
+    got = [tuple(r) for r in did_you_mean(index, "qroup", k=5).collect()]
+    exp = duck.execute("""
+        WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+            '[a-z_][a-z0-9_]*|[0-9]+')) AS term FROM documents),
+        d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+        SELECT term, df, levenshtein(term, 'qroup') AS dist FROM d
+        WHERE levenshtein(term, 'qroup') <= 2 AND term != 'qroup'
+        ORDER BY dist ASC, df DESC, term ASC LIMIT 5""").fetchall()
+    assert got == exp
+    assert got[0][0] == "group" and got[0][2] == 1
+    # the input term itself is excluded even when in the dictionary
+    assert all(t != "data" for t, _, _ in did_you_mean(index, "data", k=5).collect())

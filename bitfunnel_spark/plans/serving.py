@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.functions.tokenizer import tokenize
-from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import plan_query
 
 
@@ -77,7 +76,9 @@ def snippets(
     DataFrame[(doc_id, score, snippet)] ordered (score desc, doc_id asc).
     """
     res = index.search(query, k=k, mode=mode, facts=facts)
-    plan = plan_query(parse_query(query))
+    # prepare (don't just parse): expansion/synonym queries must rank their
+    # RESOLVED scoring terms, and the raw AST may hold unplannable nodes
+    plan = plan_query(index.prepare_query(query))
     ordered = _ranked_scoring_terms(index, plan)
 
     docs = index.corpus.select("doc_id", "content").join(F.broadcast(res), "doc_id")

@@ -163,3 +163,20 @@ def test_hybrid_rank_semantics(index, spark):
     for r in rows:
         want = sum(1.0 / (60 + x) for x in (r["bm25_rank"], r["cos_rank"]) if x)
         assert abs(r["rrf"] - round(want, 6)) < 1e-9
+
+
+def test_snippets_with_expansion_query(index, duck):
+    # a wildcard query must resolve BEFORE snippet-term ranking — the raw
+    # AST holds an unplannable Wildcard node (regression: serving used to
+    # plan the unprepared parse)
+    rows = serving.snippets(index, "s?a* & data", k=5, window=3).collect()
+    assert len(rows) == 5
+    base = {
+        (r["doc_id"], r["score"])
+        for r in index.search("s?a* & data", k=5, mode="kernel").collect()
+    }
+    assert {(r["doc_id"], r["score"]) for r in rows} == base
+    # every snippet centers on a resolved scoring term, never the raw glob
+    for r in rows:
+        toks = set(r["snippet"].split())
+        assert toks & {"scan", "spark", "small", "data"}, r["snippet"]

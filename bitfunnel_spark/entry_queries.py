@@ -1171,6 +1171,18 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
         return did_you_mean(get_index(spark, sf_dir), "qroup", k=5)
 
+    def q_bm25_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.expand import common_terms_query
+
+        idx = get_index(spark, sf_dir)
+        node = common_terms_query(idx, "dup data fast", max_df_ratio=0.3)
+        return idx.search(node, k=10, mode="kernel")
+
+    queries["ft_bm25_common"] = q_bm25_common
+    oracles["ft_bm25_common"] = oracle_search_sql(
+        "dup & (dup | data | fast)", k=10, config=ENTRY_CONFIG
+    )
+
     queries["ft_did_you_mean"] = q_did_you_mean
     oracles["ft_did_you_mean"] = f"""WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term

@@ -168,6 +168,44 @@ def apply_synonyms(node: Node, mapping: dict[str, tuple[str, ...]]) -> Node:
     return node
 
 
+def common_terms_query(index, text: str, max_df_ratio: float = 0.3) -> Node:
+    """Stopword-robust bag-of-words query (Lucene CommonTermsQuery shape,
+    MUST low-freq / SHOULD high-freq): terms with df/N <= ``max_df_ratio``
+    are required (ANDed); higher-df terms only contribute score when
+    present. Expressed as a pure rewrite — ``a & (a | b | c)`` for rare
+    ``a`` and common ``b c``: the OR clause is implied by ``a`` (match set
+    unchanged) but promotes the common terms into the plan's scoring keys,
+    so the unmodified executors score MUST+SHOULD exactly. All-common (or
+    all-rare) input degrades to a plain AND, as Lucene does.
+
+    ``text`` is a space-separated bag of body terms (no operators). One
+    dictionary lookup for the df split; the rewritten query runs through
+    the normal block-max kernel.
+    """
+    terms = [w.lower() for w in text.split() if w]
+    if not terms:
+        raise ValueError("common_terms_query needs at least one term")
+    seen: list[str] = []
+    for t in terms:  # de-dupe, keep first occurrence
+        if t not in seen:
+            seen.append(t)
+    rows = (
+        index.term_stats.filter(
+            (F.col("stream") == "body") & F.col("term").isin(seen)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    rare = [t for t in seen if dfs.get(t, 0) <= max_df_ratio * index.n_docs]
+    common = [t for t in seen if t not in rare]
+    if not rare or not common:
+        children = tuple(Term(t) for t in seen)
+        return children[0] if len(children) == 1 else And(children)
+    should = Or(tuple(Term(t) for t in (rare[:1] + common)))
+    return And((*(Term(t) for t in rare), should))
+
+
 def did_you_mean(index, term: str, k: int = 5, max_dist: int = 2):
     """Spell-correction suggester ("did you mean" — the ES/Lucene
     term-suggester shape): dictionary body terms within edit distance

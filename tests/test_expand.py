@@ -220,3 +220,43 @@ def test_did_you_mean(index, duck):
     assert got[0][0] == "group" and got[0][2] == 1
     # the input term itself is excluded even when in the dictionary
     assert all(t != "data" for t, _, _ in did_you_mean(index, "data", k=5).collect())
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_common_terms_query(index, duck, mode):
+    from bitfunnel_spark.plans.ast import fmt
+    from bitfunnel_spark.plans.expand import common_terms_query
+
+    node = common_terms_query(index, "dup data fast", max_df_ratio=0.3)
+    assert fmt(node) == "And(dup, Or(dup, data, fast))"
+    got = [
+        (r["doc_id"], r["score"]) for r in index.search(node, k=10, mode=mode).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in index.search("dup & (dup | data | fast)", k=10, mode=mode).collect()
+    ]
+    assert got == exp
+    # match set is the rare terms alone (common terms never gate matching)
+    assert sorted(r["doc_id"] for r in index.match(node).collect()) == sorted(
+        r["doc_id"] for r in index.match("dup").collect()
+    )
+    # but common terms DO contribute score: differs from plain rare-only
+    rare_only = [
+        (r["doc_id"], r["score"]) for r in index.search("dup", k=10, mode=mode).collect()
+    ]
+    assert got != rare_only
+
+
+def test_common_terms_fallbacks(index):
+    from bitfunnel_spark.plans.ast import And, Term, fmt
+    from bitfunnel_spark.plans.expand import common_terms_query
+
+    # all-common degrades to a plain AND
+    assert common_terms_query(index, "data fast", 0.3) == And((Term("data"), Term("fast")))
+    # all-rare stays a plain AND
+    assert common_terms_query(index, "dup", 0.3) == Term("dup")
+    # duplicates collapse, order preserved
+    assert fmt(common_terms_query(index, "dup dup data", 0.3)) == "And(dup, Or(dup, data))"
+    with pytest.raises(ValueError):
+        common_terms_query(index, "   ")

@@ -1284,6 +1284,7 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     from bitfunnel_spark.plans.oracle import (
         oracle_collapse_sql,
+        oracle_explain_sql,
         oracle_facet_stats_sql,
         oracle_facets_sql,
         oracle_hybrid_sql,
@@ -1311,6 +1312,14 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_hybrid"] = oracle_hybrid_sql(
         HYBRID_QUERY, HYBRID_VEC_ID, k=10, config=ENTRY_CONFIG
     )
+
+    def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.explain(get_index(spark, sf_dir), "spark & join", k=10)
+
+    queries["ft_explain"] = q_ft_explain
+    oracles["ft_explain"] = oracle_explain_sql("spark & join", k=10, config=ENTRY_CONFIG)
 
     queries["media_metadata"] = q_media_metadata
     oracles["media_metadata"] = SQL_MEDIA_METADATA

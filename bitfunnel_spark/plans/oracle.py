@@ -214,6 +214,40 @@ def oracle_facets_sql(
     )
 
 
+def oracle_explain_sql(query, k: int = 10, config: BuildConfig | None = None) -> str:
+    """Explain oracle mirroring plans/serving.explain: one row per
+    (top-k doc, scoring key present), contribution = idf(·boost)·partial,
+    rounded 4 dp."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    k1, b = config.bm25.k1, config.bm25.b
+    scoring = sorted(plan.scoring_keys)
+    scoring_list = ", ".join(_q(f"{s}:{t}") for s, t in scoring)
+    boost_sql = ""
+    if getattr(plan, "boosts", None):
+        whens = " ".join(
+            f"WHEN {_q(f'{s}:{t}')} THEN {float(f)!r}"
+            for (s, t), f in sorted(plan.boosts.items())
+        )
+        boost_sql = f"* CASE (t.stream || ':' || t.term) {whens} ELSE 1.0 END "
+    return f"""WITH {CORPUS_CTE},
+{_hits_cte(plan, config)},
+topk AS (SELECT h.doc_id, round(h.score, 4) AS score FROM hits h
+         WHERE ({_bool_sql(plan.ast)})
+         ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)})
+SELECT t.doc_id, tk.score, t.stream, t.term, t.tf,
+       round(ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) {boost_sql}
+             * (t.tf * {k1 + 1.0!r} / (t.tf + {k1!r} * (1.0 - {b!r} + {b!r}
+             * coalesce(dl.doclen, 0) / meta.avgdl))), 4) AS contribution
+FROM tf t
+JOIN topk tk ON t.doc_id = tk.doc_id
+JOIN dfreq ON dfreq.stream = t.stream AND dfreq.term = t.term
+LEFT JOIN dl ON t.doc_id = dl.doc_id
+CROSS JOIN meta
+WHERE (t.stream || ':' || t.term) IN ({scoring_list})
+ORDER BY tk.score DESC, t.doc_id ASC, t.stream ASC, t.term ASC"""
+
+
 def oracle_hybrid_sql(
     query, query_vec_id: int, k: int = 10, k_each: int = 20, rrf_k: int = 60,
     config: BuildConfig | None = None,

@@ -186,6 +186,56 @@ def collapse_topk(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def explain(
+    index, query: str, k: int = 10, mode: str = "kernel",
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-term score breakdown of the top-k (Lucene
+    IndexSearcher.explain shape): one row per (result doc, scoring key
+    present in it) with the term's tf, effective idf, and BM25
+    contribution — sum of a doc's contributions is its score.
+
+    Returns DataFrame[(doc_id, score, stream, term, tf, contribution)]
+    ordered (score desc, doc_id asc, stream, term); contribution rounded
+    to 4 dp. The contribution expression is the DataFrame executor's
+    (plans/executor._hits) verbatim, so explain always reconciles with
+    the ranking it explains.
+
+    Scale shape: one key-pruned posting scan restricted to the k result
+    docs by a broadcast semi-join — touches O(k · |query terms|) rows.
+    """
+    res = index.search(query, k=k, mode=mode, facts=facts)
+    plan = plan_query(index.prepare_query(query))
+    keys = sorted(f"{s}:{t}" for s, t in plan.scoring_keys)
+    key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
+    p = index.postings.withColumn("key", key_col).filter(F.col("key").isin(keys))
+    ts = index.term_stats.withColumn("key", key_col).filter(F.col("key").isin(keys))
+    bm = index.config.bm25
+    joined = p.join(F.broadcast(ts.select("key", "idf")), "key", "left")
+    norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
+    partial = F.col("tf") * (bm.k1 + 1.0) / (F.col("tf") + norm)
+    eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
+    if plan.boosts:
+        boost = F.lit(1.0)
+        for (s, t), b in sorted(plan.boosts.items()):
+            boost = F.when(
+                F.col("key") == F.lit(f"{s}:{t}"), F.lit(float(b))
+            ).otherwise(boost)
+        eff_idf = eff_idf * boost
+    return (
+        joined.join(F.broadcast(res), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "stream",
+            "term",
+            "tf",
+            F.round(eff_idf * partial, 4).alias("contribution"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), "stream", "term")
+    )
+
+
 def hybrid_search(
     index, emb: DataFrame, query: str, query_vec_id: int, k: int = 10,
     k_each: int = 20, rrf_k: int = 60, mode: str = "kernel",

@@ -6,6 +6,7 @@ import pytest
 from bitfunnel_spark.plans import serving
 from bitfunnel_spark.plans.oracle import (
     oracle_collapse_sql,
+    oracle_explain_sql,
     oracle_facet_stats_sql,
     oracle_facets_sql,
     oracle_hybrid_sql,
@@ -180,3 +181,33 @@ def test_snippets_with_expansion_query(index, duck):
     for r in rows:
         toks = set(r["snippet"].split())
         assert toks & {"scan", "spark", "small", "data"}, r["snippet"]
+
+
+EXPLAIN_QUERIES = ["spark & join", "data -slow", "data^2 fast", "lang:en data"]
+
+
+@pytest.mark.parametrize("q", EXPLAIN_QUERIES)
+def test_explain_vs_oracle(index, duck, q):
+    got = [
+        (r["doc_id"], r["score"], r["stream"], r["term"], r["tf"], r["contribution"])
+        for r in serving.explain(index, q, k=10).collect()
+    ]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4), st, t, tf, pytest.approx(c, abs=2e-4))
+        for d, s, st, t, tf, c in duck.execute(oracle_explain_sql(q, k=10)).fetchall()
+    ]
+    assert exp == got, f"explain mismatch for {q!r}"
+
+
+def test_explain_reconciles_with_score(index):
+    rows = serving.explain(index, "spark & join", k=10).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, parts in by_doc.items():
+        total = sum(p["contribution"] for p in parts)
+        # each contribution is rounded to 4dp, so tolerance scales with count
+        assert abs(total - parts[0]["score"]) <= 1e-4 * (len(parts) + 1), doc
+        # an AND result must carry every scoring term
+        assert {p["term"] for p in parts} == {"spark", "join"}

@@ -270,7 +270,7 @@ def cmd_repl(args) -> None:
     print(
         "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
         " | !facets <q> | !fstats <q> | !collapse <q> | !snippets <q>"
-        " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !quit"
+        " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q> | !quit"
     )
     while True:
         try:
@@ -292,6 +292,14 @@ def cmd_repl(args) -> None:
 
                 for r in suggest(idx, line[9:].strip(), k=args.k).collect():
                     print(f"{r['term']}\t{r['df']}")
+            elif line.startswith("!explain "):
+                from bitfunnel_spark.plans.serving import explain
+
+                for r in explain(idx, line[9:], k=args.k, mode=args.mode).collect():
+                    print(
+                        f"{r['doc_id']}\tscore={r['score']}\t{r['stream']}:{r['term']}"
+                        f"\ttf={r['tf']}\t+{r['contribution']}"
+                    )
             elif line.startswith("!dym "):
                 from bitfunnel_spark.plans.expand import did_you_mean
 

@@ -1321,6 +1321,15 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_explain"] = q_ft_explain
     oracles["ft_explain"] = oracle_explain_sql("spark & join", k=10, config=ENTRY_CONFIG)
 
+    def q_ft_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.term_vector(get_index(spark, sf_dir), 123)
+
+    queries["ft_term_vector"] = q_ft_term_vector
+    oracles["ft_term_vector"] = f"""WITH {CORPUS_CTE}
+SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""
+
     queries["media_metadata"] = q_media_metadata
     oracles["media_metadata"] = SQL_MEDIA_METADATA
     queries["media_features"] = q_media_features

@@ -186,6 +186,19 @@ def collapse_topk(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def term_vector(index, doc_id: int) -> DataFrame:
+    """A document's term vector (the Lucene/ES termvectors endpoint
+    shape): every (stream, term, tf) the document was indexed with,
+    ordered (stream, term). One doc_id-pruned posting scan — on a
+    persisted index the predicate pushes into the parquet row-group
+    stats, so this is a point lookup."""
+    return (
+        index.postings.filter(F.col("doc_id") == int(doc_id))
+        .select("stream", "term", "tf")
+        .orderBy("stream", "term")
+    )
+
+
 def explain(
     index, query: str, k: int = 10, mode: str = "kernel",
     facts: list[str] | None = None,

@@ -211,3 +211,29 @@ def test_explain_reconciles_with_score(index):
         assert abs(total - parts[0]["score"]) <= 1e-4 * (len(parts) + 1), doc
         # an AND result must carry every scoring term
         assert {p["term"] for p in parts} == {"spark", "join"}
+
+
+@pytest.mark.parametrize("doc_id", [0, 123])
+def test_term_vector_vs_oracle(index, duck, doc_id):
+    got = [tuple(r) for r in serving.term_vector(index, doc_id).collect()]
+    exp = duck.execute(f"""
+        WITH corpus AS (SELECT doc_id, lower(text) AS body_text,
+               'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path_text,
+               lower(lang) AS lang_text, lower(source) AS repo_text FROM documents),
+        tf AS (
+          SELECT doc_id, 'body' AS stream, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(body_text,
+               '[a-z_][a-z0-9_]*|[0-9]+')) AS term FROM corpus) GROUP BY doc_id, term
+          UNION ALL
+          SELECT doc_id, 'path' AS stream, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(path_text,
+               '[a-z_][a-z0-9_]*|[0-9]+')) AS term FROM corpus) GROUP BY doc_id, term
+          UNION ALL SELECT doc_id, 'lang', lang_text, 1 FROM corpus
+          UNION ALL SELECT doc_id, 'repo', repo_text, 1 FROM corpus)
+        SELECT stream, term, tf FROM tf WHERE doc_id = {doc_id}
+        ORDER BY stream, term""").fetchall()
+    assert got == exp
+    # tf in the vector reconciles with the doc's body length
+    body_tf = sum(tf for s, _, tf in got if s == "body")
+    dl = index.doc_stats.filter(f"doc_id = {doc_id}").collect()[0]["doclen"]
+    assert body_tf == dl

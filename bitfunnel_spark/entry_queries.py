@@ -1326,6 +1326,20 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
         return serving.term_vector(get_index(spark, sf_dir), 123)
 
+    PERCOLATE_QUERIES = ["data -slow", "spark & join", "dup | vector"]
+
+    def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.batch import percolate
+
+        corpus = corpus_from_documents(load_documents(spark, sf_dir))
+        return percolate(spark, corpus, PERCOLATE_QUERIES, config=ENTRY_CONFIG)
+
+    queries["ft_percolate"] = q_ft_percolate
+    oracles["ft_percolate"] = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id FROM ({oracle_match_sql(q, config=ENTRY_CONFIG)})"
+        for qid, q in enumerate(PERCOLATE_QUERIES)
+    )
+
     queries["ft_term_vector"] = q_ft_term_vector
     oracles["ft_term_vector"] = f"""WITH {CORPUS_CTE}
 SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""

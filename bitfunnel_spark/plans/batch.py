@@ -121,13 +121,12 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
     return kernel
 
 
-def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None = None) -> DataFrame:
-    """Evaluate a list of query strings in ONE job.
-
-    Returns DataFrame[(query_id int, doc_id long, score double)] — per query
-    the BM25 top-k under the same determinism contract as single-query
-    search (score rounded 4 dp; order score desc, doc_id asc).
-    """
+def _batched_groups(
+    index, queries: list[str], k: int | None, facts: list[str] | None
+) -> DataFrame:
+    """Shared batched-execution core: one segment scan + one
+    applyInPandas over (shard, slice) groups evaluating EVERY query.
+    ``k`` None = full match sets (no per-group truncation)."""
     if index.segments is None:
         index.build_segments()
     from bitfunnel_spark.plans.kernel import _segment_filter
@@ -169,11 +168,47 @@ def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None 
             **_restriction_arrays(index, facts),
         },
     )
-    groups = seg.groupBy("shard", "slice").applyInPandas(
+    return seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "query_id int, doc_id long, score double"
     )
+
+
+def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None = None) -> DataFrame:
+    """Evaluate a list of query strings in ONE job.
+
+    Returns DataFrame[(query_id int, doc_id long, score double)] — per query
+    the BM25 top-k under the same determinism contract as single-query
+    search (score rounded 4 dp; order score desc, doc_id asc).
+    """
+    groups = _batched_groups(index, queries, k, facts)
     res = groups.select("query_id", "doc_id", F.round(F.col("score"), 4).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         res.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
     )
+
+
+def match_many(index, queries: list[str], facts: list[str] | None = None) -> DataFrame:
+    """Full (unscored) match sets for a whole query log in ONE job:
+    DataFrame[(query_id int, doc_id long)]. Each document lives in exactly
+    one (shard, slice) group, so group outputs are disjoint — no window,
+    no dedup, no truncation."""
+    groups = _batched_groups(index, queries, None, facts)
+    return groups.select("query_id", "doc_id")
+
+
+def percolate(spark, docs: DataFrame, queries: list[str], config=None) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator shape): which of the
+    ``queries`` (the registered query log) match each document of an
+    incoming batch. Returns DataFrame[(query_id int, doc_id long)].
+
+    Scale shape: the batch is a micro-batch (small); the query log can be
+    large. A throwaway index is built over the batch (the fused
+    single-shuffle build — cheap at micro-batch size) and the WHOLE log
+    evaluates in ONE batched kernel job (queries become data). Alerting /
+    saved-search fan-out at ingest time runs this per streaming batch.
+    """
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+
+    idx = FullTextIndex.build_fused(spark, docs, config or BuildConfig(n_slices=1))
+    return match_many(idx, queries)

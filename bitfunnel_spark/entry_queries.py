@@ -1141,14 +1141,15 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     )
 
     def q_bm25_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-query synonym rewrite: build the expanded AST directly and hand
+        # it to search — no mutation of the shared cached index, safe under
+        # concurrent/lazy execution of other registry entries
+        from bitfunnel_spark.plans.expand import apply_synonyms
+        from bitfunnel_spark.plans.parser import parse_query
+
         idx = get_index(spark, sf_dir)
-        idx.set_synonyms({"join": ["merge"]})
-        try:
-            # prepare_query rewrites eagerly, so the returned plan is fixed
-            # before the synonym map is cleared for the other entries
-            return idx.search("join & data", k=10, mode="kernel")
-        finally:
-            idx.set_synonyms(None)
+        node = apply_synonyms(parse_query("join & data"), {"join": ("merge",)})
+        return idx.search(node, k=10, mode="kernel")
 
     queries["ft_bm25_synonym"] = q_bm25_synonym
     oracles["ft_bm25_synonym"] = oracle_search_sql(

@@ -176,12 +176,13 @@ def quantize_sq8_expr(vec: Column) -> Column:
     array<int>. Truncation toward zero is used (not rounding) because it
     is the one double→int conversion Spark and DuckDB perform identically
     — the oracle must produce bit-identical codes. A zero vector stays
-    all-zero."""
+    all-zero. Codes are stored as ``tinyint`` (bounded to ±127), so the
+    candidate scan really is 4× narrower than float32."""
     v = _as_double(vec)
     maxabs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    return F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: (x * 127.0 / maxabs).cast("int"))
-    )
+    return F.when(
+        maxabs == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: (x * 127.0 / maxabs).cast("tinyint")))
 
 
 def sq8_cosine_topk(

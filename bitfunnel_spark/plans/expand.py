@@ -39,6 +39,48 @@ MAX_EXPANSIONS = 64
 _RE_META = set(".[]()*+?{}|^$\\")
 
 
+def _regex_safe_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of ``pattern`` must start with.
+
+    Lucene derives the safe common prefix from the compiled automaton
+    (CompiledAutomaton.commonPrefix); we derive a conservative one
+    syntactically:
+
+    - a top-level unescaped ``|`` means alternation branches need not share
+      the lead at all (``scan|data``) → no safe prefix;
+    - if the metachar that ends the literal run is a quantifier (``?``,
+      ``*``, ``{``), the char before it is optional/repeatable
+      (``sc?an`` matches ``san``) → drop the last lead char.
+
+    Returns ``""`` when no sound prefix exists (prune disabled). Used only
+    as a pre-filter before the exact anchored ``rlike`` — under-pruning is
+    always sound.
+    """
+    i, depth = 0, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
+    lead: list[str] = []
+    stop = None
+    for c in pattern:
+        if c in _RE_META:
+            stop = c
+            break
+        lead.append(c)
+    if lead and stop in ("?", "*", "{"):
+        lead.pop()
+    return "".join(lead)
+
+
 def has_expansions(node: Node) -> bool:
     if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex)):
         return True
@@ -72,15 +114,12 @@ def _matching_terms(
     if isinstance(node, Prefix):
         ts = ts.filter(F.col("term").startswith(node.text))
     elif isinstance(node, Regex):
-        # leading literal run (chars before the first regex metachar) →
-        # pushdown-friendly StartsWith prune before the anchored rlike
-        lead = []
-        for c in node.text:
-            if c in _RE_META:
-                break
-            lead.append(c)
+        # sound leading-literal prune (see _regex_safe_prefix: disabled for
+        # top-level alternation, trimmed before optional quantifiers) →
+        # pushdown-friendly StartsWith before the anchored rlike
+        lead = _regex_safe_prefix(node.text)
         if lead:
-            ts = ts.filter(F.col("term").startswith("".join(lead)))
+            ts = ts.filter(F.col("term").startswith(lead))
         ts = ts.filter(F.col("term").rlike(f"^(?:{node.text})$"))
     elif isinstance(node, Wildcard):
         # leading literal run → pushdown-friendly StartsWith prune before

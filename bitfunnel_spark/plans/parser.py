@@ -214,6 +214,13 @@ class _Parser:
             # (a bare '*' would expand to the whole dictionary).
             if not word.strip("*?"):
                 raise QueryParseError(f"wildcard needs at least one literal char: {word!r}")
+            if "~" in word:
+                # 'da?a~' would otherwise become a Wildcard containing a
+                # literal '~' that can never tokenize — fail loudly like the
+                # boost-on-expansion case above
+                raise QueryParseError(
+                    f"cannot combine wildcard and fuzzy suffix: {word!r}"
+                )
             return Wildcard(word, stream)
         m = _FUZZY_RE.fullmatch(word)
         if m:

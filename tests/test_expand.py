@@ -90,6 +90,69 @@ def test_regex_expansion_terms(index):
         parse_query("/a[b/")  # broken pattern fails at parse time
 
 
+def test_regex_safe_prefix():
+    # plain literal run before a non-quantifier metachar: keep it
+    assert expand._regex_safe_prefix("s.a[nr]k?") == "s"
+    assert expand._regex_safe_prefix("data") == "data"
+    # top-level alternation: branches share no lead — prune disabled
+    assert expand._regex_safe_prefix("scan|data") == ""
+    assert expand._regex_safe_prefix("a|b") == ""
+    # alternation INSIDE a group is fine: every match still starts with 's'
+    assert expand._regex_safe_prefix("s(can|mall)") == "s"
+    # escaped '|' is a literal, not an alternation
+    assert expand._regex_safe_prefix(r"a\|b") == "a"
+    # optional/repeat quantifier makes the preceding char optional: drop it
+    assert expand._regex_safe_prefix("sc?an") == "s"
+    assert expand._regex_safe_prefix("datas*") == "data"
+    assert expand._regex_safe_prefix("datax{0,1}") == "data"
+    # '+' requires >=1 occurrence — the char stays
+    assert expand._regex_safe_prefix("data+") == "data"
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_regex_alternation_vs_oracle(index, duck, mode):
+    """/scan|data/ — the unsound StartsWith('scan') prune used to silently
+    drop 'data' (ADVICE r2); both alternatives must match."""
+    expanded = expand.expand_query(index, parse_query(r"/scan\|data/"))
+    assert {t.text for t in expanded.children} == {"scan", "data"}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in index.search(r"/scan\|data/", k=10, mode=mode).collect()
+    ]
+    exp = duck.execute(
+        oracle_expansion_search_sql("regexp_full_match(term, 'scan|data')", k=10)
+    ).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_regex_optional_quantifier_vs_oracle(index, duck, mode):
+    """/datax{0,1}/ and /datas*/ fully match 'data', which the old lead
+    ('datax'/'datas') pruned away before the rlike."""
+    assert expand.expand_query(index, parse_query("/datax{0,1}/")) == Term("data")
+    assert expand.expand_query(index, parse_query("/datas*/")) == Term("data")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in index.search("/datax{0,1}/", k=10, mode=mode).collect()
+    ]
+    exp = duck.execute(
+        oracle_expansion_search_sql("regexp_full_match(term, 'datax{0,1}')", k=10)
+    ).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+
+
+def test_wildcard_fuzzy_mix_rejected():
+    """'da?a~' used to parse as a Wildcard with a literal '~' that can never
+    match a dictionary term (silent empty result) — now a parse error, like
+    boost-on-expansion (ADVICE r2)."""
+    with pytest.raises(QueryParseError):
+        parse_query("da?a~")
+    with pytest.raises(QueryParseError):
+        parse_query("da?a~2")
+    with pytest.raises(QueryParseError):
+        parse_query("d*a~")
+
+
 def test_glob_to_like_escaping():
     assert expand._glob_to_like("a*b?c") == "a%b_c"
     assert expand._glob_to_like("a_b") == "a\\_b"  # literal '_' in a token

@@ -111,6 +111,70 @@ def lsh_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cent_id, cvec, cnorm>> literal from driver-side
+    centroids — folded into the plan itself, so assignment needs no join
+    and no shuffle at all. ``cnorm`` is accumulated in the exact order of
+    :func:`norm_expr`'s fold (sequential sum of squares, IEEE double), so
+    the value is bit-identical to what the JVM fold would compute."""
+    import math
+
+    structs = []
+    for cid, vec in cent_rows:
+        acc = 0.0
+        for x in vec:
+            fx = float(x)
+            acc += fx * fx
+        structs.append(
+            F.struct(
+                F.lit(int(cid)).alias("cent_id"),
+                F.array(*[F.lit(float(x)).cast("double") for x in vec]).alias("cvec"),
+                F.lit(math.sqrt(acc)).alias("cnorm"),
+            )
+        )
+    return F.array(*structs)
+
+
+def train_kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic sampled spherical k-means (Lloyd's) for the IVF coarse
+    quantizer. A bounded, id-ordered sample is collected driver-side (the
+    testdata's ids are a uniform permutation, so this is a uniform sample;
+    at 10^9-vector scale a ~100k-row sample is still driver-trivial while
+    the full-corpus *assignment* stays distributed in ivf_cosine_topk).
+    Returns (n_centroids, dim) float64 centroids, L2-normalized.
+
+    Deterministic: seeded init (rng.choice without replacement), fixed
+    iteration count, empty clusters keep their previous centroid.
+    """
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).collect()
+    )
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cents = mat[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    return cents
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -119,47 +183,66 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: "np.ndarray | list | None" = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize every vector to its
     nearest centroid, probe only the query's ``n_probe`` nearest centroid
     cells. The scale path for 10^9+ vectors: the candidate join is an
     equi-join on ``cent_id`` (each cell holds ~N/n_centroids vectors), and
-    the centroid table is tiny and broadcast everywhere.
+    the centroid table rides inside the plan as a literal array — the
+    per-vector assignment is a pure column expression (argmax fold over the
+    centroid array), ZERO shuffle and zero join on the corpus side. (The
+    r2 design shuffled N·n_centroids rows through a window just to take a
+    per-vector argmax; this replaces it.)
 
-    The coarse quantizer is DETERMINISTIC and cross-engine expressible —
-    centroids are the vectors with id < n_centroids (ids are a uniform
-    permutation of the corpus in the testdata, so this is a uniform sample;
-    a production build would k-means them, which only changes the centroid
-    table, not the plan shape). Ties break by cent_id asc, so the oracle
-    mirrors the assignment exactly. Recall is approximate by design; the
-    oracle mirrors the identical algorithm."""
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    The default coarse quantizer is DETERMINISTIC and cross-engine
+    expressible — centroids are the vectors with id < n_centroids (ids are
+    a uniform permutation of the corpus in the testdata, so this is a
+    uniform sample). Pass ``centroids`` (e.g. from
+    :func:`train_kmeans_centroids`) for trained cells — only the centroid
+    literal changes, not the plan shape. Ties break by cent_id asc, so the
+    oracle mirrors the assignment exactly. Recall is approximate by design;
+    the oracle mirrors the identical algorithm."""
+    if centroids is None:
+        cent_rows = sorted(
+            (int(r[id_col]), list(r[vec_col]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    else:
+        cent_rows = [(i, list(v)) for i, v in enumerate(centroids)]
+    cents_lit = _centroid_literal(cent_rows)
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    cos_c = F.round(cosine_expr(F.col("v"), F.col("cent_vec")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cent_id"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cent_id", cos_c.alias("cosc"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
+    vnorm = norm_expr(F.col("v"))
+    # rounded cosine to each centroid, tie-broken by cent_id asc via the
+    # negated id: struct comparison is lexicographic, so array_max picks
+    # (max cosc, then min cent_id) — same order the r2 window used
+    ranked = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(dot_expr(F.col("v"), c["cvec"]) / (vnorm * c["cnorm"]), 6).alias(
+                "cosc"
+            ),
+            (-c["cent_id"]).alias("n"),
+        ),
+    )
+    assigned = base.select(
+        "vec_id", "v", (-F.array_max(ranked)["n"]).cast("int").alias("cent_id")
+    )
+    # query probes: top n_probe cells per query — same literal array, a
+    # sort_array + slice on the handful of query rows (no window, no join)
+    top_cells = F.transform(
+        F.slice(F.sort_array(ranked, asc=False), 1, n_probe),
+        lambda s: (-s["n"]).cast("int"),
     )
     probes = (
         base.filter(F.col("vec_id").isin(query_ids))
-        .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qvec"),
-            "cent_id",
-            cos_c.alias("cosc"),
+            F.explode(top_cells).alias("cent_id"),
         )
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.desc("cosc"), F.asc("cent_id"))
-        ))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qvec", "cent_id")
     )
     pairs = F.broadcast(probes).join(assigned, "cent_id").filter(
         F.col("query_id") != F.col("vec_id")

@@ -321,3 +321,51 @@ def test_sq8_recall_vs_exact(spark):
     }
     # SQ8+rescore at 4x should recover nearly all exact neighbors
     assert len(exact & approx) >= int(0.8 * len(exact))
+
+
+def test_ivf_assignment_zero_shuffle_and_oracle(spark, duck):
+    """IVF assignment is a pure column expression over the centroid-array
+    literal — the executed plan must contain NO Exchange keyed by vec_id
+    (the r2 design shuffled N*n_centroids rows through a window)."""
+    from bitfunnel_spark.entry_queries import _sql_ann_ivf, ANN_QUERY_IDS, _IVF_CENTROIDS, _IVF_PROBE
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.ivf_cosine_topk(
+        emb, ANN_QUERY_IDS, k=10, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    got = [(r["query_id"], r["vec_id"], r["cosine"]) for r in res.collect()]
+    exp = [
+        (q, v, pytest.approx(c, abs=2e-4))
+        for q, v, c in duck.execute(_sql_ann_ivf()).fetchall()
+    ]
+    assert exp == got
+
+
+def test_ivf_kmeans_recall_improves(spark):
+    """Trained (sampled spherical k-means) centroids must beat the id-based
+    placeholder quantizer on recall@10 vs brute cosine."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 42, 99, 123]
+    brute = {q: set() for q in qids}
+    for r in similarity.brute_cosine_topk(emb, qids, k=10).collect():
+        brute[r["query_id"]].add(r["vec_id"])
+
+    def recall(df):
+        hit = {q: set() for q in qids}
+        for r in df.collect():
+            hit[r["query_id"]].add(r["vec_id"])
+        return sum(len(hit[q] & brute[q]) for q in qids) / (10.0 * len(qids))
+
+    r_id = recall(similarity.ivf_cosine_topk(emb, qids, k=10, n_centroids=16, n_probe=4))
+    cents = similarity.train_kmeans_centroids(emb, n_centroids=16)
+    r_km = recall(
+        similarity.ivf_cosine_topk(emb, qids, k=10, n_centroids=16, n_probe=4, centroids=cents)
+    )
+    assert r_km > r_id
+    # determinism: retraining gives the identical centroid table
+    cents2 = similarity.train_kmeans_centroids(emb, n_centroids=16)
+    import numpy as np
+
+    assert np.array_equal(cents, cents2)

@@ -36,8 +36,6 @@ postings table is persisted partitioned by shard).
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -47,6 +45,7 @@ from pyspark.sql import functions as F
 from bitfunnel_spark.config import BuildConfig
 from bitfunnel_spark.operators import statistics as stats
 from bitfunnel_spark.operators.segments import build_segments
+from bitfunnel_spark.sources import fsio
 
 LINEAGE_SCHEMA = (
     "unit string, attempt int, status string, rows long, wall_ms long, "
@@ -74,7 +73,7 @@ class CheckpointedBuild:
     # -- lineage ---------------------------------------------------------
 
     def _lineage_path(self) -> str:
-        return os.path.join(self.root, "lineage")
+        return fsio.join(self.root, "lineage")
 
     def _log(self, unit: str, attempt: int, status: str, rows: int = 0, wall_ms: int = 0, error: str = "") -> None:
         row = [(unit, attempt, status, rows, wall_ms, error, time.time())]
@@ -86,7 +85,7 @@ class CheckpointedBuild:
         return self.spark.read.parquet(self._lineage_path())
 
     def _completed_units(self) -> set[str]:
-        if not os.path.exists(self._lineage_path()):
+        if not fsio.exists(self._lineage_path()):
             return set()
         return {
             r["unit"]
@@ -94,7 +93,7 @@ class CheckpointedBuild:
         }
 
     def _attempt_no(self, unit: str) -> int:
-        if not os.path.exists(self._lineage_path()):
+        if not fsio.exists(self._lineage_path()):
             return 1
         prev = self.lineage().filter(F.col("unit") == unit).agg(F.max("attempt")).collect()[0][0]
         return (prev or 0) + 1
@@ -104,22 +103,22 @@ class CheckpointedBuild:
     def _stage(self, unit: str, out_path: str, make_df, fault=None) -> None:
         """Run one checkpoint unit: build → tmp write → atomic rename → log."""
         done = self._completed_units()
-        if unit in done and os.path.exists(out_path):
+        if unit in done and fsio.exists(out_path):
             return
         attempt = self._attempt_no(unit)
         t0 = time.time()
-        tmp = os.path.join(os.path.dirname(out_path), f"_tmp_{os.path.basename(out_path)}")
+        tmp = fsio.join(fsio.dirname(out_path), f"_tmp_{fsio.basename(out_path)}")
         try:
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
+            if fsio.exists(tmp):
+                fsio.delete(tmp)
             df = make_df()
             df.write.mode("overwrite").parquet(tmp)
             if fault is not None:
                 fault(unit)  # test hook: crash after write, before commit
             rows = self.spark.read.parquet(tmp).count()
-            if os.path.exists(out_path):
-                shutil.rmtree(out_path)
-            os.rename(tmp, out_path)
+            if fsio.exists(out_path):
+                fsio.delete(out_path)
+            fsio.rename(tmp, out_path)
             self._log(unit, attempt, "done", rows, int((time.time() - t0) * 1000))
         except Exception as e:  # noqa: BLE001 — log then re-raise: the audit trail is the point
             self._log(unit, attempt, "failed", 0, int((time.time() - t0) * 1000), f"{type(e).__name__}: {e}")
@@ -127,11 +126,11 @@ class CheckpointedBuild:
 
     def build(self, corpus: DataFrame, fault=None) -> None:
         """Full (resumable) build. `fault(unit)` is a test-only crash hook."""
-        os.makedirs(self.root, exist_ok=True)
+        fsio.mkdirs(self.root)
         cfg = self.config
         ds = stats.doc_stats(corpus, cfg)
-        self._stage("doc_stats", os.path.join(self.root, "doc_stats"), lambda: ds, fault)
-        doc_stats_df = self.spark.read.parquet(os.path.join(self.root, "doc_stats"))
+        self._stage("doc_stats", fsio.join(self.root, "doc_stats"), lambda: ds, fault)
+        doc_stats_df = self.spark.read.parquet(fsio.join(self.root, "doc_stats"))
         meta = stats.corpus_meta(doc_stats_df)
 
         def meta_df():
@@ -139,18 +138,18 @@ class CheckpointedBuild:
                 [(meta["n_docs"], meta["avgdl"])], "n_docs long, avgdl double"
             )
 
-        self._stage("meta", os.path.join(self.root, "meta"), meta_df, fault)
+        self._stage("meta", fsio.join(self.root, "meta"), meta_df, fault)
 
         postings = stats.postings(corpus, cfg).cache()
         self._stage(
             "term_stats",
-            os.path.join(self.root, "term_stats"),
+            fsio.join(self.root, "term_stats"),
             lambda: stats.term_stats(postings, meta["n_docs"], cfg),
             fault,
         )
 
-        seg_root = os.path.join(self.root, "segments")
-        os.makedirs(seg_root, exist_ok=True)
+        seg_root = fsio.join(self.root, "segments")
+        fsio.mkdirs(seg_root)
         n_shards = len(cfg.shard_boundaries)
         bands = max(1, min(int(self.slice_bands), cfg.n_slices))
         width = -(-cfg.n_slices // bands)  # ceil — last band may be narrower
@@ -161,11 +160,11 @@ class CheckpointedBuild:
                     continue
                 if bands == 1:
                     unit = f"segments:shard={shard}"
-                    out = os.path.join(seg_root, f"shard={shard}")
+                    out = fsio.join(seg_root, f"shard={shard}")
                     pred = F.col("shard") == shard
                 else:
                     unit = f"segments:shard={shard}:band={band}"
-                    out = os.path.join(seg_root, f"shard={shard}", f"band={band}")
+                    out = fsio.join(seg_root, f"shard={shard}", f"band={band}")
                     pred = (
                         (F.col("shard") == shard)
                         & (F.col("slice") >= lo)
@@ -186,18 +185,18 @@ class CheckpointedBuild:
     def load_index(self, corpus: DataFrame):
         from bitfunnel_spark.index import FullTextIndex
 
-        meta = self.spark.read.parquet(os.path.join(self.root, "meta")).collect()[0]
-        seg = self.spark.read.parquet(os.path.join(self.root, "segments"))
+        meta = self.spark.read.parquet(fsio.join(self.root, "meta")).collect()[0]
+        seg = self.spark.read.parquet(fsio.join(self.root, "segments"))
         if "band" in seg.columns:  # slice-band partition dirs (slice_bands > 1)
             seg = seg.drop("band")
         return FullTextIndex(
             spark=self.spark,
             config=self.config,
             corpus=corpus,
-            doc_stats=self.spark.read.parquet(os.path.join(self.root, "doc_stats")),
+            doc_stats=self.spark.read.parquet(fsio.join(self.root, "doc_stats")),
             postings=stats.postings(corpus, self.config),
-            term_stats=self.spark.read.parquet(os.path.join(self.root, "term_stats")),
+            term_stats=self.spark.read.parquet(fsio.join(self.root, "term_stats")),
             n_docs=meta["n_docs"],
             avgdl=meta["avgdl"],
-            segments=self.spark.read.parquet(os.path.join(self.root, "segments")),
+            segments=self.spark.read.parquet(fsio.join(self.root, "segments")),
         )

@@ -27,8 +27,6 @@ row-level operations on the corpus table followed by a shard rebuild
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +34,7 @@ from pyspark.sql import functions as F
 from bitfunnel_spark.config import BuildConfig
 from bitfunnel_spark.operators import statistics as stats
 from bitfunnel_spark.operators.segments import build_segments
+from bitfunnel_spark.sources import fsio
 
 CORPUS_DDL = (
     "doc_id long, repo string, path string, commit string, lang string, "
@@ -62,23 +61,23 @@ def ingest_increments(
 
     `avgdl` is the frozen epoch value (see module docstring).
     """
-    inc_root = os.path.join(index_root, "increments")
-    os.makedirs(inc_root, exist_ok=True)
-    checkpoint_dir = checkpoint_dir or os.path.join(index_root, "_stream_checkpoint")
+    inc_root = fsio.join(index_root, "increments")
+    fsio.mkdirs(inc_root)
+    checkpoint_dir = checkpoint_dir or fsio.join(index_root, "_stream_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(inc_root, f"batch={batch_id}")
-        if os.path.exists(out):  # replayed batch after restart — idempotent skip
+        out = fsio.join(inc_root, f"batch={batch_id}")
+        if fsio.exists(out):  # replayed batch after restart — idempotent skip
             return
         if batch_id in _load_manifest(index_root)["consumed_batches"]:
             return  # replayed batch already folded into a generation run
         postings = stats.postings(batch_df, config)
         seg = build_segments(postings, avgdl, config)
-        tmp = os.path.join(inc_root, f"_tmp_batch={batch_id}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tmp = fsio.join(inc_root, f"_tmp_batch={batch_id}")
+        if fsio.exists(tmp):
+            fsio.delete(tmp)
         seg.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, out)
+        fsio.rename(tmp, out)
 
     writer = (
         corpus_stream(spark, corpus_dir)
@@ -111,11 +110,11 @@ _EMPTY_MANIFEST = {
 
 
 def _load_manifest(index_root: str) -> dict:
-    path = os.path.join(index_root, _MANIFEST)
-    if not os.path.exists(path):
+    path = fsio.join(index_root, _MANIFEST)
+    text = fsio.read_text(path)
+    if text is None:
         return {k: (list(v) if isinstance(v, list) else v) for k, v in _EMPTY_MANIFEST.items()}
-    with open(path) as f:
-        man = json.load(f)
+    man = json.loads(text)
     for k, v in _EMPTY_MANIFEST.items():  # back-compat with pre-snapshot manifests
         man.setdefault(k, list(v) if isinstance(v, list) else v)
     return man
@@ -123,13 +122,13 @@ def _load_manifest(index_root: str) -> dict:
 
 def _live_batch_ids(index_root: str, man: dict) -> list[int]:
     """Unconsumed increment batch ids present on disk right now."""
-    inc_root = os.path.join(index_root, "increments")
-    if not os.path.isdir(inc_root):
+    inc_root = fsio.join(index_root, "increments")
+    if not fsio.isdir(inc_root):
         return []
     consumed = set(man["consumed_batches"])
     return sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(inc_root)
+        for d in fsio.listdir(inc_root)
         if d.startswith("batch=") and int(d.split("=", 1)[1]) not in consumed
     )
 
@@ -147,31 +146,24 @@ def _commit_manifest(index_root: str, manifest: dict, operation: str = "commit")
         snap["operation"] = operation
         snap["committed_at"] = time.time()
         snap["live_batches"] = _live_batch_ids(index_root, manifest)
-        sdir = os.path.join(index_root, _SNAPSHOT_DIR)
-        os.makedirs(sdir, exist_ok=True)
-        spath = os.path.join(sdir, f"v{manifest['snapshot_id']}.json")
-        stmp = spath + ".tmp"
-        with open(stmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(stmp, spath)
-    path = os.path.join(index_root, _MANIFEST)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)  # the atomic commit point
+        sdir = fsio.join(index_root, _SNAPSHOT_DIR)
+        fsio.mkdirs(sdir)
+        spath = fsio.join(sdir, f"v{manifest['snapshot_id']}.json")
+        fsio.write_text_atomic(spath, json.dumps(snap))
+    path = fsio.join(index_root, _MANIFEST)
+    fsio.write_text_atomic(path, json.dumps(manifest))  # the atomic commit point
 
 
 def snapshots(index_root: str) -> list[dict]:
     """Snapshot log, oldest first: [{snapshot_id, operation, committed_at,
     runs, live_batches, ...}] — the Iceberg `snapshots` metadata table."""
-    sdir = os.path.join(index_root, _SNAPSHOT_DIR)
-    if not os.path.isdir(sdir):
+    sdir = fsio.join(index_root, _SNAPSHOT_DIR)
+    if not fsio.isdir(sdir):
         return []
     out = []
-    for name in os.listdir(sdir):
+    for name in fsio.listdir(sdir):
         if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(sdir, name)) as f:
-                out.append(json.load(f))
+            out.append(json.loads(fsio.read_text(fsio.join(sdir, name))))
     return sorted(out, key=lambda s: s["snapshot_id"])
 
 
@@ -195,7 +187,7 @@ def expire_snapshots(index_root: str, keep_last: int | None = None) -> None:
         keep_last = man.get("retain_snapshots", 0)
     snaps = snapshots(index_root)
     for s in snaps[: max(0, len(snaps) - int(keep_last))]:
-        os.remove(os.path.join(index_root, _SNAPSHOT_DIR, f"v{s['snapshot_id']}.json"))
+        fsio.delete(fsio.join(index_root, _SNAPSHOT_DIR, f"v{s['snapshot_id']}.json"))
     _sweep_garbage(index_root, man)
 
 
@@ -205,12 +197,12 @@ def _protected_paths(index_root: str, man: dict) -> set[str]:
     keep = man.get("retain_snapshots", 0)
     if keep <= 0:
         return set()
-    inc_root = os.path.join(index_root, "increments")
+    inc_root = fsio.join(index_root, "increments")
     protected: set[str] = set()
     for s in snapshots(index_root)[-keep:]:
         protected.update(r["path"] for r in s["runs"])
         protected.update(
-            os.path.join(inc_root, f"batch={b}") for b in s.get("live_batches", [])
+            fsio.join(inc_root, f"batch={b}") for b in s.get("live_batches", [])
         )
     return protected
 
@@ -248,21 +240,21 @@ def promote_increments(
 
     man = _load_manifest(index_root)
     _sweep_garbage(index_root, man)
-    inc_root = os.path.join(index_root, "increments")
-    gen_root = os.path.join(index_root, "generations")
+    inc_root = fsio.join(index_root, "increments")
+    gen_root = fsio.join(index_root, "generations")
     promotions: list[dict] = []
 
     def tier_runs(tier: int) -> list[dict]:
         if tier == 0:
-            if not os.path.isdir(inc_root):
+            if not fsio.isdir(inc_root):
                 return []
             consumed = set(man["consumed_batches"])
             ids = sorted(
                 int(d.split("=", 1)[1])
-                for d in os.listdir(inc_root)
+                for d in fsio.listdir(inc_root)
                 if d.startswith("batch=") and int(d.split("=", 1)[1]) not in consumed
             )
-            return [{"tier": 0, "batch": i, "path": os.path.join(inc_root, f"batch={i}")} for i in ids]
+            return [{"tier": 0, "batch": i, "path": fsio.join(inc_root, f"batch={i}")} for i in ids]
         return sorted(
             (r for r in man["runs"] if r["tier"] == tier), key=lambda r: r["run"]
         )
@@ -279,16 +271,16 @@ def promote_increments(
             continue
         victims = runs[:fanout]
         run_id = man["next_run"]
-        out = os.path.join(gen_root, f"tier={tier + 1}", f"run={run_id}")
+        out = fsio.join(gen_root, f"tier={tier + 1}", f"run={run_id}")
         tmp = out + "_tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if fsio.exists(tmp):
+            fsio.delete(tmp)
         src = spark.read.parquet(*[v["path"] for v in victims])
         merge_segment_blocks(src, config, tombstones=tombstones).write.mode(
             "overwrite"
         ).parquet(tmp)
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        os.rename(tmp, out)
+        fsio.mkdirs(out.rsplit("/", 1)[0])
+        fsio.rename(tmp, out)
         # ONE manifest swap commits the promotion: new run in, sources out
         man["next_run"] = run_id + 1
         man["runs"] = [
@@ -300,8 +292,8 @@ def promote_increments(
         _commit_manifest(index_root, man, operation="promote")
         protected = _protected_paths(index_root, man)
         for v in victims:  # post-commit garbage collection (crash-safe: swept next time)
-            if os.path.exists(v["path"]) and v["path"] not in protected:
-                shutil.rmtree(v["path"])
+            if fsio.exists(v["path"]) and v["path"] not in protected:
+                fsio.delete(v["path"])
         promotions.append(
             {"tier": tier + 1, "run": run_id, "sources": [v["path"] for v in victims]}
         )
@@ -315,26 +307,26 @@ def _sweep_garbage(index_root: str, man: dict) -> None:
     reference (including interrupted ``*_tmp`` writes). Directories a
     retained snapshot references are kept (time travel)."""
     protected = _protected_paths(index_root, man)
-    inc_root = os.path.join(index_root, "increments")
-    if os.path.isdir(inc_root):
+    inc_root = fsio.join(index_root, "increments")
+    if fsio.isdir(inc_root):
         consumed = set(man["consumed_batches"])
-        for d in os.listdir(inc_root):
-            p = os.path.join(inc_root, d)
+        for d in fsio.listdir(inc_root):
+            p = fsio.join(inc_root, d)
             if (
                 d.startswith("batch=")
                 and int(d.split("=", 1)[1]) in consumed
                 and p not in protected
             ):
-                shutil.rmtree(p)
-    gen_root = os.path.join(index_root, "generations")
-    if os.path.isdir(gen_root):
+                fsio.delete(p)
+    gen_root = fsio.join(index_root, "generations")
+    if fsio.isdir(gen_root):
         live = {r["path"] for r in man["runs"]} | protected
-        for tier_d in os.listdir(gen_root):
-            tp = os.path.join(gen_root, tier_d)
-            for run_d in os.listdir(tp) if os.path.isdir(tp) else []:
-                rp = os.path.join(tp, run_d)
+        for tier_d in fsio.listdir(gen_root):
+            tp = fsio.join(gen_root, tier_d)
+            for run_d in fsio.listdir(tp) if fsio.isdir(tp) else []:
+                rp = fsio.join(tp, run_d)
                 if rp not in live:
-                    shutil.rmtree(rp)
+                    fsio.delete(rp)
 
 
 def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
@@ -355,7 +347,7 @@ def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     parts = []
-    main = os.path.join(index_root, "segments")
+    main = fsio.join(index_root, "segments")
     try:
         parts.append(spark.read.parquet(main))
     except AnalysisException:
@@ -366,10 +358,10 @@ def read_live_segments(spark: SparkSession, index_root: str) -> DataFrame:
         if parts:
             gen = gen.select(*parts[0].columns)
         parts.append(gen)
-    inc_root = os.path.join(index_root, "increments")
+    inc_root = fsio.join(index_root, "increments")
     try:
         inc = spark.read.option("basePath", inc_root).parquet(
-            os.path.join(inc_root, "batch=*")
+            fsio.join(inc_root, "batch=*")
         )
         if "batch" in inc.columns:  # partition-dir column from the glob
             if man["consumed_batches"]:
@@ -394,26 +386,25 @@ def read_segments_at(spark: SparkSession, index_root: str, snapshot_id: int) -> 
     (`set_snapshot_retention`); raises if the snapshot was expired or its
     directories were reclaimed. Valid within an epoch — an epoch compaction
     rewrites main and resets the timeline."""
-    spath = os.path.join(index_root, _SNAPSHOT_DIR, f"v{int(snapshot_id)}.json")
-    if not os.path.exists(spath):
+    spath = fsio.join(index_root, _SNAPSHOT_DIR, f"v{int(snapshot_id)}.json")
+    if not fsio.exists(spath):
         raise FileNotFoundError(
             f"snapshot {snapshot_id} not found (expired, never retained, or "
             f"reset by an epoch compaction) under {index_root}"
         )
-    with open(spath) as f:
-        snap = json.load(f)
-    inc_root = os.path.join(index_root, "increments")
+    snap = json.loads(fsio.read_text(spath))
+    inc_root = fsio.join(index_root, "increments")
     paths = [r["path"] for r in snap["runs"]] + [
-        os.path.join(inc_root, f"batch={b}") for b in snap.get("live_batches", [])
+        fsio.join(inc_root, f"batch={b}") for b in snap.get("live_batches", [])
     ]
-    missing = [p for p in paths if not os.path.isdir(p)]
+    missing = [p for p in paths if not fsio.isdir(p)]
     if missing:
         raise FileNotFoundError(
             f"snapshot {snapshot_id} references reclaimed directories "
             f"(raise retention before promoting): {missing}"
         )
     parts = []
-    main = os.path.join(index_root, "segments")
+    main = fsio.join(index_root, "segments")
     from pyspark.errors import AnalysisException
 
     try:
@@ -451,19 +442,19 @@ def compact_merge(
 
     live = read_live_segments(spark, index_root)
     merged = merge_segment_blocks(live, config, tombstones=tombstones)
-    main = os.path.join(index_root, "segments")
+    main = fsio.join(index_root, "segments")
     tmp = main + "_tmp_compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    if fsio.exists(tmp):
+        fsio.delete(tmp)
     merged.write.mode("overwrite").parquet(tmp)
     old = main + "_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(main):
-        os.rename(main, old)
-    os.rename(tmp, main)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if fsio.exists(old):
+        fsio.delete(old)
+    if fsio.exists(main):
+        fsio.rename(main, old)
+    fsio.rename(tmp, main)
+    if fsio.exists(old):
+        fsio.delete(old)
     _retire_increments(index_root)
 
 
@@ -492,31 +483,31 @@ def compact(
     meta = stats.corpus_meta(ds)
     postings = stats.postings(corpus, config)
     seg = build_segments(postings, meta["avgdl"], config)
-    main = os.path.join(index_root, "segments")
+    main = fsio.join(index_root, "segments")
     tmp = main + "_tmp_compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    if fsio.exists(tmp):
+        fsio.delete(tmp)
     seg.write.mode("overwrite").parquet(tmp)
     old = main + "_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(main):
-        os.rename(main, old)
-    os.rename(tmp, main)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if fsio.exists(old):
+        fsio.delete(old)
+    if fsio.exists(main):
+        fsio.rename(main, old)
+    fsio.rename(tmp, main)
+    if fsio.exists(old):
+        fsio.delete(old)
     # refresh stats tables + retire increments
     for name, df in (
         ("doc_stats", ds),
         ("term_stats", stats.term_stats(postings, meta["n_docs"], config)),
         ("meta", spark.createDataFrame([(meta["n_docs"], meta["avgdl"])], "n_docs long, avgdl double")),
     ):
-        path = os.path.join(index_root, name)
+        path = fsio.join(index_root, name)
         tmpp = path + "_tmp"
         df.write.mode("overwrite").parquet(tmpp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmpp, path)
+        if fsio.exists(path):
+            fsio.delete(path)
+        fsio.rename(tmpp, path)
     _retire_increments(index_root)
 
 
@@ -526,22 +517,22 @@ def _retire_increments(index_root: str) -> None:
     ids are retained so a streaming replay of an old batch stays a no-op)."""
     man = _load_manifest(index_root)
     consumed = set(man["consumed_batches"])
-    inc_root = os.path.join(index_root, "increments")
-    if os.path.exists(inc_root):
+    inc_root = fsio.join(index_root, "increments")
+    if fsio.exists(inc_root):
         consumed |= {
             int(d.split("=", 1)[1])
-            for d in os.listdir(inc_root)
+            for d in fsio.listdir(inc_root)
             if d.startswith("batch=")
         }
-        shutil.rmtree(inc_root)
-    gen_root = os.path.join(index_root, "generations")
-    if os.path.exists(gen_root):
-        shutil.rmtree(gen_root)
+        fsio.delete(inc_root)
+    gen_root = fsio.join(index_root, "generations")
+    if fsio.exists(gen_root):
+        fsio.delete(gen_root)
     # an epoch compaction rewrites main, which invalidates every pre-epoch
     # view — the snapshot timeline resets (retention setting survives)
-    sdir = os.path.join(index_root, _SNAPSHOT_DIR)
-    if os.path.exists(sdir):
-        shutil.rmtree(sdir)
+    sdir = fsio.join(index_root, _SNAPSHOT_DIR)
+    if fsio.exists(sdir):
+        fsio.delete(sdir)
     _commit_manifest(
         index_root,
         {

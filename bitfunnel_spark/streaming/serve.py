@@ -22,11 +22,11 @@ single-job mode never applies).
 
 from __future__ import annotations
 
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from bitfunnel_spark.sources import fsio
 
 QUERY_LOG_DDL = "query_id long, query string"
 
@@ -59,12 +59,12 @@ def serve_query_stream(
     kernel. Batches replayed by the checkpoint WAL after a restart are
     skipped idempotently, like ingest increments.
     """
-    os.makedirs(results_dir, exist_ok=True)
-    checkpoint_dir = checkpoint_dir or os.path.join(results_dir, "_serve_checkpoint")
+    fsio.mkdirs(results_dir)
+    checkpoint_dir = checkpoint_dir or fsio.join(results_dir, "_serve_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(results_dir, f"batch={batch_id}")
-        if os.path.exists(out):  # replayed batch — idempotent skip
+        out = fsio.join(results_dir, f"batch={batch_id}")
+        if fsio.exists(out):  # replayed batch — idempotent skip
             return
         rows = batch_df.select("query_id", "query").collect()
         if not rows:
@@ -85,11 +85,11 @@ def serve_query_stream(
             .withColumn("rank", w)
             .select("query_id", "query", "rank", "doc_id", "score")
         )
-        tmp = os.path.join(results_dir, f"_tmp_batch={batch_id}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tmp = fsio.join(results_dir, f"_tmp_batch={batch_id}")
+        if fsio.exists(tmp):
+            fsio.delete(tmp)
         ranked.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, out)
+        fsio.rename(tmp, out)
 
     writer = (
         query_log_stream(spark, queries_dir)
@@ -106,7 +106,7 @@ def serve_query_stream(
 def read_results(spark: SparkSession, results_dir: str) -> DataFrame:
     """All served results so far (one globbed read of the batch dirs)."""
     out = spark.read.option("basePath", results_dir).parquet(
-        os.path.join(results_dir, "batch=*")
+        fsio.join(results_dir, "batch=*")
     )
     if "batch" in out.columns:
         out = out.drop("batch")

@@ -211,6 +211,33 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM body_tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 50"""
 
 
+def q_treatment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TreatmentOptimal analogue (reference TreatmentOptimal.cpp:37-318):
+    expected per-query decode+IO cost for every candidate (rare, dense)
+    treatment-threshold pair over the corpus dictionary, best first — the
+    cost-model search that derives BuildConfig's df-band thresholds. Cost
+    constants are this engine's measured decode kernels (treatments.py).
+    All addends are integer- or half-integer-valued doubles, so the sums
+    are order-independent and hash-exact against the oracle."""
+    from bitfunnel_spark.operators.treatments import treatment_grid
+
+    idx = get_index(spark, sf_dir)
+    dfs = idx.term_stats.filter(F.col("stream") == "body").select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    return treatment_grid(dfs, idx.n_docs)
+
+
+def _sql_treatment_plan() -> str:
+    from bitfunnel_spark.operators.treatments import treatment_grid_sql
+
+    return (
+        f"WITH {CORPUS_CTE},\n"
+        "dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM body_tok GROUP BY term),\n"
+        + treatment_grid_sql("(SELECT n_docs FROM meta)")
+    )
+
+
 def q_idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = get_index(spark, sf_dir)
     return (
@@ -1296,7 +1323,7 @@ DRIVER_WINDOW = [
     # core engine representatives (batch, deletes, facts, stats)
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_df_table", "ft_idf_table", "ft_doclen_histogram",
-    "ft_shard_assignment", "ft_cum_term_counts", "ft_posting_density",
+    "ft_shard_assignment", "ft_treatment_plan", "ft_posting_density",
     "ft_term_correlation",
     # dedup representatives (candidate-join + incremental + clustering)
     "dedup_minhash_lsh", "dedup_incremental", "neardup_embedding_lsh",
@@ -1422,6 +1449,9 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     queries["ft_df_table"] = q_df_table
     oracles["ft_df_table"] = SQL_DF_TABLE
+    queries["ft_treatment_plan"] = q_treatment_plan
+    oracles["ft_treatment_plan"] = _sql_treatment_plan()
+
     queries["ft_idf_table"] = q_idf_table
     oracles["ft_idf_table"] = SQL_IDF_TABLE
     queries["ft_doclen_histogram"] = q_doclen_histogram

@@ -152,3 +152,48 @@ def test_dense_never_drives(treated_index):
     cache = BlockCache({k: groups[k] for k in (dk, vk)})
     order = driver_order([dk, vk], cache)
     assert order[0] == vk and order[-1] == dk
+
+
+def test_treatment_grid_matches_sql_mirror(spark):
+    """treatment_grid (TreatmentOptimal analogue) == its DuckDB mirror on a
+    hand-built dictionary, and the winner is the hand-computed argmin."""
+    import duckdb
+
+    from bitfunnel_spark.operators.treatments import (
+        DECODE_NS,
+        treatment_grid,
+        treatment_grid_sql,
+    )
+
+    n_docs = 1000
+    dfs = [("alpha", 2), ("beta", 40), ("gamma", 300), ("delta", 900)]
+    df_table = spark.createDataFrame(dfs, "term string, df long")
+    got = treatment_grid(df_table, n_docs).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dfs(term VARCHAR, df BIGINT)")
+    con.executemany("INSERT INTO dfs VALUES (?, ?)", dfs)
+    want = con.execute(
+        "WITH " + treatment_grid_sql(str(n_docs))
+    ).fetchall()
+    got_rows = [
+        (r["rare_bp"], r["dense_bp"], r["decode_ns"], r["io_ns"], r["total_ns"], r["pct_vs_best"])
+        for r in got
+    ]
+    assert got_rows == [tuple(w) for w in want]
+
+    # hand-check one cell: rare_bp=50 (df/N < 0.5% -> raw), dense_bp=2500
+    # (df/N > 25% -> gap32): alpha (0.2%) raw, beta (4%) vb, gamma (30%)
+    # and delta (90%) gap32
+    cell = [r for r in got if r["rare_bp"] == 50 and r["dense_bp"] == 2500][0]
+    exp_decode = (
+        2 * DECODE_NS["raw"] + 40 * DECODE_NS["vb"] + (300 + 900) * DECODE_NS["gap32"]
+    )
+    # beta avg gap 1000/40=25 (<128 -> 1B vb); raw 8B, gap32 4B; io 0.5 ns/B
+    exp_io = 0.5 * (2 * 8 + 40 * 1 + 300 * 4 + 900 * 4)
+    assert cell["decode_ns"] == pytest.approx(exp_decode)
+    assert cell["io_ns"] == pytest.approx(exp_io)
+    # grid is cost-ordered and pct_vs_best anchored at 0
+    totals = [r["total_ns"] for r in got]
+    assert totals == sorted(totals)
+    assert got[0]["pct_vs_best"] == 0.0

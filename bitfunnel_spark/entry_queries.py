@@ -1316,14 +1316,14 @@ DRIVER_WINDOW = [
     "ft_bm25_regex_alt", "ft_bm25_regex_opt", "ann_ivf_kmeans",
     "ft_percolate_log",
     # entries whose code changed this round
-    "ft_bm25_synonym", "ft_bm25_regex", "ft_bm25_wildcard",
+    "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_regex", "ft_bm25_wildcard",
     # expansion / serving entries kept under live driver check
     "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_common",
     "ft_did_you_mean", "ft_suggest",
     # core engine representatives (batch, deletes, facts, stats)
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_df_table", "ft_idf_table", "ft_doclen_histogram",
-    "ft_shard_assignment", "ft_treatment_plan", "ft_posting_density",
+    "ft_shard_assignment", "ft_treatment_plan",
     "ft_term_correlation",
     # dedup representatives (candidate-join + incremental + clustering)
     "dedup_minhash_lsh", "dedup_incremental", "neardup_embedding_lsh",
@@ -1384,6 +1384,28 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_synonym"] = q_bm25_synonym
     oracles["ft_bm25_synonym"] = oracle_search_sql(
         "(join | merge) & data", k=10, config=ENTRY_CONFIG
+    )
+
+    def _synonym_blend_node():
+        from bitfunnel_spark.plans.expand import apply_synonyms
+        from bitfunnel_spark.plans.parser import parse_query
+
+        return apply_synonyms(
+            parse_query("join & data"), {"join": ("merge",)}, mode="blend"
+        )
+
+    def q_bm25_synonym_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SynonymQuery semantics: (join, merge) matches like an OR
+        # but scores as ONE pseudo-term — summed tf, single saturation,
+        # blended idf (idf of the group's max df). plans/expand.apply_synonyms
+        # mode="blend" -> ast.SynGroup; the oracle mirrors the blended
+        # formula exactly (plans/oracle._hits_cte group branch).
+        idx = get_index(spark, sf_dir)
+        return idx.search(_synonym_blend_node(), k=10, mode="kernel")
+
+    queries["ft_bm25_synonym_blend"] = q_bm25_synonym_blend
+    oracles["ft_bm25_synonym_blend"] = oracle_search_sql(
+        _synonym_blend_node(), k=10, config=ENTRY_CONFIG
     )
 
     queries["ft_bm25_fact"] = q_bm25_fact

@@ -39,6 +39,7 @@ class FullTextIndex:
     tombstones: frozenset = frozenset()  # soft-deleted doc ids (delete_docs)
     facts: dict = field(default_factory=dict)  # name -> doc-id DataFrame (define_fact)
     synonyms: dict | None = None  # body-term synonym map (set_synonyms)
+    synonym_mode: str = "expand"  # "expand" (OR) | "blend" (SynonymQuery)
 
     # fact doc-sets are collected driver-side and broadcast into kernels
     # (the reference's FactSet is likewise an in-memory per-doc bit row —
@@ -284,14 +285,23 @@ class FullTextIndex:
 
     # ---- query API ----------------------------------------------------
 
-    def set_synonyms(self, mapping: dict[str, list[str]] | None) -> None:
+    def set_synonyms(
+        self, mapping: dict[str, list[str]] | None, mode: str = "expand"
+    ) -> None:
         """Install (or clear, with None) a query-time synonym map over BODY
-        terms (Lucene query-expansion shape): every plain body Term that is
-        a key rewrites to an OR of itself and its synonyms in prepare_query.
-        The map is directed (key -> alternatives), applied before dictionary
-        expansion; phrases and boosted terms keep their exact tokens. Each
-        alternative scores independently (standard OR BM25) — documented
-        expansion semantics, not SynonymQuery's blended-df scoring."""
+        terms: every plain body Term that is a key rewrites in
+        prepare_query. The map is directed (key -> alternatives), applied
+        before dictionary expansion; phrases and boosted terms keep their
+        exact tokens. Two scoring semantics (plans/expand.apply_synonyms):
+
+        - ``mode="expand"`` (default): OR of independently-scored terms
+          (Lucene query-expansion shape).
+        - ``mode="blend"``: Lucene SynonymQuery — the group matches like an
+          OR but scores as ONE pseudo-term (summed tf, single saturation,
+          blended idf = idf of the group's max df)."""
+        if mode not in ("expand", "blend"):
+            raise ValueError(f"unknown synonym mode {mode!r}")
+        self.synonym_mode = mode
         if not mapping:
             self.synonyms = None
             return
@@ -310,7 +320,9 @@ class FullTextIndex:
 
         node = parse_query(query) if isinstance(query, str) else query
         if self.synonyms:
-            node = expand.apply_synonyms(node, self.synonyms)
+            node = expand.apply_synonyms(
+                node, self.synonyms, getattr(self, "synonym_mode", "expand")
+            )
         if expand.has_expansions(node):
             node = expand.expand_query(self, node)
         return node

@@ -42,6 +42,24 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class SynGroup(Node):
+    """A synonym group with Lucene SynonymQuery semantics: MATCHES like an
+    OR of its member terms, SCORES as one pseudo-term — per-document tf is
+    the SUM of member tfs, saturated once, weighted by the BLENDED idf
+    (idf of the group's max df ≡ min member idf). Produced only by
+    plans/expand.apply_synonyms(mode="blend"); the reference has no scorer
+    (ResultsBuffer is an unscored match set), so the analogue here is
+    Lucene's SynonymQuery(blended df), vs the default expansion semantics
+    (OR of independently-scored terms) — SURVEY §2.7."""
+
+    children: tuple[Term, ...]  # all same-stream Terms
+
+    @property
+    def keys(self) -> tuple[tuple[str, str], ...]:
+        return tuple((t.stream, t.text) for t in self.children)
+
+
+@dataclass(frozen=True)
 class Prefix(Node):
     """``text*`` — expands to every dictionary term starting with ``text``
     (Lucene PrefixQuery shape; resolved by plans/expand.py before

@@ -100,7 +100,10 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             cand = cand[m]
             if cand.size == 0:
                 continue
-            score = _score(cand, postings, sorted(plan.scoring_keys), qidf)
+            score = _score(
+                cand, postings, sorted(plan.scoring_keys), qidf,
+                plan.syn_groups, descriptor.get("k1", 1.2),
+            )
             if k is not None and cand.size > k:
                 r = np.round(score, 4)
                 idx = np.lexsort((cand, -r))[:k]

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.functions.tokenizer import tokenize
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
@@ -87,6 +87,11 @@ def _phrase_doc_ids(index, phrase: Phrase, candidates: DataFrame | None) -> Data
 def _bool_expr(node: Node, phrase_cols: dict[Phrase, str]) -> Column:
     if isinstance(node, Term):
         return F.array_contains(F.col("hits"), node.key)
+    if isinstance(node, SynGroup):  # matches like an OR of its members
+        out = F.lit(False)
+        for t in node.children:
+            out = out | F.array_contains(F.col("hits"), t.key)
+        return out
     if isinstance(node, Phrase):
         return F.coalesce(F.col(phrase_cols[node]), F.lit(False))
     if isinstance(node, Not):
@@ -146,11 +151,50 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     contrib = F.when(
         F.col("key").isin(score_keys), eff_idf * partial
     ).otherwise(F.lit(0.0))
-    return (
-        joined.withColumn("contrib", contrib)
-        .groupBy("doc_id")
-        .agg(F.collect_set("key").alias("hits"), F.sum("contrib").alias("score"))
-    )
+    aggs = [F.collect_set("key").alias("hits"), F.sum("contrib").alias("score")]
+    # blended synonym groups (Lucene SynonymQuery — plan.syn_groups): each
+    # group scores as ONE pseudo-term. Per doc: summed member tf, and the
+    # max-tf member's (tf, partial) pair. The blended idf is a GROUP-LEVEL
+    # constant from global dfs (min idf ≡ idf of the max df — Lucene's
+    # blended docFreq), resolved driver-side from the same dictionary the
+    # kernel descriptor uses. Contribution = idf_blend * (tfsum*(k1+1) /
+    # (tfsum + D)) with D recovered by exactly inverting the max-tf
+    # member's partial — the same float op order as the kernel's _score,
+    # so both executors stay bit-identical.
+    joined = joined.withColumn("contrib", contrib)
+    groups = getattr(plan, "syn_groups", ()) or ()
+    idf_blends: list[float | None] = []
+    if groups:
+        gidf = index.idf_for_keys({k for g in groups for k in g})
+        for group in groups:
+            present = [gidf[k] for k in group if k in gidf]
+            idf_blends.append(min(present) if present else None)
+    for gi, group in enumerate(groups):
+        if idf_blends[gi] is None:
+            continue
+        gkeys = sorted(f"{s}:{t}" for s, t in group)
+        member = F.col("key").isin(gkeys)
+        aggs += [
+            F.sum(F.when(member, F.col("tf").cast("double")).otherwise(F.lit(0.0))).alias(f"_tfsum_{gi}"),
+            F.max(F.when(member, F.struct(F.col("tf").cast("double").alias("tf"), partial.alias("pt")))).alias(f"_best_{gi}"),
+        ]
+    out = joined.groupBy("doc_id").agg(*aggs)
+    if groups:
+        k1 = bm.k1
+        score = F.col("score")
+        for gi in range(len(groups)):
+            if idf_blends[gi] is None:
+                continue
+            tfsum = F.col(f"_tfsum_{gi}")
+            tfm = F.col(f"_best_{gi}.tf")
+            ptm = F.col(f"_best_{gi}.pt")
+            d_norm = tfm * F.lit(k1 + 1.0) / ptm - tfm
+            blended = F.lit(float(idf_blends[gi])) * (
+                tfsum * F.lit(k1 + 1.0) / (tfsum + d_norm)
+            )
+            score = score + F.when(tfsum > 0, blended).otherwise(F.lit(0.0))
+        out = out.withColumn("score", score).select("doc_id", "hits", "score")
+    return out
 
 
 def _matched(index, plan: QueryPlan, facts: list[str] | None = None) -> DataFrame:

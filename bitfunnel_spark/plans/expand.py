@@ -181,28 +181,42 @@ def expand_query(index, node: Node, max_expansions: int = MAX_EXPANSIONS) -> Nod
     return _expand(index, node, max_expansions)
 
 
-def apply_synonyms(node: Node, mapping: dict[str, tuple[str, ...]]) -> Node:
+def apply_synonyms(
+    node: Node, mapping: dict[str, tuple[str, ...]], mode: str = "expand"
+) -> Node:
     """Rewrite plain body Terms through a query-time synonym map
-    (index.set_synonyms): Term(t) -> Or(t, s1, ..) when t is a key with
-    alternatives. Recurses through And/Or/Not; an Or@N parent counts the
-    synonym group as ONE countable child (planner.normalize never flattens
-    across a min-match boundary). Phrases, boosted terms, and expansion
-    nodes (prefix/glob/regex/fuzzy) are left untouched — their token
-    identity is the point."""
-    from bitfunnel_spark.plans.ast import DEFAULT_STREAM
+    (index.set_synonyms). Two semantics:
 
+    - ``mode="expand"`` (default): Term(t) -> Or(t, s1, ..) — each member
+      matches AND scores independently with its own idf (query-expansion
+      semantics).
+    - ``mode="blend"``: Term(t) -> SynGroup(t, s1, ..) — matches like the
+      OR but scores as ONE pseudo-term (summed tf, one saturation, blended
+      idf = idf of the group's max df): Lucene SynonymQuery semantics.
+
+    Recurses through And/Or/Not; an Or@N parent counts the group as ONE
+    countable child (planner.normalize never flattens across a min-match
+    boundary, and SynGroup is atomic). Phrases, boosted terms, and
+    expansion nodes (prefix/glob/regex/fuzzy) are left untouched — their
+    token identity is the point."""
+    from bitfunnel_spark.plans.ast import DEFAULT_STREAM, SynGroup
+
+    if mode not in ("expand", "blend"):
+        raise ValueError(f"unknown synonym mode {mode!r}")
     if isinstance(node, Term) and node.stream == DEFAULT_STREAM:
         alts = mapping.get(node.text)
         if alts:
-            return Or((node, *(Term(t) for t in alts)))
+            members = (node, *(Term(t) for t in alts))
+            return SynGroup(members) if mode == "blend" else Or(members)
         return node
     if isinstance(node, Not):
-        return Not(apply_synonyms(node.child, mapping))
+        return Not(apply_synonyms(node.child, mapping, mode))
     if isinstance(node, And):
-        return And(tuple(apply_synonyms(c, mapping) for c in node.children))
+        return And(tuple(apply_synonyms(c, mapping, mode) for c in node.children))
     if isinstance(node, Or):
         return Or(
-            tuple(apply_synonyms(c, mapping) for c in node.children), node.min_match
+            tuple(apply_synonyms(c, mapping, mode) for c in node.children),
+            node.min_match,
         )
     return node
 

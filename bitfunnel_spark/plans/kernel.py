@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from bitfunnel_spark.config import POS_BITS, POS_SAFE_DOCLEN
 from bitfunnel_spark.operators.segments import decode_group, decode_group_positions
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.executor import _as_plan, _phrase_doc_ids
 from bitfunnel_spark.plans.planner import QueryPlan
 
@@ -247,6 +247,11 @@ def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
 def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     if isinstance(node, Term):
         return _member(postings.get((node.stream, node.text), (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
+    if isinstance(node, SynGroup):  # matches like an OR of its members
+        out = np.zeros(cand.shape, dtype=bool)
+        for key in node.keys:
+            out |= _member(postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
+        return out
     if isinstance(node, Phrase):
         return _member(phrase_docs.get(node, _EMPTY), cand)
     if isinstance(node, Not):
@@ -271,10 +276,23 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     raise TypeError(type(node))
 
 
-def _score(cand: np.ndarray, postings, scoring_keys: list, idf: dict) -> np.ndarray:
+def _score(
+    cand: np.ndarray, postings, scoring_keys: list, idf: dict,
+    syn_groups=(), k1: float = 1.2,
+) -> np.ndarray:
     """BM25 from stored partials: score = Σ over scoring (stream, term)
     keys of idf_key · partial_key(doc). Keys and idf are (stream, term)-
-    keyed — body terms always, non-body keys when field-boosted."""
+    keyed — body terms always, non-body keys when field-boosted.
+
+    Blended synonym groups (Lucene SynonymQuery; plan.syn_groups) score as
+    ONE pseudo-term: per doc, tf = Σ member tfs, saturated ONCE with the
+    doc's norm, weighted by the blended idf = min over present members
+    (idf is monotone-decreasing in df, so min idf ≡ idf of the max df —
+    Lucene's blended docFreq). The norm denominator D = k1(1-b+b·dl/avgdl)
+    is recovered from the max-tf member's stored (tf, partial) pair:
+    D = tf(k1+1)/partial − tf — exactly inverting the build-time partial,
+    so no doclen access is needed and the arithmetic is reproducible
+    bit-for-bit by the DataFrame path and the SQL oracle (same op order)."""
     score = np.zeros(cand.shape, dtype=np.float64)
     for key in scoring_keys:
         docs, _tfs, parts = postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))
@@ -284,6 +302,43 @@ def _score(cand: np.ndarray, postings, scoring_keys: list, idf: dict) -> np.ndar
         if not m.any():
             continue
         score[m] += idf.get(key, 0.0) * parts[np.searchsorted(docs, cand[m])]
+    for group in syn_groups:
+        # blended idf from GLOBAL stats (min idf ≡ idf of the max df): a
+        # per-group constant, like Lucene's blended docFreq — never from
+        # group-local or per-doc presence
+        in_dict = [k for k in group if k in idf]
+        if not in_dict:
+            continue
+        idf_blend = min(idf[k] for k in in_dict)
+        present = [k for k in in_dict if postings.get(k, (_EMPTY,))[0].size]
+        if not present:
+            continue
+        tfsum = np.zeros(cand.shape, dtype=np.float64)
+        best_tf = np.zeros(cand.shape, dtype=np.float64)
+        best_part = np.ones(cand.shape, dtype=np.float64)  # placeholder; unused where best_tf=0
+        for key in present:
+            docs, tfs, parts = postings[key]
+            m = _member(docs, cand)
+            if not m.any():
+                continue
+            idxs = np.searchsorted(docs, cand[m])
+            tf = tfs[idxs].astype(np.float64)
+            tfsum[m] += tf
+            # deterministic D source: the member with maximal tf (ties are
+            # harmless — equal tf ⇒ equal stored partial ⇒ equal D)
+            better = np.zeros(cand.shape, dtype=bool)
+            better[m] = tf > best_tf[m]
+            sel = better[m]
+            bm = m & better
+            best_tf[bm] = tf[sel]
+            best_part[bm] = parts[idxs][sel]
+        matched = tfsum > 0
+        if not matched.any():
+            continue
+        d_norm = best_tf[matched] * (k1 + 1.0) / best_part[matched] - best_tf[matched]
+        score[matched] += idf_blend * (
+            tfsum[matched] * (k1 + 1.0) / (tfsum[matched] + d_norm)
+        )
     return score
 
 
@@ -391,7 +446,10 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         cand = cand[m]
         if cand.size == 0:
             return _OUT_EMPTY
-        score = _score(cand, postings, scoring, descriptor["idf"])
+        score = _score(
+            cand, postings, scoring, descriptor["idf"],
+            plan.syn_groups, descriptor.get("k1", 1.2),
+        )
         k = descriptor["k"]
         if k is not None and cand.size > k:
             # per-group partial top-k (heap analogue): order by (round desc, doc asc)
@@ -504,6 +562,7 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
         "phrase_docs": phrase_docs,
         "gram_phrases": frozenset(gram_phrases),
         "use_positions": use_positions,
+        "k1": index.config.bm25.k1,  # blended-synonym norm recovery (_score)
         **_restriction_arrays(index, facts),
     }
 

@@ -15,7 +15,7 @@ MatchVerifier.cpp:205-221).
 from __future__ import annotations
 
 from bitfunnel_spark.config import TOKEN_PATTERN, BuildConfig
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
@@ -92,6 +92,14 @@ def _phrase_subquery(ph: Phrase) -> str:
 def _bool_sql(node: Node) -> str:
     if isinstance(node, Term):
         return f"list_contains(h.hitkeys, {_q(node.stream + ':' + node.text)})"
+    if isinstance(node, SynGroup):  # matches like an OR of its members
+        return (
+            "("
+            + " OR ".join(
+                f"list_contains(h.hitkeys, {_q(s + ':' + t)})" for s, t in node.keys
+            )
+            + ")"
+        )
     if isinstance(node, Phrase):
         return _phrase_subquery(node)
     if isinstance(node, Not):
@@ -144,7 +152,9 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
         )
     else:
         contrib = "0.0"
-    return f"""hits AS (
+    groups = getattr(plan, "syn_groups", ()) or ()
+    if not groups:
+        return f"""hits AS (
   SELECT tf.doc_id,
          list(tf.stream || ':' || tf.term) AS hitkeys,
          sum({contrib}) AS score
@@ -154,6 +164,55 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
   CROSS JOIN meta
   WHERE (tf.stream || ':' || tf.term) IN ({key_list})
   GROUP BY tf.doc_id
+)"""
+    # blended synonym groups (plan.syn_groups — Lucene SynonymQuery): per
+    # doc the group's summed tf + the max-tf member's tf; blended idf is a
+    # group-level scalar from GLOBAL dfs (min idf ≡ idf of the max df).
+    # The group contribution recovers the norm D by inverting the max-tf
+    # member's partial with the same op order as both Spark executors.
+    gcols, gscore = [], []
+    for gi, group in enumerate(groups):
+        members = ", ".join(_q(f"{s}:{t}") for s, t in sorted(group))
+        gcols.append(
+            f"sum(CASE WHEN (tf.stream || ':' || tf.term) IN ({members}) "
+            f"THEN CAST(tf.tf AS DOUBLE) ELSE 0.0 END) AS g{gi}_tfsum,\n"
+            f"         max(CASE WHEN (tf.stream || ':' || tf.term) IN ({members}) "
+            f"THEN CAST(tf.tf AS DOUBLE) END) AS g{gi}_tfmax"
+        )
+        idfb = (
+            f"(SELECT min(ln((m2.n_docs - d2.df + 0.5) / (d2.df + 0.5) + 1.0)) "
+            f"FROM dfreq d2 CROSS JOIN meta m2 "
+            f"WHERE (d2.stream || ':' || d2.term) IN ({members}))"
+        )
+        ptm = (
+            f"(h0.g{gi}_tfmax * {k1 + 1.0!r} / (h0.g{gi}_tfmax + {k1!r} * "
+            f"(1.0 - {b!r} + {b!r} * h0.dlen / meta.avgdl)))"
+        )
+        dn = f"(h0.g{gi}_tfmax * {k1 + 1.0!r} / {ptm} - h0.g{gi}_tfmax)"
+        gscore.append(
+            f"CASE WHEN h0.g{gi}_tfsum > 0 AND {idfb} IS NOT NULL THEN "
+            f"{idfb} * (h0.g{gi}_tfsum * {k1 + 1.0!r} / (h0.g{gi}_tfsum + {dn})) "
+            f"ELSE 0.0 END"
+        )
+    gcols_sql = ",\n         ".join(gcols)
+    gscore_sql = " + ".join(gscore)
+    return f"""hits0 AS (
+  SELECT tf.doc_id,
+         list(tf.stream || ':' || tf.term) AS hitkeys,
+         sum({contrib}) AS score,
+         max(coalesce(dl.doclen, 0)) AS dlen,
+         {gcols_sql}
+  FROM tf
+  JOIN dfreq USING (stream, term)
+  LEFT JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta
+  WHERE (tf.stream || ':' || tf.term) IN ({key_list})
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT h0.doc_id, h0.hitkeys,
+         h0.score + {gscore_sql} AS score
+  FROM hits0 h0 CROSS JOIN meta
 )"""
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from bitfunnel_spark.plans.ast import And, Boost, Node, Not, Or, Phrase, Term
+from bitfunnel_spark.plans.ast import And, Boost, Node, Not, Or, Phrase, SynGroup, Term
 
 
 class QueryPlanError(ValueError):
@@ -98,12 +98,27 @@ def collect_terms(node: Node) -> set[tuple[str, str]]:
         return {(node.stream, t) for t in node.tokens}
     if isinstance(node, Not):
         return collect_terms(node.child)
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, SynGroup)):
         out: set[tuple[str, str]] = set()
         for c in node.children:
             out |= collect_terms(c)
         return out
     raise TypeError(type(node))
+
+
+def collect_syn_groups(node: Node, negated: bool = False) -> list[tuple[tuple[str, str], ...]]:
+    """Positive blended-synonym groups (SynGroup), as sorted member-key
+    tuples. Negated groups filter only and never score (like NOT terms)."""
+    if isinstance(node, SynGroup):
+        return [] if negated else [tuple(sorted(node.keys))]
+    if isinstance(node, Not):
+        return collect_syn_groups(node.child, not negated)
+    if isinstance(node, (And, Or)):
+        out: list[tuple[tuple[str, str], ...]] = []
+        for c in node.children:
+            out += collect_syn_groups(c, negated)
+        return out
+    return []
 
 
 def collect_phrases(node: Node, negated: bool = False) -> list[tuple[Phrase, bool]]:
@@ -171,7 +186,7 @@ def requires_positive(node: Node) -> bool:
     the condition under which hit-set evaluation (and any posting-driven
     engine, including the reference, which ANDs the match against real rows)
     is complete."""
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, SynGroup)):
         return True
     if isinstance(node, Not):
         return False
@@ -190,6 +205,10 @@ class QueryPlan:
     phrases: list[tuple[Phrase, bool]] = field(default_factory=list)
     boosts: dict[tuple[str, str], float] = field(default_factory=dict)  # (stream, term) -> factor
     scoring_keys: set[tuple[str, str]] = field(default_factory=set)  # keys that contribute BM25
+    # positive blended-synonym groups (SynGroup): each scores as ONE
+    # pseudo-term (summed tf, blended idf); members are excluded from
+    # scoring_keys (they still match and fetch postings via `terms`)
+    syn_groups: tuple[tuple[tuple[str, str], ...], ...] = ()
 
 
 def plan_query(node: Node) -> QueryPlan:
@@ -202,6 +221,8 @@ def plan_query(node: Node) -> QueryPlan:
             "(pure-NOT / NOT-only disjunct); not evaluable by a posting-driven engine"
         )
     pos = positive_keys(node)
+    groups = tuple(dict.fromkeys(collect_syn_groups(node)))  # ordered dedupe
+    members = {k for g in groups for k in g}
     return QueryPlan(
         ast=node,
         terms=collect_terms(node),
@@ -209,6 +230,8 @@ def plan_query(node: Node) -> QueryPlan:
         phrases=collect_phrases(node),
         boosts=boosts,
         # body keys always score; non-body keys score only when boosted
-        # (field-weighted scoring) — matching stays stream-agnostic
-        scoring_keys={k for k in pos if k[0] == "body" or k in boosts},
+        # (field-weighted scoring) — matching stays stream-agnostic.
+        # Blended-group members score through their group, not individually.
+        scoring_keys={k for k in pos if k[0] == "body" or k in boosts} - members,
+        syn_groups=groups,
     )

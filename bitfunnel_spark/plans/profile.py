@@ -111,7 +111,10 @@ def _profiled_batch_kernel(plans, descriptor):
                     m = _mask(plan.ast, cand, postings, _group_phrase_docs(plan.phrases, raw, descriptor))
                     cand = cand[m]
                     if cand.size:
-                        score = _score(cand, postings, sorted(plan.scoring_keys), qidf)
+                        score = _score(
+                            cand, postings, sorted(plan.scoring_keys), qidf,
+                            plan.syn_groups, descriptor.get("k1", 1.2),
+                        )
                         nrows = min(cand.size, k) if k is not None else cand.size
                         del score
             ms = (time.perf_counter() - t0) * 1000.0

@@ -323,3 +323,82 @@ def test_common_terms_fallbacks(index):
     assert fmt(common_terms_query(index, "dup dup data", 0.3)) == "And(dup, Or(dup, data))"
     with pytest.raises(ValueError):
         common_terms_query(index, "   ")
+
+
+def test_synonym_blend_kernel_dataframe_parity(index):
+    """Blended SynonymQuery scoring must be rank- AND score-identical
+    between executors, and the match set must equal the OR expansion's."""
+    index.set_synonyms({"join": ["merge"]}, mode="blend")
+    try:
+        kr = index.search("join & data", k=10, mode="kernel").collect()
+        df = index.search("join & data", k=10, mode="dataframe").collect()
+        blend_match = sorted(r["doc_id"] for r in index.match("join & data").collect())
+    finally:
+        index.set_synonyms(None)
+    assert [(r["doc_id"], r["score"]) for r in kr] == [
+        (r["doc_id"], r["score"]) for r in df
+    ]
+    or_match = sorted(
+        r["doc_id"] for r in index.match("(join | merge) & data").collect()
+    )
+    assert blend_match == or_match
+
+
+def test_synonym_blend_scores_differ_from_expand(index):
+    """Blend is a different scoring function than expansion: a doc with both
+    members saturates ONCE on the summed tf, so its blended score is lower
+    than the expansion's independent sum (when idfs are comparable)."""
+    index.set_synonyms({"join": ["merge"]}, mode="blend")
+    try:
+        blend = {r["doc_id"]: r["score"] for r in index.search("join", k=500, mode="kernel").collect()}
+    finally:
+        index.set_synonyms(None)
+    index.set_synonyms({"join": ["merge"]})  # expand (default)
+    try:
+        expand = {r["doc_id"]: r["score"] for r in index.search("join", k=500, mode="kernel").collect()}
+    finally:
+        index.set_synonyms(None)
+    assert set(blend) == set(expand)  # same match set
+    assert blend != expand  # different scoring function
+    # blended never exceeds the expansion sum (single saturation of the
+    # summed tf <= sum of saturations, and blended idf = min member idf)
+    assert all(blend[d] <= expand[d] + 1e-9 for d in blend)
+
+
+def test_synonym_blend_hand_formula(index):
+    """One document's blended score checked against the closed-form BM25
+    SynonymQuery formula computed from raw corpus counts."""
+    import math
+
+    index.set_synonyms({"join": ["merge"]}, mode="blend")
+    try:
+        got = {r["doc_id"]: r["score"] for r in index.search("join", k=500, mode="kernel").collect()}
+    finally:
+        index.set_synonyms(None)
+    from pyspark.sql import functions as F
+    from bitfunnel_spark.functions.tokenizer import tokenize
+
+    toks = index.corpus.select(
+        "doc_id",
+        F.size(F.filter(tokenize("content"), lambda t: t == F.lit("join"))).alias("tf_j"),
+        F.size(F.filter(tokenize("content"), lambda t: t == F.lit("merge"))).alias("tf_m"),
+        F.size(tokenize("content")).alias("dl"),
+    ).collect()
+    n = index.n_docs
+    df_j = sum(1 for r in toks if r["tf_j"] > 0)
+    df_m = sum(1 for r in toks if r["tf_m"] > 0)
+    idf_blend = min(
+        math.log((n - df_j + 0.5) / (df_j + 0.5) + 1.0),
+        math.log((n - df_m + 0.5) / (df_m + 0.5) + 1.0),
+    )
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    checked = 0
+    for r in toks:
+        tfsum = r["tf_j"] + r["tf_m"]
+        if tfsum == 0:
+            continue
+        d_norm = k1 * (1.0 - b + b * r["dl"] / index.avgdl)
+        want = idf_blend * (tfsum * (k1 + 1.0) / (tfsum + d_norm))
+        assert got[r["doc_id"]] == pytest.approx(want, abs=2e-4)
+        checked += 1
+    assert checked >= 3

@@ -61,8 +61,15 @@ class BuildConfig:
     term_buckets: int = 16
     # df/N below this → "rare": plain int32 arrays, no block structure needed
     rare_df_frac: float = 0.001
-    # df/N above this → "dense": bitmap encoding candidate / scoring cap
-    dense_df_frac: float = 0.25
+    # df/N above this → "dense": fixed-width gap32 encoding + demoted from
+    # driving intersections. 0.02 is COST-DERIVED (round 3): the analytic
+    # treatment_grid (operators/treatments.py, measured decode-cost model:
+    # vb 220 / gap32 50 / raw 12 ns per posting) picks dense_bp=200 on the
+    # test corpora, and the empirical sweep (scripts/treatment_sweep.py,
+    # BENCH.md round-3 table) confirms −12% in-kernel query time vs the old
+    # hand-set 0.25, for +3.6% doc-buffer bytes. Storage-constrained
+    # deployments can raise it (vb is ~3.4× smaller than gap32).
+    dense_df_frac: float = 0.02
     bm25: BM25Params = field(default_factory=BM25Params)
     max_gram_size: int = 1  # reference default gramSize=1 (StatisticsBuilder.cpp:75-79)
     # Positional postings (fused build only): store per-posting token

@@ -40,6 +40,9 @@ COMBOS = [
     (0.0, float("inf")),  # all-vb (treatment off)
     (0.001, 0.10),
 ]
+if os.environ.get("SWEEP_COMBOS"):
+    import json as _json
+    COMBOS = [tuple(c) for c in _json.loads(os.environ["SWEEP_COMBOS"])]
 
 
 def main() -> None:

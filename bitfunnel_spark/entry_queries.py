@@ -1316,7 +1316,8 @@ DRIVER_WINDOW = [
     "ft_bm25_regex_alt", "ft_bm25_regex_opt", "ann_ivf_kmeans",
     "ft_percolate_log",
     # entries whose code changed this round
-    "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_regex", "ft_bm25_wildcard",
+    "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
+    "ft_bm25_regex", "ft_bm25_wildcard",
     # expansion / serving entries kept under live driver check
     "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_common",
     "ft_did_you_mean", "ft_suggest",
@@ -1324,7 +1325,6 @@ DRIVER_WINDOW = [
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_df_table", "ft_idf_table", "ft_doclen_histogram",
     "ft_shard_assignment", "ft_treatment_plan",
-    "ft_term_correlation",
     # dedup representatives (candidate-join + incremental + clustering)
     "dedup_minhash_lsh", "dedup_incremental", "neardup_embedding_lsh",
     "dedup_clusters",
@@ -1406,6 +1406,21 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_synonym_blend"] = q_bm25_synonym_blend
     oracles["ft_bm25_synonym_blend"] = oracle_search_sql(
         _synonym_blend_node(), k=10, config=ENTRY_CONFIG
+    )
+
+    def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deep pagination (search_after): fetch page 1, then page 2 via its
+        last row as the cursor — every page is a k-row job at any depth.
+        The total (rounded score, doc_id) order makes page 2 ≡ the oracle's
+        OFFSET 10."""
+        idx = get_index(spark, sf_dir)
+        page1 = idx.search("data fast", k=10, mode="kernel").collect()
+        cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+        return idx.search_after("data fast", cursor, k=10, mode="kernel")
+
+    queries["ft_bm25_page2"] = q_bm25_page2
+    oracles["ft_bm25_page2"] = oracle_search_sql(
+        "data fast", k=10, config=ENTRY_CONFIG, offset=10
     )
 
     queries["ft_bm25_fact"] = q_bm25_fact

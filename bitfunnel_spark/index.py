@@ -352,6 +352,28 @@ class FullTextIndex:
             return search_kernel(self, query, k, facts)
         raise ValueError(f"unknown mode {mode!r}")
 
+    def search_after(
+        self, query, after: tuple[float, int], k: int = 10,
+        mode: str = "kernel", facts: list[str] | None = None,
+    ) -> DataFrame:
+        """Deep pagination (Elasticsearch search_after): the next k results
+        strictly AFTER the cursor ``after=(score, doc_id)`` — the last row
+        of the previous page — in the total (score desc, doc_id asc) order.
+        Every page is a k-row job regardless of depth: no window over the
+        full result set, no LIMIT that grows with the page number (the
+        from+size anti-pattern). The ordering is total (rounded score,
+        doc_id), so pages partition the full result exactly."""
+        query = self.prepare_query(query)
+        if mode == "dataframe":
+            from bitfunnel_spark.plans.executor import search_dataframe
+
+            return search_dataframe(self, query, k, facts, after=after)
+        if mode == "kernel":
+            from bitfunnel_spark.plans.kernel import search_kernel
+
+            return search_kernel(self, query, k, facts, after=after)
+        raise ValueError(f"unknown mode {mode!r}")
+
     def search_many(
         self, queries: list[str], k: int = 10, facts: list[str] | None = None
     ) -> DataFrame:

@@ -237,11 +237,20 @@ def match_dataframe(index, query, facts: list[str] | None = None) -> DataFrame:
     return _matched(index, _as_plan(query), facts).select("doc_id")
 
 
-def search_dataframe(index, query, k: int = 10, facts: list[str] | None = None) -> DataFrame:
+def search_dataframe(
+    index, query, k: int = 10, facts: list[str] | None = None,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
     """BM25 top-k as DataFrame[(doc_id, score)]; see module docstring for the
-    determinism contract."""
+    determinism contract. ``after=(score, doc_id)`` pages past the cursor
+    (search_after semantics — the filter keeps the job k-row at any depth)."""
     plan = _as_plan(query)
     res = _matched(index, plan, facts).select(
         "doc_id", F.round(F.col("score"), 4).alias("score")
     )
+    if after is not None:
+        s, d = round(float(after[0]), 4), int(after[1])
+        res = res.filter(
+            (F.col("score") < s) | ((F.col("score") == s) & (F.col("doc_id") > d))
+        )
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -409,10 +409,12 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         k0 = descriptor["k"]
         allow = descriptor.get("allow")
         deny = descriptor.get("deleted")
+        after = descriptor.get("after")  # (score4, doc_id) pagination cursor
         restricted = allow is not None or (deny is not None and deny.size > 0)
         if (
             k0 is not None
             and not restricted
+            and after is None
             and isinstance(ast, Term)
             and (ast.stream, ast.text) in plan.scoring_keys
             and descriptor["idf"].get((ast.stream, ast.text), 0.0) > 0
@@ -421,7 +423,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             if rows is None:
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][(ast.stream, ast.text)], k0)
-        flat = route_flat(ast) if k0 is not None else None
+        flat = route_flat(ast) if (k0 is not None and after is None) else None
         if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
             # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
             # fact sets AND in as `allow`, tombstones mask via `deny` (the
@@ -450,6 +452,15 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             cand, postings, scoring, descriptor["idf"],
             plan.syn_groups, descriptor.get("k1", 1.2),
         )
+        if after is not None:
+            # deep pagination (search_after): keep docs strictly after the
+            # (score desc, doc_id asc) cursor — compared on the rounded
+            # score, the same key the ordering contract uses
+            r4 = np.round(score, 4)
+            keep = (r4 < after[0]) | ((r4 == after[0]) & (cand > after[1]))
+            cand, score = cand[keep], score[keep]
+            if cand.size == 0:
+                return _OUT_EMPTY
         k = descriptor["k"]
         if k is not None and cand.size > k:
             # per-group partial top-k (heap analogue): order by (round desc, doc asc)
@@ -576,11 +587,23 @@ def match_kernel(index, query, facts: list[str] | None = None) -> DataFrame:
     return groups.select("doc_id")
 
 
-def search_kernel(index, query, k: int = 10, facts: list[str] | None = None) -> DataFrame:
-    """BM25 top-k via the kernel path — rank-identical to search_dataframe."""
+def search_kernel(
+    index, query, k: int = 10, facts: list[str] | None = None,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """BM25 top-k via the kernel path — rank-identical to search_dataframe.
+
+    ``after=(score, doc_id)``: deep pagination (Elasticsearch search_after):
+    return the k results strictly after the cursor in (score desc, doc_id
+    asc) order. Pages stay k-row jobs at any depth — no window over the
+    full result, no growing LIMIT. Cursored queries use the exhaustive
+    kernel (cursor filter after scoring); page-1 fast paths are untouched."""
     plan = _as_plan(query)
     if index.segments is None:
         index.build_segments()
-    groups = _query_groups(index, plan, _descriptor(index, plan, facts), k=k)
+    desc = _descriptor(index, plan, facts)
+    if after is not None:
+        desc["after"] = (round(float(after[0]), 4), int(after[1]))
+    groups = _query_groups(index, plan, desc, k=k)
     res = groups.select("doc_id", F.round(F.col("score"), 4).alias("score"))
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

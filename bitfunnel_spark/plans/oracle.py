@@ -217,21 +217,26 @@ hits AS (
 
 
 def oracle_search_sql(
-    query, k: int = 10, config: BuildConfig | None = None, extra_where: str | None = None
+    query, k: int = 10, config: BuildConfig | None = None,
+    extra_where: str | None = None, offset: int = 0,
 ) -> str:
     """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc).
 
     ``extra_where`` ANDs an additional doc-level predicate into the match —
     the mirror of engine-side tombstones (doc_id NOT IN (...)) and fact sets
-    (epoch-frozen stats: the predicate filters RESULTS, never df/avgdl)."""
+    (epoch-frozen stats: the predicate filters RESULTS, never df/avgdl).
+    ``offset`` skips the first rows of the total order — the mirror of
+    search_after pagination (page n+1 ≡ OFFSET n·k, since the order is
+    total on (rounded score, doc_id))."""
     config = config or BuildConfig()
     plan = _as_plan(query)
     extra = f" AND ({extra_where})" if extra_where else ""
+    off = f" OFFSET {int(offset)}" if offset else ""
     return (
         f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
         f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
         f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}){extra}\n"
-        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}{off}"
     )
 
 

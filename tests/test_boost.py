@@ -80,3 +80,37 @@ def test_unboosted_field_stays_filter_only(index):
     # ^1 promotes lang:en into scoring with weight 1 -> scores DIFFER
     assert {d for d, _ in a} >= set()  # both valid top-10s
     assert a != b
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+def test_search_after_pages_partition_results(index, mode):
+    """search_after pages must exactly partition the full ranking: walking
+    3 pages of 5 reproduces top-15, and pages are disjoint."""
+    full = index.search("data fast", k=15, mode=mode).collect()
+    pages, cursor = [], None
+    for _ in range(3):
+        if cursor is None:
+            page = index.search("data fast", k=5, mode=mode).collect()
+        else:
+            page = index.search_after("data fast", cursor, k=5, mode=mode).collect()
+        assert len(page) == 5
+        cursor = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+        pages += page
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+    assert len({r["doc_id"] for r in pages}) == 15
+
+
+def test_search_after_modes_agree(index):
+    p1 = index.search("data fast", k=10, mode="kernel").collect()
+    cur = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    kr = index.search_after("data fast", cur, k=10, mode="kernel").collect()
+    df = index.search_after("data fast", cur, k=10, mode="dataframe").collect()
+    assert [(r["doc_id"], r["score"]) for r in kr] == [
+        (r["doc_id"], r["score"]) for r in df
+    ]
+
+
+def test_search_after_past_end_is_empty(index):
+    assert index.search_after("data fast", (0.0, 1 << 40), k=5).count() == 0

@@ -103,6 +103,58 @@ def serve_query_stream(
     return writer.start()
 
 
+def percolate_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    queries: list[str],
+    results_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    config=None,
+):
+    """Continuous percolation (the Elasticsearch watcher / saved-search
+    alerting shape): documents ARRIVE as a stream; the standing query log is
+    fixed. Each micro-batch builds a throwaway fused index over just the
+    batch (cheap at micro-batch size — one shuffle over KBs..MBs) and
+    evaluates the WHOLE log against it in ONE batched kernel job
+    (plans/batch.percolate). Result rows are (query_id, doc_id): "standing
+    query q fired on new document d" — exactly the ingest-time alert feed.
+    Exactly-once by the same recipe as ingest: checkpoint WAL + idempotent
+    per-batch result dirs committed by atomic rename (Hadoop FS — object
+    store safe). At scale the standing log is thousands of queries and the
+    batch is seconds of ingest; both ride the batched-kernel QPS numbers
+    bench.py records (percolate_qps)."""
+    from bitfunnel_spark.plans.batch import percolate
+    from bitfunnel_spark.streaming.ingest import corpus_stream
+
+    fsio.mkdirs(results_dir)
+    checkpoint_dir = checkpoint_dir or fsio.join(results_dir, "_percolate_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = fsio.join(results_dir, f"batch={batch_id}")
+        if fsio.exists(out):  # replayed batch — idempotent skip
+            return
+        if batch_df.isEmpty():
+            return
+        hits = percolate(batch_df.sparkSession, batch_df, queries, config=config)
+        tmp = fsio.join(results_dir, f"_tmp_batch={batch_id}")
+        if fsio.exists(tmp):
+            fsio.delete(tmp)
+        hits.write.mode("overwrite").parquet(tmp)
+        fsio.rename(tmp, out)
+
+    writer = (
+        corpus_stream(spark, corpus_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def read_results(spark: SparkSession, results_dir: str) -> DataFrame:
     """All served results so far (one globbed read of the batch dirs)."""
     out = spark.read.option("basePath", results_dir).parquet(

@@ -76,3 +76,53 @@ def test_batch_dirs_are_atomic_units(env):
     dirs = [d for d in os.listdir(env["rdir"]) if d.startswith("batch=")]
     assert len(dirs) >= 2  # one per wave
     assert not [d for d in os.listdir(env["rdir"]) if d.startswith("_tmp_")]
+
+
+def test_percolate_stream_matches_offline(spark, corpus, tmp_path_factory):
+    """Streaming percolation: docs arrive in two waves; per-batch alert rows
+    must equal the offline percolate of each wave, and a replayed run adds
+    nothing (idempotent batch dirs)."""
+    from bitfunnel_spark.plans.batch import percolate
+
+    root = tmp_path_factory.mktemp("perc")
+    cdir = str(root / "docs")
+    rdir = str(root / "alerts")
+    os.makedirs(cdir)
+    queries = ["data & fast", "vector | dup", "the -data"]
+    w1 = corpus.filter("doc_id < 60").cache()
+    w2 = corpus.filter("doc_id >= 60 AND doc_id < 120").cache()
+
+    def arrive(df, name):
+        stage = cdir + "_stage_" + name
+        df.coalesce(1).write.mode("append").parquet(stage)
+        import shutil
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(stage, f), os.path.join(cdir, f"{name}_{f}"))
+        shutil.rmtree(stage)
+
+    cfg = BuildConfig(n_slices=2)
+    arrive(w1, "w1")
+    serve.percolate_stream(spark, cdir, queries, rdir, config=cfg)
+    arrive(w2, "w2")
+    serve.percolate_stream(spark, cdir, queries, rdir, config=cfg)
+
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in serve.read_results(spark, rdir).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(spark, w1, queries, config=cfg).collect()
+    } | {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(spark, w2, queries, config=cfg).collect()
+    }
+    assert got == want and got
+    # replay: no new batches, results unchanged (idempotent)
+    serve.percolate_stream(spark, cdir, queries, rdir, config=cfg)
+    again = {
+        (r["query_id"], r["doc_id"])
+        for r in serve.read_results(spark, rdir).collect()
+    }
+    assert again == got

@@ -89,13 +89,20 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: tuple[int, ...] = AXIS_DIMS,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
 
     Equi-join on bucket replaces the cross join — at scale the candidate set
     shrinks ~2^|dims|×. Recall is approximate by design; the oracle mirrors
     the same bucketing so correctness is exact w.r.t. the algorithm.
-    """
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (the standard multi-probe LSH recall/cost
+    dial: |dims|+1 buckets ≈ (|dims|+1)× candidates — still an equi-join,
+    the query side explodes to |dims|+1 broadcast rows per query).
+    Measured on the sf0.1 embeddings: recall@10 0.016 → 0.122 for ~9×
+    the candidates (BENCH.md round-3 ANN table)."""
     withb = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
@@ -104,9 +111,17 @@ def lsh_cosine_topk(
     q = withb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec"), "bucket"
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     pairs = F.broadcast(q).join(withb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
     cos = F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
     scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    if multiprobe:  # a candidate can land in several probed buckets
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 

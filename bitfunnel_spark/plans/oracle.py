@@ -278,6 +278,51 @@ def oracle_facets_sql(
     )
 
 
+def oracle_facet_ranges_sql(
+    query, edges: tuple[int, ...] = (0, 24, 48, 96, 192),
+    config: BuildConfig | None = None,
+) -> str:
+    """Range-aggregation oracle mirroring plans/serving.facet_ranges:
+    bucket_lo = largest edge <= body doclen, counts over the match set."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    edges = tuple(sorted(int(e) for e in edges))
+    whens = " ".join(
+        f"WHEN coalesce(dl.doclen, 0) >= {lo} THEN CAST({lo} AS INT)"
+        for lo in sorted(edges, reverse=True)
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT bucket_lo, count(*)::BIGINT AS n_docs FROM (\n"
+        f"  SELECT CASE {whens} END AS bucket_lo\n"
+        f"  FROM m LEFT JOIN dl USING (doc_id)\n"
+        f") WHERE bucket_lo IS NOT NULL GROUP BY bucket_lo ORDER BY bucket_lo"
+    )
+
+
+def oracle_significant_terms_sql(
+    query, k: int = 20, min_fg_df: int = 2, config: BuildConfig | None = None
+) -> str:
+    """significant_terms oracle mirroring plans/serving.significant_terms:
+    lift = (fg_df/F) / (bg_df/N), rounded 4 dp, top k by (lift desc, term)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"fg AS (SELECT term, count(DISTINCT doc_id) AS fg_df\n"
+        f"       FROM body_tok JOIN m USING (doc_id) GROUP BY term\n"
+        f"       HAVING count(DISTINCT doc_id) >= {int(min_fg_df)}),\n"
+        f"bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM body_tok GROUP BY term),\n"
+        f"nm AS (SELECT count(*) AS n FROM m)\n"
+        f"SELECT fg.term AS term, fg.fg_df::BIGINT AS fg_df, bg.bg_df::BIGINT AS bg_df,\n"
+        f"  round((fg.fg_df / CAST(nm.n AS DOUBLE)) / (bg.bg_df / CAST(meta.n_docs AS DOUBLE)), 4) AS lift\n"
+        f"FROM fg JOIN bg USING (term) CROSS JOIN nm CROSS JOIN meta\n"
+        f"ORDER BY lift DESC, term ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_explain_sql(query, k: int = 10, config: BuildConfig | None = None) -> str:
     """Explain oracle mirroring plans/serving.explain: one row per
     (top-k doc, scoring key present), contribution = idf(·boost)·partial,

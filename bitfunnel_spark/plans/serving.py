@@ -138,6 +138,79 @@ def facet_stats(
     )
 
 
+def facet_ranges(
+    index, query: str, edges: tuple[int, ...] = (0, 24, 48, 96, 192),
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Range/histogram aggregation over the match set (the Elasticsearch
+    range-agg shape), bucketing body document length by ``edges``:
+    buckets are [e0,e1), [e1,e2), ..., [e_last, ∞). Returns
+    DataFrame[(bucket_lo, n_docs)] ordered by bucket_lo; empty buckets are
+    absent (the ES default). One doc_id equi-join + one groupBy with
+    map-side combine — scales with the match set like facet_counts."""
+    matches = index.match(query, facts).select("doc_id")
+    dl = index.doc_stats.select("doc_id", "doclen")
+    rows = matches.join(dl, "doc_id")
+    edges = tuple(sorted(int(e) for e in edges))
+    # chained CASE, highest edge first: bucket_lo = largest edge <= doclen
+    bucket = F.when(F.col("doclen") >= edges[-1], F.lit(edges[-1]))
+    for lo in sorted(edges[:-1], reverse=True):
+        bucket = bucket.when(F.col("doclen") >= lo, F.lit(lo))
+    return (
+        rows.select(bucket.alias("bucket_lo"))
+        .filter(F.col("bucket_lo").isNotNull())
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+def significant_terms(
+    index, query: str, k: int = 20, min_fg_df: int = 2,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Terms over-represented in the match set vs the whole corpus (the
+    Elasticsearch significant_terms shape; scoring = LIFT, the relative
+    document-frequency ratio (fg_df/F)/(bg_df/N) — simpler than ES's JLH
+    default, monotone in the same direction, exactly SQL-mirrorable).
+
+    Returns DataFrame[(term, fg_df, bg_df, lift)] — top k by (lift desc,
+    term asc), lift rounded 4 dp; query terms themselves are not excluded
+    (they are the sanity check: they should rank high).
+
+    Scale shape: semi-join the corpus down to the match set FIRST, then one
+    tokenize+distinct pass over only the matched documents for foreground
+    dfs; background dfs come from the already-built dictionary
+    (term_stats), broadcast-joined when small. No collect, no window over
+    more than the aggregated term table."""
+    from bitfunnel_spark.functions.tokenizer import tokenize as tok
+
+    matches = index.match(query, facts).select("doc_id")
+    fg_docs = index.corpus.join(matches, "doc_id", "left_semi")
+    fg = (
+        fg_docs.select("doc_id", F.explode(tok("content")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= int(min_fg_df))
+    )
+    n_matches = matches.count()  # one tiny scalar job; F in the lift ratio
+    bg = index.term_stats.filter(F.col("stream") == "body").select(
+        "term", F.col("df").alias("bg_df")
+    )
+    n_docs = float(index.n_docs)
+    lift = F.round(
+        (F.col("fg_df") / F.lit(float(n_matches))) / (F.col("bg_df") / F.lit(n_docs)),
+        4,
+    )
+    return (
+        fg.join(bg, "term")
+        .select("term", "fg_df", F.col("bg_df").cast("long").alias("bg_df"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def collapse_topk(
     index, query: str, by: str = "repo", k: int = 10, per_group: int = 1,
     facts: list[str] | None = None,

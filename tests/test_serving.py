@@ -237,3 +237,27 @@ def test_term_vector_vs_oracle(index, duck, doc_id):
     body_tf = sum(tf for s, _, tf in got if s == "body")
     dl = index.doc_stats.filter(f"doc_id = {doc_id}").collect()[0]["doclen"]
     assert body_tf == dl
+
+
+def test_facet_ranges_partition_match_set(index):
+    from bitfunnel_spark.plans import serving
+
+    edges = (0, 24, 48, 96, 192)
+    buckets = serving.facet_ranges(index, "data | the", edges=edges).collect()
+    n_match = index.match("data | the").count()
+    assert sum(r["n_docs"] for r in buckets) == n_match  # buckets partition
+    los = [r["bucket_lo"] for r in buckets]
+    assert los == sorted(los) and set(los) <= set(edges)
+
+
+def test_significant_terms_query_terms_rank_high(index):
+    from bitfunnel_spark.plans import serving
+
+    out = serving.significant_terms(index, "vector dup", k=20).collect()
+    terms = [r["term"] for r in out]
+    # the query's own (rare) term must be among the most significant
+    assert "dup" in terms[:3]
+    lifts = [r["lift"] for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in out:
+        assert r["fg_df"] <= r["bg_df"]

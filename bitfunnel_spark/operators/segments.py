@@ -685,25 +685,71 @@ def _row_encs(rows: pd.DataFrame) -> list[str]:
     return [ENC_VB] * len(rows)
 
 
-def decode_group(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate a term's blocks (block_id-ordered) → (docs, tfs, partials)."""
+def _cumsum_with_resets(vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-span cumulative sum of non-negative `vals`, restarting at each
+    index in `starts` (spans' first entries are ABSOLUTE values, the rest
+    deltas). One global cumsum + a carry subtraction — no per-span loop.
+    Correct because vals >= 0 makes the global cumsum non-decreasing, so
+    maximum.accumulate propagates exactly the latest span's carry."""
+    d = np.cumsum(vals)
+    if starts.size > 1:
+        carry = np.zeros(vals.size, dtype=d.dtype)
+        s = starts[1:]
+        carry[s] = d[s - 1]
+        d = d - np.maximum.accumulate(carry)
+    return d
+
+
+def decode_group(
+    rows: pd.DataFrame, resort: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a term's blocks (block_id-ordered) → (docs, tfs, partials).
+
+    ``resort=False`` keeps block order even when increment blocks
+    interleave doc ranges — required by the positions path, whose flat
+    occurrence stream is aligned to block order (phrase evaluation is
+    order-independent; it packs (doc, pos) keys).
+
+    BATCHED decode: all of a group's blocks decode in a constant number of
+    NumPy calls (one varbyte pass over the joined tf buffers, one over the
+    joined doc buffers per encoding class, one frombuffer for partials) —
+    not 3 call-sets per block. Per-call NumPy overhead (~1 µs) dominates
+    128-posting blocks, so per-block decoding paid ~80 ns/posting of pure
+    call overhead; at 800k docs a group holds hundreds of blocks and this
+    is the difference between kernel time and API time. Mixed-encoding
+    groups (possible after merges across df-band boundaries) keep the
+    exact per-block path."""
     from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
 
     rows = rows.sort_values("block_id")
-    firsts = rows["first_doc"].tolist()
-    docs = [
-        decode_doc_block(bytes(x), e, int(f))
-        for x, e, f in zip(rows["docs_vb"], _row_encs(rows), firsts)
-    ]
-    tfs = [varbyte_decode(bytes(x)) for x in rows["tfs_vb"]]
-    parts = [np.frombuffer(bytes(x), dtype=np.float64) for x in rows["partials"]]
-    if not docs:
+    if not len(rows):
         e = np.empty(0, np.int64)
         return e, e, np.empty(0, np.float64)
-    d = np.concatenate(docs).astype(np.int64)
-    t = np.concatenate(tfs).astype(np.int64)
-    p = np.concatenate(parts)
-    if d.size > 1 and np.any(np.diff(d) < 0):
+    encs = _row_encs(rows)
+    t = varbyte_decode(b"".join(bytes(x) for x in rows["tfs_vb"])).astype(np.int64)
+    p = np.frombuffer(b"".join(bytes(x) for x in rows["partials"]), dtype=np.float64)
+    n = rows["n"].to_numpy().astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    enc0 = encs[0]
+    if all(e == enc0 for e in encs):
+        joined = b"".join(bytes(x) for x in rows["docs_vb"])
+        if enc0 == ENC_RAW:
+            d = np.frombuffer(joined, dtype="<i8").astype(np.int64)
+        elif enc0 == ENC_GAP32:
+            g = np.frombuffer(joined, dtype="<u4").astype(np.int64)
+            firsts = rows["first_doc"].to_numpy().astype(np.int64)
+            d = _cumsum_with_resets(g, starts) + np.repeat(firsts, n)
+        else:  # vb: block-start value is the absolute first doc
+            gaps = varbyte_decode(joined).astype(np.int64)
+            d = _cumsum_with_resets(gaps, starts)
+    else:  # mixed encodings — exact per-block fallback
+        d = np.concatenate(
+            [
+                decode_doc_block(bytes(x), e, int(f))
+                for x, e, f in zip(rows["docs_vb"], encs, rows["first_doc"].tolist())
+            ]
+        ).astype(np.int64)
+    if resort and d.size > 1 and np.any(np.diff(d) < 0):
         # blocks from streaming increments interleave doc ranges — re-sort
         # (compaction restores monotone blocks; see streaming/ingest.py)
         order = np.argsort(d, kind="stable")
@@ -716,35 +762,25 @@ def decode_group_positions(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, 
 
     `positions` is the flat per-occurrence position array; posting i's
     positions are the tfs[i] entries starting at cumsum(tfs)[i-1] (each
-    posting's deltas reset to absolute — decoded per block here). Raises
-    ValueError if the segment was built without positions."""
-    from bitfunnel_spark.operators.codec import decode_doc_block, varbyte_decode
+    posting's first position is stored ABSOLUTE, the rest as deltas).
+    Raises ValueError if the segment was built without positions.
+
+    BATCHED like :func:`decode_group`: docs and tfs reuse its constant-call
+    decode; position gaps decode in ONE varbyte pass over the joined pos
+    buffers (per-posting resets are a property of the gap stream itself —
+    the encoder stores each posting's first position absolutely — so block
+    concatenation needs no per-block handling at all)."""
+    from bitfunnel_spark.operators.codec import varbyte_decode
 
     rows = rows.sort_values("block_id")
-    docs_l, tfs_l, pos_l = [], [], []
-    for _, r in rows.iterrows():
-        d = decode_doc_block(
-            bytes(r["docs_vb"]), r.get("enc", ENC_VB) or ENC_VB, int(r["first_doc"])
-        )
-        t = varbyte_decode(bytes(r["tfs_vb"]))
-        buf = bytes(r["pos_vb"]) if r["pos_vb"] is not None else b""
-        if len(buf) == 0 and t.sum() > 0:
-            raise ValueError("segment has no positional postings (BuildConfig.positions=False)")
-        gaps = varbyte_decode(buf).astype(np.int64)
-        # per-posting delta reset → absolute: cumsum within posting spans
-        bounds = np.concatenate(([0], np.cumsum(t.astype(np.int64))))
-        pos = np.cumsum(gaps)
-        # subtract the carry-over at each posting start so each posting's
-        # cumsum restarts from its own absolute first value
-        if bounds.size > 2:
-            carry = np.zeros(gaps.size, dtype=np.int64)
-            starts = bounds[1:-1]
-            carry[starts] = pos[starts - 1]
-            pos = pos - np.maximum.accumulate(carry)
-        docs_l.append(d.astype(np.int64))
-        tfs_l.append(t.astype(np.int64))
-        pos_l.append(pos)
-    if not docs_l:
+    if not len(rows):
         e = np.empty(0, np.int64)
         return e, e, e
-    return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(pos_l)
+    d, t, _p = decode_group(rows, resort=False)
+    buf = b"".join(bytes(x) for x in rows["pos_vb"] if x is not None)
+    if len(buf) == 0 and t.sum() > 0:
+        raise ValueError("segment has no positional postings (BuildConfig.positions=False)")
+    gaps = varbyte_decode(buf).astype(np.int64)
+    bounds = np.cumsum(t)
+    pos = _cumsum_with_resets(gaps, np.concatenate(([0], bounds[:-1])))
+    return d, t, pos

@@ -4,8 +4,10 @@ entry(spark)  — flagship query (kernel-path BM25 top-10) on sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); callables take (spark, sf_dir).
 oracle_sql()  — matching DuckDB SQL per query (omitted only for the
-                genuinely non-SQL ops: the shard-boundary DP and the
-                numpy random-hyperplane LSH, which get rows-only checks).
+                genuinely non-SQL ops, which get rows-only checks:
+                the numpy random-hyperplane LSH + trained-k-means IVF
+                (seeded-RNG outputs no SQL engine reproduces) and the
+                kernel decode counters (pruning instrumentation)).
 """
 
 from __future__ import annotations

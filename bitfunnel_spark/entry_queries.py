@@ -1333,7 +1333,7 @@ DRIVER_WINDOW = [
     "ft_shard_plan", "ft_query_profile",
     # new round-3 entries
     "ft_bm25_regex_alt", "ft_bm25_regex_opt", "ann_ivf_kmeans",
-    "ft_percolate_log",
+    "ft_percolate_log", "ft_bm25f",
     # entries whose code changed this round
     "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
     "ft_bm25_regex", "ft_bm25_wildcard",
@@ -1344,8 +1344,9 @@ DRIVER_WINDOW = [
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_df_table", "ft_idf_table", "ft_doclen_histogram",
     "ft_shard_assignment", "ft_treatment_plan",
-    # dedup representatives (candidate-join + incremental)
-    "dedup_minhash_lsh", "dedup_incremental",
+    # dedup representative (candidate-join path; dedup_incremental rides
+    # its r02 green — operators/dedup.py untouched this round)
+    "dedup_minhash_lsh",
 ]
 
 
@@ -1425,6 +1426,23 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["ft_bm25_synonym_blend"] = oracle_search_sql(
         _synonym_blend_node(), k=10, config=ENTRY_CONFIG
     )
+
+    def _bm25f_node():
+        from bitfunnel_spark.plans.expand import combined_fields
+
+        # "txt" lives in every path and (almost) no body: both the 0.4
+        # field weight and the blended idf shape the scores
+        return combined_fields("data & txt", {"body": 1.0, "path": 0.4})
+
+    def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # BM25F combined-fields scoring (ast.FieldGroup): each term matches
+        # in ANY listed field and scores as ONE pseudo-term — weighted
+        # per-field tf sum, single saturation, blended idf (ES
+        # combined_fields / Lucene CombinedFieldQuery semantics)
+        return get_index(spark, sf_dir).search(_bm25f_node(), k=10, mode="kernel")
+
+    queries["ft_bm25f"] = q_bm25f
+    oracles["ft_bm25f"] = oracle_search_sql(_bm25f_node(), k=10, config=ENTRY_CONFIG)
 
     def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deep pagination (search_after): fetch page 1, then page 2 via its

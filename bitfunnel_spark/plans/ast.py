@@ -60,6 +60,42 @@ class SynGroup(Node):
 
 
 @dataclass(frozen=True)
+class FieldGroup(Node):
+    """A combined-fields group (BM25F; Elasticsearch ``combined_fields``,
+    Zaragoza et al. 2004 "simple BM25F"): MATCHES like an OR of the same
+    token across several fields, SCORES as ONE pseudo-term — per-document
+    tf̃ = Σ_f w_f·tf_f (weighted sum in fixed sorted-member order),
+    saturated ONCE with the document's shared body-length norm, weighted
+    by the BLENDED idf (min member idf ≡ idf of the max per-field df —
+    the same blended-docFreq convention as SynGroup). The engine stores
+    one body-length norm per document (doclen is the BODY token count on
+    every posting, operators/statistics.py), so the per-field norms of
+    full BM25F coincide and the weighted tf sum is exact. Produced by
+    plans/expand.combined_fields; the reference has no scorer (its
+    ResultsBuffer is an unscored match set), so the analogue is Lucene's
+    CombinedFieldQuery — SURVEY §2.7."""
+
+    children: tuple[Term, ...]  # one Term per field, same token
+    weights: tuple[float, ...]  # aligned with children; all > 0
+
+    @property
+    def keys(self) -> tuple[tuple[str, str], ...]:
+        return tuple((t.stream, t.text) for t in self.children)
+
+    @property
+    def weighted(self) -> tuple[tuple[tuple[str, str], float], ...]:
+        """((stream, term), weight) pairs in sorted key order — the fixed
+        accumulation order every scorer (kernel, DataFrame, SQL oracle)
+        shares so float64 results stay bit-identical."""
+        return tuple(
+            sorted(
+                (((t.stream, t.text), float(w)) for t, w in zip(self.children, self.weights)),
+                key=lambda kw: kw[0],
+            )
+        )
+
+
+@dataclass(frozen=True)
 class Prefix(Node):
     """``text*`` — expands to every dictionary term starting with ``text``
     (Lucene PrefixQuery shape; resolved by plans/expand.py before

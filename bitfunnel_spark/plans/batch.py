@@ -103,6 +103,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
             score = _score(
                 cand, postings, sorted(plan.scoring_keys), qidf,
                 plan.syn_groups, descriptor.get("k1", 1.2),
+                getattr(plan, "field_groups", ()),
             )
             if k is not None and cand.size > k:
                 r = np.round(score, 4)

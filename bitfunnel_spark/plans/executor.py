@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.functions.tokenizer import tokenize
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
+from bitfunnel_spark.plans.ast import And, FieldGroup, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
@@ -87,7 +87,7 @@ def _phrase_doc_ids(index, phrase: Phrase, candidates: DataFrame | None) -> Data
 def _bool_expr(node: Node, phrase_cols: dict[Phrase, str]) -> Column:
     if isinstance(node, Term):
         return F.array_contains(F.col("hits"), node.key)
-    if isinstance(node, SynGroup):  # matches like an OR of its members
+    if isinstance(node, (SynGroup, FieldGroup)):  # matches like an OR of members
         out = F.lit(False)
         for t in node.children:
             out = out | F.array_contains(F.col("hits"), t.key)
@@ -178,8 +178,35 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
             F.sum(F.when(member, F.col("tf").cast("double")).otherwise(F.lit(0.0))).alias(f"_tfsum_{gi}"),
             F.max(F.when(member, F.struct(F.col("tf").cast("double").alias("tf"), partial.alias("pt")))).alias(f"_best_{gi}"),
         ]
+    # combined-fields groups (FieldGroup — BM25F): per-member tf columns
+    # (ONE posting per (doc, stream, term), so max(CASE) is a scalar pick),
+    # plus the max-raw-tf member's (tf, partial) struct for norm recovery.
+    # The weighted tf sum folds OUTSIDE the agg in fixed sorted-member
+    # order — the same left-associated accumulation as the kernel's _score
+    # and the SQL oracle, so float64 stays bit-identical.
+    fgroups = getattr(plan, "field_groups", ()) or ()
+    fidf_blends: list[float | None] = []
+    if fgroups:
+        fgidf = index.idf_for_keys({k for g in fgroups for k, _w in g})
+        for group in fgroups:
+            present = [fgidf[k] for k, _w in group if k in fgidf]
+            fidf_blends.append(min(present) if present else None)
+    for gi, group in enumerate(fgroups):
+        if fidf_blends[gi] is None:
+            continue
+        gkeys = sorted(f"{s}:{t}" for s, t in (k for k, _w in group))
+        member = F.col("key").isin(gkeys)
+        aggs.append(
+            F.max(F.when(member, F.struct(F.col("tf").cast("double").alias("tf"), partial.alias("pt")))).alias(f"_fbest_{gi}")
+        )
+        for mi, (kk, _w) in enumerate(group):
+            aggs.append(
+                F.max(
+                    F.when(F.col("key") == f"{kk[0]}:{kk[1]}", F.col("tf").cast("double"))
+                ).alias(f"_ftf_{gi}_{mi}")
+            )
     out = joined.groupBy("doc_id").agg(*aggs)
-    if groups:
+    if groups or fgroups:
         k1 = bm.k1
         score = F.col("score")
         for gi in range(len(groups)):
@@ -190,6 +217,21 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
             ptm = F.col(f"_best_{gi}.pt")
             d_norm = tfm * F.lit(k1 + 1.0) / ptm - tfm
             blended = F.lit(float(idf_blends[gi])) * (
+                tfsum * F.lit(k1 + 1.0) / (tfsum + d_norm)
+            )
+            score = score + F.when(tfsum > 0, blended).otherwise(F.lit(0.0))
+        for gi, group in enumerate(fgroups):
+            if fidf_blends[gi] is None:
+                continue
+            tfsum = F.lit(0.0)
+            for mi, (_kk, w) in enumerate(group):
+                tfsum = tfsum + F.lit(float(w)) * F.coalesce(
+                    F.col(f"_ftf_{gi}_{mi}"), F.lit(0.0)
+                )
+            tfm = F.col(f"_fbest_{gi}.tf")
+            ptm = F.col(f"_fbest_{gi}.pt")
+            d_norm = tfm * F.lit(k1 + 1.0) / ptm - tfm
+            blended = F.lit(float(fidf_blends[gi])) * (
                 tfsum * F.lit(k1 + 1.0) / (tfsum + d_norm)
             )
             score = score + F.when(tfsum > 0, blended).otherwise(F.lit(0.0))

@@ -221,6 +221,48 @@ def apply_synonyms(
     return node
 
 
+def combined_fields(query, field_weights: dict[str, float]) -> Node:
+    """Rewrite every plain DEFAULT_STREAM Term into a FieldGroup over the
+    given (field -> weight) map — BM25F / Elasticsearch ``combined_fields``
+    semantics: the token matches in ANY listed field, and scores as ONE
+    pseudo-term over the weighted per-field tf sum with a single
+    saturation and a blended idf. ``query`` is a query string or an AST
+    node.
+
+    Weights must be > 0. Terms with an explicit field prefix
+    (``path:txt``), phrases, and expansion nodes are left untouched —
+    the rewrite targets the bag-of-words part of the query, like the
+    multi-field query parsers it mirrors. Recurses through And/Or/Not;
+    an Or@N parent counts the group as ONE countable child (FieldGroup
+    is atomic, planner.normalize never flattens into it)."""
+    from bitfunnel_spark.plans.ast import DEFAULT_STREAM, FieldGroup
+    from bitfunnel_spark.plans.parser import parse_query
+
+    if isinstance(query, str):
+        query = parse_query(query)
+    if not field_weights:
+        raise ValueError("combined_fields needs at least one field")
+    fields = sorted(field_weights)
+    weights = tuple(float(field_weights[f]) for f in fields)
+    if any(w <= 0 for w in weights):
+        raise ValueError(f"combined_fields weights must be > 0: {field_weights}")
+
+    def walk(node: Node) -> Node:
+        if isinstance(node, Term) and node.stream == DEFAULT_STREAM:
+            return FieldGroup(
+                tuple(Term(node.text, stream=f) for f in fields), weights
+            )
+        if isinstance(node, Not):
+            return Not(walk(node.child))
+        if isinstance(node, And):
+            return And(tuple(walk(c) for c in node.children))
+        if isinstance(node, Or):
+            return Or(tuple(walk(c) for c in node.children), node.min_match)
+        return node
+
+    return walk(query)
+
+
 def common_terms_query(index, text: str, max_df_ratio: float = 0.3) -> Node:
     """Stopword-robust bag-of-words query (Lucene CommonTermsQuery shape,
     MUST low-freq / SHOULD high-freq): terms with df/N <= ``max_df_ratio``

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from bitfunnel_spark.config import POS_BITS, POS_SAFE_DOCLEN
 from bitfunnel_spark.operators.segments import decode_group, decode_group_positions
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
+from bitfunnel_spark.plans.ast import And, FieldGroup, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.executor import _as_plan, _phrase_doc_ids
 from bitfunnel_spark.plans.planner import QueryPlan
 
@@ -247,7 +247,7 @@ def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
 def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
     if isinstance(node, Term):
         return _member(postings.get((node.stream, node.text), (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
-    if isinstance(node, SynGroup):  # matches like an OR of its members
+    if isinstance(node, (SynGroup, FieldGroup)):  # matches like an OR of members
         out = np.zeros(cand.shape, dtype=bool)
         for key in node.keys:
             out |= _member(postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))[0], cand)
@@ -278,7 +278,7 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
 
 def _score(
     cand: np.ndarray, postings, scoring_keys: list, idf: dict,
-    syn_groups=(), k1: float = 1.2,
+    syn_groups=(), k1: float = 1.2, field_groups=(),
 ) -> np.ndarray:
     """BM25 from stored partials: score = Σ over scoring (stream, term)
     keys of idf_key · partial_key(doc). Keys and idf are (stream, term)-
@@ -326,6 +326,48 @@ def _score(
             tfsum[m] += tf
             # deterministic D source: the member with maximal tf (ties are
             # harmless — equal tf ⇒ equal stored partial ⇒ equal D)
+            better = np.zeros(cand.shape, dtype=bool)
+            better[m] = tf > best_tf[m]
+            sel = better[m]
+            bm = m & better
+            best_tf[bm] = tf[sel]
+            best_part[bm] = parts[idxs][sel]
+        matched = tfsum > 0
+        if not matched.any():
+            continue
+        d_norm = best_tf[matched] * (k1 + 1.0) / best_part[matched] - best_tf[matched]
+        score[matched] += idf_blend * (
+            tfsum[matched] * (k1 + 1.0) / (tfsum[matched] + d_norm)
+        )
+    for group in field_groups:
+        # combined-fields group (BM25F — ast.FieldGroup): tf̃ = Σ w·tf
+        # accumulated in the group's fixed sorted-member order (exactly the
+        # order the DataFrame executor and the SQL oracle fold in, so
+        # float64 stays bit-identical), ONE saturation with the document's
+        # shared body-length norm D (recovered from the max-raw-tf member's
+        # stored partial — doclen is the body count on EVERY posting, so D
+        # is a doc-level constant and any present member inverts to it),
+        # weighted by the blended idf (min member idf ≡ max per-field df).
+        in_dict = [(kk, w) for kk, w in group if kk in idf]
+        if not in_dict:
+            continue
+        idf_blend = min(idf[kk] for kk, _w in in_dict)
+        present = [
+            (kk, w) for kk, w in in_dict if postings.get(kk, (_EMPTY,))[0].size
+        ]
+        if not present:
+            continue
+        tfsum = np.zeros(cand.shape, dtype=np.float64)
+        best_tf = np.zeros(cand.shape, dtype=np.float64)
+        best_part = np.ones(cand.shape, dtype=np.float64)  # unused where best_tf=0
+        for kk, w in present:
+            docs, tfs, parts = postings[kk]
+            m = _member(docs, cand)
+            if not m.any():
+                continue
+            idxs = np.searchsorted(docs, cand[m])
+            tf = tfs[idxs].astype(np.float64)
+            tfsum[m] += w * tf
             better = np.zeros(cand.shape, dtype=bool)
             better[m] = tf > best_tf[m]
             sel = better[m]
@@ -451,6 +493,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         score = _score(
             cand, postings, scoring, descriptor["idf"],
             plan.syn_groups, descriptor.get("k1", 1.2),
+            getattr(plan, "field_groups", ()),
         )
         if after is not None:
             # deep pagination (search_after): keep docs strictly after the

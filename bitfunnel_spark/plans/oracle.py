@@ -15,7 +15,7 @@ MatchVerifier.cpp:205-221).
 from __future__ import annotations
 
 from bitfunnel_spark.config import TOKEN_PATTERN, BuildConfig
-from bitfunnel_spark.plans.ast import And, Node, Not, Or, Phrase, SynGroup, Term
+from bitfunnel_spark.plans.ast import And, FieldGroup, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
@@ -92,7 +92,7 @@ def _phrase_subquery(ph: Phrase) -> str:
 def _bool_sql(node: Node) -> str:
     if isinstance(node, Term):
         return f"list_contains(h.hitkeys, {_q(node.stream + ':' + node.text)})"
-    if isinstance(node, SynGroup):  # matches like an OR of its members
+    if isinstance(node, (SynGroup, FieldGroup)):  # matches like an OR of members
         return (
             "("
             + " OR ".join(
@@ -153,7 +153,8 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
     else:
         contrib = "0.0"
     groups = getattr(plan, "syn_groups", ()) or ()
-    if not groups:
+    fgroups = getattr(plan, "field_groups", ()) or ()
+    if not groups and not fgroups:
         return f"""hits AS (
   SELECT tf.doc_id,
          list(tf.stream || ':' || tf.term) AS hitkeys,
@@ -192,6 +193,43 @@ def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
         gscore.append(
             f"CASE WHEN h0.g{gi}_tfsum > 0 AND {idfb} IS NOT NULL THEN "
             f"{idfb} * (h0.g{gi}_tfsum * {k1 + 1.0!r} / (h0.g{gi}_tfsum + {dn})) "
+            f"ELSE 0.0 END"
+        )
+    # combined-fields groups (FieldGroup — BM25F): one tf column PER MEMBER
+    # (one tf row per (doc, stream, term), so max(CASE) is a scalar pick);
+    # the weighted sum folds in the outer select in fixed sorted-member
+    # order (SQL '+' is left-associative) — the same accumulation order as
+    # kernel._score and the DataFrame executor, so float64 stays identical.
+    # Norm D is recovered from the max-raw-tf member exactly like the
+    # synonym branch (doclen is the shared body count, so D is doc-level).
+    for gi, group in enumerate(fgroups):
+        members = ", ".join(_q(f"{s}:{t}") for (s, t), _w in group)
+        mcols = ",\n         ".join(
+            f"max(CASE WHEN (tf.stream || ':' || tf.term) = {_q(f'{s}:{t}')} "
+            f"THEN CAST(tf.tf AS DOUBLE) END) AS f{gi}m{mi}_tf"
+            for mi, ((s, t), _w) in enumerate(group)
+        )
+        gcols.append(
+            f"{mcols},\n"
+            f"         max(CASE WHEN (tf.stream || ':' || tf.term) IN ({members}) "
+            f"THEN CAST(tf.tf AS DOUBLE) END) AS f{gi}_tfmax"
+        )
+        idfb = (
+            f"(SELECT min(ln((m2.n_docs - d2.df + 0.5) / (d2.df + 0.5) + 1.0)) "
+            f"FROM dfreq d2 CROSS JOIN meta m2 "
+            f"WHERE (d2.stream || ':' || d2.term) IN ({members}))"
+        )
+        ptm = (
+            f"(h0.f{gi}_tfmax * {k1 + 1.0!r} / (h0.f{gi}_tfmax + {k1!r} * "
+            f"(1.0 - {b!r} + {b!r} * h0.dlen / meta.avgdl)))"
+        )
+        dn = f"(h0.f{gi}_tfmax * {k1 + 1.0!r} / {ptm} - h0.f{gi}_tfmax)"
+        tfsum = "0.0"
+        for mi, (_k, w) in enumerate(group):
+            tfsum = f"{tfsum} + {float(w)!r} * coalesce(h0.f{gi}m{mi}_tf, 0.0)"
+        gscore.append(
+            f"CASE WHEN ({tfsum}) > 0 AND {idfb} IS NOT NULL THEN "
+            f"{idfb} * (({tfsum}) * {k1 + 1.0!r} / (({tfsum}) + {dn})) "
             f"ELSE 0.0 END"
         )
     gcols_sql = ",\n         ".join(gcols)

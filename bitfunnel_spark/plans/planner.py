@@ -12,7 +12,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from bitfunnel_spark.plans.ast import And, Boost, Node, Not, Or, Phrase, SynGroup, Term
+from bitfunnel_spark.plans.ast import (
+    And,
+    Boost,
+    FieldGroup,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    SynGroup,
+    Term,
+)
 
 
 class QueryPlanError(ValueError):
@@ -26,7 +36,8 @@ def strip_boosts(node: Node, boosts: dict[tuple[str, str], float]) -> Node:
     dict. Boosting a NON-body term (``path:txt^2``) additionally promotes
     that field key into the scoring set: field-weighted relevance (the
     Lucene multi-field query-boost shape; a linear per-field BM25
-    combination, not saturation-mixing BM25F — documented difference)."""
+    combination — saturation-mixing BM25F is expand.combined_fields /
+    ast.FieldGroup)."""
     if isinstance(node, Boost):
         inner = strip_boosts(node.child, boosts)
         if isinstance(inner, Term):
@@ -98,7 +109,7 @@ def collect_terms(node: Node) -> set[tuple[str, str]]:
         return {(node.stream, t) for t in node.tokens}
     if isinstance(node, Not):
         return collect_terms(node.child)
-    if isinstance(node, (And, Or, SynGroup)):
+    if isinstance(node, (And, Or, SynGroup, FieldGroup)):
         out: set[tuple[str, str]] = set()
         for c in node.children:
             out |= collect_terms(c)
@@ -117,6 +128,25 @@ def collect_syn_groups(node: Node, negated: bool = False) -> list[tuple[tuple[st
         out: list[tuple[tuple[str, str], ...]] = []
         for c in node.children:
             out += collect_syn_groups(c, negated)
+        return out
+    return []
+
+
+def collect_field_groups(
+    node: Node, negated: bool = False
+) -> list[tuple[tuple[tuple[str, str], float], ...]]:
+    """Positive combined-fields groups (FieldGroup), each as its sorted
+    ((stream, term), weight) pair tuple — the fixed accumulation order the
+    scorers share. Negated groups filter only and never score (like NOT
+    terms and negated SynGroups)."""
+    if isinstance(node, FieldGroup):
+        return [] if negated else [node.weighted]
+    if isinstance(node, Not):
+        return collect_field_groups(node.child, not negated)
+    if isinstance(node, (And, Or)):
+        out: list[tuple[tuple[tuple[str, str], float], ...]] = []
+        for c in node.children:
+            out += collect_field_groups(c, negated)
         return out
     return []
 
@@ -186,7 +216,7 @@ def requires_positive(node: Node) -> bool:
     the condition under which hit-set evaluation (and any posting-driven
     engine, including the reference, which ANDs the match against real rows)
     is complete."""
-    if isinstance(node, (Term, Phrase, SynGroup)):
+    if isinstance(node, (Term, Phrase, SynGroup, FieldGroup)):
         return True
     if isinstance(node, Not):
         return False
@@ -209,6 +239,10 @@ class QueryPlan:
     # pseudo-term (summed tf, blended idf); members are excluded from
     # scoring_keys (they still match and fetch postings via `terms`)
     syn_groups: tuple[tuple[tuple[str, str], ...], ...] = ()
+    # positive combined-fields groups (FieldGroup — BM25F): each scores as
+    # ONE pseudo-term over the weighted per-field tf sum; members excluded
+    # from scoring_keys the same way
+    field_groups: tuple[tuple[tuple[tuple[str, str], float], ...], ...] = ()
 
 
 def plan_query(node: Node) -> QueryPlan:
@@ -222,7 +256,9 @@ def plan_query(node: Node) -> QueryPlan:
         )
     pos = positive_keys(node)
     groups = tuple(dict.fromkeys(collect_syn_groups(node)))  # ordered dedupe
+    fgroups = tuple(dict.fromkeys(collect_field_groups(node)))
     members = {k for g in groups for k in g}
+    members |= {k for g in fgroups for k, _w in g}
     return QueryPlan(
         ast=node,
         terms=collect_terms(node),
@@ -234,4 +270,5 @@ def plan_query(node: Node) -> QueryPlan:
         # Blended-group members score through their group, not individually.
         scoring_keys={k for k in pos if k[0] == "body" or k in boosts} - members,
         syn_groups=groups,
+        field_groups=fgroups,
     )

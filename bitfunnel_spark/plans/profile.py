@@ -114,6 +114,7 @@ def _profiled_batch_kernel(plans, descriptor):
                         score = _score(
                             cand, postings, sorted(plan.scoring_keys), qidf,
                             plan.syn_groups, descriptor.get("k1", 1.2),
+                            getattr(plan, "field_groups", ()),
                         )
                         nrows = min(cand.size, k) if k is not None else cand.size
                         del score

@@ -33,6 +33,13 @@ class FullTextIndex:
     avgdl: float
     max_doclen: int = 0  # gates the positional phrase path (POS_SAFE_DOCLEN)
     segments: DataFrame | None = None  # encoded posting segments (built on demand)
+    # whether `segments` physically carries pos_vb. Only the fused build
+    # encodes positions (occurrence-level input); the row-form build path
+    # consumes tf-aggregated postings and cannot. The positional phrase
+    # path gates on this, so a positions=True config whose segments came
+    # from the row path degrades to the distributed fallback instead of
+    # failing to decode.
+    segments_positional: bool = True
     key_stats: DataFrame | None = None  # (term_key, df, idf, ...) serve dictionary
     _idf_map: dict | None = None  # driver-resident {term_key: idf} (lazy)
     _idf_map_over_limit: bool = False  # memoized "dictionary too big" outcome
@@ -281,6 +288,7 @@ class FullTextIndex:
         if cache:
             seg = seg.cache()
         self.segments = seg
+        self.segments_positional = False  # row-form encode carries no pos_vb
         return seg
 
     # ---- query API ----------------------------------------------------

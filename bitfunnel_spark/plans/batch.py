@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bitfunnel_spark.operators.segments import decode_group
-from bitfunnel_spark.plans.executor import _phrase_doc_ids
 from bitfunnel_spark.plans.kernel import (
     _EMPTY,
     _EMPTYF,
@@ -44,9 +43,13 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
     from bitfunnel_spark.plans.kernel import _keymap
 
     gram_set = frozenset(descriptor.get("gram_phrases") or frozenset())
+    fb_set = frozenset(descriptor.get("fallback_phrases") or frozenset())
+    from bitfunnel_spark.plans.kernel import _phrase_term
+
     keymap = _keymap(
         {(s, t) for p in plans for s, t in p.terms}
         | {(ph.stream, ph.text) for ph in gram_set}
+        | {(ph.stream, _phrase_term(ph)) for ph in fb_set}
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +92,7 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
                     out_d.append(res["doc_id"].to_numpy())
                     out_s.append(res["score"].to_numpy())
                 continue
-            cand = _candidates_pruned(plan.ast, raw, gram_set)
+            cand = _candidates_pruned(plan.ast, raw, gram_set, fb_set)
             from bitfunnel_spark.plans.wand import restrict
 
             cand = restrict(cand, allow, deny)
@@ -147,27 +150,35 @@ def _batched_groups(
     idf = index.idf_for_keys(all_terms)
     from bitfunnel_spark.plans.kernel import use_positional_phrases
 
-    phrase_docs = {}
     gram_phrases: set = set()
+    fallback: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
         for p in plans:
             for ph, _neg in p.phrases:
-                if ph in phrase_docs or ph in gram_phrases:
+                if ph in gram_phrases or ph in fallback:
                     continue
                 if use_gram_phrase(index, ph):
                     gram_phrases.add(ph)
-                    continue
-                docs = _phrase_doc_ids(index, ph, None).collect()
-                phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+                else:
+                    fallback.add(ph)  # distributed synthetic postings
+    if fallback:
+        from bitfunnel_spark.plans.kernel import phrase_fallback_segments
+
+        seg = seg.unionByName(
+            phrase_fallback_segments(
+                index, sorted(fallback, key=lambda p: (p.stream, p.text, p.slop))
+            )
+        )
 
     from bitfunnel_spark.plans.kernel import _restriction_arrays
 
     kernel = _batch_kernel(
         plans,
         {
-            "idf": idf, "phrase_docs": phrase_docs,
+            "idf": idf,
             "gram_phrases": frozenset(gram_phrases),
+            "fallback_phrases": frozenset(fallback),
             "use_positions": use_positions, "k": k,
             **_restriction_arrays(index, facts),
         },

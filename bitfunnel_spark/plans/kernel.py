@@ -92,7 +92,9 @@ def _decode_pruned(rows: pd.DataFrame, lo: int | None = None, hi: int | None = N
     return decode_group(rows)
 
 
-def _candidates_pruned(ast: Node, raw: dict, gram_phrases=frozenset()) -> np.ndarray:
+def _candidates_pruned(
+    ast: Node, raw: dict, gram_phrases=frozenset(), fallback=frozenset()
+) -> np.ndarray:
     """Candidate doc set with progressive block pruning.
 
     AND fast path: decode the rarest positive term fully (fewest postings —
@@ -132,10 +134,14 @@ def _candidates_pruned(ast: Node, raw: dict, gram_phrases=frozenset()) -> np.nda
                 and_keys.extend((c.stream, t) for t in c.tokens)
                 if c in gram_phrases:
                     and_keys.append((c.stream, c.text))
+                elif c in fallback:
+                    and_keys.append((c.stream, _phrase_term(c)))
     elif isinstance(ast, Phrase):
         and_keys = [(ast.stream, t) for t in ast.tokens]
         if ast in gram_phrases:
             and_keys.append((ast.stream, ast.text))
+        elif ast in fallback:
+            and_keys.append((ast.stream, _phrase_term(ast)))
     if and_keys:
         and_keys.sort(key=lambda kk: (is_dense(kk), total_n(kk)))
         cand = docs_of(and_keys[0])
@@ -230,6 +236,7 @@ def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
     positional-kernel evaluation (stored positions) > indexed-gram posting
     list > broadcast corpus-derived sets (the exact fallback)."""
     gram = descriptor.get("gram_phrases") or frozenset()
+    fb = descriptor.get("fallback_phrases") or frozenset()
     out: dict = {}
     for ph, _neg in plan_phrases:
         if ph in out:
@@ -239,8 +246,12 @@ def _group_phrase_docs(plan_phrases, raw: dict, descriptor: dict) -> dict:
         elif ph in gram:
             rows = raw.get((ph.stream, ph.text))
             out[ph] = decode_group(rows)[0] if rows is not None else _EMPTY
+        elif ph in fb:
+            # synthetic posting rows from phrase_fallback_segments
+            rows = raw.get((ph.stream, _phrase_term(ph)))
+            out[ph] = decode_group(rows)[0] if rows is not None else _EMPTY
         else:
-            out[ph] = descriptor["phrase_docs"].get(ph, _EMPTY)
+            out[ph] = descriptor.get("phrase_docs", {}).get(ph, _EMPTY)
     return out
 
 
@@ -436,8 +447,11 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
     scoring = sorted(plan.scoring_keys)
 
     gram_set = frozenset(descriptor.get("gram_phrases") or frozenset())
+    fb_set = frozenset(descriptor.get("fallback_phrases") or frozenset())
     keymap = _keymap(
-        set(plan.terms) | {(ph.stream, ph.text) for ph in gram_set}
+        set(plan.terms)
+        | {(ph.stream, ph.text) for ph in gram_set}
+        | {(ph.stream, _phrase_term(ph)) for ph in fb_set}
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -475,7 +489,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             skeys = scoring  # (stream, term) scoring keys
             fn = or_topk if kind == "or" else and_topk
             return fn(keys, skeys, descriptor["idf"], k0, cache, allow=allow, deny=deny)
-        cand = _candidates_pruned(ast, raw, gram_set)
+        cand = _candidates_pruned(ast, raw, gram_set, fb_set)
         from bitfunnel_spark.plans.wand import restrict
 
         cand = restrict(cand, allow, deny)
@@ -540,10 +554,56 @@ def _keymap(terms: set[tuple[str, str]]) -> dict:
 
 def _query_groups(index, plan: QueryPlan, descriptor: dict, k: int | None) -> DataFrame:
     seg = index.segments.filter(_segment_filter(index, filter_terms(index, plan)))
+    fb = descriptor.get("fallback_phrases") or frozenset()
+    if fb:
+        seg = seg.unionByName(
+            phrase_fallback_segments(
+                index, sorted(fb, key=lambda p: (p.stream, p.text, p.slop))
+            )
+        )
     kernel = _make_kernel(plan, {**descriptor, "k": k})
     return seg.groupBy("shard", "slice").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"
     )
+
+
+def _phrase_term(ph: Phrase) -> str:
+    """Synthetic dictionary term for a fallback phrase's posting rows. The
+    NUL marker guarantees no collision with real or gram terms (tokenizer
+    output never contains NUL); slop is part of the key because "a b" and
+    "a b"~2 have different doc sets."""
+    return f"{ph.text}\x00~{int(getattr(ph, 'slop', 0) or 0)}"
+
+
+def phrase_fallback_segments(index, phrases) -> "DataFrame":
+    """Distributed exact-phrase fallback — replaces the old driver-side
+    collect of phrase doc-ids. Each phrase's corpus-derived doc set becomes
+    synthetic posting blocks keyed by ``_phrase_term(ph)``, unioned into the
+    query's segment scan, so the phrase evaluates in-kernel exactly like an
+    indexed gram term. No match-set-sized data ever reaches the driver; the
+    phrase scan's output flows executor-to-executor through the same
+    one-shuffle encode the build uses. (Reference analogue: once planned, a
+    phrase is an ordinary row — RowSet semantics.)"""
+    from functools import reduce as _reduce
+
+    from bitfunnel_spark.operators.segments import build_segments
+
+    parts = []
+    for ph in phrases:
+        docs = _phrase_doc_ids(index, ph, None)
+        parts.append(
+            docs.join(index.doc_stats, "doc_id").select(
+                F.lit(_phrase_term(ph)).alias("term"),
+                F.lit(ph.stream).alias("stream"),
+                "doc_id",
+                F.lit(1).alias("tf"),
+                "doclen",
+                "shard",
+                "slice",
+            )
+        )
+    postings = _reduce(lambda a, b: a.unionByName(b), parts)
+    return build_segments(postings, index.avgdl, index.config)
 
 
 def use_gram_phrase(index, ph: Phrase) -> bool:
@@ -570,11 +630,14 @@ def filter_terms(index, plan: QueryPlan) -> set:
 
 
 def use_positional_phrases(index) -> bool:
-    """Phrases run in-kernel from stored positions iff the index carries
-    positions AND every document's positions fit the packed 20-bit field —
-    otherwise the exact corpus-scan path is used (the documented fallback)."""
-    return bool(getattr(index.config, "positions", False)) and (
-        index.max_doclen < POS_SAFE_DOCLEN
+    """Phrases run in-kernel from stored positions iff the segments
+    physically carry positions (fused build with positions=True) AND every
+    document's positions fit the packed 20-bit field — otherwise the exact
+    corpus-derived path runs, distributed, via phrase_fallback_segments."""
+    return (
+        bool(getattr(index.config, "positions", False))
+        and bool(getattr(index, "segments_positional", True))
+        and index.max_doclen < POS_SAFE_DOCLEN
     )
 
 
@@ -598,23 +661,24 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
     from bitfunnel_spark.plans.planner import effective_idf
 
     idf = effective_idf(plan, index.idf_for_keys(plan.terms))
-    phrase_docs: dict[Phrase, np.ndarray] = {}
     gram_phrases: set = set()
+    fallback: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
         for ph, _neg in plan.phrases:
-            if ph in phrase_docs or ph in gram_phrases:
+            if ph in gram_phrases or ph in fallback:
                 continue
             if use_gram_phrase(index, ph):
                 gram_phrases.add(ph)  # matched from the gram posting list
-                continue
-            # exact adjacency via corpus, scoped to constituent-AND candidates
-            docs = _phrase_doc_ids(index, ph, None).collect()
-            phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+            else:
+                # exact adjacency via corpus — evaluated distributed as
+                # synthetic posting rows (phrase_fallback_segments), never
+                # collected to the driver
+                fallback.add(ph)
     return {
         "idf": idf,
-        "phrase_docs": phrase_docs,
         "gram_phrases": frozenset(gram_phrases),
+        "fallback_phrases": frozenset(fallback),
         "use_positions": use_positions,
         "k1": index.config.bm25.k1,  # blended-synonym norm recovery (_score)
         **_restriction_arrays(index, facts),

@@ -53,7 +53,13 @@ def _profiled_batch_kernel(plans, descriptor):
         _score,
     )
 
-    keymap = _keymap({(s, t) for p in plans for s, t in p.terms})
+    from bitfunnel_spark.plans.kernel import _phrase_term
+
+    fb_set = frozenset(descriptor.get("fallback_phrases") or frozenset())
+    keymap = _keymap(
+        {(s, t) for p in plans for s, t in p.terms}
+        | {(ph.stream, _phrase_term(ph)) for ph in fb_set}
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "shard", "slice", "blocks_total", "blocks_decoded", "rows", "kernel_ms"]
@@ -88,7 +94,7 @@ def _profiled_batch_kernel(plans, descriptor):
                 for key in keys:
                     cache.meta(key)
             else:
-                cand = _candidates_pruned(plan.ast, raw)
+                cand = _candidates_pruned(plan.ast, raw, frozenset(), fb_set)
                 nrows = 0
                 if cand.size:
                     from bitfunnel_spark.plans.kernel import _decode_pruned
@@ -149,20 +155,29 @@ def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dic
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     seg = index.segments.filter(_segment_filter(index, all_terms))
     idf = index.idf_for_keys(all_terms)
-    phrase_docs: dict = {}
+    fallback: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
-        from bitfunnel_spark.plans.executor import _phrase_doc_ids
-
         for p in plans:
             for ph, _neg in p.phrases:
-                if ph not in phrase_docs:
-                    docs = _phrase_doc_ids(index, ph, None).collect()
-                    phrase_docs[ph] = np.array(sorted(r["doc_id"] for r in docs), dtype=np.int64)
+                fallback.add(ph)  # distributed synthetic postings, no collect
+    if fallback:
+        from bitfunnel_spark.plans.kernel import phrase_fallback_segments
+
+        seg = seg.unionByName(
+            phrase_fallback_segments(
+                index, sorted(fallback, key=lambda p: (p.stream, p.text, p.slop))
+            )
+        )
     t_plan = time.perf_counter()
     kernel = _profiled_batch_kernel(
         plans,
-        {"idf": idf, "phrase_docs": phrase_docs, "use_positions": use_positions, "k": k},
+        {
+            "idf": idf,
+            "fallback_phrases": frozenset(fallback),
+            "use_positions": use_positions,
+            "k": k,
+        },
     )
     metrics = seg.groupBy("shard", "slice").applyInPandas(lambda pdf: kernel(pdf), METRIC_SCHEMA)
     timings = {

@@ -480,6 +480,34 @@ def oracle_collapse_sql(
     )
 
 
+def oracle_top_hits_sql(
+    query, by: str = "lang", per_group: int = 3,
+    config: BuildConfig | None = None,
+) -> str:
+    """Per-bucket top-hits oracle mirroring plans/serving.top_hits: every
+    ``by``-bucket of the match set with its doc count and its best
+    ``per_group`` docs by (score desc, doc_id asc). ``by`` maps to
+    documents columns like facets (repo -> source, lang -> lang)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS score FROM hits h\n"
+        f"      WHERE ({_bool_sql(plan.ast)})),\n"
+        f"g AS (SELECT m.doc_id, m.score, d.{col} AS {by}\n"
+        f"      FROM m JOIN documents d USING (doc_id)),\n"
+        f"c AS (SELECT {by}, count(*) AS n_docs FROM g GROUP BY {by}),\n"
+        f"r AS (SELECT {by}, doc_id, score,\n"
+        f"             row_number() OVER (PARTITION BY {by}\n"
+        f"               ORDER BY score DESC, doc_id ASC) AS hit_rank\n"
+        f"      FROM g)\n"
+        f"SELECT r.{by} AS {by}, c.n_docs, r.hit_rank, r.doc_id, r.score\n"
+        f"FROM r JOIN c USING ({by}) WHERE r.hit_rank <= {int(per_group)}\n"
+        f"ORDER BY c.n_docs DESC, r.{by} ASC, r.hit_rank ASC"
+    )
+
+
 def oracle_snippets_sql(
     query, k: int = 10, window: int = 4, config: BuildConfig | None = None
 ) -> str:

@@ -211,6 +211,51 @@ def significant_terms(
     )
 
 
+def top_hits(
+    index, query: str, by: str = "lang", per_group: int = 3,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-bucket top hits (the Elasticsearch ``top_hits`` sub-aggregation
+    under a terms agg): EVERY ``by``-facet value present in the match set,
+    with its total matching-doc count and its best ``per_group`` documents
+    by (score desc, doc_id asc).
+
+    Differs from ``collapse_topk``: collapse returns one GLOBAL top-k with
+    a per-group cap; top_hits returns every bucket, ES's "show me the best
+    examples inside each facet" shape.
+
+    Returns DataFrame[(<by>, n_docs, hit_rank, doc_id, score)] ordered
+    (n_docs desc, <by> asc, hit_rank asc); scores rounded 4 dp.
+
+    Scale shape: the scored match set joins the metadata projection once,
+    then ONE shuffle keyed by ``by`` serves both sides — the bucket counts
+    (map-side partial agg) and the per-bucket rank window, whose
+    ``hit_rank <= per_group`` filter Spark pushes into the sort via
+    WindowGroupLimit (each task keeps per_group rows per bucket before the
+    exchange). The counts side is #buckets rows — broadcast back into the
+    hits. No collect; a mega-bucket costs one task's sort, bounded by the
+    group-limit pushdown.
+    """
+    from bitfunnel_spark.plans.executor import _matched
+
+    plan = plan_query(index.prepare_query(query))
+    scored = _matched(index, plan, facts).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    meta = index.corpus.select("doc_id", by)
+    rows = scored.join(meta, "doc_id")
+    counts = rows.groupBy(by).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+    hits = rows.withColumn("hit_rank", F.row_number().over(w)).filter(
+        F.col("hit_rank") <= int(per_group)
+    )
+    return (
+        hits.join(F.broadcast(counts), by)
+        .select(by, "n_docs", "hit_rank", "doc_id", "score")
+        .orderBy(F.desc("n_docs"), F.asc(by), F.asc("hit_rank"))
+    )
+
+
 def collapse_topk(
     index, query: str, by: str = "repo", k: int = 10, per_group: int = 1,
     facts: list[str] | None = None,

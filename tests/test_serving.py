@@ -110,6 +110,46 @@ def test_collapse_per_group_2_vs_oracle(index, duck):
     assert max(Counter(g for _, _, g in got).values()) <= 2
 
 
+TOP_HITS_CASES = [("data", "lang", 3), ("(dup | vector) join", "repo", 2),
+                  ("data -slow", "lang", 1)]
+
+
+@pytest.mark.parametrize("q,by,pg", TOP_HITS_CASES)
+def test_top_hits_vs_oracle(index, duck, q, by, pg):
+    from bitfunnel_spark.plans.oracle import oracle_top_hits_sql
+
+    got = [
+        (r[by], r["n_docs"], r["hit_rank"], r["doc_id"], r["score"])
+        for r in serving.top_hits(index, q, by=by, per_group=pg).collect()
+    ]
+    exp = [
+        (v, n, rk, d, pytest.approx(s, abs=2e-4))
+        for v, n, rk, d, s in duck.execute(
+            oracle_top_hits_sql(q, by=by, per_group=pg)
+        ).fetchall()
+    ]
+    assert exp == got, f"top_hits mismatch for {q!r}"
+
+
+def test_top_hits_covers_every_bucket(index):
+    # unlike collapse, EVERY bucket in the match set appears; counts sum to
+    # the match-set size and per-bucket hits are capped at per_group
+    from collections import Counter
+
+    q = "data"
+    rows = serving.top_hits(index, q, by="repo", per_group=2).collect()
+    buckets = (
+        index.corpus.select("doc_id", "repo")
+        .join(index.match(q), "doc_id")
+        .select("repo").distinct().count()
+    )
+    per = Counter(r["repo"] for r in rows)
+    assert len(per) == buckets
+    assert max(per.values()) <= 2
+    n_match = index.match(q).count()
+    assert sum({r["repo"]: r["n_docs"] for r in rows}.values()) == n_match
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

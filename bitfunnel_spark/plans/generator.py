@@ -60,6 +60,70 @@ def generate_queries(
     ]
 
 
+def generate_phrase_log(
+    corpus: DataFrame,
+    n_queries: int,
+    seed: int = 0,
+    phrase_len: tuple[int, ...] = (2, 3),
+    pad_terms: DataFrame | None = None,
+) -> list[str]:
+    """Phrase-query log sampled from REAL adjacent token runs, so every
+    generated phrase matches at least its source document — uniform random
+    token pairs almost never co-occur adjacently, which would make a phrase
+    fuzz vacuous. A seeded corpus sample pulls ~n docs; per doc, a seeded
+    offset picks one adjacent run of ``phrase_len`` tokens (only those
+    ≤4-token slices are collected — no document text reaches the driver).
+    When ``pad_terms`` (a term_stats frame) is given, half the queries mix
+    the phrase with a sampled unigram (AND / OR / NOT shapes)."""
+    if n_queries <= 0:
+        return []
+    from bitfunnel_spark.functions.tokenizer import tokenize
+
+    n_docs = corpus.count()
+    if n_docs == 0:
+        return []
+    frac = min(1.0, (3.0 * n_queries + 16.0) / float(n_docs))
+    max_len = max(phrase_len)
+    rng = np.random.default_rng(seed)
+    docs = (
+        corpus.select("doc_id", tokenize("content").alias("tk"))
+        .filter(F.size("tk") >= max_len)
+        .sample(False, frac, seed)
+        # seeded per-doc offset, computed JVM-side from the doc id
+        .select(
+            "doc_id",
+            F.slice(
+                "tk",
+                (F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.size("tk") - max_len + 1) + 1),
+                max_len,
+            ).alias("run"),
+        )
+        .orderBy("doc_id")
+        .limit(3 * n_queries)
+        .collect()
+    )
+    if not docs:
+        return []
+    pool = (
+        _term_pool(pad_terms.filter(F.col("stream") == "body"), n_queries, seed + 1)
+        if pad_terms is not None
+        else []
+    )
+    log: list[str] = []
+    for i in range(n_queries):
+        run = docs[int(rng.integers(len(docs)))]["run"]
+        ln = int(phrase_len[int(rng.integers(len(phrase_len)))])
+        toks = [t for t in run[:ln] if t]
+        if len(toks) < 2:
+            continue
+        q = '"' + " ".join(toks) + '"'
+        if pool and i % 2 == 1:
+            pad = pool[int(rng.integers(len(pool)))]
+            q = [f"{q} {pad}", f"{q} | {pad}", f"{q} -{pad}"][i % 3]
+        log.append(q)
+    return log
+
+
 def generate_query_log(
     term_stats: DataFrame,
     n_queries: int,

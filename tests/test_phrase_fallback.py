@@ -92,6 +92,26 @@ def test_phrase_term_keys_disjoint():
     assert "\x00" in _phrase_term(a)
 
 
+def test_fuzz_phrase_parity(idx_pos, idx_fb):
+    # generator-driven sweep: phrases sampled from REAL adjacent token runs
+    # (guaranteed non-vacuous), mixed with AND/OR/NOT pads — positional
+    # kernel, fallback kernel, and the DataFrame executor must agree
+    from bitfunnel_spark.plans.generator import generate_phrase_log
+
+    log = generate_phrase_log(
+        idx_pos.corpus, 12, seed=7, pad_terms=idx_pos.term_stats
+    )
+    assert len(log) >= 8
+    matched = 0
+    for q in log:
+        a = [(r.doc_id, round(r.score, 4)) for r in idx_pos.search(q, k=10, mode="kernel").collect()]
+        b = [(r.doc_id, round(r.score, 4)) for r in idx_fb.search(q, k=10, mode="kernel").collect()]
+        c = [(r.doc_id, round(r.score, 4)) for r in idx_pos.search(q, k=10, mode="dataframe").collect()]
+        assert a == b == c, q
+        matched += bool(a)
+    assert matched >= len(log) // 2  # the sweep must not be vacuous
+
+
 def test_no_collect_on_query_path(idx_fb, monkeypatch):
     # the phrase fallback must never collect doc ids driver-side: fail any
     # DataFrame.collect() call issued while planning/launching the query

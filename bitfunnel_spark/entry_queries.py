@@ -1144,6 +1144,14 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.facet_cardinality(
+        get_index(spark, sf_dir), FACETS_QUERY, by="lang", of="repo"
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1348,12 +1356,13 @@ DRIVER_WINDOW = [
     # expansion / serving entries kept under live driver check
     "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_common",
     "ft_did_you_mean", "ft_suggest",
-    # new round-3 serving agg (replaces ft_df_table's slot — r02 green,
-    # statistics module still represented by ft_idf_table)
-    "ft_top_hits",
+    # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
+    # slots — both r02 green; statistics still represented by ft_idf_table,
+    # sharding by ft_shard_assignment + ft_shard_plan)
+    "ft_top_hits", "ft_cardinality",
     # core engine representatives (batch, deletes, facts, stats)
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
-    "ft_idf_table", "ft_doclen_histogram",
+    "ft_idf_table",
     "ft_shard_assignment", "ft_treatment_plan",
     # dedup representative (candidate-join path; dedup_incremental rides
     # its r02 green — operators/dedup.py untouched this round)
@@ -1641,11 +1650,15 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_collapse"] = oracle_collapse_sql(
         FACETS_QUERY, by="repo", k=10, config=ENTRY_CONFIG
     )
-    from bitfunnel_spark.plans.oracle import oracle_top_hits_sql
+    from bitfunnel_spark.plans.oracle import oracle_cardinality_sql, oracle_top_hits_sql
 
     queries["ft_top_hits"] = q_ft_top_hits
     oracles["ft_top_hits"] = oracle_top_hits_sql(
         FACETS_QUERY, by="lang", per_group=3, config=ENTRY_CONFIG
+    )
+    queries["ft_cardinality"] = q_ft_cardinality
+    oracles["ft_cardinality"] = oracle_cardinality_sql(
+        FACETS_QUERY, by="lang", of="repo", config=ENTRY_CONFIG
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

@@ -480,6 +480,27 @@ def oracle_collapse_sql(
     )
 
 
+def oracle_cardinality_sql(
+    query, by: str = "lang", of: str = "repo",
+    config: BuildConfig | None = None,
+) -> str:
+    """Per-bucket cardinality oracle mirroring plans/serving.
+    facet_cardinality(exact=True): per ``by``-bucket matching-doc count
+    and distinct ``of``-values. Columns map like facets (repo -> source)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    cols = {"lang": "lang", "repo": "source"}
+    bcol, ocol = cols[by], cols[of]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT d.{bcol} AS {by}, count(*) AS n_docs,\n"
+        f"       count(DISTINCT d.{ocol}) AS cardinality\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"GROUP BY d.{bcol} ORDER BY d.{bcol} ASC"
+    )
+
+
 def oracle_top_hits_sql(
     query, by: str = "lang", per_group: int = 3,
     config: BuildConfig | None = None,

@@ -211,6 +211,40 @@ def significant_terms(
     )
 
 
+def facet_cardinality(
+    index, query: str, by: str = "lang", of: str = "repo",
+    exact: bool = True, rsd: float = 0.05,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-bucket distinct-value counts over the match set (the
+    Elasticsearch ``cardinality`` sub-aggregation under a terms agg): for
+    every ``by``-facet value, the number of matching docs and the number
+    of distinct ``of``-values among them.
+
+    Returns DataFrame[(<by>, n_docs, cardinality)] ordered by the facet
+    value. ``exact=True`` (default, the oracle-checkable mode) uses
+    count_distinct — Spark plans it as a two-phase partial-distinct agg
+    (distinct locally per partition before the shuffle). ``exact=False``
+    is the scale path: approx_count_distinct (HyperLogLog++, relative
+    error ``rsd``) — one pass, constant memory per bucket, the same
+    sketch ES's cardinality agg uses; use it when ``of`` is
+    high-cardinality at 100 TB.
+    """
+    matches = index.match(query, facts).select("doc_id")
+    meta = index.corpus.select("doc_id", by, of)
+    rows = matches.join(meta, "doc_id")
+    card = (
+        F.count_distinct(F.col(of))
+        if exact
+        else F.approx_count_distinct(F.col(of), float(rsd))
+    )
+    return (
+        rows.groupBy(by)
+        .agg(F.count("*").alias("n_docs"), card.alias("cardinality"))
+        .orderBy(by)
+    )
+
+
 def top_hits(
     index, query: str, by: str = "lang", per_group: int = 3,
     facts: list[str] | None = None,

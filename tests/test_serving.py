@@ -150,6 +150,31 @@ def test_top_hits_covers_every_bucket(index):
     assert sum({r["repo"]: r["n_docs"] for r in rows}.values()) == n_match
 
 
+@pytest.mark.parametrize("q,by,of", [("data", "lang", "repo"),
+                                     ("(dup | vector) join", "repo", "lang"),
+                                     ("data -slow", "lang", "repo")])
+def test_cardinality_vs_oracle(index, duck, q, by, of):
+    from bitfunnel_spark.plans.oracle import oracle_cardinality_sql
+
+    got = [tuple(r) for r in serving.facet_cardinality(index, q, by=by, of=of).collect()]
+    exp = duck.execute(oracle_cardinality_sql(q, by=by, of=of)).fetchall()
+    assert exp == got, f"cardinality mismatch for {q!r}"
+    assert got and all(c <= n for _, n, c in got)
+
+
+def test_cardinality_approx_close(index):
+    # HLL++ scale path: within rsd-ish of exact on every bucket
+    q = "data"
+    exact = {r[0]: r[2] for r in serving.facet_cardinality(index, q).collect()}
+    approx = {
+        r[0]: r[2]
+        for r in serving.facet_cardinality(index, q, exact=False, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for v, c in exact.items():
+        assert abs(approx[v] - c) <= max(2, 0.15 * c), (v, c, approx[v])
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

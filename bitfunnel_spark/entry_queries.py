@@ -1354,7 +1354,9 @@ DRIVER_WINDOW = [
     "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
     "ft_bm25_regex", "ft_bm25_wildcard",
     # expansion / serving entries kept under live driver check
-    "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_common",
+    # (ft_bm25_common rotated out on its r02 green for the new
+    # phrase-prefix entry)
+    "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_phrase_prefix",
     "ft_did_you_mean", "ft_suggest",
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
     # slots — both r02 green; statistics still represented by ft_idf_table,
@@ -1403,6 +1405,14 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_wildcard"] = _mk_search("s?a*", "kernel")
     oracles["ft_bm25_wildcard"] = oracle_expansion_search_sql(
         "term LIKE 's_a%'", k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_phrase_prefix_sql
+
+    # match_phrase_prefix (search-as-you-type): 6 dictionary completions
+    # at sf0.01 -> a real OR-of-phrases expansion, ~170 matching docs
+    queries["ft_bm25_phrase_prefix"] = _mk_search('"filter s*"', "kernel")
+    oracles["ft_bm25_phrase_prefix"] = oracle_phrase_prefix_sql(
+        ("filter",), "s", k=10, config=ENTRY_CONFIG
     )
     queries["ft_bm25_regex"] = _mk_search("/s.a[nr]k?/", "kernel")
     oracles["ft_bm25_regex"] = oracle_expansion_search_sql(

@@ -42,6 +42,23 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class PhrasePrefix(Node):
+    """``"quick bro*"`` — a phrase whose LAST position is a prefix (the
+    Elasticsearch match_phrase_prefix / search-as-you-type shape). Resolved
+    by plans/expand.py before planning: the prefix expands against the term
+    dictionary ((df desc, term asc), capped at max_expansions — the same
+    convention as Prefix) into an OR of full phrases, so matching and
+    scoring compose with the existing phrase machinery (positional kernel /
+    indexed grams / distributed fallback) and the standard OR-of-phrases
+    scoring semantics. Slop is intentionally unsupported (QueryParseError):
+    slop × prefix would multiply the offset-pattern space."""
+
+    tokens: tuple[str, ...]  # fixed leading tokens (>= 1)
+    prefix: str  # trailing prefix text, without the '*'
+    stream: str = DEFAULT_STREAM
+
+
+@dataclass(frozen=True)
 class SynGroup(Node):
     """A synonym group with Lucene SynonymQuery semantics: MATCHES like an
     OR of its member terms, SCORES as one pseudo-term — per-document tf is
@@ -178,6 +195,9 @@ def fmt(node: Node) -> str:
         body = '"' + " ".join(node.tokens) + '"'
         if node.slop:
             body += f"~{node.slop}"
+        return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, PhrasePrefix):
+        body = '"' + " ".join(node.tokens + (node.prefix + "*",)) + '"'
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
     if isinstance(node, Boost):
         return f"{fmt(node.child)}^{node.factor:g}"

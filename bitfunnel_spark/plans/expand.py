@@ -28,6 +28,7 @@ from bitfunnel_spark.plans.ast import (
     Not,
     Or,
     Phrase,
+    PhrasePrefix,
     Prefix,
     Regex,
     Term,
@@ -82,7 +83,7 @@ def _regex_safe_prefix(pattern: str) -> str:
 
 
 def has_expansions(node: Node) -> bool:
-    if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex, PhrasePrefix)):
         return True
     if isinstance(node, Not):
         return has_expansions(node.child)
@@ -147,6 +148,23 @@ def _matching_terms(
 
 
 def _expand(index, node: Node, max_expansions: int) -> Node:
+    if isinstance(node, PhrasePrefix):
+        # match_phrase_prefix: expand the last position against the
+        # dictionary (same (df desc, term asc) cap as Prefix), then an OR
+        # of full phrases — matching and scoring ride the existing phrase
+        # machinery and OR semantics
+        terms = _matching_terms(
+            index, Prefix(node.prefix, node.stream), max_expansions
+        )
+        if not terms:
+            # no dictionary term matches: a phrase containing a token that
+            # cannot tokenize ('*') — empty match set
+            return Phrase(node.tokens + (node.prefix + "*",), node.stream)
+        if len(terms) == 1:
+            return Phrase(node.tokens + (terms[0],), node.stream)
+        return Or(
+            tuple(Phrase(node.tokens + (t,), node.stream) for t in sorted(terms))
+        )
     if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex)):
         terms = _matching_terms(index, node, max_expansions)
         if not terms:

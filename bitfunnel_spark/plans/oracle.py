@@ -480,6 +480,63 @@ def oracle_collapse_sql(
     )
 
 
+def oracle_phrase_prefix_sql(
+    tokens: tuple[str, ...],
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 64,
+    config: BuildConfig | None = None,
+) -> str:
+    """Top-k BM25 oracle for a body-stream match_phrase_prefix query
+    (ast.PhrasePrefix): the prefix expands in-DuckDB against dfreq with the
+    engine's (df desc, term asc) cap, a doc matches when the fixed tokens
+    are adjacent and the NEXT position holds any expanded term, and scoring
+    is the OR-of-phrases convention — BM25 summed over every scoring term
+    (fixed tokens ∪ expansions) present in a matching document."""
+    config = config or BuildConfig()
+    k1, b = config.bm25.k1, config.bm25.b
+    m = len(tokens)
+    assert m >= 1 and prefix
+    ptok = (
+        f"(SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS t, "
+        f"unnest(range(1, len(regexp_extract_all(body_text, '{_PAT}')) + 1)) AS p "
+        f"FROM corpus)"
+    )
+    joins = [f"{ptok} p1"]
+    conds = [f"p1.t = {_q(tokens[0])}"]
+    for j in range(2, m + 1):
+        joins.append(
+            f"JOIN {ptok} p{j} ON p{j}.doc_id = p1.doc_id AND p{j}.p = p1.p + {j - 1}"
+        )
+        conds.append(f"p{j}.t = {_q(tokens[j - 1])}")
+    joins.append(
+        f"JOIN {ptok} pe ON pe.doc_id = p1.doc_id AND pe.p = p1.p + {m}"
+    )
+    conds.append("pe.t IN (SELECT term FROM sel)")
+    fixed = ", ".join(_q(t) for t in tokens)
+    return f"""WITH {CORPUS_CTE},
+sel AS (
+  SELECT term FROM dfreq
+  WHERE stream = 'body' AND starts_with(term, {_q(prefix)})
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}),
+pp AS (SELECT DISTINCT p1.doc_id FROM {" ".join(joins)} WHERE {" AND ".join(conds)}),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r}
+             * coalesce(dl.doclen, 0) / meta.avgdl)))) AS score
+  FROM tf
+  JOIN dfreq USING (stream, term)
+  LEFT JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN meta
+  WHERE tf.stream = 'body'
+    AND (tf.term IN ({fixed}) OR tf.term IN (SELECT term FROM sel))
+  GROUP BY tf.doc_id)
+SELECT h.doc_id, round(h.score, 4) AS score FROM hits h
+WHERE h.doc_id IN (SELECT doc_id FROM pp)
+ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}"""
+
+
 def oracle_cardinality_sql(
     query, by: str = "lang", of: str = "repo",
     config: BuildConfig | None = None,

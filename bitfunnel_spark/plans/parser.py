@@ -32,6 +32,7 @@ from bitfunnel_spark.plans.ast import (
     Not,
     Or,
     Phrase,
+    PhrasePrefix,
     Prefix,
     Regex,
     Term,
@@ -152,6 +153,7 @@ class _Parser:
         if word is None and self.peek() == '"':
             self.i += 1
             tokens = []
+            is_prefix = False
             while True:
                 self.skip_ws()
                 if self.peek() == '"':
@@ -159,17 +161,42 @@ class _Parser:
                     break
                 if self.peek() is None:
                     raise QueryParseError("unterminated phrase")
-                tokens.append(self.parse_unigram())
+                tok = self.parse_unigram()
+                # '"quick bro*"' — match_phrase_prefix: '*' must close the
+                # LAST token ('"a* b"' is an error, not a silent never-match)
+                if "*" in tok or "?" in tok:
+                    core = tok[:-1]
+                    if not (tok.endswith("*") and core and "*" not in core and "?" not in core):
+                        raise QueryParseError(
+                            f"only a trailing '*' on the last phrase token is "
+                            f"supported inside phrases: {tok!r}"
+                        )
+                    tokens.append(core)
+                    is_prefix = True
+                    self.skip_ws()
+                    if self.peek() != '"':
+                        raise QueryParseError(
+                            "phrase-prefix '*' must end the phrase"
+                        )
+                    self.i += 1
+                    break
+                tokens.append(tok)
             if not tokens:
                 raise QueryParseError("empty phrase")
             slop = 0
             if self.peek() == "~":  # '"a b"~2' — sloppy phrase (proximity)
+                if is_prefix:
+                    raise QueryParseError("cannot combine phrase-prefix and slop")
                 self.i += 1
                 digits = []
                 while self.peek() is not None and self.peek().isdigit():
                     digits.append(self.s[self.i])
                     self.i += 1
                 slop = int("".join(digits) or "1")
+            if is_prefix:
+                if len(tokens) == 1:
+                    return Prefix(tokens[0], stream)  # '"bro*"' == bro*
+                return PhrasePrefix(tuple(tokens[:-1]), tokens[-1], stream)
             if len(tokens) == 1:
                 return Term(tokens[0], stream)
             return Phrase(tuple(tokens), stream, slop)

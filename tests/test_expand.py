@@ -141,6 +141,50 @@ def test_regex_optional_quantifier_vs_oracle(index, duck, mode):
     assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
 
 
+def test_parse_phrase_prefix():
+    from bitfunnel_spark.plans.ast import PhrasePrefix
+
+    assert parse_query('"fast key ord*"') == PhrasePrefix(("fast", "key"), "ord")
+    assert parse_query('"bro*"') == Prefix("bro")  # 1-token phrase-prefix
+    assert parse_query('path:"doc tx*"') == PhrasePrefix(("doc",), "tx", "path")
+    assert fmt(parse_query('"fast ord*" data')) == 'And("fast ord*", data)'
+    with pytest.raises(QueryParseError):
+        parse_query('"a* b"')  # '*' not on the last token
+    with pytest.raises(QueryParseError):
+        parse_query('"a b*"~2')  # slop + phrase-prefix
+    with pytest.raises(QueryParseError):
+        parse_query('"a b*c"')  # mid-token glob inside a phrase
+    with pytest.raises(QueryParseError):
+        parse_query('"a b?"')  # '?' glob inside a phrase
+
+
+def test_phrase_prefix_expansion_shape(index):
+    from bitfunnel_spark.plans.ast import Phrase, PhrasePrefix
+
+    node = expand.expand_query(index, parse_query('"fast key ord*"'))
+    # every expansion is a full phrase sharing the fixed lead
+    phrases = node.children if isinstance(node, Or) else (node,)
+    assert all(isinstance(p, Phrase) and p.tokens[:2] == ("fast", "key") for p in phrases)
+    assert any(p.tokens[-1] == "order" for p in phrases)
+    # no dictionary match -> never-matching phrase marker
+    none = expand.expand_query(index, parse_query('"fast zzqq*"'))
+    assert isinstance(none, Phrase) and none.tokens[-1] == "zzqq*"
+    assert index.search('"fast zzqq*"', k=5).count() == 0
+    assert not isinstance(none, PhrasePrefix)
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "kernel"])
+@pytest.mark.parametrize("toks,pre", [(("fast", "key"), "ord"), (("fast",), "k")])
+def test_phrase_prefix_vs_oracle(index, duck, mode, toks, pre):
+    from bitfunnel_spark.plans.oracle import oracle_phrase_prefix_sql
+
+    q = '"' + " ".join(toks) + " " + pre + '*"'
+    got = [(r["doc_id"], r["score"]) for r in index.search(q, k=10, mode=mode).collect()]
+    exp = duck.execute(oracle_phrase_prefix_sql(toks, pre, k=10)).fetchall()
+    assert [(d, pytest.approx(s, abs=2e-4)) for d, s in exp] == got
+    assert got  # the parity must not be vacuous
+
+
 def test_wildcard_fuzzy_mix_rejected():
     """'da?a~' used to parse as a Wildcard with a literal '~' that can never
     match a dictionary term (silent empty result) — now a parse error, like

@@ -261,6 +261,22 @@ def test_batch_and_profile_expansion(index):
     assert batch0 == single
 
 
+def test_batch_phrase_prefix_parity(index):
+    # phrase-prefix expands before planning, so the batched executor rides
+    # the same OR-of-phrases plan as the single-query kernel
+    qs = ['"filter s*"', "data", '"fast key ord*" -slow']
+    batch = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 4))
+        for r in index.search_many(qs, k=5).collect()
+    )
+    single = sorted(
+        (i, r["doc_id"], round(r["score"], 4))
+        for i, q in enumerate(qs)
+        for r in index.search(q, k=5, mode="kernel").collect()
+    )
+    assert batch == single and batch
+
+
 def test_suggest(index, duck):
     from bitfunnel_spark.plans.expand import suggest
 

@@ -1354,18 +1354,18 @@ DRIVER_WINDOW = [
     "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
     "ft_bm25_regex", "ft_bm25_wildcard",
     # expansion / serving entries kept under live driver check
-    # (ft_bm25_common rotated out on its r02 green for the new
-    # phrase-prefix entry)
+    # (ft_bm25_common and ft_shard_assignment rotated out on their r02
+    # greens for the new phrase-prefix and filter-context entries)
     "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_phrase_prefix",
+    "ft_bm25_filter_ctx",
     "ft_did_you_mean", "ft_suggest",
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
-    # slots — both r02 green; statistics still represented by ft_idf_table,
-    # sharding by ft_shard_assignment + ft_shard_plan)
+    # / ft_shard_assignment slots — all r02 green; statistics still
+    # represented by ft_idf_table, sharding by ft_shard_plan)
     "ft_top_hits", "ft_cardinality",
     # core engine representatives (batch, deletes, facts, stats)
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
-    "ft_idf_table",
-    "ft_shard_assignment", "ft_treatment_plan",
+    "ft_idf_table", "ft_treatment_plan",
     # dedup representative (candidate-join path; dedup_incremental rides
     # its r02 green — operators/dedup.py untouched this round)
     "dedup_minhash_lsh",
@@ -1413,6 +1413,11 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_phrase_prefix"] = _mk_search('"filter s*"', "kernel")
     oracles["ft_bm25_phrase_prefix"] = oracle_phrase_prefix_sql(
         ("filter",), "s", k=10, config=ENTRY_CONFIG
+    )
+    # filter context (ES bool-filter): '#fast' matches but never scores
+    queries["ft_bm25_filter_ctx"] = _mk_search("data #fast -slow", "kernel")
+    oracles["ft_bm25_filter_ctx"] = oracle_search_sql(
+        "data #fast -slow", k=10, config=ENTRY_CONFIG
     )
     queries["ft_bm25_regex"] = _mk_search("/s.a[nr]k?/", "kernel")
     oracles["ft_bm25_regex"] = oracle_expansion_search_sql(

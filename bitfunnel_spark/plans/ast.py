@@ -167,6 +167,21 @@ class Boost(Node):
 
 
 @dataclass(frozen=True)
+class Filter(Node):
+    """``#clause`` — filter context (the Elasticsearch bool-``filter``
+    clause): the wrapped clause constrains the MATCH SET exactly like a
+    positive clause but contributes nothing to the BM25 score. The planner
+    strips Filter wrappers after recording their positive keys; a key both
+    filtered and unfiltered in the same query still scores (ES must +
+    filter semantics). Non-body stream terms are implicitly filter-context
+    already (planner: only body/boosted keys score); ``#`` extends that
+    control to body terms. A Boost inside a Filter is ignored (the filter
+    wins; nothing to boost in a scoreless clause)."""
+
+    child: Node
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...] = field(default_factory=tuple)
 
@@ -212,6 +227,8 @@ def fmt(node: Node) -> str:
     if isinstance(node, Regex):
         body = f"/{node.text}/"
         return body if node.stream == DEFAULT_STREAM else f"{node.stream}:{body}"
+    if isinstance(node, Filter):
+        return f"#({fmt(node.child)})"
     if isinstance(node, Not):
         return f"Not({fmt(node.child)})"
     if isinstance(node, And):

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from bitfunnel_spark.plans.ast import (
     And,
+    Filter,
     Fuzzy,
     Node,
     Not,
@@ -85,7 +86,7 @@ def _regex_safe_prefix(pattern: str) -> str:
 def has_expansions(node: Node) -> bool:
     if isinstance(node, (Prefix, Fuzzy, Wildcard, Regex, PhrasePrefix)):
         return True
-    if isinstance(node, Not):
+    if isinstance(node, (Not, Filter)):
         return has_expansions(node.child)
     if isinstance(node, (And, Or)):
         return any(has_expansions(c) for c in node.children)
@@ -183,6 +184,8 @@ def _expand(index, node: Node, max_expansions: int) -> Node:
         return Or(tuple(Term(t, node.stream) for t in sorted(terms)))
     if isinstance(node, Not):
         return Not(_expand(index, node.child, max_expansions))
+    if isinstance(node, Filter):
+        return Filter(_expand(index, node.child, max_expansions))
     if isinstance(node, And):
         return And(tuple(_expand(index, c, max_expansions) for c in node.children))
     if isinstance(node, Or):
@@ -229,6 +232,8 @@ def apply_synonyms(
         return node
     if isinstance(node, Not):
         return Not(apply_synonyms(node.child, mapping, mode))
+    if isinstance(node, Filter):
+        return Filter(apply_synonyms(node.child, mapping, mode))
     if isinstance(node, And):
         return And(tuple(apply_synonyms(c, mapping, mode) for c in node.children))
     if isinstance(node, Or):
@@ -272,6 +277,8 @@ def combined_fields(query, field_weights: dict[str, float]) -> Node:
             )
         if isinstance(node, Not):
             return Not(walk(node.child))
+        if isinstance(node, Filter):
+            return Filter(walk(node.child))
         if isinstance(node, And):
             return And(tuple(walk(c) for c in node.children))
         if isinstance(node, Or):

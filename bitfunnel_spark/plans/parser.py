@@ -27,6 +27,7 @@ from bitfunnel_spark.plans.ast import (
     STREAMS,
     And,
     Boost,
+    Filter,
     Fuzzy,
     Node,
     Not,
@@ -98,6 +99,9 @@ class _Parser:
         if c == "-":
             self.i += 1
             return Not(self.parse_simple())
+        if c == "#":  # '#clause' — filter context (matches, never scores)
+            self.i += 1
+            return Filter(self.parse_simple())
         if c == "(":
             self.i += 1
             node = self.parse_or()

@@ -16,6 +16,7 @@ from bitfunnel_spark.plans.ast import (
     And,
     Boost,
     FieldGroup,
+    Filter,
     Node,
     Not,
     Or,
@@ -44,6 +45,10 @@ def strip_boosts(node: Node, boosts: dict[tuple[str, str], float]) -> Node:
             key = (inner.stream, inner.text)
             boosts[key] = boosts.get(key, 1.0) * float(node.factor)
         return inner
+    if isinstance(node, Filter):
+        # boosts inside filter context are ignored (the clause never
+        # scores) — strip them into a discarded dict
+        return Filter(strip_boosts(node.child, {}))
     if isinstance(node, Not):
         return Not(strip_boosts(node.child, boosts))
     if isinstance(node, Or):
@@ -53,6 +58,42 @@ def strip_boosts(node: Node, boosts: dict[tuple[str, str], float]) -> Node:
     if isinstance(node, And):
         return And(tuple(strip_boosts(c, boosts) for c in node.children))
     return node
+
+
+def strip_filters(node: Node) -> tuple[Node, set[tuple[str, str]]]:
+    """Replace Filter(clause) wrappers with the bare clause, returning the
+    stripped tree plus the scoring-exclusion set: positive (stream, token)
+    keys that occur ONLY inside filter context. A key also appearing
+    positively outside any Filter keeps scoring (Elasticsearch must +
+    filter semantics). Match semantics are untouched — Filter(x) matches
+    exactly like x; only scoring consumes the exclusion."""
+    in_filter: set[tuple[str, str]] = set()
+    outside: set[tuple[str, str]] = set()
+
+    def keys_of(n: Node) -> set[tuple[str, str]]:
+        if isinstance(n, Term):
+            return {(n.stream, n.text)}
+        if isinstance(n, Phrase):
+            return {(n.stream, t) for t in n.tokens}
+        if isinstance(n, (SynGroup, FieldGroup)):
+            return set(n.keys) if isinstance(n, SynGroup) else {k for k, _w in n.weighted}
+        return set()
+
+    def walk(n: Node, neg: bool, filt: bool) -> Node:
+        if isinstance(n, Filter):
+            return walk(n.child, neg, True)
+        if isinstance(n, Not):
+            return Not(walk(n.child, not neg, filt))
+        if isinstance(n, Or):
+            return Or(tuple(walk(c, neg, filt) for c in n.children), n.min_match)
+        if isinstance(n, And):
+            return And(tuple(walk(c, neg, filt) for c in n.children))
+        if not neg:
+            (in_filter if filt else outside).update(keys_of(n))
+        return n
+
+    stripped = walk(node, False, False)
+    return stripped, in_filter - outside
 
 
 def effective_idf(
@@ -248,6 +289,7 @@ class QueryPlan:
 def plan_query(node: Node) -> QueryPlan:
     boosts: dict[str, float] = {}
     node = strip_boosts(node, boosts)
+    node, filtered = strip_filters(node)
     node = normalize(node)
     if not requires_positive(node):
         raise QueryPlanError(
@@ -257,18 +299,26 @@ def plan_query(node: Node) -> QueryPlan:
     pos = positive_keys(node)
     groups = tuple(dict.fromkeys(collect_syn_groups(node)))  # ordered dedupe
     fgroups = tuple(dict.fromkeys(collect_field_groups(node)))
+    # a group occurring only in filter context matches but never scores
+    groups = tuple(g for g in groups if not set(g) <= filtered)
+    fgroups = tuple(g for g in fgroups if not {k for k, _w in g} <= filtered)
     members = {k for g in groups for k in g}
     members |= {k for g in fgroups for k, _w in g}
     return QueryPlan(
         ast=node,
         terms=collect_terms(node),
-        scoring_terms=positive_scoring_terms(node),
+        scoring_terms=positive_scoring_terms(node)
+        - {t for s, t in filtered if s == "body"},
         phrases=collect_phrases(node),
         boosts=boosts,
         # body keys always score; non-body keys score only when boosted
         # (field-weighted scoring) — matching stays stream-agnostic.
         # Blended-group members score through their group, not individually.
-        scoring_keys={k for k in pos if k[0] == "body" or k in boosts} - members,
+        # Filter-context keys (ast.Filter) are excluded last: they match
+        # like any positive clause but contribute nothing to BM25.
+        scoring_keys={k for k in pos if k[0] == "body" or k in boosts}
+        - members
+        - filtered,
         syn_groups=groups,
         field_groups=fgroups,
     )

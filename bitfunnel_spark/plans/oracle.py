@@ -537,6 +537,37 @@ WHERE h.doc_id IN (SELECT doc_id FROM pp)
 ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}"""
 
 
+def oracle_sort_hits_sql(
+    query, by: str = "doclen", ascending: bool = False, k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """Field-sort oracle mirroring plans/serving.sort_hits: the match set
+    ordered by doclen (body token count, 0 for docs with no body tokens)
+    or a documents metadata column (repo -> source, lang -> lang), ties
+    doc_id asc, top-k."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    direction = "ASC" if ascending else "DESC"
+    head = (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+    )
+    if by == "doclen":
+        return (
+            head
+            + "SELECT m.doc_id, coalesce(dl.doclen, 0) AS doclen\n"
+            + "FROM m LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+            + f"ORDER BY coalesce(dl.doclen, 0) {direction}, m.doc_id ASC LIMIT {int(k)}"
+        )
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        head
+        + f"SELECT m.doc_id, d.{col} AS {by}\n"
+        + "FROM m JOIN documents d USING (doc_id)\n"
+        + f"ORDER BY d.{col} {direction}, m.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_cardinality_sql(
     query, by: str = "lang", of: str = "repo",
     config: BuildConfig | None = None,

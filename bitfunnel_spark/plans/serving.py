@@ -211,6 +211,35 @@ def significant_terms(
     )
 
 
+def sort_hits(
+    index, query: str, by: str = "doclen", ascending: bool = False,
+    k: int = 10, facts: list[str] | None = None,
+) -> DataFrame:
+    """Top-k of the match set ordered by a document field instead of
+    relevance (the Elasticsearch ``sort`` clause; score is omitted, as ES
+    omits _score under field sort). ``by`` is ``doclen`` (body token
+    count, from the index's doc stats) or any corpus metadata column
+    (lang, repo, path). Ties break doc_id asc.
+
+    Returns DataFrame[(doc_id, <by>)] ordered (<by> asc|desc, doc_id asc),
+    at most k rows.
+
+    Scale shape: the match set joins ONE projected column, then a global
+    top-k — Spark plans orderBy().limit(k) as TakeOrderedAndProject
+    (per-partition k-row heaps, k·partitions rows to the driver-side
+    merge), never a full sort. Same shape as the score top-k path.
+    """
+    matches = index.match(query, facts).select("doc_id")
+    if by == "doclen":
+        meta = index.doc_stats.select("doc_id", "doclen")
+        rows = matches.join(meta, "doc_id", "left").fillna(0, subset=["doclen"])
+    else:
+        meta = index.corpus.select("doc_id", by)
+        rows = matches.join(meta, "doc_id")
+    direction = F.asc(by) if ascending else F.desc(by)
+    return rows.select("doc_id", by).orderBy(direction, F.asc("doc_id")).limit(k)
+
+
 def facet_cardinality(
     index, query: str, by: str = "lang", of: str = "repo",
     exact: bool = True, rsd: float = 0.05,

@@ -175,6 +175,25 @@ def test_cardinality_approx_close(index):
         assert abs(approx[v] - c) <= max(2, 0.15 * c), (v, c, approx[v])
 
 
+@pytest.mark.parametrize("q,by,asc", [("data", "doclen", False),
+                                      ("data -slow", "doclen", True),
+                                      ("(dup | vector) join", "repo", False),
+                                      ("data #fast", "doclen", False)])
+def test_sort_hits_vs_oracle(index, duck, q, by, asc):
+    from bitfunnel_spark.plans.oracle import oracle_sort_hits_sql
+
+    got = [tuple(r) for r in serving.sort_hits(index, q, by=by, ascending=asc, k=10).collect()]
+    exp = duck.execute(oracle_sort_hits_sql(q, by=by, ascending=asc, k=10)).fetchall()
+    assert exp == got, f"sort_hits mismatch for {q!r}"
+    assert got
+
+
+def test_sort_hits_plan_is_take_ordered(index):
+    df = serving.sort_hits(index, "data", by="doclen", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a full sort
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

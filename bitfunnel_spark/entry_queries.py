@@ -1160,6 +1160,15 @@ def q_ft_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.function_score(
+        get_index(spark, sf_dir), FACETS_QUERY,
+        modifier="log1p", factor=1.0, boost_mode="multiply", k=10,
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1370,15 +1379,14 @@ DRIVER_WINDOW = [
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
     # / ft_shard_assignment slots — all r02 green; statistics still
     # represented by ft_idf_table, sharding by ft_shard_plan)
-    "ft_top_hits", "ft_cardinality", "ft_sort",
+    "ft_top_hits", "ft_cardinality", "ft_sort", "ft_function_score",
     # core engine representatives (batch, deletes, facts; ft_idf_table
     # rotated out on its r02 green — operators/statistics.py untouched
     # this round)
     "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
     "ft_treatment_plan",
-    # dedup representative (candidate-join path; dedup_incremental rides
-    # its r02 green — operators/dedup.py untouched this round)
-    "dedup_minhash_lsh",
+    # dedup family rides its r02 greens — operators/dedup.py untouched
+    # this round (dedup_minhash_lsh rotated out for ft_function_score)
 ]
 
 
@@ -1690,6 +1698,13 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_sort"] = q_ft_sort
     oracles["ft_sort"] = oracle_sort_hits_sql(
         FACETS_QUERY, by="doclen", ascending=False, k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_function_score_sql
+
+    queries["ft_function_score"] = q_ft_function_score
+    oracles["ft_function_score"] = oracle_function_score_sql(
+        FACETS_QUERY, modifier="log1p", factor=1.0, boost_mode="multiply",
+        k=10, config=ENTRY_CONFIG,
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

@@ -279,6 +279,20 @@ def match_dataframe(index, query, facts: list[str] | None = None) -> DataFrame:
     return _matched(index, _as_plan(query), facts).select("doc_id")
 
 
+def scored_matches(
+    index, query, facts: list[str] | None = None
+) -> DataFrame:
+    """The FULL match set with BM25 scores — DataFrame[(doc_id, score)],
+    score rounded to 4 dp, no top-k. The input to rescoring layers
+    (serving.function_score) that must see every match, not a truncated
+    top-k (Elasticsearch applies score functions during scoring, before
+    any result-window cut)."""
+    plan = _as_plan(query)
+    return _matched(index, plan, facts).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 def search_dataframe(
     index, query, k: int = 10, facts: list[str] | None = None,
     after: tuple[float, int] | None = None,

@@ -568,6 +568,42 @@ def oracle_sort_hits_sql(
     )
 
 
+def oracle_function_score_sql(
+    query, field: str = "doclen", modifier: str = "log1p", factor: float = 1.0,
+    boost_mode: str = "multiply", k: int = 10, config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.function_score: BM25 (rounded 4 dp, same as the
+    engine's scored_matches contract) combined with modifier(factor·field)
+    over the full match set, final round 4 dp, (score desc, doc_id asc),
+    top-k. ``field`` supports doclen (coalesced to 0, as the engine's left
+    join does)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    if field != "doclen":
+        raise ValueError("oracle supports field='doclen'")
+    v = f"({float(factor)} * CAST(coalesce(dl.doclen, 0) AS DOUBLE))"
+    fn = {
+        "none": v,
+        "log1p": f"log10(1.0 + {v})",
+        "ln1p": f"ln(1.0 + {v})",
+        "sqrt": f"sqrt({v})",
+        "square": f"({v} * {v})",
+    }[modifier]
+    comb = {
+        "multiply": f"(m.s * {fn})",
+        "sum": f"(m.s + {fn})",
+        "replace": fn,
+    }[boost_mode]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS s FROM hits h\n"
+        f"      WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT m.doc_id AS doc_id, round({comb}, 4) AS score\n"
+        f"FROM m LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+        f"ORDER BY round({comb}, 4) DESC, m.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_cardinality_sql(
     query, by: str = "lang", of: str = "repo",
     config: BuildConfig | None = None,

@@ -240,6 +240,68 @@ def sort_hits(
     return rows.select("doc_id", by).orderBy(direction, F.asc("doc_id")).limit(k)
 
 
+_FSCORE_MODIFIERS = ("none", "log1p", "ln1p", "sqrt", "square")
+_FSCORE_BOOST_MODES = ("multiply", "sum", "replace")
+
+
+def function_score(
+    index, query: str, field: str = "doclen", modifier: str = "log1p",
+    factor: float = 1.0, boost_mode: str = "multiply", k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function: the
+    BM25 score of every match combined with ``modifier(factor · field)``.
+
+    ``field`` is ``doclen`` (body token count from the index doc stats,
+    0 for docs with no body tokens) or any numeric corpus metadata column.
+    ``modifier`` ∈ {none, log1p (log10(1+v), the ES default family),
+    ln1p, sqrt, square}; ``boost_mode`` ∈ {multiply, sum, replace}.
+    Returns DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+
+    Applied over the FULL match set — never a rescore of a truncated
+    top-k — so the ranking is exact (ES semantics: functions participate
+    in scoring, not post-filtering).
+
+    Scale shape: full-match scoring is the engine's existing scored-match
+    plan; the function adds ONE narrow column join (doc stats / metadata
+    projection) and a column expression, then the same global top-k
+    (TakeOrderedAndProject). No new shuffle beyond the score path.
+    """
+    if modifier not in _FSCORE_MODIFIERS:
+        raise ValueError(f"unknown modifier {modifier!r}")
+    if boost_mode not in _FSCORE_BOOST_MODES:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    scored = scored_matches(index, query, facts)
+    if field == "doclen":
+        meta = index.doc_stats.select(
+            "doc_id", F.col("doclen").cast("double").alias("fv")
+        )
+        rows = scored.join(meta, "doc_id", "left").fillna(0.0, subset=["fv"])
+    else:
+        meta = index.corpus.select("doc_id", F.col(field).cast("double").alias("fv"))
+        rows = scored.join(meta, "doc_id")
+    v = F.lit(float(factor)) * F.col("fv")
+    fn = {
+        "none": v,
+        "log1p": F.log10(v + F.lit(1.0)),
+        "ln1p": F.log(v + F.lit(1.0)),
+        "sqrt": F.sqrt(v),
+        "square": v * v,
+    }[modifier]
+    combined = {
+        "multiply": F.col("score") * fn,
+        "sum": F.col("score") + fn,
+        "replace": fn,
+    }[boost_mode]
+    return (
+        rows.select("doc_id", F.round(combined, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def facet_cardinality(
     index, query: str, by: str = "lang", of: str = "repo",
     exact: bool = True, rsd: float = 0.05,

@@ -194,6 +194,40 @@ def test_sort_hits_plan_is_take_ordered(index):
     assert "TakeOrderedAndProject" in plan  # never a full sort
 
 
+@pytest.mark.parametrize("q,mod,bmode,factor", [
+    ("data", "log1p", "multiply", 1.0),
+    ("data -slow", "ln1p", "sum", 2.0),
+    ("(dup | vector) join", "sqrt", "multiply", 0.5),
+    ("data", "none", "replace", 1.0),
+    ("data #fast", "square", "multiply", 0.1),
+])
+def test_function_score_vs_oracle(index, duck, q, mod, bmode, factor):
+    from bitfunnel_spark.plans.oracle import oracle_function_score_sql
+
+    got = [tuple(r) for r in serving.function_score(
+        index, q, modifier=mod, factor=factor, boost_mode=bmode, k=10).collect()]
+    exp = duck.execute(oracle_function_score_sql(
+        q, modifier=mod, factor=factor, boost_mode=bmode, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"function_score mismatch {q!r}"
+    assert got
+
+
+def test_function_score_full_match_not_topk_rescore(index):
+    # a doc OUTSIDE the bm25 top-10 must be able to win under replace:
+    # ranking by doclen alone equals sort_hits by doclen
+    fs = [r.doc_id for r in serving.function_score(
+        index, "data", modifier="none", boost_mode="replace", k=5).collect()]
+    srt = [r.doc_id for r in serving.sort_hits(index, "data", by="doclen", k=5).collect()]
+    assert fs == srt
+
+
+def test_function_score_validates_args(index):
+    with pytest.raises(ValueError):
+        serving.function_score(index, "data", modifier="cube")
+    with pytest.raises(ValueError):
+        serving.function_score(index, "data", boost_mode="avg")
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

@@ -604,6 +604,48 @@ def oracle_function_score_sql(
     )
 
 
+def oracle_decay_score_sql(
+    query, origin: float, scale: float, kind: str = "gauss",
+    offset: float = 0.0, decay: float = 0.5, boost_mode: str = "multiply",
+    k: int = 10, config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.decay_score (field=doclen): the same closed-form
+    ES decay formulas over max(0, |doclen - origin| - offset), combined
+    with the rounded BM25 score, final round 4 dp, top-k."""
+    import math
+
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    d = (
+        f"greatest(0.0, abs(CAST(coalesce(dl.doclen, 0) AS DOUBLE)"
+        f" - {float(origin)}) - {float(offset)})"
+    )
+    if kind == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+        fn = f"exp(-({d} * {d}) / {2.0 * sigma2})"
+    elif kind == "exp":
+        lam = math.log(float(decay)) / float(scale)
+        fn = f"exp({lam} * {d})"
+    elif kind == "linear":
+        s = float(scale) / (1.0 - float(decay))
+        fn = f"greatest(0.0, ({s} - {d}) / {s})"
+    else:
+        raise ValueError(f"unknown decay kind {kind!r}")
+    comb = {
+        "multiply": f"(m.s * {fn})",
+        "sum": f"(m.s + {fn})",
+        "replace": fn,
+    }[boost_mode]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS s FROM hits h\n"
+        f"      WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT m.doc_id AS doc_id, round({comb}, 4) AS score\n"
+        f"FROM m LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+        f"ORDER BY round({comb}, 4) DESC, m.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_cardinality_sql(
     query, by: str = "lang", of: str = "repo",
     config: BuildConfig | None = None,

@@ -302,6 +302,70 @@ def function_score(
     )
 
 
+_DECAY_KINDS = ("gauss", "exp", "linear")
+
+
+def decay_score(
+    index, query: str, origin: float, scale: float, field: str = "doclen",
+    kind: str = "gauss", offset: float = 0.0, decay: float = 0.5,
+    boost_mode: str = "multiply", k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``function_score`` decay functions (gauss | exp | linear) over a
+    numeric document field: matches whose ``field`` sits at ``origin``
+    keep their score; at distance ``scale`` (past ``offset``) the
+    multiplier is ``decay``. Exact ES formulas (public docs):
+
+        d      = max(0, |v - origin| - offset)
+        gauss  = exp(-d² / (2σ²)),      σ² = -scale² / (2·ln(decay))
+        exp    = exp(λ·d),              λ  = ln(decay) / scale
+        linear = max(0, (s - d) / s),   s  = scale / (1 - decay)
+
+    Returns DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+    Same plan shape as function_score: the full-match scored set + one
+    narrow-column join + a fused column expression + TakeOrderedAndProject.
+    """
+    if kind not in _DECAY_KINDS:
+        raise ValueError(f"unknown decay kind {kind!r}")
+    if boost_mode not in _FSCORE_BOOST_MODES:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    import math
+
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    scored = scored_matches(index, query, facts)
+    if field == "doclen":
+        meta = index.doc_stats.select(
+            "doc_id", F.col("doclen").cast("double").alias("fv")
+        )
+        rows = scored.join(meta, "doc_id", "left").fillna(0.0, subset=["fv"])
+    else:
+        meta = index.corpus.select("doc_id", F.col(field).cast("double").alias("fv"))
+        rows = scored.join(meta, "doc_id")
+    d = F.greatest(
+        F.lit(0.0), F.abs(F.col("fv") - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if kind == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+        fn = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(float(decay)) / float(scale)
+        fn = F.exp(F.lit(lam) * d)
+    else:
+        s = float(scale) / (1.0 - float(decay))
+        fn = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    combined = {
+        "multiply": F.col("score") * fn,
+        "sum": F.col("score") + fn,
+        "replace": fn,
+    }[boost_mode]
+    return (
+        rows.select("doc_id", F.round(combined, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def facet_cardinality(
     index, query: str, by: str = "lang", of: str = "repo",
     exact: bool = True, rsd: float = 0.05,

@@ -228,6 +228,35 @@ def test_function_score_validates_args(index):
         serving.function_score(index, "data", boost_mode="avg")
 
 
+@pytest.mark.parametrize("q,kind,bmode,origin,scale,offset,decay", [
+    ("data", "gauss", "multiply", 40.0, 20.0, 0.0, 0.5),
+    ("data -slow", "exp", "multiply", 30.0, 15.0, 5.0, 0.5),
+    ("(dup | vector) join", "linear", "sum", 50.0, 25.0, 0.0, 0.3),
+    ("data", "gauss", "replace", 40.0, 10.0, 2.0, 0.6),
+])
+def test_decay_score_vs_oracle(index, duck, q, kind, bmode, origin, scale, offset, decay):
+    from bitfunnel_spark.plans.oracle import oracle_decay_score_sql
+
+    got = [tuple(r) for r in serving.decay_score(
+        index, q, origin=origin, scale=scale, kind=kind, offset=offset,
+        decay=decay, boost_mode=bmode, k=10).collect()]
+    exp = duck.execute(oracle_decay_score_sql(
+        q, origin=origin, scale=scale, kind=kind, offset=offset,
+        decay=decay, boost_mode=bmode, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"decay mismatch {q!r} {kind}"
+    assert got
+
+
+def test_decay_at_origin_keeps_score(index):
+    # a doc whose doclen equals origin gets multiplier 1.0 == bm25 score
+    row = index.doc_stats.select("doc_id", "doclen").first()
+    base = {r.doc_id: r.score for r in index.search("data", k=1000).collect()}
+    dec = {r.doc_id: r.score for r in serving.decay_score(
+        index, "data", origin=float(row.doclen), scale=10.0, k=1000).collect()}
+    if row.doc_id in base and row.doc_id in dec:
+        assert abs(dec[row.doc_id] - base[row.doc_id]) < 1e-3
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

@@ -1178,6 +1178,12 @@ def q_ft_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.span_first(get_index(spark, sf_dir), "data fast", "data", 8, k=10)
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1378,10 +1384,11 @@ DRIVER_WINDOW = [
     "ft_percolate_log", "ft_bm25f",
     # entries whose code changed this round
     "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
-    # ft_bm25_regex rotated out: the regex-expansion path stays
-    # live-checked by ft_bm25_regex_alt + ft_bm25_regex_opt (same
-    # post-soundness-fix code), r02 green + pytest for the original
-    "ft_bm25_wildcard",
+    # ft_bm25_regex and ft_bm25_wildcard rotated out on their r02 greens:
+    # the dictionary-expansion machinery stays live-checked by prefix /
+    # fuzzy / phrase_prefix / regex_alt / regex_opt (the post-fix paths);
+    # the wildcard round-3 change only ADDED an error path (glob+fuzzy
+    # mix now raises) which cannot affect valid-wildcard results
     # expansion / serving entries kept under live driver check
     # (ft_bm25_common and ft_shard_assignment rotated out on their r02
     # greens for the new phrase-prefix and filter-context entries)
@@ -1392,7 +1399,7 @@ DRIVER_WINDOW = [
     # / ft_shard_assignment slots — all r02 green; statistics still
     # represented by ft_idf_table, sharding by ft_shard_plan)
     "ft_top_hits", "ft_cardinality", "ft_sort", "ft_function_score",
-    "ft_decay",
+    "ft_decay", "ft_span_first",
     # core engine representatives (batch, deletes, facts; ft_idf_table
     # rotated out on its r02 green — operators/statistics.py untouched
     # this round)
@@ -1725,6 +1732,12 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_decay"] = oracle_decay_score_sql(
         FACETS_QUERY, origin=40.0, scale=20.0, kind="gauss",
         boost_mode="multiply", k=10, config=ENTRY_CONFIG,
+    )
+    from bitfunnel_spark.plans.oracle import oracle_span_first_sql
+
+    queries["ft_span_first"] = q_ft_span_first
+    oracles["ft_span_first"] = oracle_span_first_sql(
+        "data fast", "data", 8, k=10, config=ENTRY_CONFIG
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

@@ -604,6 +604,28 @@ def oracle_function_score_sql(
     )
 
 
+def oracle_span_first_sql(
+    query, term: str, end: int, k: int = 10, config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.span_first: the BM25 top-k of ``query`` over
+    documents whose first body occurrence of ``term`` sits within the
+    first ``end`` tokens (1-based list_position BETWEEN 1 AND end ≡ the
+    engine's 0-based first position < end)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    span = (
+        f"h.doc_id IN (SELECT doc_id FROM corpus WHERE "
+        f"list_position(regexp_extract_all(body_text, '{_PAT}'), {_q(term.lower())}) "
+        f"BETWEEN 1 AND {int(end)})"
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
+        f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}) AND {span}\n"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {int(k)}"
+    )
+
+
 def oracle_decay_score_sql(
     query, origin: float, scale: float, kind: str = "gauss",
     offset: float = 0.0, decay: float = 0.5, boost_mode: str = "multiply",

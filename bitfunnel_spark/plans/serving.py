@@ -302,6 +302,61 @@ def function_score(
     )
 
 
+def span_first(
+    index, query: str, term: str, end: int, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Lucene ``SpanFirstQuery`` composed with a scoring query: top-k of
+    ``query``'s BM25-scored match set restricted to documents whose FIRST
+    body occurrence of ``term`` is within the first ``end`` tokens
+    (0-based position < end — a single-term span ends before ``end``,
+    SpanFirstQuery's contract). Returns DataFrame[(doc_id, score)]
+    (4 dp, score desc, doc_id asc, ≤k).
+
+    Scale shape: the position constraint costs ONE extra query term — a
+    term-key-pushdown scan of the positional segments (same two IN-list
+    filters every query term uses) decoding each posting's FIRST stored
+    position only (it is stored absolute; no per-occurrence work), then a
+    doc_id equi-join into the scored match set. Indexes without usable
+    positions (positions=False build, or docs past the packed-position
+    clamp) fall back to the exact corpus-derived expression, distributed
+    (array_position over the tokenized body — same fallback policy as
+    phrases, plans/kernel.use_positional_phrases).
+    """
+    from bitfunnel_spark.plans.executor import scored_matches
+    from bitfunnel_spark.plans.kernel import _segment_filter, use_positional_phrases
+
+    term = term.lower()
+    end = int(end)
+    scored = scored_matches(index, query, facts)
+    if index.segments is not None and use_positional_phrases(index):
+        import numpy as np
+        import pandas as pd
+
+        from bitfunnel_spark.operators.segments import decode_group_positions
+
+        seg = index.segments.filter(_segment_filter(index, {("body", term)}))
+
+        def first_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            d, t, p = decode_group_positions(pdf)
+            if d.size == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+            return pd.DataFrame({"doc_id": d[p[starts] < end].astype("int64")})
+
+        docs = seg.groupBy("shard", "slice").applyInPandas(first_docs, "doc_id long")
+    else:
+        ap = F.array_position(tokenize("content"), F.lit(term))
+        docs = index.corpus.where((ap >= 1) & (ap <= end)).select("doc_id")
+    return (
+        scored.join(docs, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _DECAY_KINDS = ("gauss", "exp", "linear")
 
 

@@ -257,6 +257,40 @@ def test_decay_at_origin_keeps_score(index):
         assert abs(dec[row.doc_id] - base[row.doc_id]) < 1e-3
 
 
+@pytest.mark.parametrize("q,term,end", [
+    ("data", "data", 5),
+    ("data -slow", "fast", 10),
+    ("(dup | vector) join", "join", 3),
+    ("data", "data", 1),
+])
+def test_span_first_vs_oracle(index, duck, q, term, end):
+    from bitfunnel_spark.plans.oracle import oracle_span_first_sql
+
+    got = [tuple(r) for r in serving.span_first(index, q, term, end, k=10).collect()]
+    exp = duck.execute(oracle_span_first_sql(q, term, end, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"span_first mismatch {q!r} {term} {end}"
+
+
+def test_span_first_positional_and_fallback_agree(index, duck):
+    # force the corpus fallback by lying about positional segments, then
+    # restore; both paths must produce identical results
+    got_pos = [tuple(r) for r in serving.span_first(index, "data", "data", 4, k=20).collect()]
+    saved = index.segments_positional
+    index.segments_positional = False
+    try:
+        got_fb = [tuple(r) for r in serving.span_first(index, "data", "data", 4, k=20).collect()]
+    finally:
+        index.segments_positional = saved
+    assert got_pos == got_fb
+    assert got_pos  # non-trivial
+
+
+def test_span_first_tightening_end_shrinks_matches(index):
+    wide = serving.span_first(index, "data", "data", 1000, k=1000).count()
+    narrow = serving.span_first(index, "data", "data", 2, k=1000).count()
+    assert narrow <= wide
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

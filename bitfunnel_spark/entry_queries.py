@@ -1184,6 +1184,14 @@ def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.span_first(get_index(spark, sf_dir), "data fast", "data", 8, k=10)
 
 
+def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.boosting_query(
+        get_index(spark, sf_dir), "data fast", "slow", negative_boost=0.4, k=10
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1394,12 +1402,14 @@ DRIVER_WINDOW = [
     # greens for the new phrase-prefix and filter-context entries)
     "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_phrase_prefix",
     "ft_bm25_filter_ctx",
-    "ft_did_you_mean", "ft_suggest",
+    # ft_suggest rotated out on its r02 green (suggester code untouched
+    # this round; ft_did_you_mean stays as the live suggest-family check)
+    "ft_did_you_mean",
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
     # / ft_shard_assignment slots — all r02 green; statistics still
     # represented by ft_idf_table, sharding by ft_shard_plan)
     "ft_top_hits", "ft_cardinality", "ft_sort", "ft_function_score",
-    "ft_decay", "ft_span_first",
+    "ft_decay", "ft_span_first", "ft_boosting",
     # core engine representatives (batch, deletes, facts; ft_idf_table
     # rotated out on its r02 green — operators/statistics.py untouched
     # this round)
@@ -1738,6 +1748,12 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_span_first"] = q_ft_span_first
     oracles["ft_span_first"] = oracle_span_first_sql(
         "data fast", "data", 8, k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_boosting_sql
+
+    queries["ft_boosting"] = q_ft_boosting
+    oracles["ft_boosting"] = oracle_boosting_sql(
+        "data fast", "slow", negative_boost=0.4, k=10, config=ENTRY_CONFIG
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

@@ -124,8 +124,14 @@ def _as_plan(query) -> QueryPlan:
     return plan_query(query)
 
 
-def _hits_cte(plan: QueryPlan, config: BuildConfig) -> str:
-    keys = sorted(f"{s}:{t}" for s, t in plan.terms)
+def _hits_cte(
+    plan: QueryPlan, config: BuildConfig,
+    extra_terms: set[tuple[str, str]] | None = None,
+) -> str:
+    # extra_terms widens hitkeys (so _bool_sql predicates of a SECOND,
+    # non-scoring plan can evaluate — e.g. oracle_boosting_sql's negative
+    # arm) without touching the scoring keys.
+    keys = sorted({f"{s}:{t}" for s, t in (plan.terms | (extra_terms or set()))})
     key_list = ", ".join(_q(k) for k in keys)
     scoring = sorted(getattr(plan, "scoring_keys", set()))
     k1, b = config.bm25.k1, config.bm25.b
@@ -623,6 +629,29 @@ def oracle_span_first_sql(
         f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
         f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}) AND {span}\n"
         f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {int(k)}"
+    )
+
+
+def oracle_boosting_sql(
+    positive, negative, negative_boost: float = 0.5, k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.boosting_query: positive match set with BM25
+    (rounded 4 dp) multiplied by negative_boost where the doc also matches
+    the negative query, final round 4 dp, top-k."""
+    config = config or BuildConfig()
+    pos = _as_plan(positive)
+    neg = _as_plan(negative)
+    comb = (
+        f"round(CASE WHEN ({_bool_sql(neg.ast)}) "
+        f"THEN round(h.score, 4) * {float(negative_boost)} "
+        f"ELSE round(h.score, 4) END, 4)"
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(pos, config, extra_terms=neg.terms)}\n"
+        f"SELECT h.doc_id AS doc_id, {comb} AS score\n"
+        f"FROM hits h\nWHERE ({_bool_sql(pos.ast)})\n"
+        f"ORDER BY {comb} DESC, h.doc_id ASC\nLIMIT {int(k)}"
     )
 
 

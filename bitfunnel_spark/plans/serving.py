@@ -357,6 +357,39 @@ def span_first(
     )
 
 
+def boosting_query(
+    index, positive: str, negative: str, negative_boost: float = 0.5,
+    k: int = 10, facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: the ``positive`` query's BM25-scored match
+    set, with documents that ALSO match ``negative`` demoted (score ×
+    ``negative_boost``) rather than excluded — the soft complement of the
+    ``-term`` NOT operator. Returns DataFrame[(doc_id, score)] (4 dp,
+    score desc, doc_id asc, ≤k).
+
+    Scale shape: the negative arm is a plain unscored match set (the
+    engine's cheapest evaluation — no scoring work); it left-joins into
+    the positive scored set on doc_id and the demotion is one fused
+    conditional multiply, then the usual TakeOrderedAndProject top-k.
+    """
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    scored = scored_matches(index, positive, facts)
+    neg = index.match(negative, facts).select(
+        "doc_id", F.lit(True).alias("_neg")
+    )
+    demoted = F.when(
+        F.col("_neg").isNotNull(),
+        F.col("score") * F.lit(float(negative_boost)),
+    ).otherwise(F.col("score"))
+    return (
+        scored.join(neg, "doc_id", "left")
+        .select("doc_id", F.round(demoted, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _DECAY_KINDS = ("gauss", "exp", "linear")
 
 

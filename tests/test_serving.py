@@ -291,6 +291,35 @@ def test_span_first_tightening_end_shrinks_matches(index):
     assert narrow <= wide
 
 
+@pytest.mark.parametrize("pos,neg,nb", [
+    ("data", "slow", 0.5),
+    ("data fast", "dup | vector", 0.1),
+    ("(dup | vector) join", '"batch batch"', 0.3),
+])
+def test_boosting_query_vs_oracle(index, duck, pos, neg, nb):
+    from bitfunnel_spark.plans.oracle import oracle_boosting_sql
+
+    got = [tuple(r) for r in serving.boosting_query(
+        index, pos, neg, negative_boost=nb, k=10).collect()]
+    exp = duck.execute(oracle_boosting_sql(pos, neg, negative_boost=nb, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"boosting mismatch {pos!r}/{neg!r}"
+    assert got
+
+
+def test_boosting_demotes_not_excludes(index):
+    # boost=1.0 is a no-op (== plain search over full match set);
+    # demoted docs remain present in a large-enough k
+    base = {r.doc_id: r.score for r in index.search("data", k=1000).collect()}
+    noop = {r.doc_id: r.score for r in serving.boosting_query(
+        index, "data", "slow", negative_boost=1.0, k=1000).collect()}
+    assert noop == base
+    demoted = {r.doc_id for r in serving.boosting_query(
+        index, "data", "slow", negative_boost=0.5, k=1000).collect()}
+    assert demoted == set(base)  # same docs, different order
+    excluded = {r.doc_id for r in index.search("data -slow", k=1000).collect()}
+    assert excluded <= demoted
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

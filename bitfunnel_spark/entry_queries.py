@@ -1192,6 +1192,15 @@ def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.dis_max(
+        get_index(spark, sf_dir), ["data -slow", "dup | vector"],
+        tie_breaker=0.3, k=10,
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1754,6 +1763,15 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_boosting"] = q_ft_boosting
     oracles["ft_boosting"] = oracle_boosting_sql(
         "data fast", "slow", negative_boost=0.4, k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_dis_max_sql
+
+    # queued for the r04 driver window (r03's 50 slots are taken by
+    # entries needing their FIRST driver row); checked this round by
+    # scripts/check_entry.py + pytest
+    queries["ft_dismax"] = q_ft_dismax
+    oracles["ft_dismax"] = oracle_dis_max_sql(
+        ["data -slow", "dup | vector"], tie_breaker=0.3, k=10, config=ENTRY_CONFIG
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

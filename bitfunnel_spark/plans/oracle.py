@@ -655,6 +655,41 @@ def oracle_boosting_sql(
     )
 
 
+def oracle_dis_max_sql(
+    clauses: list, tie_breaker: float = 0.0, k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.dis_max: per-clause full-match scored sets
+    (each an independent WITH-scoped subquery — DuckDB allows a WITH
+    inside a derived table) full-outer-joined on doc_id; the combination
+    max + tie·(sum − max) folds clauses in the same fixed order as the
+    engine."""
+    config = config or BuildConfig()
+    plans = [_as_plan(q) for q in clauses]
+    subs = []
+    for i, plan in enumerate(plans):
+        subs.append(
+            f"(WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+            f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS s{i}\n"
+            f"FROM hits h\nWHERE {_bool_sql(plan.ast)}) c{i}"
+        )
+    joined = subs[0]
+    for i in range(1, len(subs)):
+        joined += f"\nFULL JOIN {subs[i]} USING (doc_id)"
+    cs = [f"coalesce(s{i}, 0.0)" for i in range(len(plans))]
+    best = cs[0]
+    for c in cs[1:]:
+        best = f"greatest({best}, {c})"
+    total = cs[0]
+    for c in cs[1:]:
+        total = f"({total} + {c})"
+    comb = f"round({best} + {float(tie_breaker)} * ({total} - {best}), 4)"
+    return (
+        f"SELECT doc_id, {comb} AS score\nFROM {joined}\n"
+        f"ORDER BY {comb} DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_decay_score_sql(
     query, origin: float, scale: float, kind: str = "gauss",
     offset: float = 0.0, decay: float = 0.5, boost_mode: str = "multiply",

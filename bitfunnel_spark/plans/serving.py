@@ -390,6 +390,58 @@ def boosting_query(
     )
 
 
+def dis_max(
+    index, clauses: list[str], tie_breaker: float = 0.0, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Lucene ``DisjunctionMaxQuery`` / ES ``dis_max``: a document matches
+    if ANY clause matches, and scores as the BEST single clause score plus
+    ``tie_breaker`` × the sum of the other matching clauses' scores
+    (tie_breaker 0 = pure max, 1 = plain sum). Returns
+    DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+
+    Determinism: per-clause scores are the engine's rounded full-match
+    scores; max and the left-associative fixed-clause-order sum make the
+    combination order-independent of join/agg scheduling (mirrored exactly
+    in the DuckDB oracle).
+
+    Scale shape: each clause is the engine's standard scored-match plan
+    (clause counts are small and fixed — the ES use is multi-field
+    retrieval); clauses chain through full-outer doc_id joins (rank-bounded
+    by nothing, but each side is a match set, and AQE picks the physical
+    join from observed sizes), then one fused expression and the usual
+    TakeOrderedAndProject.
+    """
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    parts = [
+        scored_matches(index, q, facts).select(
+            "doc_id", F.col("score").alias(f"s{i}")
+        )
+        for i, q in enumerate(clauses)
+    ]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.join(p, "doc_id", "full")
+    scols = [
+        F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(len(clauses))
+    ]
+    best = scols[0]
+    for c in scols[1:]:
+        best = F.greatest(best, c)
+    total = scols[0]
+    for c in scols[1:]:
+        total = total + c
+    score = best + F.lit(float(tie_breaker)) * (total - best)
+    return (
+        rows.select("doc_id", F.round(score, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _DECAY_KINDS = ("gauss", "exp", "linear")
 
 

@@ -320,6 +320,37 @@ def test_boosting_demotes_not_excludes(index):
     assert excluded <= demoted
 
 
+@pytest.mark.parametrize("clauses,tie", [
+    (["data", "fast"], 0.0),
+    (["data -slow", "dup | vector", "join"], 0.3),
+    (['"batch batch"', "lang:en data"], 0.5),
+])
+def test_dis_max_vs_oracle(index, duck, clauses, tie):
+    from bitfunnel_spark.plans.oracle import oracle_dis_max_sql
+
+    got = [tuple(r) for r in serving.dis_max(index, clauses, tie_breaker=tie, k=10).collect()]
+    exp = duck.execute(oracle_dis_max_sql(clauses, tie_breaker=tie, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"dis_max mismatch {clauses!r}"
+    assert got
+
+
+def test_dis_max_single_clause_is_search(index):
+    got = [tuple(r) for r in serving.dis_max(index, ["data"], k=10).collect()]
+    exp = [tuple(r) for r in index.search("data", k=10).collect()]
+    assert got == exp
+
+
+def test_dis_max_tie1_close_to_or_sum(index):
+    # tie_breaker=1 sums clause scores; for single-term clauses this is
+    # the OR query's BM25 sum up to per-clause 4 dp pre-rounding (dis_max
+    # rounds each clause, the OR query rounds once after summing)
+    got = {r.doc_id: r.score for r in serving.dis_max(
+        index, ["dup", "vector"], tie_breaker=1.0, k=1000).collect()}
+    exp = {r.doc_id: r.score for r in index.search("dup | vector", k=1000).collect()}
+    assert set(got) == set(exp)
+    assert all(abs(got[d] - exp[d]) <= 2e-4 for d in got)
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

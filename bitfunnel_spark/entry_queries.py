@@ -1201,6 +1201,15 @@ def q_ft_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.rescore(
+        get_index(spark, sf_dir), "data", "fast dup",
+        window_size=50, rescore_weight=2.0, score_mode="total", k=10,
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1772,6 +1781,13 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_dismax"] = q_ft_dismax
     oracles["ft_dismax"] = oracle_dis_max_sql(
         ["data -slow", "dup | vector"], tie_breaker=0.3, k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_rescore_sql
+
+    queries["ft_rescore"] = q_ft_rescore
+    oracles["ft_rescore"] = oracle_rescore_sql(
+        "data", "fast dup", window_size=50, rescore_weight=2.0,
+        score_mode="total", k=10, config=ENTRY_CONFIG,
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

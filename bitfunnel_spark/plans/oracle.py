@@ -690,6 +690,47 @@ def oracle_dis_max_sql(
     )
 
 
+def oracle_rescore_sql(
+    query, rescore_query, window_size: int = 100, query_weight: float = 1.0,
+    rescore_weight: float = 1.0, score_mode: str = "total", k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.rescore: the primary top-window (same total
+    (rounded score desc, doc_id asc) order as the engine) left-joined to
+    the rescore arm's full scored match set, Lucene combine rules,
+    final round 4 dp, top-k."""
+    config = config or BuildConfig()
+    pos = _as_plan(query)
+    sec = _as_plan(rescore_query)
+    win = (
+        f"(WITH {CORPUS_CTE},\n{_hits_cte(pos, config)}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS p\n"
+        f"FROM hits h\nWHERE {_bool_sql(pos.ast)}\n"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC "
+        f"LIMIT {int(window_size)}) w"
+    )
+    arm = (
+        f"(WITH {CORPUS_CTE},\n{_hits_cte(sec, config)}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS s\n"
+        f"FROM hits h\nWHERE {_bool_sql(sec.ast)}) r"
+    )
+    qp = f"({float(query_weight)} * p)"
+    rs = f"({float(rescore_weight)} * s)"
+    matched = {
+        "total": f"({qp} + {rs})",
+        "multiply": f"({qp} * {rs})",
+        "avg": f"(({qp} + {rs}) / 2.0)",
+        "max": f"greatest({qp}, {rs})",
+        "min": f"least({qp}, {rs})",
+    }[score_mode]
+    comb = f"round(CASE WHEN s IS NOT NULL THEN {matched} ELSE {qp} END, 4)"
+    return (
+        f"SELECT w.doc_id AS doc_id, {comb} AS score\n"
+        f"FROM {win} LEFT JOIN {arm} USING (doc_id)\n"
+        f"ORDER BY {comb} DESC, w.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_decay_score_sql(
     query, origin: float, scale: float, kind: str = "gauss",
     offset: float = 0.0, decay: float = 0.5, boost_mode: str = "multiply",

@@ -442,6 +442,58 @@ def dis_max(
     )
 
 
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore(
+    index, query: str, rescore_query: str, window_size: int = 100,
+    query_weight: float = 1.0, rescore_weight: float = 1.0,
+    score_mode: str = "total", k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``rescore`` (Lucene QueryRescorer): re-rank ONLY the top
+    ``window_size`` docs of ``query`` by combining their primary score
+    with ``rescore_query``'s score — mode total (qw·p + rw·s), multiply,
+    avg, max, min; window docs NOT matching the rescore query keep
+    qw·p (Lucene's contract). Returns DataFrame[(doc_id, score)]
+    (4 dp, score desc, doc_id asc, ≤k).
+
+    Scale shape: the window cut is the engine's standard top-k
+    (TakeOrderedAndProject at window_size); the window — k-scale rows —
+    then broadcast-joins the rescore arm's scored match set, so the
+    expensive second query runs ONCE regardless of window size and the
+    re-sort touches only window_size rows.
+    """
+    if score_mode not in _RESCORE_MODES:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    from pyspark.sql.functions import broadcast
+
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    win = index.search(query, k=int(window_size), facts=facts).select(
+        "doc_id", F.col("score").alias("p")
+    )
+    sec = scored_matches(index, rescore_query, facts).select(
+        "doc_id", F.col("score").alias("s")
+    )
+    qp = F.lit(float(query_weight)) * F.col("p")
+    rs = F.lit(float(rescore_weight)) * F.col("s")
+    matched = {
+        "total": qp + rs,
+        "multiply": qp * rs,
+        "avg": (qp + rs) / F.lit(2.0),
+        "max": F.greatest(qp, rs),
+        "min": F.least(qp, rs),
+    }[score_mode]
+    combined = F.when(F.col("s").isNotNull(), matched).otherwise(qp)
+    return (
+        broadcast(win).join(sec, "doc_id", "left")
+        .select("doc_id", F.round(combined, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _DECAY_KINDS = ("gauss", "exp", "linear")
 
 

@@ -351,6 +351,42 @@ def test_dis_max_tie1_close_to_or_sum(index):
     assert all(abs(got[d] - exp[d]) <= 2e-4 for d in got)
 
 
+@pytest.mark.parametrize("q,rq,ws,mode,qw,rw", [
+    ("data", '"batch batch"', 50, "total", 1.0, 2.0),
+    ("data -slow", "fast dup", 20, "multiply", 1.0, 1.0),
+    ("dup | vector", "join", 30, "max", 0.7, 1.5),
+    ("data", "fast", 10, "avg", 1.0, 1.0),
+    ("data", "fast", 15, "min", 2.0, 0.5),
+])
+def test_rescore_vs_oracle(index, duck, q, rq, ws, mode, qw, rw):
+    from bitfunnel_spark.plans.oracle import oracle_rescore_sql
+
+    got = [tuple(r) for r in serving.rescore(
+        index, q, rq, window_size=ws, query_weight=qw, rescore_weight=rw,
+        score_mode=mode, k=10).collect()]
+    exp = duck.execute(oracle_rescore_sql(
+        q, rq, window_size=ws, query_weight=qw, rescore_weight=rw,
+        score_mode=mode, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"rescore mismatch {q!r}/{rq!r} {mode}"
+    assert got
+
+
+def test_rescore_only_touches_window(index):
+    # a doc outside the primary top-window can never enter the result,
+    # no matter how well it scores on the rescore query (Lucene contract)
+    win_ids = {r.doc_id for r in index.search("data", k=5).collect()}
+    res = serving.rescore(index, "data", "data", window_size=5, k=100).collect()
+    assert {r.doc_id for r in res} <= win_ids
+
+
+def test_rescore_identity_weights(index):
+    # rescore_weight=0, total mode: ranking == primary ranking (window cut)
+    got = [r.doc_id for r in serving.rescore(
+        index, "data", "fast", window_size=50, rescore_weight=0.0, k=10).collect()]
+    exp = [r.doc_id for r in index.search("data", k=10).collect()]
+    assert got == exp
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

@@ -1210,6 +1210,15 @@ def q_ft_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.multi_match(
+        get_index(spark, sf_dir), "data txt", ["body", "path^2"],
+        mm_type="best_fields", tie_breaker=0.3, k=10,
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1788,6 +1797,13 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_rescore"] = oracle_rescore_sql(
         "data", "fast dup", window_size=50, rescore_weight=2.0,
         score_mode="total", k=10, config=ENTRY_CONFIG,
+    )
+    from bitfunnel_spark.plans.serving import multi_match_clauses
+
+    queries["ft_multi_match"] = q_ft_multi_match
+    oracles["ft_multi_match"] = oracle_dis_max_sql(
+        multi_match_clauses("data txt", ["body", "path^2"], "or"),
+        tie_breaker=0.3, k=10, config=ENTRY_CONFIG,
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

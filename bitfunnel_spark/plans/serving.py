@@ -442,6 +442,86 @@ def dis_max(
     )
 
 
+def _mm_field_clause(tokens: list[str], field: str, weight: float, operator: str) -> str:
+    """One field's match clause in the engine's query language: body terms
+    plain, other streams prefixed; every non-body term carries an explicit
+    ^weight (a ^1 promotes the field key into scoring — field-weighted
+    relevance, planner.strip_boosts)."""
+    if field == "body":
+        parts = [f"{t}^{weight:g}" if weight != 1.0 else t for t in tokens]
+    else:
+        parts = [f"{field}:{t}^{weight:g}" for t in tokens]
+    if operator == "or" and len(parts) > 1:
+        return "(" + " | ".join(parts) + ")"
+    return " ".join(parts)
+
+
+def multi_match_clauses(
+    text: str, fields, operator: str = "or"
+) -> list[str]:
+    """Compile ES multi_match inputs into per-field engine query strings.
+    ``fields`` entries may carry ^weights ("path^2"). Exposed separately so
+    oracles derive from the SAME compilation as the engine."""
+    import re
+
+    from bitfunnel_spark.config import TOKEN_PATTERN
+
+    tokens = re.findall(TOKEN_PATTERN, text.lower())
+    if not tokens:
+        raise ValueError("multi_match needs at least one token")
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown operator {operator!r}")
+    clauses = []
+    for spec in fields:
+        field, _, w = str(spec).partition("^")
+        weight = float(w) if w else 1.0
+        clauses.append(_mm_field_clause(tokens, field, weight, operator))
+    if not clauses:
+        raise ValueError("multi_match needs at least one field")
+    return clauses
+
+
+def multi_match(
+    index, text: str, fields=("body",), mm_type: str = "best_fields",
+    tie_breaker: float = 0.0, operator: str = "or", k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``multi_match``: free text against several fields.
+
+    - ``best_fields`` — dis_max over per-field clauses (+ tie_breaker),
+    - ``most_fields`` — per-field scores SUM (dis_max with tie 1),
+    - ``cross_fields`` — delegates to combined_fields/BM25F (term-centric:
+      each token matches in any field, one saturation, blended idf).
+
+    ``fields`` entries may carry ^weights ("path^2"). Compilation is pure
+    query-language rewriting (multi_match_clauses), so matching/scoring
+    ride the engine's existing paths and the oracle compiles identically.
+    """
+    if mm_type == "cross_fields":
+        from bitfunnel_spark.plans.expand import combined_fields
+
+        weights = {}
+        for spec in fields:
+            field, _, w = str(spec).partition("^")
+            weights[field] = float(w) if w else 1.0
+        joiner = " | " if operator == "or" else " "
+        import re
+
+        from bitfunnel_spark.config import TOKEN_PATTERN
+
+        tokens = re.findall(TOKEN_PATTERN, text.lower())
+        if not tokens:
+            raise ValueError("multi_match needs at least one token")
+        node = combined_fields(joiner.join(tokens), weights)
+        return index.search(node, k=k, facts=facts)
+    clauses = multi_match_clauses(text, fields, operator)
+    if mm_type == "best_fields":
+        return dis_max(index, clauses, tie_breaker=tie_breaker, k=k, facts=facts)
+    if mm_type == "most_fields":
+        return dis_max(index, clauses, tie_breaker=1.0, k=k, facts=facts)
+    raise ValueError(f"unknown mm_type {mm_type!r}")
+
+
 _RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
 
 

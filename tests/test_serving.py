@@ -387,6 +387,51 @@ def test_rescore_identity_weights(index):
     assert got == exp
 
 
+@pytest.mark.parametrize("text,fields,op,tie", [
+    ("data txt", ["body", "path^2"], "or", 0.0),
+    ("data fast", ["body^1.5", "path"], "and", 0.4),
+    ("en data", ["body", "lang"], "or", 0.2),
+])
+def test_multi_match_best_fields_vs_oracle(index, duck, text, fields, op, tie):
+    from bitfunnel_spark.plans.oracle import oracle_dis_max_sql
+
+    got = [tuple(r) for r in serving.multi_match(
+        index, text, fields, mm_type="best_fields", tie_breaker=tie,
+        operator=op, k=10).collect()]
+    clauses = serving.multi_match_clauses(text, fields, op)
+    exp = duck.execute(oracle_dis_max_sql(clauses, tie_breaker=tie, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got, f"multi_match mismatch {text!r}"
+    assert got
+
+
+def test_multi_match_most_fields_is_sum(index):
+    got = [tuple(r) for r in serving.multi_match(
+        index, "data txt", ["body", "path"], mm_type="most_fields", k=10).collect()]
+    clauses = serving.multi_match_clauses("data txt", ["body", "path"], "or")
+    exp = [tuple(r) for r in serving.dis_max(index, clauses, tie_breaker=1.0, k=10).collect()]
+    assert got == exp
+
+
+def test_multi_match_cross_fields_is_bm25f(index, duck):
+    from bitfunnel_spark.plans.expand import combined_fields
+    from bitfunnel_spark.plans.oracle import oracle_search_sql
+
+    got = [tuple(r) for r in serving.multi_match(
+        index, "data txt", ["body", "path^0.4"], mm_type="cross_fields",
+        operator="and", k=10).collect()]
+    node = combined_fields("data txt", {"body": 1.0, "path": 0.4})
+    exp = duck.execute(oracle_search_sql(node, k=10)).fetchall()
+    assert [(d, round(s, 4)) for d, s in exp] == got
+    assert got
+
+
+def test_multi_match_single_body_field_is_search(index):
+    got = [tuple(r) for r in serving.multi_match(
+        index, "data fast", ["body"], operator="and", k=10).collect()]
+    exp = [tuple(r) for r in index.search("data fast", k=10).collect()]
+    assert got == exp
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

@@ -1219,6 +1219,15 @@ def q_ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.facet_percentiles(
+        get_index(spark, sf_dir), FACETS_QUERY, by="lang",
+        percents=(25.0, 50.0, 75.0, 95.0),
+    )
+
+
 def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1804,6 +1813,13 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_multi_match"] = oracle_dis_max_sql(
         multi_match_clauses("data txt", ["body", "path^2"], "or"),
         tie_breaker=0.3, k=10, config=ENTRY_CONFIG,
+    )
+    from bitfunnel_spark.plans.oracle import oracle_facet_percentiles_sql
+
+    queries["ft_percentiles"] = q_ft_percentiles
+    oracles["ft_percentiles"] = oracle_facet_percentiles_sql(
+        FACETS_QUERY, by="lang", percents=(25.0, 50.0, 75.0, 95.0),
+        config=ENTRY_CONFIG,
     )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(

@@ -462,6 +462,34 @@ def oracle_facet_stats_sql(
     )
 
 
+def oracle_facet_percentiles_sql(
+    query, by: str = "lang", percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    config: BuildConfig | None = None,
+) -> str:
+    """Per-facet doclen percentiles oracle mirroring
+    plans/serving.facet_percentiles (exact mode): DuckDB quantile_cont
+    computes the same continuous interpolated definition as Spark's
+    percentile."""
+    from bitfunnel_spark.plans.serving import _pct_name
+
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    pcols = ",\n".join(
+        f"       round(quantile_cont(CAST(coalesce(dl.doclen, 0) AS DOUBLE), "
+        f"{p / 100.0!r}), 4) AS {_pct_name(p)}"
+        for p in percents
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT d.{col} AS {by}, count(*) AS n_docs,\n{pcols}\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+        f"GROUP BY d.{col} ORDER BY d.{col} ASC"
+    )
+
+
 def oracle_collapse_sql(
     query, by: str = "repo", k: int = 10, per_group: int = 1,
     config: BuildConfig | None = None,

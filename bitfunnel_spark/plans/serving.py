@@ -638,6 +638,48 @@ def decay_score(
     )
 
 
+def _pct_name(p: float) -> str:
+    return "p" + (f"{p:g}".replace(".", "_"))
+
+
+def facet_percentiles(
+    index, query: str, by: str = "lang",
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    exact: bool = True, accuracy: int = 10000,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-facet doclen percentiles over a query's full match set (the
+    Elasticsearch percentiles-under-terms aggregation). Returns
+    DataFrame[(<by>, n_docs, p25, p50, ...)] ordered by facet value,
+    percentile columns rounded to 4 dp.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (the
+    oracle mode — DuckDB's quantile_cont computes the same continuous
+    definition). The documented 100 TB path is ``exact=False`` →
+    ``percentile_approx`` (Greenwald-Khanna sketch, ``accuracy`` knob):
+    one pass, bounded sketch memory per bucket, sketches merge in the
+    combiner — the same exact/approx split as facet_cardinality.
+
+    Scale shape: match set → two doc_id equi-joins (facet value, doclen)
+    → one map-side-combined groupBy; exact percentile buffers per-bucket
+    values (fine while per-bucket match counts are modest), the approx
+    sketch is constant-memory.
+    """
+    matches = index.match(query, facts).select("doc_id")
+    grp = index.corpus.select("doc_id", by)
+    dl = index.doc_stats.select("doc_id", "doclen")
+    rows = matches.join(grp, "doc_id").join(dl, "doc_id")
+    aggs = [F.count("*").alias("n_docs")]
+    for p in percents:
+        fn = (
+            F.percentile("doclen", F.lit(p / 100.0))
+            if exact
+            else F.percentile_approx("doclen", F.lit(p / 100.0), F.lit(int(accuracy)))
+        )
+        aggs.append(F.round(fn.cast("double"), 4).alias(_pct_name(p)))
+    return rows.groupBy(by).agg(*aggs).orderBy(by)
+
+
 def facet_cardinality(
     index, query: str, by: str = "lang", of: str = "repo",
     exact: bool = True, rsd: float = 0.05,

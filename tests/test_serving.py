@@ -432,6 +432,34 @@ def test_multi_match_single_body_field_is_search(index):
     assert got == exp
 
 
+@pytest.mark.parametrize("q,by,pcts", [
+    ("data", "lang", (25.0, 50.0, 75.0, 95.0)),
+    ("(dup | vector) join", "repo", (50.0, 90.0)),
+    ("data -slow", "lang", (10.0, 99.9)),
+])
+def test_facet_percentiles_vs_oracle(index, duck, q, by, pcts):
+    from bitfunnel_spark.plans.oracle import oracle_facet_percentiles_sql
+
+    got = [tuple(r) for r in serving.facet_percentiles(
+        index, q, by=by, percents=pcts).collect()]
+    exp = [tuple(r) for r in duck.execute(
+        oracle_facet_percentiles_sql(q, by=by, percents=pcts)).fetchall()]
+    exp = [(v, n) + tuple(round(x, 4) for x in rest) for (v, n, *rest) in exp]
+    assert exp == got, f"percentiles mismatch {q!r} {by}"
+    assert got
+
+
+def test_facet_percentiles_approx_close(index):
+    ex = {r[0]: r for r in serving.facet_percentiles(
+        index, "data", by="lang", percents=(50.0,)).collect()}
+    ap = {r[0]: r for r in serving.facet_percentiles(
+        index, "data", by="lang", percents=(50.0,), exact=False).collect()}
+    assert set(ex) == set(ap)
+    for v in ex:
+        # GK sketch at default accuracy is near-exact at this scale
+        assert abs(ex[v].p50 - ap[v].p50) <= max(2.0, 0.1 * ex[v].p50), v
+
+
 def test_collapse_never_crowded_out(index):
     # every group value present in the match set appears in a large-enough k
     q = "data"

@@ -860,6 +860,27 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id AS
 ORDER BY query_id, cosine DESC, vec_id"""
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES kNN `filter` contract: PRE-filtered exact top-k (label predicate
+    # restricts candidates BEFORE scoring; pushed to the parquet scan)
+    return similarity.filtered_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, F.col("label") == 1, k=10
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+SQL_ANN_FILTERED_TOPK = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id AND e.label = 1
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10).orderBy(
         "query_id", F.desc("cosine"), "vec_id"
@@ -1695,6 +1716,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     queries["ann_cosine_topk"] = q_ann_cosine_topk
     oracles["ann_cosine_topk"] = SQL_ANN_COSINE_TOPK
+    queries["ann_filtered_topk"] = q_ann_filtered_topk
+    oracles["ann_filtered_topk"] = SQL_ANN_FILTERED_TOPK
     queries["ann_lsh_topk"] = q_ann_lsh_topk
     oracles["ann_lsh_topk"] = SQL_ANN_LSH_TOPK
     queries["ann_ivf_topk"] = q_ann_ivf_topk

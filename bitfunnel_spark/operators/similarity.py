@@ -71,6 +71,44 @@ def brute_cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    predicate: Column,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k under a metadata PRE-filter (the Elasticsearch
+    kNN ``filter`` contract): candidates are restricted BEFORE scoring, so
+    the result is the true top-k of the filtered subset — never a
+    post-filtered (and therefore possibly short) list. Query vectors are
+    taken from the UNFILTERED table (as in ES, where the query vector is
+    external and need not satisfy its own filter).
+
+    Same shape as brute_cosine_topk — broadcast queries, embarrassingly
+    parallel candidate scan — with the predicate applied AT the scan, so
+    Catalyst pushes it into the parquet read (fewer rows ever score).
+    Returns (query_id, vec_id, cosine) ordered (query_id, cosine desc,
+    vec_id asc), ≤k rows per query.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.filter(predicate).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 4)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 AXIS_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
 
 

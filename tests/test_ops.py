@@ -309,6 +309,46 @@ def test_sq8_topk_vs_oracle(spark, duck):
     assert exp == got
 
 
+def test_filtered_cosine_topk_prefilter_semantics(spark, duck):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in similarity.filtered_cosine_topk(emb, [0, 1], F.col("label") == 1, k=5)
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    exp = duck.execute("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id AND e.label = 1
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5
+ORDER BY query_id, cosine DESC, vec_id""").fetchall()
+    assert [(q, v, pytest.approx(c, abs=1e-9)) for q, v, c in exp] == got
+    assert got
+    # PRE-filter: exactly k survivors per query (not a post-filtered stub),
+    # and every survivor satisfies the predicate
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_q = {}
+    for q, v, _ in got:
+        per_q[q] = per_q.get(q, 0) + 1
+        assert labels[v] == 1
+    assert all(n == 5 for n in per_q.values())
+
+
+def test_filtered_cosine_pushes_predicate_to_scan(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.filtered_cosine_topk(emb, [0], F.col("label") == 1, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(label,1)" in plan  # candidate-scan PushedFilters
+
+
 def test_sq8_recall_vs_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {

@@ -1908,6 +1908,29 @@ SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""
     queries["ft_percolate_log"] = q_ft_percolate_log
     oracles["ft_percolate_log"] = _sql_percolate_log()
 
+    # pluggable query-time similarities (plans/scoring.py): Lucene
+    # ClassicSimilarity (kernel mode — exercises the storage-free doclen
+    # inversion) and BooleanSimilarity (dataframe mode)
+    def q_ft_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_index(spark, sf_dir).search(
+            "spark & join", k=10, mode="kernel", similarity="classic"
+        )
+
+    queries["ft_classic"] = q_ft_classic
+    oracles["ft_classic"] = oracle_search_sql(
+        "spark & join", k=10, config=ENTRY_CONFIG, similarity="classic"
+    )
+
+    def q_ft_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_index(spark, sf_dir).search(
+            "dup | vector | join", k=10, similarity="boolean"
+        )
+
+    queries["ft_boolean"] = q_ft_boolean
+    oracles["ft_boolean"] = oracle_search_sql(
+        "dup | vector | join", k=10, config=ENTRY_CONFIG, similarity="boolean"
+    )
+
     # emit in driver-window order: the first 50 registered entries are the
     # ones the driver hash-checks this round (see DRIVER_WINDOW)
     missing = [n for n in DRIVER_WINDOW if n not in queries]

@@ -344,20 +344,24 @@ class FullTextIndex:
 
     def search(
         self, query: str, k: int = 10, mode: str = "dataframe",
-        facts: list[str] | None = None,
+        facts: list[str] | None = None, similarity: str = "bm25",
     ) -> DataFrame:
-        """BM25 top-k: DataFrame[(doc_id, score)], score rounded to 4 dp,
+        """Scored top-k: DataFrame[(doc_id, score)], score rounded to 4 dp,
         ordered (score desc, doc_id asc). ``facts`` ANDs named fact sets
-        (define_fact) into the match."""
+        (define_fact) into the match. ``similarity`` swaps the query-time
+        scoring flavor — "bm25" (default), "classic" (Lucene pre-7 TF-IDF),
+        "boolean" (constant per matched term); see plans/scoring.py. The
+        match set is identical under every flavor; non-BM25 flavors skip
+        the BM25-shaped block-max pruning (exhaustive kernel path)."""
         query = self.prepare_query(query)
         if mode == "dataframe":
             from bitfunnel_spark.plans.executor import search_dataframe
 
-            return search_dataframe(self, query, k, facts)
+            return search_dataframe(self, query, k, facts, similarity=similarity)
         if mode == "kernel":
             from bitfunnel_spark.plans.kernel import search_kernel
 
-            return search_kernel(self, query, k, facts)
+            return search_kernel(self, query, k, facts, similarity=similarity)
         raise ValueError(f"unknown mode {mode!r}")
 
     def search_after(

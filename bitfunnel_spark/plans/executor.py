@@ -115,13 +115,19 @@ def _bool_expr(node: Node, phrase_cols: dict[Phrase, str]) -> Column:
     raise TypeError(type(node))
 
 
-def _hits(index, plan: QueryPlan) -> DataFrame:
+def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
     """(doc_id, hits: array<stream:term>, score) for docs containing ≥1 query term.
 
     One filtered posting scan (the `key IN (...)` predicate prunes on the
     term/term_bucket partition columns when reading a persisted index) + one
     hash agg. idf arrives via broadcast join of the per-query slice of the
     term dictionary.
+
+    ``similarity``: query-time scoring flavor (plans/scoring.py) — the
+    match set is identical under every flavor; only per-posting scoring
+    contributions change. Non-BM25 base weights are resolved driver-side
+    (a per-query |terms|-sized literal map, like boosts) so both Spark
+    executors fold the exact same float64 weights.
     """
     keys = sorted(f"{s}:{t}" for s, t in plan.terms)
     key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
@@ -134,10 +140,28 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     # between executors (the kernel reads the partial precomputed at build).
     norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
     partial = F.col("tf") * (bm.k1 + 1.0) / (F.col("tf") + norm)
+    if similarity != "bm25":
+        from bitfunnel_spark.plans.scoring import base_weight_map
+
+        weights = base_weight_map(
+            index.idf_for_keys(plan.terms), similarity, index.n_docs
+        )
+        base = F.lit(0.0)
+        for (s, t), w in sorted(weights.items()):
+            base = F.when(F.col("key") == f"{s}:{t}", F.lit(float(w))).otherwise(base)
+        eff_idf = base
+        # per-posting saturation factor of the flavor (sqrt-tf over
+        # sqrt-doclen for classic; constant for boolean)
+        partial = (
+            F.sqrt(F.col("tf").cast("double")) / F.sqrt(F.col("doclen").cast("double"))
+            if similarity == "classic"
+            else F.lit(1.0)
+        )
+    else:
+        eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
     # query-time boosts multiply into idf FIRST — (idf·boost)·partial — the
     # same association as the kernel's effective_idf, so float64 results
     # stay bit-identical between executors
-    eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
     if plan.boosts:
         boost = F.lit(1.0)
         for (s, t), b in sorted(plan.boosts.items()):
@@ -239,8 +263,15 @@ def _hits(index, plan: QueryPlan) -> DataFrame:
     return out
 
 
-def _matched(index, plan: QueryPlan, facts: list[str] | None = None) -> DataFrame:
-    hits = _hits(index, plan)
+def _matched(
+    index, plan: QueryPlan, facts: list[str] | None = None,
+    similarity: str = "bm25",
+) -> DataFrame:
+    if similarity != "bm25":
+        from bitfunnel_spark.plans.scoring import check_similarity
+
+        check_similarity(similarity, plan, index.config.bm25.b)
+    hits = _hits(index, plan, similarity)
     phrase_cols: dict[Phrase, str] = {}
     for i, (ph, _neg) in enumerate(plan.phrases):
         if ph in phrase_cols:
@@ -295,13 +326,14 @@ def scored_matches(
 
 def search_dataframe(
     index, query, k: int = 10, facts: list[str] | None = None,
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, similarity: str = "bm25",
 ) -> DataFrame:
     """BM25 top-k as DataFrame[(doc_id, score)]; see module docstring for the
     determinism contract. ``after=(score, doc_id)`` pages past the cursor
-    (search_after semantics — the filter keeps the job k-row at any depth)."""
+    (search_after semantics — the filter keeps the job k-row at any depth).
+    ``similarity`` swaps the scoring flavor (plans/scoring.py)."""
     plan = _as_plan(query)
-    res = _matched(index, plan, facts).select(
+    res = _matched(index, plan, facts, similarity).select(
         "doc_id", F.round(F.col("score"), 4).alias("score")
     )
     if after is not None:

@@ -290,6 +290,7 @@ def _mask(node: Node, cand: np.ndarray, postings, phrase_docs) -> np.ndarray:
 def _score(
     cand: np.ndarray, postings, scoring_keys: list, idf: dict,
     syn_groups=(), k1: float = 1.2, field_groups=(),
+    similarity: str = "bm25", b: float = 0.75, avgdl: float = 1.0,
 ) -> np.ndarray:
     """BM25 from stored partials: score = Σ over scoring (stream, term)
     keys of idf_key · partial_key(doc). Keys and idf are (stream, term)-
@@ -306,13 +307,28 @@ def _score(
     bit-for-bit by the DataFrame path and the SQL oracle (same op order)."""
     score = np.zeros(cand.shape, dtype=np.float64)
     for key in scoring_keys:
-        docs, _tfs, parts = postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))
+        docs, tfs_all, parts = postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))
         if docs.size == 0:
             continue
         m = _member(docs, cand)
         if not m.any():
             continue
-        score[m] += idf.get(key, 0.0) * parts[np.searchsorted(docs, cand[m])]
+        idxs = np.searchsorted(docs, cand[m])
+        if similarity == "bm25":
+            score[m] += idf.get(key, 0.0) * parts[idxs]
+        elif similarity == "classic":
+            # Lucene ClassicSimilarity (plans/scoring.py): the per-key
+            # weight in `idf` is already (idf_c²·boost); the per-posting
+            # factor is sqrt(tf)/sqrt(doclen) with the integer doclen
+            # recovered EXACTLY by inverting the stored BM25 partial —
+            # the same inversion the blended-synonym scorer uses for D
+            tf = tfs_all[idxs].astype(np.float64)
+            part = parts[idxs]
+            d_norm = tf * (k1 + 1.0) / part - tf
+            dl = np.rint(((d_norm / k1) - 1.0 + b) * avgdl / b)
+            score[m] += idf.get(key, 0.0) * (np.sqrt(tf) / np.sqrt(dl))
+        else:  # boolean: constant (boost) per matched scoring key
+            score[m] += idf.get(key, 0.0)
     for group in syn_groups:
         # blended idf from GLOBAL stats (min idf ≡ idf of the max df): a
         # per-group constant, like Lucene's blended docFreq — never from
@@ -467,8 +483,12 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         deny = descriptor.get("deleted")
         after = descriptor.get("after")  # (score4, doc_id) pagination cursor
         restricted = allow is not None or (deny is not None and deny.size > 0)
+        # block-max bounds (max_partial) are BM25-shaped — non-BM25
+        # similarities route to the exhaustive scorer (plans/scoring.py)
+        prunable = descriptor.get("similarity", "bm25") == "bm25"
         if (
             k0 is not None
+            and prunable
             and not restricted
             and after is None
             and isinstance(ast, Term)
@@ -479,7 +499,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             if rows is None:
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][(ast.stream, ast.text)], k0)
-        flat = route_flat(ast) if (k0 is not None and after is None) else None
+        flat = route_flat(ast) if (k0 is not None and prunable and after is None) else None
         if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
             # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
             # fact sets AND in as `allow`, tombstones mask via `deny` (the
@@ -508,6 +528,8 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             cand, postings, scoring, descriptor["idf"],
             plan.syn_groups, descriptor.get("k1", 1.2),
             getattr(plan, "field_groups", ()),
+            similarity=descriptor.get("similarity", "bm25"),
+            b=descriptor.get("b", 0.75), avgdl=descriptor.get("avgdl", 1.0),
         )
         if after is not None:
             # deep pagination (search_after): keep docs strictly after the
@@ -654,13 +676,24 @@ def _restriction_arrays(index, facts: list[str] | None) -> dict:
     return out
 
 
-def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
+def _descriptor(
+    index, plan: QueryPlan, facts: list[str] | None = None,
+    similarity: str = "bm25",
+) -> dict:
     # driver-resident hash dictionary (TermTable analogue) when it fits,
     # else one filtered collect — index.idf_for_terms; query-time boosts
-    # fold into idf here so every downstream scorer/bound sees (idf·boost)
+    # fold into idf here so every downstream scorer/bound sees (idf·boost).
+    # Non-BM25 similarities (plans/scoring.py) swap the per-key base weight
+    # driver-side, so the kernel scorer sees (weight·boost) the same way.
     from bitfunnel_spark.plans.planner import effective_idf
+    from bitfunnel_spark.plans.scoring import base_weight_map, check_similarity
 
-    idf = effective_idf(plan, index.idf_for_keys(plan.terms))
+    if similarity != "bm25":
+        check_similarity(similarity, plan, index.config.bm25.b)
+    idf = effective_idf(
+        plan,
+        base_weight_map(index.idf_for_keys(plan.terms), similarity, index.n_docs),
+    )
     gram_phrases: set = set()
     fallback: set = set()
     use_positions = use_positional_phrases(index)
@@ -681,6 +714,10 @@ def _descriptor(index, plan: QueryPlan, facts: list[str] | None = None) -> dict:
         "fallback_phrases": frozenset(fallback),
         "use_positions": use_positions,
         "k1": index.config.bm25.k1,  # blended-synonym norm recovery (_score)
+        "similarity": similarity,
+        # classic-similarity doclen recovery from stored partials (_score)
+        "b": index.config.bm25.b,
+        "avgdl": index.avgdl,
         **_restriction_arrays(index, facts),
     }
 
@@ -696,7 +733,7 @@ def match_kernel(index, query, facts: list[str] | None = None) -> DataFrame:
 
 def search_kernel(
     index, query, k: int = 10, facts: list[str] | None = None,
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, similarity: str = "bm25",
 ) -> DataFrame:
     """BM25 top-k via the kernel path — rank-identical to search_dataframe.
 
@@ -708,7 +745,7 @@ def search_kernel(
     plan = _as_plan(query)
     if index.segments is None:
         index.build_segments()
-    desc = _descriptor(index, plan, facts)
+    desc = _descriptor(index, plan, facts, similarity)
     if after is not None:
         desc["after"] = (round(float(after[0]), 4), int(after[1]))
     groups = _query_groups(index, plan, desc, k=k)

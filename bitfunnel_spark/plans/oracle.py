@@ -127,6 +127,7 @@ def _as_plan(query) -> QueryPlan:
 def _hits_cte(
     plan: QueryPlan, config: BuildConfig,
     extra_terms: set[tuple[str, str]] | None = None,
+    similarity: str = "bm25",
 ) -> str:
     # extra_terms widens hitkeys (so _bool_sql predicates of a SECOND,
     # non-scoring plan can evaluate — e.g. oracle_boosting_sql's negative
@@ -149,13 +150,32 @@ def _hits_cte(
                 for (s, t), f in sorted(plan.boosts.items())
             )
             boost_sql = f"* CASE (tf.stream || ':' || tf.term) {whens} ELSE 1.0 END "
-        contrib = (
-            f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
-            f"ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
-            f"{boost_sql}"
-            f"* (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "
-            f"* coalesce(dl.doclen, 0) / meta.avgdl))) ELSE 0.0 END"
-        )
+        if similarity == "classic":
+            # Lucene ClassicSimilarity (plans/scoring.py): contribution =
+            # ((idf_c·idf_c)·boost)·(sqrt(tf)/sqrt(doclen)) — SQL '*' is
+            # left-associative, matching both Spark executors' op order
+            cidf = "(1.0 + ln((meta.n_docs + 1.0) / (dfreq.df + 1.0)))"
+            contrib = (
+                f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
+                f"{cidf} * {cidf} "
+                f"{boost_sql}"
+                f"* (sqrt(CAST(tf.tf AS DOUBLE)) / "
+                f"sqrt(CAST(coalesce(dl.doclen, 0) AS DOUBLE))) ELSE 0.0 END"
+            )
+        elif similarity == "boolean":
+            # Lucene BooleanSimilarity: constant (boost) per matched key
+            contrib = (
+                f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
+                f"1.0 {boost_sql}ELSE 0.0 END"
+            )
+        else:
+            contrib = (
+                f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
+                f"ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
+                f"{boost_sql}"
+                f"* (tf.tf * {k1 + 1.0!r} / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} "
+                f"* coalesce(dl.doclen, 0) / meta.avgdl))) ELSE 0.0 END"
+            )
     else:
         contrib = "0.0"
     groups = getattr(plan, "syn_groups", ()) or ()
@@ -263,6 +283,7 @@ hits AS (
 def oracle_search_sql(
     query, k: int = 10, config: BuildConfig | None = None,
     extra_where: str | None = None, offset: int = 0,
+    similarity: str = "bm25",
 ) -> str:
     """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc).
 
@@ -271,13 +292,15 @@ def oracle_search_sql(
     (epoch-frozen stats: the predicate filters RESULTS, never df/avgdl).
     ``offset`` skips the first rows of the total order — the mirror of
     search_after pagination (page n+1 ≡ OFFSET n·k, since the order is
-    total on (rounded score, doc_id))."""
+    total on (rounded score, doc_id)).
+    ``similarity`` mirrors the engine's query-time scoring flavor
+    (plans/scoring.py): "bm25" (default), "classic", "boolean"."""
     config = config or BuildConfig()
     plan = _as_plan(query)
     extra = f" AND ({extra_where})" if extra_where else ""
     off = f" OFFSET {int(offset)}" if offset else ""
     return (
-        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config, similarity=similarity)}\n"
         f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
         f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}){extra}\n"
         f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}{off}"

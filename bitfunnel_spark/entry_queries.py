@@ -1931,6 +1931,18 @@ SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""
         "dup | vector | join", k=10, config=ENTRY_CONFIG, similarity="boolean"
     )
 
+    def q_ft_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene LMDirichletSimilarity (μ=2000) — kernel mode exercises the
+        # per-query ctf lookup + in-kernel doclen inversion
+        return get_index(spark, sf_dir).search(
+            "data -slow", k=10, mode="kernel", similarity="lm_dirichlet"
+        )
+
+    queries["ft_lmdirichlet"] = q_ft_lmdirichlet
+    oracles["ft_lmdirichlet"] = oracle_search_sql(
+        "data -slow", k=10, config=ENTRY_CONFIG, similarity="lm_dirichlet"
+    )
+
     # emit in driver-window order: the first 50 registered entries are the
     # ones the driver hash-checks this round (see DRIVER_WINDOW)
     missing = [n for n in DRIVER_WINDOW if n not in queries]

@@ -136,6 +136,31 @@ class FullTextIndex:
         by_key = {int(r[0]): float(r[1]) for r in rows}
         return {p: by_key[k] for p, k in keys.items() if k in by_key}
 
+    def ctf_for_keys(self, terms) -> dict:
+        """{(stream, term): collection term frequency} for a query's keys —
+        the Lucene totalTermFreq statistic, needed by LM similarities
+        (plans/scoring.py). Aggregated per query from the postings table:
+        the `(stream, term) IN` predicate prunes the scan to just the
+        query's terms, the agg returns ≤ |terms| rows — a point lookup at
+        any corpus size (the dictionary intentionally doesn't denormalize
+        ctf; queries carrying it are rare)."""
+        pairs = sorted({(s, t) for s, t in terms})
+        key_col = F.concat_ws(":", F.col("stream"), F.col("term"))
+        rows = (
+            self.postings.withColumn("key", key_col)
+            .filter(F.col("key").isin([f"{s}:{t}" for s, t in pairs]))
+            .groupBy("stream", "term")
+            .agg(F.sum("tf").alias("ctf"))
+            .collect()
+        )
+        return {(r["stream"], r["term"]): int(r["ctf"]) for r in rows}
+
+    def body_total_tokens(self) -> int:
+        """Total body tokens (Lucene sumTotalTermFreq of the body field) —
+        exactly rint(n_docs·avgdl), since avgdl was computed as the float64
+        total/n (exact for corpora below 2^52 tokens)."""
+        return int(round(self.n_docs * self.avgdl))
+
     # ---- soft deletes + fact sets -------------------------------------
 
     def delete_docs(self, doc_ids) -> None:
@@ -350,7 +375,8 @@ class FullTextIndex:
         ordered (score desc, doc_id asc). ``facts`` ANDs named fact sets
         (define_fact) into the match. ``similarity`` swaps the query-time
         scoring flavor — "bm25" (default), "classic" (Lucene pre-7 TF-IDF),
-        "boolean" (constant per matched term); see plans/scoring.py. The
+        "boolean" (constant per matched term), "lm_dirichlet" (Lucene
+        LMDirichletSimilarity, μ=2000, body field); see plans/scoring.py. The
         match set is identical under every flavor; non-BM25 flavors skip
         the BM25-shaped block-max pruning (exhaustive kernel path)."""
         query = self.prepare_query(query)

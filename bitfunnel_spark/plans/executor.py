@@ -140,8 +140,9 @@ def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
     # between executors (the kernel reads the partial precomputed at build).
     norm = bm.k1 * (1.0 - bm.b + bm.b * F.col("doclen") / F.lit(index.avgdl))
     partial = F.col("tf") * (bm.k1 + 1.0) / (F.col("tf") + norm)
+    clamp_contrib = False
     if similarity != "bm25":
-        from bitfunnel_spark.plans.scoring import base_weight_map
+        from bitfunnel_spark.plans.scoring import LMD_MU, base_weight_map, mu_p_map
 
         weights = base_weight_map(
             index.idf_for_keys(plan.terms), similarity, index.n_docs
@@ -151,12 +152,25 @@ def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
             base = F.when(F.col("key") == f"{s}:{t}", F.lit(float(w))).otherwise(base)
         eff_idf = base
         # per-posting saturation factor of the flavor (sqrt-tf over
-        # sqrt-doclen for classic; constant for boolean)
-        partial = (
-            F.sqrt(F.col("tf").cast("double")) / F.sqrt(F.col("doclen").cast("double"))
-            if similarity == "classic"
-            else F.lit(1.0)
-        )
+        # sqrt-doclen for classic; the Dirichlet-smoothed LM term for
+        # lm_dirichlet — per-term clamped at 0 below; constant for boolean)
+        if similarity == "classic":
+            partial = F.sqrt(F.col("tf").cast("double")) / F.sqrt(
+                F.col("doclen").cast("double")
+            )
+        elif similarity == "lm_dirichlet":
+            mup = mu_p_map(index.ctf_for_keys(plan.terms), index.body_total_tokens())
+            mup_col = F.lit(1.0)
+            for (s, t), v in sorted(mup.items()):
+                mup_col = F.when(F.col("key") == f"{s}:{t}", F.lit(float(v))).otherwise(
+                    mup_col
+                )
+            partial = F.log(1.0 + F.col("tf").cast("double") / mup_col) + F.log(
+                F.lit(LMD_MU) / (F.col("doclen").cast("double") + F.lit(LMD_MU))
+            )
+            clamp_contrib = True
+        else:
+            partial = F.lit(1.0)
     else:
         eff_idf = F.coalesce(F.col("idf"), F.lit(0.0))
     # query-time boosts multiply into idf FIRST — (idf·boost)·partial — the
@@ -175,6 +189,10 @@ def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
     contrib = F.when(
         F.col("key").isin(score_keys), eff_idf * partial
     ).otherwise(F.lit(0.0))
+    if clamp_contrib:
+        # Lucene LMDirichletSimilarity clamps each term's (boosted)
+        # contribution at 0 — "return score > 0 ? score : 0"
+        contrib = F.greatest(contrib, F.lit(0.0))
     aggs = [F.collect_set("key").alias("hits"), F.sum("contrib").alias("score")]
     # blended synonym groups (Lucene SynonymQuery — plan.syn_groups): each
     # group scores as ONE pseudo-term. Per doc: summed member tf, and the

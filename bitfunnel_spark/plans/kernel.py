@@ -291,6 +291,7 @@ def _score(
     cand: np.ndarray, postings, scoring_keys: list, idf: dict,
     syn_groups=(), k1: float = 1.2, field_groups=(),
     similarity: str = "bm25", b: float = 0.75, avgdl: float = 1.0,
+    mu_p: dict | None = None,
 ) -> np.ndarray:
     """BM25 from stored partials: score = Σ over scoring (stream, term)
     keys of idf_key · partial_key(doc). Keys and idf are (stream, term)-
@@ -305,6 +306,9 @@ def _score(
     D = tf(k1+1)/partial − tf — exactly inverting the build-time partial,
     so no doclen access is needed and the arithmetic is reproducible
     bit-for-bit by the DataFrame path and the SQL oracle (same op order)."""
+    from bitfunnel_spark.plans.scoring import LMD_MU
+
+    mu_p = mu_p or {}
     score = np.zeros(cand.shape, dtype=np.float64)
     for key in scoring_keys:
         docs, tfs_all, parts = postings.get(key, (_EMPTY, _EMPTY, _EMPTYF))
@@ -316,17 +320,27 @@ def _score(
         idxs = np.searchsorted(docs, cand[m])
         if similarity == "bm25":
             score[m] += idf.get(key, 0.0) * parts[idxs]
-        elif similarity == "classic":
-            # Lucene ClassicSimilarity (plans/scoring.py): the per-key
-            # weight in `idf` is already (idf_c²·boost); the per-posting
-            # factor is sqrt(tf)/sqrt(doclen) with the integer doclen
-            # recovered EXACTLY by inverting the stored BM25 partial —
-            # the same inversion the blended-synonym scorer uses for D
+        elif similarity in ("classic", "lm_dirichlet"):
+            # plans/scoring.py: the per-key weight in `idf` is the boosted
+            # base weight (idf_c² for classic, 1.0 for lm_dirichlet); the
+            # per-posting factor needs the integer doclen, recovered
+            # EXACTLY by inverting the stored BM25 partial — the same
+            # inversion the blended-synonym scorer uses for D
             tf = tfs_all[idxs].astype(np.float64)
             part = parts[idxs]
             d_norm = tf * (k1 + 1.0) / part - tf
             dl = np.rint(((d_norm / k1) - 1.0 + b) * avgdl / b)
-            score[m] += idf.get(key, 0.0) * (np.sqrt(tf) / np.sqrt(dl))
+            if similarity == "classic":
+                score[m] += idf.get(key, 0.0) * (np.sqrt(tf) / np.sqrt(dl))
+            else:
+                # Lucene LMDirichletSimilarity, per-term clamp at 0
+                mp = mu_p.get(key)
+                if mp is None:
+                    continue
+                contrib = idf.get(key, 0.0) * (
+                    np.log(1.0 + tf / mp) + np.log(LMD_MU / (dl + LMD_MU))
+                )
+                score[m] += np.maximum(contrib, 0.0)
         else:  # boolean: constant (boost) per matched scoring key
             score[m] += idf.get(key, 0.0)
     for group in syn_groups:
@@ -530,6 +544,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             getattr(plan, "field_groups", ()),
             similarity=descriptor.get("similarity", "bm25"),
             b=descriptor.get("b", 0.75), avgdl=descriptor.get("avgdl", 1.0),
+            mu_p=descriptor.get("mu_p"),
         )
         if after is not None:
             # deep pagination (search_after): keep docs strictly after the
@@ -694,6 +709,11 @@ def _descriptor(
         plan,
         base_weight_map(index.idf_for_keys(plan.terms), similarity, index.n_docs),
     )
+    mu_p: dict = {}
+    if similarity == "lm_dirichlet":
+        from bitfunnel_spark.plans.scoring import mu_p_map
+
+        mu_p = mu_p_map(index.ctf_for_keys(plan.terms), index.body_total_tokens())
     gram_phrases: set = set()
     fallback: set = set()
     use_positions = use_positional_phrases(index)
@@ -715,9 +735,10 @@ def _descriptor(
         "use_positions": use_positions,
         "k1": index.config.bm25.k1,  # blended-synonym norm recovery (_score)
         "similarity": similarity,
-        # classic-similarity doclen recovery from stored partials (_score)
+        # classic/LM-similarity doclen recovery from stored partials (_score)
         "b": index.config.bm25.b,
         "avgdl": index.avgdl,
+        "mu_p": mu_p,  # lm_dirichlet per-key μ·p(t) (plans/scoring.mu_p_map)
         **_restriction_arrays(index, facts),
     }
 

@@ -38,7 +38,8 @@ dl AS (SELECT doc_id, count(*) AS doclen FROM body_tok GROUP BY doc_id),
 meta AS (
   SELECT (SELECT count(*) FROM corpus) AS n_docs,
          CAST((SELECT coalesce(sum(doclen), 0) FROM dl) AS DOUBLE)
-           / (SELECT count(*) FROM corpus) AS avgdl
+           / (SELECT count(*) FROM corpus) AS avgdl,
+         (SELECT coalesce(sum(doclen), 0) FROM dl) AS body_total
 ),
 tf AS (
   SELECT doc_id, 'body' AS stream, term, count(*) AS tf FROM body_tok GROUP BY doc_id, term
@@ -49,7 +50,7 @@ tf AS (
   UNION ALL SELECT doc_id, 'lang' AS stream, lang_text AS term, 1 AS tf FROM corpus
   UNION ALL SELECT doc_id, 'repo' AS stream, repo_text AS term, 1 AS tf FROM corpus
 ),
-dfreq AS (SELECT stream, term, count(*) AS df FROM tf GROUP BY stream, term)"""
+dfreq AS (SELECT stream, term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY stream, term)"""
 
 _STREAM_TEXT = {"body": "body_text", "path": "path_text", "lang": "lang_text", "repo": "repo_text"}
 
@@ -167,6 +168,18 @@ def _hits_cte(
             contrib = (
                 f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
                 f"1.0 {boost_sql}ELSE 0.0 END"
+            )
+        elif similarity == "lm_dirichlet":
+            # Lucene LMDirichletSimilarity (plans/scoring.py): per-term
+            # clamp at 0; μ·p(t) parenthesized exactly like mu_p_map so
+            # the folded constants match the engine's float64
+            mu = "2000.0"
+            mu_p = f"({mu} * ((dfreq.ctf + 1.0) / (meta.body_total + 1.0)))"
+            contrib = (
+                f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
+                f"greatest(1.0 {boost_sql}* "
+                f"(ln(1.0 + tf.tf / {mu_p}) + "
+                f"ln({mu} / (coalesce(dl.doclen, 0) + {mu}))), 0.0) ELSE 0.0 END"
             )
         else:
             contrib = (

@@ -17,6 +17,17 @@ Supported query-time flavors (``FullTextIndex.search(similarity=...)``):
   (queryNorm and coord were removed in Lucene 7 — not reproduced.)
 - ``"boolean"``— Lucene BooleanSimilarity: contrib = boost per matched
   scoring key (score == number of matched scoring terms when unboosted).
+- ``"lm_dirichlet"`` — Lucene LMDirichletSimilarity (μ = 2000), body
+  field only (LM similarities are per-field; sumTotalTermFreq is a field
+  statistic). Per matched body key:
+      p(t)    = (ctf + 1) / (total_body_tokens + 1)
+      contrib = max(boost · (ln(1 + tf/(μ·p)) + ln(μ/(doclen + μ))), 0)
+  ctf (collection term frequency) is aggregated per query from the
+  postings table (a partition-pruned scan of just the query's terms);
+  total body tokens ≡ rint(n_docs·avgdl) — both integers, so every path
+  folds identical constants. The per-posting ln is evaluated by each
+  engine's libm (JVM / NumPy / DuckDB — each within 1 ulp); unlike the
+  other flavors the contract here is 4-dp equality, not bit equality.
 
 Design for zero storage change: the index persists only the BM25-shaped
 dictionary (idf) and per-posting (tf, bm25_partial). Both are exact
@@ -48,7 +59,10 @@ from __future__ import annotations
 
 import math
 
-SIMILARITIES = ("bm25", "classic", "boolean")
+SIMILARITIES = ("bm25", "classic", "boolean", "lm_dirichlet")
+
+# Lucene LMDirichletSimilarity's default smoothing parameter
+LMD_MU = 2000.0
 
 
 def check_similarity(similarity: str, plan, b: float) -> None:
@@ -64,10 +78,20 @@ def check_similarity(similarity: str, plan, b: float) -> None:
             "blended synonym / combined-fields groups are BM25-specific; "
             f"re-run with similarity='bm25' (got {similarity!r})"
         )
-    if similarity == "classic" and not b > 0.0:
+    if similarity in ("classic", "lm_dirichlet") and not b > 0.0:
         raise QueryPlanError(
-            "similarity='classic' needs doclens recovered from BM25 partials, "
-            "which requires config.bm25.b > 0"
+            f"similarity={similarity!r} needs doclens recovered from BM25 "
+            "partials, which requires config.bm25.b > 0"
+        )
+    if similarity == "lm_dirichlet" and any(
+        s != "body" for s, _t in getattr(plan, "scoring_keys", set())
+    ):
+        # Lucene's LM similarities are per-field (sumTotalTermFreq is a
+        # field statistic); we model the body field. Field-boosted non-body
+        # keys would need per-stream token totals the index doesn't keep.
+        raise QueryPlanError(
+            "similarity='lm_dirichlet' scores body-field terms only "
+            "(non-body scoring keys present)"
         )
 
 
@@ -101,6 +125,19 @@ def base_weight_map(
             c = classic_idf(df_from_bm25_idf(v, n_docs), n_docs)
             out[key] = c * c
         return out
-    if similarity == "boolean":
+    if similarity in ("boolean", "lm_dirichlet"):
+        # boolean: contribution IS the (boosted) weight. lm_dirichlet: the
+        # weight is the boost multiplier on the per-posting LM term (the
+        # smoothed-probability map ships separately — mu_p_map).
         return {key: 1.0 for key in idf}
     raise ValueError(f"unknown similarity {similarity!r}")
+
+
+def mu_p_map(ctf: dict, total_tokens: int, mu: float = LMD_MU) -> dict:
+    """Per-key μ·p(t) for LM Dirichlet: p(t) = (ctf + 1)/(total + 1) —
+    Lucene LMSimilarity.LMStats collectionProbability with its +1
+    smoothing. Computed driver-side once per query (float64), so every
+    scoring path folds the exact same constants."""
+    return {
+        key: mu * ((c + 1.0) / (total_tokens + 1.0)) for key, c in ctf.items()
+    }

@@ -29,7 +29,7 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("sim", ["classic", "boolean"])
+@pytest.mark.parametrize("sim", ["classic", "boolean", "lm_dirichlet"])
 @pytest.mark.parametrize("q", QUERIES)
 def test_similarity_vs_oracle_and_kernel(index, duck, q, sim):
     got_df = [
@@ -79,6 +79,31 @@ def test_classic_weight_map(index):
     c = 1.0 + math.log((index.n_docs + 1.0) / (df + 1.0))
     assert w == pytest.approx(c * c, rel=1e-12)
     assert classic_idf(df, index.n_docs) == pytest.approx(c, rel=1e-15)
+
+
+def test_lmd_collection_stats_exact(index, duck):
+    # Lucene totalTermFreq / sumTotalTermFreq, recomputed independently
+    ctf = index.ctf_for_keys({("body", "data"), ("body", "join")})
+    exp = dict(
+        duck.execute(
+            "SELECT term, sum(cnt) FROM (SELECT doc_id, term, count(*) AS cnt "
+            "FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z_][a-z0-9_]*|[0-9]+')) AS term FROM documents) "
+            "GROUP BY doc_id, term) WHERE term IN ('data', 'join') GROUP BY term"
+        ).fetchall()
+    )
+    assert ctf == {("body", k): int(v) for k, v in exp.items()}
+    total = duck.execute(
+        "SELECT count(*) FROM (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z_][a-z0-9_]*|[0-9]+')) FROM documents)"
+    ).fetchone()[0]
+    assert index.body_total_tokens() == int(total)
+
+
+def test_lmd_rejects_nonbody_scoring(index):
+    # field-boosted non-body keys become scoring keys — LMD is body-only
+    with pytest.raises(QueryPlanError):
+        index.search("lang:en^2 data", similarity="lm_dirichlet").collect()
 
 
 def test_similarity_rejects_groups_and_unknown(index):

@@ -1849,7 +1849,9 @@ ORDER BY df DESC, term ASC LIMIT 10"""
         FACETS_QUERY, by="lang", config=ENTRY_CONFIG
     )
     from bitfunnel_spark.plans.oracle import (
+        oracle_extended_stats_sql,
         oracle_facet_ranges_sql,
+        oracle_histogram_sql,
         oracle_significant_terms_sql,
     )
 
@@ -1857,6 +1859,26 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_facet_ranges"] = oracle_facet_ranges_sql(
         FACETS_QUERY, edges=RANGE_EDGES, config=ENTRY_CONFIG
     )
+    def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.histogram(get_index(spark, sf_dir), FACETS_QUERY, interval=32)
+
+    queries["ft_histogram"] = q_ft_histogram
+    oracles["ft_histogram"] = oracle_histogram_sql(
+        FACETS_QUERY, interval=32, config=ENTRY_CONFIG
+    )
+
+    def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.extended_stats(get_index(spark, sf_dir), FACETS_QUERY)
+
+    queries["ft_extended_stats"] = q_ft_extended_stats
+    oracles["ft_extended_stats"] = oracle_extended_stats_sql(
+        FACETS_QUERY, config=ENTRY_CONFIG
+    )
+
     queries["ft_significant_terms"] = q_ft_significant_terms
     oracles["ft_significant_terms"] = oracle_significant_terms_sql(
         SIGTERMS_QUERY, k=20, config=ENTRY_CONFIG

@@ -381,6 +381,51 @@ def oracle_facet_ranges_sql(
     )
 
 
+def oracle_histogram_sql(
+    query, interval: int = 32, config: BuildConfig | None = None
+) -> str:
+    """Fixed-interval histogram oracle mirroring plans/serving.histogram:
+    bucket = floor(doclen / interval) · interval over the match set."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    iv = int(interval)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT CAST(floor(coalesce(dl.doclen, 0) / {iv}) * {iv} AS BIGINT) AS bucket,\n"
+        f"       count(*)::BIGINT AS n_docs\n"
+        f"FROM m LEFT JOIN dl USING (doc_id)\n"
+        f"GROUP BY bucket ORDER BY bucket"
+    )
+
+
+def oracle_extended_stats_sql(query, config: BuildConfig | None = None) -> str:
+    """extended_stats oracle mirroring plans/serving.extended_stats: exact
+    int64 sum / sum-of-squares over the match set, then avg/var/std derived
+    with the SAME float64 op order (var = sumsq/n − (sum/n)·(sum/n))."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    mean = "(CAST(sum_doclen AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    var = f"(CAST(sum_sq AS DOUBLE) / CAST(n_docs AS DOUBLE) - {mean} * {mean})"
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"a AS (\n"
+        f"  SELECT count(*)::BIGINT AS n_docs,\n"
+        f"         sum(coalesce(dl.doclen, 0))::BIGINT AS sum_doclen,\n"
+        f"         min(coalesce(dl.doclen, 0))::BIGINT AS min_doclen,\n"
+        f"         max(coalesce(dl.doclen, 0))::BIGINT AS max_doclen,\n"
+        f"         sum(coalesce(dl.doclen, 0) * coalesce(dl.doclen, 0))::BIGINT AS sum_sq\n"
+        f"  FROM m LEFT JOIN dl USING (doc_id)\n"
+        f")\n"
+        f"SELECT n_docs, sum_doclen, min_doclen, max_doclen, sum_sq,\n"
+        f"       round({mean}, 4) AS avg_doclen,\n"
+        f"       round({var}, 4) AS var_doclen,\n"
+        f"       round(sqrt({var}), 4) AS std_doclen\n"
+        f"FROM a"
+    )
+
+
 def oracle_significant_terms_sql(
     query, k: int = 20, min_fg_df: int = 2, config: BuildConfig | None = None
 ) -> str:

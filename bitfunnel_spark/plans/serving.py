@@ -165,6 +165,65 @@ def facet_ranges(
     )
 
 
+def histogram(
+    index, query: str, interval: int = 32, facts: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-interval histogram aggregation over the match set (the
+    Elasticsearch histogram-agg shape) on body document length: bucket key
+    = floor(doclen / interval) · interval. Returns DataFrame[(bucket,
+    n_docs)] ordered by bucket; empty buckets absent (ES min_doc_count=1).
+    Same scale shape as facet_ranges: one doc_id equi-join + one groupBy
+    with map-side combine."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    matches = index.match(query, facts).select("doc_id")
+    dl = index.doc_stats.select("doc_id", "doclen")
+    bucket = (F.floor(F.col("doclen") / interval) * interval).cast("long")
+    return (
+        matches.join(dl, "doc_id")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def extended_stats(
+    index, query: str, facts: list[str] | None = None,
+) -> DataFrame:
+    """Extended statistics over the match set (the Elasticsearch
+    extended_stats-agg shape) on body document length: count, sum, min,
+    max, avg, sum of squares, population variance, population std dev.
+
+    Determinism: sum and sum_sq aggregate as exact int64 (doclen ≤ ~1e6 →
+    sum of squares < 2^63 at any realistic match size), then avg/variance/
+    std derive from those integers with a fixed float64 op order —
+    var = sumsq/n − (sum/n)·(sum/n) — the same expression the SQL oracle
+    uses, so results agree exactly (not just approximately) despite
+    distributed partial aggregation. Rounded to 4 dp.
+
+    Scale shape: one doc_id equi-join + ONE global agg (map-side partials;
+    the shuffle carries one row per partition)."""
+    matches = index.match(query, facts).select("doc_id")
+    dl = index.doc_stats.select("doc_id", "doclen")
+    agg = matches.join(dl, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("sum_doclen"),
+        F.min("doclen").alias("min_doclen"),
+        F.max("doclen").alias("max_doclen"),
+        F.sum(F.col("doclen") * F.col("doclen")).alias("sum_sq"),
+    )
+    n = F.col("n_docs").cast("double")
+    mean = F.col("sum_doclen").cast("double") / n
+    var = F.col("sum_sq").cast("double") / n - mean * mean
+    return agg.select(
+        "n_docs", "sum_doclen", "min_doclen", "max_doclen", "sum_sq",
+        F.round(mean, 4).alias("avg_doclen"),
+        F.round(var, 4).alias("var_doclen"),
+        F.round(F.sqrt(var), 4).alias("std_doclen"),
+    )
+
+
 def significant_terms(
     index, query: str, k: int = 20, min_fg_df: int = 2,
     facts: list[str] | None = None,

@@ -600,6 +600,46 @@ def test_facet_ranges_partition_match_set(index):
     assert los == sorted(los) and set(los) <= set(edges)
 
 
+def test_histogram_vs_oracle(index, duck):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.oracle import oracle_histogram_sql
+
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in serving.histogram(index, "data | the", interval=32).collect()
+    ]
+    exp = duck.execute(oracle_histogram_sql("data | the", interval=32)).fetchall()
+    assert got == [(int(b), int(n)) for b, n in exp]
+    assert sum(n for _, n in got) == index.match("data | the").count()
+    assert all(b % 32 == 0 for b, _ in got)
+
+
+def test_extended_stats_vs_oracle(index, duck):
+    import pytest as _pt
+
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.oracle import oracle_extended_stats_sql
+
+    row = serving.extended_stats(index, "data -slow").collect()[0]
+    exp = duck.execute(oracle_extended_stats_sql("data -slow")).fetchone()
+    e = dict(
+        zip(
+            [
+                "n_docs", "sum_doclen", "min_doclen", "max_doclen", "sum_sq",
+                "avg_doclen", "var_doclen", "std_doclen",
+            ],
+            exp,
+        )
+    )
+    for c in ["n_docs", "sum_doclen", "min_doclen", "max_doclen", "sum_sq"]:
+        assert int(row[c]) == int(e[c]), c
+    for c in ["avg_doclen", "var_doclen", "std_doclen"]:
+        assert row[c] == _pt.approx(float(e[c]), abs=1e-9), c
+    # internal consistency: std ≈ sqrt(var), var ≥ 0
+    assert row["var_doclen"] >= 0
+    assert row["std_doclen"] == _pt.approx(row["var_doclen"] ** 0.5, abs=1e-3)
+
+
 def test_significant_terms_query_terms_rank_high(index):
     from bitfunnel_spark.plans import serving
 

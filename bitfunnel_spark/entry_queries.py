@@ -1456,12 +1456,17 @@ DRIVER_WINDOW = [
     # mix now raises) which cannot affect valid-wildcard results
     # expansion / serving entries kept under live driver check
     # (ft_bm25_common and ft_shard_assignment rotated out on their r02
-    # greens for the new phrase-prefix and filter-context entries)
-    "ft_bm25_prefix", "ft_bm25_fuzzy", "ft_bm25_phrase_prefix",
+    # greens for the new phrase-prefix and filter-context entries;
+    # ft_bm25_prefix / ft_bm25_fuzzy ride their r02 greens — expand.py's
+    # round-3 fix touched only the regex prune, live-checked by
+    # ft_bm25_regex_alt / ft_bm25_regex_opt)
+    "ft_bm25_phrase_prefix",
     "ft_bm25_filter_ctx",
-    # ft_suggest rotated out on its r02 green (suggester code untouched
-    # this round; ft_did_you_mean stays as the live suggest-family check)
-    "ft_did_you_mean",
+    # ft_suggest and ft_did_you_mean ride their r02 greens (suggester
+    # code untouched this round); slots go to the new similarity /
+    # retrieval paths: pluggable LM-Dirichlet scoring, two-pass rescore,
+    # multi-field multi_match
+    "ft_lmdirichlet", "ft_rescore", "ft_multi_match",
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
     # / ft_shard_assignment slots — all r02 green; statistics still
     # represented by ft_idf_table, sharding by ft_shard_plan)

@@ -1888,6 +1888,85 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_significant_terms"] = oracle_significant_terms_sql(
         SIGTERMS_QUERY, k=20, config=ENTRY_CONFIG
     )
+
+    # named-query aggregations (ES filters / adjacency_matrix /
+    # matched_queries): the whole named set evaluates as ONE batched
+    # kernel job (plans/batch.match_many)
+    from bitfunnel_spark.plans.oracle import (
+        oracle_adjacency_sql,
+        oracle_composite_sql,
+        oracle_filters_agg_sql,
+        oracle_matched_queries_sql,
+        oracle_random_score_sql,
+    )
+
+    NAMED_FILTERS = {
+        "fastkey": "fast & key",
+        "slow": "slow",
+        "rowscan": '"row scan"',
+        "absent": "zzzqqqxx",
+    }
+
+    def q_ft_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.filters_agg(get_index(spark, sf_dir), NAMED_FILTERS)
+
+    queries["ft_filters_agg"] = q_ft_filters_agg
+    oracles["ft_filters_agg"] = oracle_filters_agg_sql(
+        NAMED_FILTERS, config=ENTRY_CONFIG
+    )
+
+    def q_ft_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.adjacency_matrix(get_index(spark, sf_dir), NAMED_FILTERS)
+
+    queries["ft_adjacency"] = q_ft_adjacency
+    oracles["ft_adjacency"] = oracle_adjacency_sql(NAMED_FILTERS, config=ENTRY_CONFIG)
+
+    MQ_NAMED = {"haskey": "key", "hasscan": "scan", "langen": "lang:en"}
+
+    def q_ft_matched_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.matched_queries(
+            get_index(spark, sf_dir), "data & fast", MQ_NAMED, k=10
+        )
+
+    queries["ft_matched_queries"] = q_ft_matched_queries
+    oracles["ft_matched_queries"] = oracle_matched_queries_sql(
+        "data & fast", MQ_NAMED, k=10, config=ENTRY_CONFIG
+    )
+
+    # composite pagination: page TWO (after-key from page one's last
+    # bucket at any SF — ('en', 'src1') is deterministic in the testdata
+    # lang/source value sets) so the driver exercises the after-key path
+    COMPOSITE_AFTER = ("en", "src1")
+
+    def q_ft_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.composite_agg(
+            get_index(spark, sf_dir), FACETS_QUERY, by=("lang", "repo"),
+            size=7, after=COMPOSITE_AFTER,
+        )
+
+    queries["ft_composite"] = q_ft_composite
+    oracles["ft_composite"] = oracle_composite_sql(
+        FACETS_QUERY, by=("lang", "repo"), size=7, after=COMPOSITE_AFTER,
+        config=ENTRY_CONFIG,
+    )
+
+    def q_ft_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.random_score(get_index(spark, sf_dir), FACETS_QUERY, seed=99, k=15)
+
+    queries["ft_random_score"] = q_ft_random_score
+    oracles["ft_random_score"] = oracle_random_score_sql(
+        FACETS_QUERY, seed=99, k=15, config=ENTRY_CONFIG
+    )
     queries["ft_hybrid"] = q_ft_hybrid
     oracles["ft_hybrid"] = oracle_hybrid_sql(
         HYBRID_QUERY, HYBRID_VEC_ID, k=10, config=ENTRY_CONFIG

@@ -1039,3 +1039,136 @@ hits AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM hits
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+def _plans_and_extra(filters: dict[str, str]):
+    names = sorted(filters)
+    plans = {n: _as_plan(filters[n]) for n in names}
+    extra: set[tuple[str, str]] = set()
+    for n in names[1:]:
+        extra |= plans[n].terms
+    return names, plans, extra
+
+
+def oracle_filters_agg_sql(
+    filters: dict[str, str], config: BuildConfig | None = None
+) -> str:
+    """filters-agg oracle mirroring plans/serving.filters_agg: one count
+    per named query over the shared hits CTE (every bucket present, 0 when
+    empty)."""
+    config = config or BuildConfig()
+    names, plans, extra = _plans_and_extra(filters)
+    selects = [
+        f"SELECT {_q(n)} AS name, (SELECT count(*) FROM hits h "
+        f"WHERE {_bool_sql(plans[n].ast)})::BIGINT AS n_docs"
+        for n in names
+    ]
+    return (
+        f"WITH {CORPUS_CTE},\n"
+        f"{_hits_cte(plans[names[0]], config, extra_terms=extra)}\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY name"
+    )
+
+
+def oracle_adjacency_sql(
+    filters: dict[str, str], config: BuildConfig | None = None
+) -> str:
+    """adjacency_matrix oracle mirroring plans/serving.adjacency_matrix:
+    pairwise (a <= b, diagonal included) intersection counts, only
+    non-empty buckets."""
+    config = config or BuildConfig()
+    names, plans, extra = _plans_and_extra(filters)
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            selects.append(
+                f"SELECT {_q(a)} AS a, {_q(b)} AS b, "
+                f"(SELECT count(*) FROM hits h WHERE ({_bool_sql(plans[a].ast)}) "
+                f"AND ({_bool_sql(plans[b].ast)}))::BIGINT AS n_docs"
+            )
+    return (
+        f"WITH {CORPUS_CTE},\n"
+        f"{_hits_cte(plans[names[0]], config, extra_terms=extra)}\n"
+        f"SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) + "\n) u\n"
+        f"WHERE n_docs > 0 ORDER BY a, b"
+    )
+
+
+def oracle_matched_queries_sql(
+    query, named: dict[str, str], k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """matched_queries oracle mirroring plans/serving.matched_queries: the
+    main query's top-k (oracle_search_sql semantics) annotated with the
+    sorted list of named clauses each hit also matches ([] when none)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    names, plans, _ = _plans_and_extra(named)
+    extra: set[tuple[str, str]] = set()
+    for n in names:
+        extra |= plans[n].terms
+    cases = ", ".join(
+        f"CASE WHEN {_bool_sql(plans[n].ast)} THEN {_q(n)} END" for n in names
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config, extra_terms=extra)},\n"
+        f"topk AS (\n"
+        f"  SELECT h.doc_id, round(h.score, 4) AS score FROM hits h\n"
+        f"  WHERE ({_bool_sql(plan.ast)})\n"
+        f"  ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}\n"
+        f")\n"
+        f"SELECT t.doc_id AS doc_id, t.score AS score,\n"
+        f"       list_sort(list_filter([{cases}], x -> x IS NOT NULL)) AS matched\n"
+        f"FROM topk t JOIN hits h USING (doc_id)\n"
+        f"ORDER BY t.score DESC, t.doc_id ASC"
+    )
+
+
+def oracle_composite_sql(
+    query, by: tuple[str, ...] = ("lang", "repo"), size: int = 10,
+    after: tuple | None = None, config: BuildConfig | None = None,
+) -> str:
+    """composite-agg oracle mirroring plans/serving.composite_agg:
+    match-set bucket counts over corpus metadata, after-key paginated.
+    Metadata mapping mirrors sources/corpus.corpus_from_documents
+    (repo <- source, lang <- lang)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    mcol = {"lang": "d.lang", "repo": "d.source"}
+    sel = ", ".join(f"{mcol[c]} AS {c}" for c in by)
+    where = ""
+    if after is not None:
+        ors = []
+        for i in range(len(by)):
+            parts = [f"{mcol[by[j]]} = {_q(str(after[j]))}" for j in range(i)]
+            parts.append(f"{mcol[by[i]]} > {_q(str(after[i]))}")
+            ors.append("(" + " AND ".join(parts) + ")")
+        where = "WHERE " + " OR ".join(ors) + "\n"
+    order = ", ".join(by)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT {sel}, count(*)::BIGINT AS n_docs\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"{where}GROUP BY ALL ORDER BY {order} LIMIT {int(size)}"
+    )
+
+
+def oracle_random_score_sql(
+    query, seed: int = 17, k: int = 10, config: BuildConfig | None = None,
+) -> str:
+    """random_score oracle mirroring plans/serving.random_score: the same
+    int64-safe LCG hash (((doc_id + seed) mod 2^31)·1103515245 + 12345)
+    mod 2^31, scaled to [0,1) and rounded 6 dp."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    m = 2147483648
+    h = f"((((h.doc_id + {int(seed)}) % {m}) * 1103515245 + 12345) % {m})"
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"SELECT h.doc_id AS doc_id,\n"
+        f"       round(CAST({h} AS DOUBLE) / {m}.0, 6) AS score\n"
+        f"FROM hits h WHERE ({_bool_sql(plan.ast)})\n"
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -1004,3 +1004,187 @@ def more_like_this(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+def _filter_names_df(index, filters: dict[str, str]):
+    names = sorted(filters)
+    name_df = index.spark.createDataFrame(
+        list(enumerate(names)), "query_id int, name string"
+    )
+    return names, name_df
+
+
+def filters_agg(
+    index, filters: dict[str, str], facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: one bucket per named query, counted over
+    the whole corpus in ONE job. Returns DataFrame[(name, n_docs)] ordered
+    by name; every named bucket is present (count 0 when empty — the ES
+    keyed-buckets shape).
+
+    Scale shape: the entire filter set evaluates as one ``match_many``
+    batched-kernel job (queries-as-data, shared block cache — no per-filter
+    job floor), counts are a map-side partial agg on query_id (a handful of
+    groups), and the post-agg count table (≤ |filters| rows) broadcasts
+    back onto the tiny name table. Nothing here grows with the corpus
+    except the one shared match job.
+    """
+    from bitfunnel_spark.plans.batch import match_many
+
+    names, name_df = _filter_names_df(index, filters)
+    m = match_many(index, [filters[n] for n in names], facts)
+    counts = m.groupBy("query_id").agg(F.count("*").alias("n"))
+    return (
+        name_df.join(F.broadcast(counts), "query_id", "left")
+        .select(
+            "name", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs")
+        )
+        .orderBy("name")
+    )
+
+
+def adjacency_matrix(
+    index, filters: dict[str, str], facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: for every pair of named queries
+    (including the diagonal), the number of documents matching BOTH.
+    Returns DataFrame[(a, b, n_docs)] for a <= b, only non-empty buckets
+    (the ES contract), ordered (a, b).
+
+    Scale shape: one ``match_many`` job produces every filter's match set;
+    the pair counts are a self-equi-join on doc_id (each doc expands to
+    F^2 pairs where F = filters matching THAT doc — bounded by the filter
+    count, not the corpus) followed by a partial-agg groupBy on the
+    |filters|^2-row key space.
+    """
+    from bitfunnel_spark.plans.batch import match_many
+
+    names, name_df = _filter_names_df(index, filters)
+    m = match_many(index, [filters[n] for n in names], facts)
+    named = m.join(F.broadcast(name_df), "query_id").select("name", "doc_id")
+    a, b = named.alias("a"), named.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.name") <= F.col("b.name")),
+    )
+    return (
+        pairs.groupBy(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("a", "b")
+    )
+
+
+def matched_queries(
+    index, query: str, named: dict[str, str], k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``matched_queries`` per-hit annotation: the main query's BM25
+    top-k, each hit carrying the sorted list of named clauses it also
+    matches. Returns DataFrame[(doc_id, score, matched array<string>)]
+    ordered (score desc, doc_id asc); ``matched`` is [] when none apply.
+
+    Scale shape: the main query runs the normal top-k path; the named
+    clauses evaluate in ONE ``match_many`` job whose output is immediately
+    semi-joined against the broadcast k-row result (so only k·|named| rows
+    survive to the collect_list agg), and the k-row annotation table
+    broadcasts back onto the result. Annotation cost is one shared batch
+    job regardless of how many clauses are registered.
+    """
+    from bitfunnel_spark.plans.batch import match_many
+
+    names, name_df = _filter_names_df(index, named)
+    topk = index.search(query, k, facts=facts)
+    m = match_many(index, [named[n] for n in names], facts).join(
+        F.broadcast(name_df), "query_id"
+    )
+    ann = (
+        m.join(F.broadcast(topk.select("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("name")).alias("matched"))
+    )
+    return (
+        topk.join(F.broadcast(ann), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            F.coalesce(F.col("matched"), F.array().cast("array<string>")).alias(
+                "matched"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def composite_agg(
+    index, query: str, by: tuple[str, ...] = ("lang", "repo"),
+    size: int = 10, after: tuple | None = None,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source buckets over the match
+    set, paginated by after-key — THE way to export every bucket of a
+    high-cardinality agg without a deep window. Returns
+    DataFrame[(*by, n_docs)] ordered by the bucket key tuple ascending,
+    starting strictly after ``after`` (a tuple matching ``by``), ≤ size
+    rows; the caller passes the last row's key as the next ``after``.
+
+    Scale shape: one doc_id equi-join (match set × metadata projection) +
+    one partial-agg groupBy; the after-key filter is a plain predicate
+    pushed below the agg's shuffle, and each page is TopK-by-key (limit
+    over a sort on the grouped output, never a global window over all
+    buckets). Page cost is independent of how many pages precede it.
+    """
+    matches = index.match(query, facts).select("doc_id")
+    meta = index.corpus.select("doc_id", *by)
+    g = meta.join(matches, "doc_id")
+    if after is not None:
+        if len(after) != len(by):
+            raise ValueError("after key must match `by` arity")
+        cond = None
+        for i in range(len(by)):
+            eq = None
+            for j in range(i):
+                e = F.col(by[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(by[i]) > F.lit(after[i])
+            c = gt if eq is None else (eq & gt)
+            cond = c if cond is None else (cond | c)
+        g = g.filter(cond)
+    return (
+        g.groupBy(*by)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(*by)
+        .limit(size)
+    )
+
+
+def random_score(
+    index, query: str, seed: int = 17, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``function_score`` random_score with seed + field: a
+    deterministic pseudo-random ordering of the match set (uniform
+    sampling of matching docs — ES hashes the seed with a per-doc field
+    exactly so results are reproducible). hash = (((doc_id + seed) mod
+    2^31) · 1103515245 + 12345) mod 2^31 — the seed shifts the
+    MULTIPLICAND, so different seeds give genuinely different orderings
+    (an additive post-multiply seed would only rotate the hash space);
+    all int64-safe at any doc_id. score = hash / 2^31 rounded 6 dp.
+    Returns DataFrame[(doc_id, score)] ordered (score desc, doc_id asc),
+    ≤ k rows.
+
+    Scale shape: the hash is one fused integer expression on the match
+    set; top-k is the usual TakeOrderedAndProject. Zero extra scans or
+    shuffles over a plain match.
+    """
+    m = F.lit(2147483648)
+    h = (((F.col("doc_id") + F.lit(int(seed))) % m) * F.lit(1103515245) + F.lit(12345)) % m
+    matches = index.match(query, facts).select("doc_id")
+    return (
+        matches.select(
+            "doc_id",
+            F.round(h.cast("double") / m.cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

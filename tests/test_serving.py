@@ -651,3 +651,132 @@ def test_significant_terms_query_terms_rank_high(index):
     assert lifts == sorted(lifts, reverse=True)
     for r in out:
         assert r["fg_df"] <= r["bg_df"]
+
+
+NAMED_FILTER_SET = {
+    "fastkey": "fast & key",
+    "slow": "slow",
+    "rowscan": '"row scan"',
+    "absent": "zzzqqqxx",
+}
+
+
+def test_filters_agg_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_filters_agg_sql
+
+    got = [
+        (r["name"], r["n_docs"])
+        for r in serving.filters_agg(index, NAMED_FILTER_SET).collect()
+    ]
+    exp = duck.execute(oracle_filters_agg_sql(NAMED_FILTER_SET)).fetchall()
+    assert got == [(n, int(c)) for n, c in exp]
+    d = dict(got)
+    # every named bucket present; empty filter counts 0; counts match the
+    # single-query matcher
+    assert set(d) == set(NAMED_FILTER_SET)
+    assert d["absent"] == 0
+    for name, q in NAMED_FILTER_SET.items():
+        if name != "absent":
+            assert d[name] == index.match(q).count()
+
+
+def test_adjacency_matrix_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_adjacency_sql
+
+    got = [
+        (r["a"], r["b"], r["n_docs"])
+        for r in serving.adjacency_matrix(index, NAMED_FILTER_SET).collect()
+    ]
+    exp = duck.execute(oracle_adjacency_sql(NAMED_FILTER_SET)).fetchall()
+    assert got == [(a, b, int(c)) for a, b, c in exp]
+    d = {(a, b): c for a, b, c in got}
+    # diagonal equals the filter's own count; pairs bounded by min of arms
+    assert all(a <= b for a, b in d)
+    for name, q in NAMED_FILTER_SET.items():
+        n = index.match(q).count()
+        if n:
+            assert d[(name, name)] == n
+    for (a, b), c in d.items():
+        if a != b:
+            assert c <= min(d[(a, a)], d[(b, b)])
+
+
+def test_matched_queries_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_matched_queries_sql
+
+    named = {"haskey": "key", "hasscan": "scan", "langen": "lang:en"}
+    res = serving.matched_queries(index, "data & fast", named, k=10).collect()
+    got = [(r["doc_id"], r["score"], tuple(r["matched"])) for r in res]
+    exp = [
+        (d, pytest.approx(s, abs=2e-4), tuple(m))
+        for d, s, m in duck.execute(
+            oracle_matched_queries_sql("data & fast", named, k=10)
+        ).fetchall()
+    ]
+    assert got == exp
+    # annotation must agree with the per-query matchers
+    for r in res:
+        for name, q in named.items():
+            member = (
+                index.match(q).filter(f"doc_id = {r['doc_id']}").count() == 1
+            )
+            assert (name in r["matched"]) == member
+    # top-k itself is the plain search result
+    plain = [(r["doc_id"], r["score"]) for r in index.search("data & fast", k=10).collect()]
+    assert [(d, s) for d, s, _ in got] == plain
+
+
+def test_composite_agg_pagination(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_composite_sql
+
+    q = "data | the"
+    pages, after, seen = [], None, 0
+    while True:
+        page = serving.composite_agg(index, q, by=("lang", "repo"), size=5, after=after).collect()
+        exp = duck.execute(
+            oracle_composite_sql(q, by=("lang", "repo"), size=5, after=after)
+        ).fetchall()
+        assert [(r["lang"], r["repo"], r["n_docs"]) for r in page] == [
+            (l, s, int(c)) for l, s, c in exp
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["lang"], page[-1]["repo"])
+        seen += 1
+        assert seen < 50  # paranoia: pagination must terminate
+    # pages concatenate to the full agg, keys strictly ascending, counts
+    # sum to the match-set size
+    keys = [(r["lang"], r["repo"]) for r in pages]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert sum(r["n_docs"] for r in pages) == index.match(q).count()
+
+
+def test_composite_after_arity_error(index):
+    with pytest.raises(ValueError):
+        serving.composite_agg(index, "data", by=("lang", "repo"), after=("en",)).collect()
+
+
+def test_random_score_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_random_score_sql
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in serving.random_score(index, "data | the", seed=99, k=15).collect()
+    ]
+    exp = duck.execute(oracle_random_score_sql("data | the", seed=99, k=15)).fetchall()
+    assert got == [(d, pytest.approx(s, abs=1e-9)) for d, s in exp]
+    # deterministic across repeat runs; different seed reorders
+    again = [
+        (r["doc_id"], r["score"])
+        for r in serving.random_score(index, "data | the", seed=99, k=15).collect()
+    ]
+    assert got == again
+    other = [
+        r["doc_id"]
+        for r in serving.random_score(index, "data | the", seed=100, k=15).collect()
+    ]
+    assert [d for d, _ in got] != other
+    # members of the match set only
+    members = {r["doc_id"] for r in index.match("data | the").collect()}
+    assert {d for d, _ in got} <= members

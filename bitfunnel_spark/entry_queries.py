@@ -1205,6 +1205,14 @@ def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.span_first(get_index(spark, sf_dir), "data fast", "data", 8, k=10)
 
 
+def q_ft_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.plans import serving
+
+    return serving.span_near(
+        get_index(spark, sf_dir), ["key", "table", "value"], slop=1, k=10
+    )
+
+
 def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1812,6 +1820,12 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     queries["ft_span_first"] = q_ft_span_first
     oracles["ft_span_first"] = oracle_span_first_sql(
         "data fast", "data", 8, k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_span_near_sql
+
+    queries["ft_span_near"] = q_ft_span_near
+    oracles["ft_span_near"] = oracle_span_near_sql(
+        ["key", "table", "value"], slop=1, k=10, config=ENTRY_CONFIG
     )
     from bitfunnel_spark.plans.oracle import oracle_boosting_sql
 

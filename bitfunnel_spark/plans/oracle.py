@@ -1172,3 +1172,48 @@ def oracle_random_score_sql(
         f"FROM hits h WHERE ({_bool_sql(plan.ast)})\n"
         f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def oracle_span_near_sql(
+    terms: list[str], slop: int = 0, k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """span_near (unordered) oracle mirroring plans/serving.span_near:
+    the all-terms AND query's top-k (oracle_search_sql scoring) restricted
+    to docs with one occurrence of each term at distinct positions with
+    max(p)-min(p) <= (n-1)+slop, any order."""
+    config = config or BuildConfig()
+    toks = [t.lower() for t in terms]
+    n = len(toks)
+    plan = _as_plan(" & ".join(toks))
+    ptok = (
+        f"(SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS t, "
+        f"unnest(range(1, len(regexp_extract_all(body_text, '{_PAT}')) + 1)) AS p "
+        f"FROM corpus)"
+    )
+    joins = [f"{ptok} p1"]
+    conds = [f"p1.t = {_q(toks[0])}"]
+    for i in range(2, n + 1):
+        joins.append(f"JOIN {ptok} p{i} ON p{i}.doc_id = p1.doc_id")
+        conds.append(f"p{i}.t = {_q(toks[i - 1])}")
+    # distinct positions (terms are distinct so this is implied, but the
+    # engine's packed-key patterns enforce it; keep the mirror exact)
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            conds.append(f"p{i}.p <> p{j}.p")
+    plist = ", ".join(f"p{i}.p" for i in range(1, n + 1))
+    conds.append(f"greatest({plist}) - least({plist}) <= {n - 1 + int(slop)}")
+    near = (
+        "near AS (SELECT DISTINCT p1.doc_id FROM "
+        + " ".join(joins)
+        + " WHERE "
+        + " AND ".join(conds)
+        + ")"
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n{near}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
+        f"FROM hits h JOIN near USING (doc_id)\n"
+        f"WHERE ({_bool_sql(plan.ast)})\n"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}"
+    )

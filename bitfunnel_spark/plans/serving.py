@@ -1188,3 +1188,156 @@ def random_score(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _near_offset_vectors(n: int, slop: int) -> list[tuple[int, ...]]:
+    """Every position pattern an UNORDERED span_near allows: n DISTINCT
+    offsets containing 0 with max <= (n-1)+slop, assigned to the terms in
+    every order. Any occurrence tuple with span max(p)-min(p) <=
+    (n-1)+slop normalizes (subtract min) to exactly one such vector, so
+    the enumeration is exact. C((n-1)+slop, n-1)·n! patterns, capped like
+    the ordered sloppy-phrase enumeration."""
+    from itertools import combinations, permutations
+    from math import comb, factorial
+
+    from bitfunnel_spark.plans.kernel import MAX_SLOP_PATTERNS
+
+    count = comb(n - 1 + slop, n - 1) * factorial(n)
+    if count > MAX_SLOP_PATTERNS:
+        raise ValueError(
+            f"span_near slop {slop} over {n} terms needs {count} patterns "
+            f"(max {MAX_SLOP_PATTERNS})"
+        )
+    out: list[tuple[int, ...]] = []
+    for c in combinations(range(1, n + slop), n - 1):
+        out.extend(permutations((0, *c)))
+    return out
+
+
+def span_near(
+    index, terms: list[str], slop: int = 0, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Lucene ``SpanNearQuery`` with in_order=false: top-k of the
+    all-terms AND query's BM25-scored match set restricted to documents
+    where one occurrence of EACH term fits in a window of span
+    max(p)-min(p) <= (n-1)+slop, in ANY order (the unordered complement
+    of the ordered ``"a b"~slop`` sloppy phrase). Returns
+    DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+
+    Scale shape: scoring is the normal AND-query path; the span
+    constraint decodes the terms' positional postings per (shard, slice)
+    group — the same two-IN-list pushdown scan every query term uses —
+    and evaluates as packed (doc << POS_BITS | start)-key intersections
+    per allowed offset vector (the sloppy-phrase kernel generalized to
+    unordered assignments; positions decode ONCE per term and are reused
+    across patterns). Indexes without usable positions fall back to an
+    exact distributed smallest-window check over the tokenized corpus
+    (Arrow-batched; same fallback policy as phrases).
+    """
+    from bitfunnel_spark.plans.executor import scored_matches
+    from bitfunnel_spark.plans.kernel import (
+        POS_BITS,
+        _segment_filter,
+        use_positional_phrases,
+    )
+
+    toks = [t.lower() for t in terms]
+    n = len(toks)
+    if n < 2:
+        raise ValueError("span_near needs at least two terms")
+    if len(set(toks)) != n:
+        raise ValueError("span_near terms must be distinct")
+    patterns = _near_offset_vectors(n, int(slop))
+    scored = scored_matches(index, " & ".join(toks), facts)
+    import numpy as np
+    import pandas as pd
+
+    if index.segments is not None and use_positional_phrases(index):
+        from bitfunnel_spark.operators.segments import (
+            _term_key_py,
+            decode_group_positions,
+        )
+
+        key_to_idx = {_term_key_py("body", t): i for i, t in enumerate(toks)}
+        off = max(16, n + int(slop))
+        lim = np.int64(1) << np.int64(POS_BITS)
+        seg = index.segments.filter(
+            _segment_filter(index, {("body", t) for t in toks})
+        )
+
+        def near_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            if not len(pdf):
+                return empty
+            occ: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for key, rows in pdf.groupby("term_key"):
+                i = key_to_idx.get(int(key))
+                if i is None:
+                    continue
+                d, t, p = decode_group_positions(rows)
+                if d.size:
+                    occ[i] = (np.repeat(d, t).astype(np.int64), p.astype(np.int64))
+            if len(occ) != n:
+                return empty
+            packed = []
+            for offsets in patterns:
+                keys = None
+                for i in range(n):
+                    docs_i, p_i = occ[i]
+                    shifted = p_i - offsets[i] + off
+                    ok = shifted < lim
+                    kk = (docs_i[ok] << np.int64(POS_BITS)) + shifted[ok]
+                    keys = kk if keys is None else keys[np.isin(keys, kk)]
+                    if keys.size == 0:
+                        keys = None
+                        break
+                if keys is not None:
+                    packed.append(keys >> np.int64(POS_BITS))
+            if not packed:
+                return empty
+            return pd.DataFrame(
+                {"doc_id": np.unique(np.concatenate(packed)).astype("int64")}
+            )
+
+        docs = seg.groupBy("shard", "slice").applyInPandas(near_docs, "doc_id long")
+    else:
+        span = n - 1 + int(slop)
+        tok_to_idx = {t: i for i, t in enumerate(toks)}
+        tk = index.corpus.select("doc_id", tokenize("content").alias("tk"))
+
+        def check(batches):
+            for pdf in batches:
+                keep = []
+                for doc, arr in zip(pdf["doc_id"], pdf["tk"]):
+                    occs = [
+                        (p, tok_to_idx[t])
+                        for p, t in enumerate(arr)
+                        if t in tok_to_idx
+                    ]
+                    # two-pointer smallest window containing every term
+                    need, have, cnt, lo, hit = n, 0, [0] * n, 0, False
+                    for hi, (p, i) in enumerate(occs):
+                        cnt[i] += 1
+                        if cnt[i] == 1:
+                            have += 1
+                        while have == need:
+                            if p - occs[lo][0] <= span:
+                                hit = True
+                                break
+                            cnt[occs[lo][1]] -= 1
+                            if cnt[occs[lo][1]] == 0:
+                                have -= 1
+                            lo += 1
+                        if hit:
+                            break
+                    if hit:
+                        keep.append(doc)
+                yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+        docs = tk.mapInPandas(check, "doc_id long")
+    return (
+        scored.join(docs, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

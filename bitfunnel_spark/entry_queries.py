@@ -1972,6 +1972,24 @@ ORDER BY df DESC, term ASC LIMIT 10"""
         config=ENTRY_CONFIG,
     )
 
+    RANK_EVAL_CASES = [
+        ("data & fast", "data & fast & key"),
+        ("row | scan", '"row scan"'),
+        ("key value", "lang:en key"),
+    ]
+
+    def q_ft_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.rank_eval(get_index(spark, sf_dir), RANK_EVAL_CASES, k=10)
+
+    from bitfunnel_spark.plans.oracle import oracle_rank_eval_sql
+
+    queries["ft_rank_eval"] = q_ft_rank_eval
+    oracles["ft_rank_eval"] = oracle_rank_eval_sql(
+        RANK_EVAL_CASES, k=10, config=ENTRY_CONFIG
+    )
+
     def q_ft_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bitfunnel_spark.plans import serving
 

@@ -1217,3 +1217,47 @@ def oracle_span_near_sql(
         f"WHERE ({_bool_sql(plan.ast)})\n"
         f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}"
     )
+
+
+def oracle_rank_eval_sql(
+    cases: list[tuple[str, str]], k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """rank_eval oracle mirroring plans/serving.rank_eval: per case the
+    run is oracle_search_sql (same rank order: rounded score desc, doc_id
+    asc), the relevant set is oracle_match_sql of the qrel query, metrics
+    identical (binary nDCG, 1/log2(rank+1))."""
+    config = config or BuildConfig()
+    selects = []
+    for qid, (q, qrel) in enumerate(cases):
+        search = oracle_search_sql(q, k=k, config=config)
+        match = oracle_match_sql(qrel, config=config)
+        selects.append(f"""SELECT {qid} AS query_id, * FROM (
+WITH run AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({search})
+),
+rel AS (SELECT doc_id FROM ({match})),
+nrel AS (SELECT count(*) AS n_rel FROM rel),
+hit AS (SELECT r.rank FROM run r JOIN rel USING (doc_id)),
+acc AS (
+  SELECT count(*) AS n_hit,
+         coalesce(sum(1.0 / log2(rank + 1)), 0.0) AS dcg,
+         min(rank) AS min_rank
+  FROM hit
+),
+idcg AS (
+  SELECT coalesce(sum(1.0 / log2(i + 1)), 0.0) AS idcg
+  FROM (SELECT unnest(range(1, 1 + least({int(k)}, (SELECT n_rel FROM nrel)))) AS i)
+)
+SELECT nrel.n_rel::BIGINT AS n_rel,
+       round(acc.n_hit / {float(k)!r}, 4) AS p_at_k,
+       round(CASE WHEN nrel.n_rel > 0
+             THEN CAST(acc.n_hit AS DOUBLE) / nrel.n_rel ELSE 0.0 END, 4) AS recall_at_k,
+       round(CASE WHEN acc.min_rank IS NOT NULL
+             THEN 1.0 / acc.min_rank ELSE 0.0 END, 4) AS rr,
+       round(CASE WHEN idcg.idcg > 0
+             THEN acc.dcg / idcg.idcg ELSE 0.0 END, 4) AS ndcg
+FROM acc, nrel, idcg
+)""")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY query_id"

@@ -1341,3 +1341,91 @@ def span_near(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rank_eval(
+    index, cases: list[tuple[str, str]], k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES Ranking Evaluation API (_rank_eval): retrieval quality metrics
+    for a query log. Each case is (search_query, qrel_query): the run is
+    the search query's BM25 top-k, the relevant set is the qrel query's
+    full match set (binary relevance — the deterministic analogue of a
+    hand-labeled qrel list). Returns one row per case:
+    DataFrame[(query_id, n_rel, p_at_k, recall_at_k, rr, ndcg)] ordered
+    by query_id, metrics rounded 4 dp. rr = 1/rank of the first relevant
+    hit (0 when none); ndcg uses binary gains, 1/log2(rank+1) discounts,
+    ideal DCG over min(k, n_rel) positions.
+
+    Scale shape: ALL runs evaluate in one batched search_many job and all
+    qrel sets in one match_many job (shared block cache, no per-case job
+    floor). The rank window partitions by query_id over ≤k rows per case;
+    metric aggregation is one partial-agg groupBy on query_id; n_rel and
+    idcg derive from a |cases|-row broadcast. Nothing driver-side scales
+    with the corpus.
+    """
+    from bitfunnel_spark.plans.batch import match_many, search_many
+
+    if not cases:
+        raise ValueError("rank_eval needs at least one case")
+    run = search_many(index, [c[0] for c in cases], k, facts)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    run = run.withColumn("rank", F.row_number().over(w))
+    rel = match_many(index, [c[1] for c in cases], facts)
+    nrel = rel.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    joined = run.join(
+        rel.withColumn("_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.coalesce(F.sum("_rel"), F.lit(0)).alias("n_hit"),
+        F.coalesce(
+            F.sum(F.col("_rel") / F.log2(F.col("rank") + F.lit(1))), F.lit(0.0)
+        ).alias("dcg"),
+        F.min(F.when(F.col("_rel").isNotNull(), F.col("rank"))).alias("min_rank"),
+    )
+    base = index.spark.createDataFrame(
+        [(i,) for i in range(len(cases))], "query_id int"
+    )
+    g = (
+        base.join(F.broadcast(per_q), "query_id", "left")
+        .join(F.broadcast(nrel), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            F.col("min_rank"),
+        )
+    )
+    ideal_n = F.least(F.lit(int(k)), F.col("n_rel")).cast("int")
+    idcg = F.when(
+        ideal_n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), ideal_n),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        g.select(
+            "query_id",
+            "n_rel",
+            F.round(F.col("n_hit") / F.lit(float(k)), 4).alias("p_at_k"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0, F.col("n_hit") / F.col("n_rel")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("recall_at_k"),
+            F.round(
+                F.when(
+                    F.col("min_rank").isNotNull(), F.lit(1.0) / F.col("min_rank")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("rr"),
+            F.round(
+                F.when(idcg > 0, F.col("dcg") / idcg).otherwise(F.lit(0.0)), 4
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

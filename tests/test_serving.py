@@ -780,3 +780,45 @@ def test_random_score_vs_oracle(index, duck):
     # members of the match set only
     members = {r["doc_id"] for r in index.match("data | the").collect()}
     assert {d for d, _ in got} <= members
+
+
+RANK_EVAL_CASES = [
+    ("data & fast", "data & fast & key"),
+    ("row | scan", '"row scan"'),
+    ("table", "zzzqqqxx"),
+    ("key value", "lang:en key"),
+]
+
+
+def test_rank_eval_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_rank_eval_sql
+
+    res = serving.rank_eval(index, RANK_EVAL_CASES, k=10).collect()
+    exp = duck.execute(oracle_rank_eval_sql(RANK_EVAL_CASES, k=10)).fetchall()
+    assert len(res) == len(RANK_EVAL_CASES)
+    for r, e in zip(res, exp):
+        qid, n_rel, p, rec, rr, ndcg = e
+        assert r["query_id"] == qid and r["n_rel"] == int(n_rel)
+        assert r["p_at_k"] == pytest.approx(float(p), abs=2e-4)
+        assert r["recall_at_k"] == pytest.approx(float(rec), abs=2e-4)
+        assert r["rr"] == pytest.approx(float(rr), abs=2e-4)
+        assert r["ndcg"] == pytest.approx(float(ndcg), abs=2e-4)
+    by_id = {r["query_id"]: r for r in res}
+    # perfect case: qrel is a subset-query of the run's own query with
+    # every relevant doc in the top-k -> rr = 1 implies first hit at rank 1
+    assert by_id[2]["n_rel"] == 0 and by_id[2]["ndcg"] == 0.0
+    for r in res:
+        assert 0.0 <= r["p_at_k"] <= 1.0 and 0.0 <= r["ndcg"] <= 1.0
+        assert 0.0 <= r["rr"] <= 1.0
+
+
+def test_rank_eval_self_qrel_is_perfect(index):
+    # qrel == run query: every top-k doc is relevant -> p@k = 1 (when the
+    # match set has >= k docs), rr = 1, ndcg = 1
+    res = serving.rank_eval(index, [("data", "data")], k=10).collect()[0]
+    assert res["p_at_k"] == 1.0 and res["rr"] == 1.0 and res["ndcg"] == 1.0
+
+
+def test_rank_eval_empty_cases(index):
+    with pytest.raises(ValueError):
+        serving.rank_eval(index, [])

@@ -525,6 +525,50 @@ WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
 ORDER BY doc_id"""
 
 
+def q_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance subsample (sources.filters.
+    quality_weighted_sample): keep doc iff LCG-uniform(doc_id) <
+    max(floor, quality_score) — the DSIR-style resampling, deterministic
+    and partitioning-independent."""
+    from bitfunnel_spark.sources.filters import quality_weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        quality_weighted_sample(docs, seed=17, floor=0.05, text_col="text")
+        .select("doc_id", "weight")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_weighted(seed: int = 17, floor: float = 0.05) -> str:
+    from bitfunnel_spark.operators import text as _t
+
+    en = ", ".join(f"'{w}'" for w in _t.STOPWORDS["en"])
+    m = 2147483648
+    u = f"(CAST((((doc_id + {seed}) % {m}) * 1103515245 + 12345) % {m} AS DOUBLE) / {m})"
+    return f"""WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(t) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g')) AS DOUBLE)
+              / length(text) END AS praw,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(t, x -> x IN ({en}))) AS DOUBLE) / len(t) END AS sraw
+  FROM base
+),
+w AS (
+  SELECT doc_id,
+    greatest(least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5
+             + (1.0 - praw) * 0.3
+             + least(sraw * 5.0, 1.0) * 0.2, {float(floor)!r}) AS weight
+  FROM feat
+)
+SELECT doc_id, weight FROM w WHERE {u} < weight ORDER BY doc_id"""
+
+
 def _lace_pii(text_col, doc_id):
     """Deterministic PII-laced text (the synthetic corpus has none): append
     an email, an IPv4, and a phone number derived from doc_id."""
@@ -1703,6 +1747,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["decontaminate"] = SQL_DECONTAMINATE
     queries["corpus_mix"] = q_corpus_mix
     oracles["corpus_mix"] = _sql_corpus_mix()
+    queries["corpus_weighted"] = q_corpus_weighted
+    oracles["corpus_weighted"] = _sql_corpus_weighted()
     queries["pii_scrub"] = q_pii_scrub
     oracles["pii_scrub"] = _sql_pii_scrub()
     queries["pack_sequences"] = q_pack_sequences

@@ -50,20 +50,25 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits.cast("double") / F.size(toks))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, rounded: bool = True) -> Column:
     """Deterministic heuristic quality in [0,1]: rewards moderate length and
     low punctuation noise; penalizes stopword-free (unnatural) text.
     score = round( least(n_tokens,200)/200 * 0.5
                  + (1 - punct_ratio) * 0.3
                  + least(stopword_ratio*5, 1) * 0.2 , 4)
-    """
+
+    ``rounded=False`` returns the raw float64 (bit-identical across
+    engines given the fixed op order) — used where a downstream consumer
+    must compare/threshold the value itself (quality_weighted_sample):
+    engine round() tie rules differ at exact .xxxx5 boundaries, so a
+    pre-rounded value is the one thing that can diverge."""
     nt = token_count(text).cast("double")
     s = (
         F.least(nt, F.lit(200.0)) / 200.0 * 0.5
         + (1.0 - punct_ratio(text)) * 0.3
         + F.least(stopword_ratio(text) * 5.0, F.lit(1.0)) * 0.2
     )
-    return F.round(s, 4)
+    return F.round(s, 4) if rounded else s
 
 
 def langid(text: Column | str) -> Column:

@@ -144,3 +144,40 @@ def composite_filter(
     if max_docs is not None:
         out = cap_filter(out, max_docs)
     return out
+
+
+def quality_weighted_sample(
+    corpus: DataFrame, seed: int = 17, floor: float = 0.05,
+    text_col: str = "content", id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted importance subsample (the DSIR/DCLM-style
+    resampling a training-data pipeline uses to keep high-quality docs
+    with higher probability): keep doc iff u(doc) < w(doc), where
+
+    - u = deterministic LCG uniform on doc_id — the SAME int64-safe hash
+      as serving.random_score ((((doc_id+seed) mod 2^31)·1103515245 +
+      12345) mod 2^31 / 2^31), so the draw is partitioning-independent
+      and reproducible across engines/reruns (a resample that depends on
+      task scheduling is not a dataset definition);
+    - w = max(floor, quality_score(content, rounded=False)) — the raw
+      heuristic text quality in [0,1] (operators/text.quality_score;
+      UNROUNDED: the fixed-op-order float64 is bit-identical across
+      engines, while engine round() tie rules differ at .xxxx5
+      boundaries); ``floor`` keeps a minimum exploration mass for
+      low-quality docs (importance-resampling convention).
+
+    Returns the kept rows with a ``weight`` column appended. Pure narrow
+    map + filter: no shuffle at any scale; the expected kept fraction is
+    E[w] by construction.
+    """
+    from bitfunnel_spark.operators.text import quality_score
+
+    if not 0.0 <= floor <= 1.0:
+        raise ValueError(f"floor must be in [0,1], got {floor}")
+    m = F.lit(2147483648)
+    u = (
+        (((F.col(id_col) + F.lit(int(seed))) % m) * F.lit(1103515245) + F.lit(12345))
+        % m
+    ).cast("double") / m.cast("double")
+    w = F.greatest(quality_score(F.col(text_col), rounded=False), F.lit(float(floor)))
+    return corpus.withColumn("weight", w).filter(u < F.col("weight"))

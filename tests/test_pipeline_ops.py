@@ -148,3 +148,28 @@ def test_packing_stats_fill(spark, packed_env):
 def test_pack_rejects_bad_budget(spark, packed_env):
     with pytest.raises(ValueError):
         pack_sequences(packed_env["df"], budget=0)
+
+
+def test_quality_weighted_sample(spark, corpus, duck):
+    from bitfunnel_spark.entry_queries import _sql_corpus_weighted
+    from bitfunnel_spark.sources.filters import quality_weighted_sample
+
+    kept = quality_weighted_sample(corpus, seed=17, floor=0.05)
+    got = [(r["doc_id"], r["weight"]) for r in kept.select("doc_id", "weight").orderBy("doc_id").collect()]
+    exp = duck.execute(_sql_corpus_weighted(seed=17, floor=0.05)).fetchall()
+    assert got == [(d, pytest.approx(w, abs=1e-9)) for d, w in exp]
+    n_total = corpus.count()
+    # a real subsample, not empty / not everything
+    assert 0 < len(got) < n_total
+    # weights respect the floor and [0,1]+floor bound
+    assert all(0.05 <= w <= 1.0 for _, w in got)
+    # deterministic across repeat evaluation
+    again = [(r["doc_id"], r["weight"]) for r in kept.select("doc_id", "weight").orderBy("doc_id").collect()]
+    assert got == again
+    # seed changes the kept set
+    other = {r["doc_id"] for r in quality_weighted_sample(corpus, seed=18, floor=0.05).select("doc_id").collect()}
+    assert other != {d for d, _ in got}
+    # floor=1 keeps everything
+    assert quality_weighted_sample(corpus, floor=1.0).count() == n_total
+    with pytest.raises(ValueError):
+        quality_weighted_sample(corpus, floor=1.5)

@@ -1041,6 +1041,81 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id AS
 ORDER BY query_id, cosine DESC, vec_id"""
 
 
+_PQ_M, _PQ_CODES, _PQ_FACTOR = 4, 16, 4
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC candidate scan over m-byte codes +
+    full-precision rescore) with the deterministic id-based codebooks —
+    the SQL-mirrorable mode (trained codebooks: ann_pq_trained)."""
+    return similarity.pq_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+        m=_PQ_M, n_codes=_PQ_CODES, rescore_factor=_PQ_FACTOR,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with per-subspace Lloyd's codebooks (train_pq_codebooks) — same
+    plan, trained literals. Deterministic but the k-means runs engine-side
+    (numpy), so rows-only here; recall vs brute is measured in
+    tests/test_ops.py."""
+    emb = _emb(spark, sf_dir)
+    books = similarity.train_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    return similarity.pq_cosine_topk(
+        emb, ANN_QUERY_IDS, k=10, m=_PQ_M, n_codes=_PQ_CODES,
+        rescore_factor=_PQ_FACTOR, codebooks=books,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _sql_ann_pq(dim: int = 64) -> str:
+    m, n_codes, factor, k = _PQ_M, _PQ_CODES, _PQ_FACTOR, 10
+    dsub = dim // m
+    def sl(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{(j + 1) * dsub}]"
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2.0 * list_dot_product({a}, {b}))"
+        )
+    code_aggs = ",\n    ".join(
+        f"first(cb.code_id ORDER BY round({l2sq(sl('n.vn', j), sl('cb.vn', j))}, 6) ASC, cb.code_id ASC) AS c{j}"
+        for j in range(m)
+    )
+    cb_joins = " ".join(
+        f"JOIN cb b{j} ON b{j}.code_id = c.c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"list_dot_product({sl('q.vn', j)}, {sl(f'b{j}.vn', j)})" for j in range(m)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+           ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+      FROM e),
+cb AS (SELECT vec_id AS code_id, vn FROM n WHERE vec_id < {n_codes}),
+codes AS (
+  SELECT n.vec_id,
+    {code_aggs}
+  FROM n CROSS JOIN cb GROUP BY n.vec_id
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round({adc}, 6) AS adc
+  FROM n q CROSS JOIN codes c {cb_joins}
+  WHERE q.vec_id IN ({_IDS}) AND q.vec_id <> c.vec_id
+),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) <= {k * factor}),
+res AS (
+  SELECT c.query_id, c.vec_id,
+         round({_cos_sql('qe.v', 'ce.v')}, 4) AS cosine
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH buckets (numpy mapInPandas) — rows-only check."""
     return similarity.random_hyperplane_buckets(_emb(spark, sf_dir)).orderBy("vec_id")
@@ -1783,6 +1858,9 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ann_ivf_topk"] = _sql_ann_ivf()
     queries["ann_sq8_topk"] = q_ann_sq8_topk
     oracles["ann_sq8_topk"] = SQL_ANN_SQ8_TOPK
+    queries["ann_pq_topk"] = q_ann_pq_topk
+    oracles["ann_pq_topk"] = _sql_ann_pq()
+    queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design
     queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
 
     # phrase via positional postings (kernel adjacency from stored positions)

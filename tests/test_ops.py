@@ -428,3 +428,65 @@ def test_lsh_multiprobe_recall_and_no_dups(spark):
     r1 = len({(r["query_id"], r["vec_id"]) for r in single} & brute)
     rm = len(set(pairs) & brute)
     assert rm >= r1  # multiprobe recall never worse
+
+
+def test_pq_topk_vs_oracle(spark, duck):
+    """PQ (id-based codebooks) end-to-end — encode + ADC + rescore — must
+    match the DuckDB mirror exactly; encoding must add NO shuffle keyed by
+    vec_id (codebooks are plan literals, the IVF-assignment design)."""
+    from bitfunnel_spark.entry_queries import ANN_QUERY_IDS, _sql_ann_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.pq_cosine_topk(
+        emb, ANN_QUERY_IDS, k=10, m=4, n_codes=16, rescore_factor=4
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    got = [(r["query_id"], r["vec_id"], r["cosine"]) for r in res.collect()]
+    exp = [
+        (q, v, pytest.approx(c, abs=2e-4))
+        for q, v, c in duck.execute(_sql_ann_pq()).fetchall()
+    ]
+    assert exp == got
+
+
+def test_pq_recall_and_trained_codebooks(spark):
+    """PQ+rescore recovers most exact neighbors; trained (per-subspace
+    Lloyd's) codebooks must beat the id-based placeholder on recall@10;
+    training is deterministic."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 42, 99, 123]
+    brute = {q: set() for q in qids}
+    for r in similarity.brute_cosine_topk(emb, qids, k=10).collect():
+        brute[r["query_id"]].add(r["vec_id"])
+
+    def recall(df):
+        hit = {q: set() for q in qids}
+        for r in df.collect():
+            hit[r["query_id"]].add(r["vec_id"])
+        return sum(len(hit[q] & brute[q]) for q in qids) / (10.0 * len(qids))
+
+    # m=8 (8-dim subspaces) at rescore 8x: the regime where PQ is a real
+    # approximation on this corpus (measured: id 0.74, trained 0.82)
+    r_id = recall(
+        similarity.pq_cosine_topk(emb, qids, k=10, m=8, n_codes=16, rescore_factor=8)
+    )
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    r_tr = recall(
+        similarity.pq_cosine_topk(
+            emb, qids, k=10, m=8, n_codes=16, rescore_factor=8, codebooks=books
+        )
+    )
+    assert r_tr >= r_id
+    assert r_tr >= 0.6
+    books2 = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    assert np.array_equal(books, books2)
+
+
+def test_pq_dim_not_divisible(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebooks(emb, m=7)

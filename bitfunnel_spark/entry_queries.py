@@ -2159,6 +2159,18 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_term_vector"] = f"""WITH {CORPUS_CTE}
 SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""
 
+    MTV_IDS = (7, 123, 250)
+
+    def q_ft_mterm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans import serving
+
+        return serving.mterm_vectors(get_index(spark, sf_dir), list(MTV_IDS))
+
+    queries["ft_mterm_vectors"] = q_ft_mterm_vectors
+    oracles["ft_mterm_vectors"] = f"""WITH {CORPUS_CTE}
+SELECT doc_id, stream, term, tf FROM tf WHERE doc_id IN {MTV_IDS}
+ORDER BY doc_id, stream, term"""
+
     queries["media_metadata"] = q_media_metadata
     oracles["media_metadata"] = SQL_MEDIA_METADATA
     queries["media_features"] = q_media_features

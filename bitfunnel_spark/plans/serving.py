@@ -879,6 +879,20 @@ def term_vector(index, doc_id: int) -> DataFrame:
     )
 
 
+def mterm_vectors(index, doc_ids: list[int]) -> DataFrame:
+    """Batch term vectors (the ES _mtermvectors endpoint): every
+    (doc_id, stream, term, tf) for the requested documents in ONE
+    doc_id-IN-pruned posting scan (row-group stats pushdown on a
+    persisted index — |doc_ids| point lookups in one job, no per-doc
+    job floor). Ordered (doc_id, stream, term)."""
+    ids = [int(d) for d in doc_ids]
+    return (
+        index.postings.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "stream", "term", "tf")
+        .orderBy("doc_id", "stream", "term")
+    )
+
+
 def explain(
     index, query: str, k: int = 10, mode: str = "kernel",
     facts: list[str] | None = None,

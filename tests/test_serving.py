@@ -822,3 +822,15 @@ def test_rank_eval_self_qrel_is_perfect(index):
 def test_rank_eval_empty_cases(index):
     with pytest.raises(ValueError):
         serving.rank_eval(index, [])
+
+
+def test_mterm_vectors_vs_single(index, duck):
+    ids = [7, 123, 250]
+    batch = serving.mterm_vectors(index, ids).collect()
+    # batch == union of single-doc term vectors
+    singles = []
+    for d in ids:
+        for r in serving.term_vector(index, d).collect():
+            singles.append((d, r["stream"], r["term"], r["tf"]))
+    got = [(r["doc_id"], r["stream"], r["term"], r["tf"]) for r in batch]
+    assert got == sorted(singles)

@@ -1599,11 +1599,18 @@ DRIVER_WINDOW = [
     # represented by ft_idf_table, sharding by ft_shard_plan)
     "ft_top_hits", "ft_cardinality", "ft_sort", "ft_function_score",
     "ft_decay", "ft_span_first", "ft_boosting",
-    # core engine representatives (batch, deletes, facts; ft_idf_table
-    # rotated out on its r02 green — operators/statistics.py untouched
-    # this round)
-    "ft_bm25_batch", "ft_bm25_and_deleted", "ft_bm25_fact",
+    # core engine representatives (batch — plans/batch.py changed this
+    # round; ft_idf_table rotated out on its r02 green —
+    # operators/statistics.py untouched this round; ft_bm25_and_deleted /
+    # ft_bm25_fact ride their r02 greens — tombstone/fact logic untouched,
+    # the shared executor paths are live-checked by every kernel entry
+    # above, and test_deletes_facts.py stays green)
+    "ft_bm25_batch",
     "ft_treatment_plan",
+    # round-3 headline ops that fit after the rotation: PQ ANN (exact
+    # cross-engine oracle of the whole encode+ADC+rescore pipeline) and
+    # the unordered-span positional kernel
+    "ann_pq_topk", "ft_span_near",
     # dedup family rides its r02 greens — operators/dedup.py untouched
     # this round (dedup_minhash_lsh rotated out for ft_function_score)
 ]

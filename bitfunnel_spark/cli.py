@@ -333,6 +333,26 @@ def cmd_repl(args) -> None:
 
                 for r in more_like_this(idx, int(line[5:]), k=args.k, mode=args.mode).collect():
                     print(f"{r['doc_id']}\t{r['score']}")
+            elif line.startswith("!near "):
+                # !near slop term term [term...] — unordered proximity
+                from bitfunnel_spark.plans.serving import span_near
+
+                parts = line[6:].split()
+                for r in span_near(idx, parts[1:], slop=int(parts[0]), k=args.k).collect():
+                    print(f"{r['doc_id']}\t{r['score']}")
+            elif line.startswith("!hist "):
+                from bitfunnel_spark.plans.serving import histogram
+
+                for r in histogram(idx, line[6:]).collect():
+                    print(f"{r['bucket']}\t{r['n_docs']}")
+            elif line.startswith("!stats "):
+                from bitfunnel_spark.plans.serving import extended_stats
+
+                r = extended_stats(idx, line[7:]).collect()[0]
+                print(
+                    f"n={r['n_docs']} sum={r['sum_doclen']} avg={r['avg_doclen']}"
+                    f" var={r['var_doclen']} std={r['std_doclen']}"
+                )
             elif line.startswith("!profile "):
                 from bitfunnel_spark.plans.profile import profile_many, summarize
 

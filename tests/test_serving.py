@@ -834,3 +834,25 @@ def test_mterm_vectors_vs_single(index, duck):
             singles.append((d, r["stream"], r["term"], r["tf"]))
     got = [(r["doc_id"], r["stream"], r["term"], r["tf"]) for r in batch]
     assert got == sorted(singles)
+
+
+def test_composite_and_random_score_plans(index):
+    """SCALE.md claims: composite pages are TopK-by-key (never a global
+    sort/window over all buckets); random_score's top-k is
+    TakeOrderedAndProject over the match set."""
+    comp = serving.composite_agg(index, "data | the", by=("lang", "repo"), size=5)
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rs = serving.random_score(index, "data | the", seed=1, k=5)
+    plan2 = rs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_matched_queries_broadcast_plan(index):
+    """The annotation side must broadcast the k-row result into the batch
+    output (no shuffle keyed by the full match set downstream of the
+    batch job)."""
+    df = serving.matched_queries(index, "data & fast", {"a": "key"}, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -80,6 +80,12 @@ class BuildConfig:
     # routes phrases to the exact corpus-scan path instead (plans/kernel.py
     # _descriptor), so phrase semantics are always exact.
     positions: bool = False
+    # Index-time analyzer for the body/path streams: "standard" (identifiers
+    # kept whole) or "code" (identifiers split into subtokens at camelCase /
+    # acronym / digit / snake_case boundaries — ES word_delimiter_graph
+    # analogue; functions/tokenizer.CODE_SPLIT_RULES). The DuckDB oracle
+    # mirrors the same regex chain (plans/oracle.code_body_sql).
+    analyzer: str = "standard"
 
 
 # positions fit in 20 bits → (doc_id, position) packs into one int64 key

@@ -65,6 +65,44 @@ def get_gram_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     return _GRAM_INDEX_CACHE[key]
 
 
+_CODE_INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
+# code analyzer (identifier subtoken splitting — tokenizer.CODE_SPLIT_RULES);
+# the oracle mirrors the chain via plans/oracle.code_split_sql
+ENTRY_CODE_CONFIG = BuildConfig(n_slices=4, positions=True, analyzer="code")
+# The synthetic documents text is all-lowercase, so the entry corpus
+# deterministically injects identifier-cased text per doc: a camelCase join
+# of the doc's own first two tokens (discriminative — per-doc tf shifts)
+# plus a fixed token exercising every split rule (acronym run, digit
+# transitions, snake_case). Both engines compute the injection identically.
+_CODE_INJECT_RE = "^([a-z]+) ([a-z]+)"
+# upper-first of the second token spelled out explicitly (not initcap —
+# absent in this DuckDB build) so both engines compute character-identical
+# injections; tok2 is [a-z]+ so upper(first) || rest IS title case
+_CODE_INJECT_SQL = (
+    f"regexp_extract(text, '{_CODE_INJECT_RE}', 1)"
+    f" || upper(substr(regexp_extract(text, '{_CODE_INJECT_RE}', 2), 1, 1))"
+    f" || substr(regexp_extract(text, '{_CODE_INJECT_RE}', 2), 2)"
+    " || ' XMLHttpRequest2 do_parse ' || text"
+)
+
+
+def get_code_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    key = (id(spark), sf_dir)
+    if key not in _CODE_INDEX_CACHE:
+        docs = load_documents(spark, sf_dir)
+        tok2 = F.regexp_extract("text", _CODE_INJECT_RE, 2)
+        injected = F.concat(
+            F.regexp_extract("text", _CODE_INJECT_RE, 1),
+            F.upper(F.substring(tok2, 1, 1)),
+            F.substring(tok2, 2, 1 << 30),
+            F.lit(" XMLHttpRequest2 do_parse "),
+            F.col("text"),
+        )
+        corpus = corpus_from_documents(docs.withColumn("text", injected)).cache()
+        _CODE_INDEX_CACHE[key] = FullTextIndex.build_fused(spark, corpus, ENTRY_CODE_CONFIG)
+    return _CODE_INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_documents(spark, sf_dir)
 
@@ -1722,6 +1760,24 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries["ft_bm25f"] = q_bm25f
     oracles["ft_bm25f"] = oracle_search_sql(_bm25f_node(), k=10, config=ENTRY_CONFIG)
+
+    def q_bm25_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # code analyzer end-to-end: the index is built with identifier
+        # subtoken splitting (BuildConfig.analyzer="code") over a corpus
+        # whose text deterministically contains camelCase / acronym /
+        # digit / snake_case identifiers — BM25 over the SUBTOKEN
+        # vocabulary (tf, df, doclen, avgdl all shift vs the standard
+        # analyzer; a hash match proves the whole split chain + build +
+        # kernel agree with the DuckDB mirror of the same chain)
+        return get_code_index(spark, sf_dir).search(
+            "key & agg & request", k=10, mode="kernel"
+        )
+
+    queries["ft_bm25_code"] = q_bm25_code
+    oracles["ft_bm25_code"] = oracle_search_sql(
+        "key & agg & request", k=10, config=ENTRY_CODE_CONFIG,
+        body_src=_CODE_INJECT_SQL,
+    )
 
     def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deep pagination (search_after): fetch page 1, then page 2 via its

@@ -21,14 +21,61 @@ from pyspark.sql import functions as F
 
 from bitfunnel_spark.config import TOKEN_PATTERN
 
+# Identifier-splitting rules (the code analyzer — Lucene/ES
+# WordDelimiterGraphFilter semantics, generate_word_parts only /
+# preserve_original=false). Applied to the RAW text BEFORE lowercasing
+# (case transitions are the signal), each rule inserts a space at a
+# boundary; the standard token extraction then yields the subtokens:
+#   getUserName   -> get user name        (camel boundary)
+#   XMLHttpRequest-> xml http request     (acronym-then-word)
+#   HTTPServer2   -> http server 2        (acronym + digit transition)
+#   parse_html    -> parse html           (snake_case)
+#   v2Counter     -> v 2 counter          (letter/digit transitions)
+# Rule order matters: acronym-run first (else ([a-z0-9])([A-Z]) would split
+# XMLHttp as XMLHtt p), digit rules after case rules so residues like
+# "1b" from "a1b2" get their own pass. Every rule is a plain Java/RE2
+# regex evaluated identically by Catalyst and DuckDB (the oracle mirrors
+# the chain verbatim — plans/oracle.code_body_sql).
+CODE_SPLIT_RULES: tuple[tuple[str, str], ...] = (
+    (r"([A-Z]+)([A-Z][a-z])", r"$1 $2"),
+    (r"([a-z0-9])([A-Z])", r"$1 $2"),
+    (r"([a-zA-Z])([0-9])", r"$1 $2"),
+    (r"([0-9])([a-zA-Z])", r"$1 $2"),
+    (r"_", r" "),
+)
 
-def tokenize(col: Column | str) -> Column:
+
+def code_split_text(col: Column | str) -> Column:
+    """Raw text with identifier-boundary spaces inserted (pre-lowercase).
+
+    The code analyzer's normalization pass; `tokenize(x, "code")` =
+    standard tokenization of `code_split_text(x)`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in CODE_SPLIT_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def tokenize(col: Column | str, analyzer: str = "standard") -> Column:
     """Lowercased code-aware tokens of a text column, as array<string>.
 
     Shared contract with the DuckDB oracle:
     ``regexp_extract_all(lower(x), '[a-z_][a-z0-9_]*|[0-9]+')``.
+
+    ``analyzer="code"`` additionally splits identifiers into subtokens
+    (CODE_SPLIT_RULES) before extraction, so `server` matches a document
+    containing `HTTPServer` — the physical design for source-code corpora
+    (north-star input shape). Query text is NOT re-analyzed: query terms
+    address the subtoken vocabulary directly (an ES `match` over a
+    word_delimiter-analyzed field behaves the same for single-token
+    queries; multi-subtoken query expansion is the caller's choice).
     """
     c = F.col(col) if isinstance(col, str) else col
+    if analyzer == "code":
+        c = code_split_text(c)
+    elif analyzer != "standard":
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
 
 

@@ -35,7 +35,7 @@ def doc_stats(corpus: DataFrame, config: BuildConfig) -> DataFrame:
     parallel matching unit; config.n_slices). shard/slice are pure functions
     of (doclen, doc_id): no shuffle, survives any repartitioning.
     """
-    doclen = F.size(tokenize("content"))
+    doclen = F.size(tokenize("content", config.analyzer))
     return corpus.select(
         "doc_id",
         doclen.alias("doclen"),
@@ -96,7 +96,7 @@ def exploded_tokens(
     see segments.GK_* for the bit layout and the position-clamp rationale."""
     if with_positions is None:
         with_positions = config.positions
-    body_tokens = tokenize("content")
+    body_tokens = tokenize("content", config.analyzer)
     doclen = F.size(body_tokens)
     base = corpus.select(
         "doc_id",
@@ -104,7 +104,7 @@ def exploded_tokens(
         shard_of(doclen, config.shard_boundaries).alias("shard"),
         F.pmod(F.xxhash64("doc_id"), F.lit(config.n_slices)).cast("int").alias("slice"),
         body_tokens.alias("_body"),
-        tokenize("path").alias("_path"),
+        tokenize("path", config.analyzer).alias("_path"),
         F.lower(F.col("lang")).alias("_lang"),
         F.lower(F.col("repo")).alias("_repo"),
     )

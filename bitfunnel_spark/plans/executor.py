@@ -35,12 +35,12 @@ from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 _STREAM_TEXT = {"body": "content", "path": "path", "lang": "lang", "repo": "repo"}
 
 
-def _slop_phrase_expr(phrase: Phrase, col: str) -> Column:
+def _slop_phrase_expr(phrase: Phrase, col: str, analyzer: str = "standard") -> Column:
     """Catalyst predicate for a sloppy phrase (ast.Phrase.slop > 0): there
     exist 0-based token positions p1 < p2 < ... < pn, one per constituent,
     with pn - p1 <= (n-1) + slop. Built as nested higher-order ``exists``
     over per-constituent position arrays — pure JVM expressions, no UDF."""
-    toks = tokenize(col)
+    toks = tokenize(col, analyzer)
 
     # NOTE: pyspark decides unary-vs-binary HOF lambdas by parameter COUNT,
     # so no default-arg captures here — closures only.
@@ -75,12 +75,13 @@ def _phrase_doc_ids(index, phrase: Phrase, candidates: DataFrame | None) -> Data
     path replaces this with positional postings; the semantics anchor stays.
     """
     col = _STREAM_TEXT[phrase.stream]
+    analyzer = getattr(getattr(index, "config", None), "analyzer", "standard")
     src = index.corpus
     if candidates is not None:
         src = src.join(candidates.select("doc_id"), "doc_id", "left_semi")
     if getattr(phrase, "slop", 0):
-        return src.filter(_slop_phrase_expr(phrase, col)).select("doc_id")
-    padded = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
+        return src.filter(_slop_phrase_expr(phrase, col, analyzer)).select("doc_id")
+    padded = F.concat(F.lit(" "), F.array_join(tokenize(col, analyzer), " "), F.lit(" "))
     return src.filter(padded.contains(f" {phrase.text} ")).select("doc_id")
 
 

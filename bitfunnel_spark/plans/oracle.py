@@ -15,11 +15,73 @@ MatchVerifier.cpp:205-221).
 from __future__ import annotations
 
 from bitfunnel_spark.config import TOKEN_PATTERN, BuildConfig
+from bitfunnel_spark.functions.tokenizer import CODE_SPLIT_RULES
 from bitfunnel_spark.plans.ast import And, FieldGroup, Node, Not, Or, Phrase, SynGroup, Term
 from bitfunnel_spark.plans.parser import parse_query
 from bitfunnel_spark.plans.planner import QueryPlan, plan_query
 
 _PAT = TOKEN_PATTERN.replace("'", "''")
+
+
+def code_split_sql(expr: str) -> str:
+    """DuckDB mirror of functions/tokenizer.code_split_text: the identical
+    regex chain (Java and RE2 interpret these patterns the same), with
+    Spark's ``$n`` backreferences rewritten to DuckDB's ``\\n`` and the 'g'
+    flag supplying Spark's replace-all default."""
+    out = expr
+    for pat, rep in CODE_SPLIT_RULES:
+        duck_rep = rep.replace("$1", "\\1").replace("$2", "\\2")
+        out = f"regexp_replace({out}, '{pat}', '{duck_rep}', 'g')"
+    return out
+
+
+def _analyzed(expr: str, analyzer: str) -> str:
+    if analyzer == "code":
+        return f"lower({code_split_sql(expr)})"
+    return f"lower({expr})"
+
+
+def corpus_cte_head(analyzer: str = "standard", body_src: str = "text") -> str:
+    """The `corpus AS (...)` head CTE, parameterized by index analyzer and
+    by the body-source expression (entries that derive content from the
+    documents table — e.g. the camelCase-injected code-analyzer corpus —
+    pass their derivation as ``body_src``)."""
+    return f"""corpus AS (
+  SELECT doc_id,
+         {_analyzed(body_src, analyzer)} AS body_text,
+         {_analyzed("'doc' || CAST(doc_id AS VARCHAR) || '.txt'", analyzer)} AS path_text,
+         lower(lang) AS lang_text,
+         lower(source) AS repo_text
+  FROM documents
+)"""
+
+
+def corpus_cte(analyzer: str = "standard", body_src: str = "text") -> str:
+    """Full statistics CTE chain (corpus → body_tok → dl → meta → tf →
+    dfreq) over the given analyzer/body source. ``CORPUS_CTE`` below is the
+    standard-analyzer instance shared by most oracles."""
+    return f"""{corpus_cte_head(analyzer, body_src)},
+body_tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS term FROM corpus
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM body_tok GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM corpus) AS n_docs,
+         CAST((SELECT coalesce(sum(doclen), 0) FROM dl) AS DOUBLE)
+           / (SELECT count(*) FROM corpus) AS avgdl,
+         (SELECT coalesce(sum(doclen), 0) FROM dl) AS body_total
+),
+tf AS (
+  SELECT doc_id, 'body' AS stream, term, count(*) AS tf FROM body_tok GROUP BY doc_id, term
+  UNION ALL
+  SELECT doc_id, 'path' AS stream, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(path_text, '{_PAT}')) AS term FROM corpus)
+  GROUP BY doc_id, term
+  UNION ALL SELECT doc_id, 'lang' AS stream, lang_text AS term, 1 AS tf FROM corpus
+  UNION ALL SELECT doc_id, 'repo' AS stream, repo_text AS term, 1 AS tf FROM corpus
+),
+dfreq AS (SELECT stream, term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY stream, term)"""
+
 
 # documents(doc_id, text, lang, source, n_chars) → canonical corpus streams.
 # Must mirror sources/corpus.corpus_from_documents + operators/statistics.
@@ -296,7 +358,7 @@ hits AS (
 def oracle_search_sql(
     query, k: int = 10, config: BuildConfig | None = None,
     extra_where: str | None = None, offset: int = 0,
-    similarity: str = "bm25",
+    similarity: str = "bm25", body_src: str = "text",
 ) -> str:
     """Top-k BM25 oracle: SELECT doc_id, score (round 4, desc, doc_id asc).
 
@@ -313,7 +375,8 @@ def oracle_search_sql(
     extra = f" AND ({extra_where})" if extra_where else ""
     off = f" OFFSET {int(offset)}" if offset else ""
     return (
-        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config, similarity=similarity)}\n"
+        f"WITH {corpus_cte(config.analyzer, body_src)},\n"
+        f"{_hits_cte(plan, config, similarity=similarity)}\n"
         f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
         f"FROM hits h\nWHERE ({_bool_sql(plan.ast)}){extra}\n"
         f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC\nLIMIT {k}{off}"
@@ -325,7 +388,7 @@ def oracle_match_sql(query, config: BuildConfig | None = None) -> str:
     config = config or BuildConfig()
     plan = _as_plan(query)
     return (
-        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"
+        f"WITH {corpus_cte(config.analyzer)},\n{_hits_cte(plan, config)}\n"
         f"SELECT h.doc_id AS doc_id\nFROM hits h\nWHERE {_bool_sql(plan.ast)}\n"
         f"ORDER BY h.doc_id ASC"
     )

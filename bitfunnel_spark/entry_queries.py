@@ -709,6 +709,49 @@ SQL_DEDUP_EXACT = """SELECT md5(text) AS content_md5, count(*)::BIGINT AS n_docs
        min(doc_id) AS canonical_id
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
 
+_SUBSTR_L = 15
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-substring dedup (Lee et al. 2022): maximal per-doc token spans
+    # every L-window of which recurs somewhere in the corpus. Spark groups
+    # 64-bit window fingerprints; the oracle groups window TEXT — a hash
+    # match certifies both the span algebra and collision-freeness.
+    return dedup.substring_dup_spans(_docs(spark, sf_dir), min_len=_SUBSTR_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_DEDUP_SUBSTRING = f"""WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, pos, array_to_string(t[pos+1:pos+{_SUBSTR_L}], ' ') AS gram
+  FROM tk, unnest(range(0, len(t) - {_SUBSTR_L} + 1)) AS r(pos)
+  WHERE len(t) >= {_SUBSTR_L}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+p AS (SELECT doc_id, CAST(pos AS INT) AS pos FROM g JOIN d USING (gram)),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SUBSTR_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {_SUBSTR_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_span
+  FROM p
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM f
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_L} AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start"""
+
 # shared shingle CTEs (3-gram) for the DuckDB side
 _SHINGLE_CTE = f"""toklist AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
@@ -1894,6 +1937,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     queries["dedup_exact"] = q_dedup_exact
     oracles["dedup_exact"] = SQL_DEDUP_EXACT
+    queries["dedup_substring"] = q_dedup_substring
+    oracles["dedup_substring"] = SQL_DEDUP_SUBSTRING
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

@@ -531,3 +531,122 @@ def incremental_minhash_filter(
     )
     ids = new_df.select(F.col(id_col).alias("doc_id"))
     return ids.join(victims.withColumnRenamed("victim", "doc_id"), "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" — the ExactSubstr variant). The suffix-array the
+# paper builds on one machine becomes, distributed: every length-L token
+# window emits a fingerprint; a window whose fingerprint occurs >= 2 times
+# corpus-wide (same doc counts — self-repetition is a duplicate) is a
+# duplicated position; per-doc runs of duplicated positions merge into
+# maximal spans. Two shuffles total: groupBy(fingerprint) over ~one row per
+# token (16-byte rows), then a per-doc window merge over only the duplicated
+# positions. No pairwise join exists anywhere, so a boilerplate gram shared
+# by millions of docs costs its row count, never a quadratic pair blowup —
+# the skew hazard of the pair-emitting dedups does not apply.
+#
+# 100 TB refinement (documented, not default): winnowing (Schleimer et al.,
+# MOSS) — keep only per-window-minimum fingerprints, guaranteeing any match
+# of length >= L + w - 1 still shares a kept fingerprint, cutting shuffle
+# volume ~2/(w+1). The exact all-positions form below IS the oracle.
+
+
+def substring_gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, pos, g): the xxhash64 fingerprint of the ``min_len``-token
+    window starting at 0-based token position ``pos``. One map-side explode,
+    ~one output row per token; the window text itself never rides the
+    shuffle (the 64-bit fingerprint does)."""
+    toks = tokenize(text_col, analyzer)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).filter(
+        F.size("tk") >= min_len
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - min_len),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice("tk", i + 1, min_len))).alias("g"),
+        ),
+    )
+    return base.select("doc_id", F.explode(grams).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g")
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal token intervals
+    [span_start, span_end) every position of which begins a ``min_len``-gram
+    that occurs >= 2 times in the corpus — the removal targets of
+    exact-substring dedup. span bounds are 0-based token offsets;
+    n_windows is the count of duplicated window starts merged into the span.
+
+    Fingerprint grouping stands in for text grouping (a 64-bit collision
+    would need ~2^32 distinct grams per Birthday bound to appear at all and
+    is absent by construction in tests); the DuckDB oracle groups by the
+    window TEXT, so a cross-engine hash match also certifies
+    collision-freeness on the checked corpus.
+    """
+    from pyspark.sql import Window
+
+    grams = substring_gram_positions(df, text_col, id_col, min_len, analyzer)
+    dup_g = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup_pos = grams.join(dup_g.select("g"), "g")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn(
+        "new_span", (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int")
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + min_len).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Input rows with every duplicated span's tokens removed from
+    ``text_col`` (the drop-all-copies policy; keep-one-canonical needs a
+    global tie-break pass and is left to the caller via
+    substring_dup_spans). Output: (doc_id, text, n_dropped_tokens)."""
+    spans = substring_dup_spans(df, text_col, id_col, min_len, analyzer).groupBy(
+        "doc_id"
+    ).agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    toks = tokenize(text_col, analyzer)
+    joined = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).join(
+        spans, "doc_id", "left"
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        "spans", lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+    )
+    kept = F.filter(
+        F.transform("tk", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.coalesce(in_span(x["i"]), F.lit(False)),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text"),
+        (F.size("tk") - F.size(kept)).cast("int").alias("n_dropped_tokens"),
+    )

@@ -2059,6 +2059,21 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_span_near"] = oracle_span_near_sql(
         ["key", "table", "value"], slop=1, k=10, config=ENTRY_CONFIG
     )
+    from bitfunnel_spark.plans import serving as _serving
+    from bitfunnel_spark.plans.oracle import oracle_span_not_sql
+
+    def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lucene SpanNotQuery: docs with an occurrence of `data` at least
+        # 9 tokens from every `slow` — position-level negation, finer than
+        # boolean -slow (which drops the whole doc)
+        return _serving.span_not(
+            get_pos_index(spark, sf_dir), ["data"], "slow", pre=8, post=8, k=10
+        )
+
+    queries["ft_span_not"] = q_ft_span_not
+    oracles["ft_span_not"] = oracle_span_not_sql(
+        ["data"], "slow", pre=8, post=8, k=10, config=ENTRY_CONFIG
+    )
     from bitfunnel_spark.plans.oracle import oracle_boosting_sql
 
     queries["ft_boosting"] = q_ft_boosting

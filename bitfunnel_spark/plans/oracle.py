@@ -1282,6 +1282,52 @@ def oracle_span_near_sql(
     )
 
 
+def oracle_span_not_sql(
+    include: list[str], exclude: str, pre: int = 0, post: int = 0,
+    k: int = 10, config: BuildConfig | None = None,
+) -> str:
+    """span_not oracle mirroring plans/serving.span_not: the include-terms
+    AND query's top-k restricted to docs with an occurrence of the include
+    phrase (adjacent, in order) whose [start-pre, end+post] window holds no
+    occurrence of the exclude term."""
+    config = config or BuildConfig()
+    toks = [t.lower() for t in include]
+    excl = exclude.lower()
+    n = len(toks)
+    plan = _as_plan(" & ".join(toks))
+    ptok = (
+        f"(SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS t, "
+        f"unnest(range(1, len(regexp_extract_all(body_text, '{_PAT}')) + 1)) AS p "
+        f"FROM corpus)"
+    )
+    joins = [f"{ptok} p1"]
+    conds = [f"p1.t = {_q(toks[0])}"]
+    for i in range(2, n + 1):
+        joins.append(
+            f"JOIN {ptok} p{i} ON p{i}.doc_id = p1.doc_id AND p{i}.p = p1.p + {i - 1}"
+        )
+        conds.append(f"p{i}.t = {_q(toks[i - 1])}")
+    conds.append(
+        f"NOT EXISTS (SELECT 1 FROM {ptok} e WHERE e.doc_id = p1.doc_id "
+        f"AND e.t = {_q(excl)} "
+        f"AND e.p BETWEEN p1.p - {int(pre)} AND p1.p + {n - 1 + int(post)})"
+    )
+    surv = (
+        "surv AS (SELECT DISTINCT p1.doc_id FROM "
+        + " ".join(joins)
+        + " WHERE "
+        + " AND ".join(conds)
+        + ")"
+    )
+    return (
+        f"WITH {corpus_cte(config.analyzer)},\n{_hits_cte(plan, config)},\n{surv}\n"
+        f"SELECT h.doc_id AS doc_id, round(h.score, 4) AS score\n"
+        f"FROM hits h JOIN surv USING (doc_id)\n"
+        f"WHERE ({_bool_sql(plan.ast)})\n"
+        f"ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_rank_eval_sql(
     cases: list[tuple[str, str]], k: int = 10,
     config: BuildConfig | None = None,

@@ -1357,6 +1357,141 @@ def span_near(
     )
 
 
+def span_not(
+    index, include: list[str], exclude: str,
+    pre: int = 0, post: int = 0, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Lucene ``SpanNotQuery``: top-k of the include-terms AND query's
+    BM25-scored match set restricted to documents with at least one
+    occurrence of the ``include`` phrase (adjacent, in order; length 1 =
+    a single term) whose window — ``pre`` tokens before its start through
+    ``post`` tokens after its end — contains NO occurrence of ``exclude``.
+    A document containing the phrase but no nearby exclusion survives;
+    position-level negation, strictly finer than boolean ``-exclude``.
+
+    Scale shape: same as span_near — scoring is the normal AND path; the
+    positional check decodes include+exclude postings once per
+    (shard, slice) group, intersects packed (doc,pos) keys for the phrase
+    starts, then kills starts via pre+len+post shifted isin passes against
+    the exclude positions. Fallback without positions: exact Arrow-batched
+    corpus scan (same policy as phrases).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bitfunnel_spark.plans.executor import scored_matches
+    from bitfunnel_spark.plans.kernel import (
+        MAX_SLOP_PATTERNS,
+        POS_BITS,
+        _segment_filter,
+        use_positional_phrases,
+    )
+
+    toks = [t.lower() for t in include]
+    excl = exclude.lower()
+    n = len(toks)
+    if n < 1:
+        raise ValueError("span_not needs at least one include term")
+    if len(set(toks)) != n:
+        raise ValueError("span_not include terms must be distinct")
+    if excl in toks:
+        raise ValueError("span_not exclude term may not be an include term")
+    pre, post = int(pre), int(post)
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    if pre + n + post > MAX_SLOP_PATTERNS:
+        raise ValueError(f"window pre+len+post = {pre + n + post} too large")
+    scored = scored_matches(index, " & ".join(toks), facts)
+
+    if index.segments is not None and use_positional_phrases(index):
+        from bitfunnel_spark.operators.segments import (
+            _term_key_py,
+            decode_group_positions,
+        )
+
+        inc_keys = {_term_key_py("body", t): i for i, t in enumerate(toks)}
+        ex_key = _term_key_py("body", excl)
+        off = max(16, n + pre + post)
+        lim = np.int64(1) << np.int64(POS_BITS)
+        seg = index.segments.filter(
+            _segment_filter(index, {("body", t) for t in toks} | {("body", excl)})
+        )
+
+        def surviving_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            if not len(pdf):
+                return empty
+            occ: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            ex_occ: tuple[np.ndarray, np.ndarray] | None = None
+            for key, rows in pdf.groupby("term_key"):
+                d, t, p = decode_group_positions(rows)
+                if not d.size:
+                    continue
+                pair = (np.repeat(d, t).astype(np.int64), p.astype(np.int64))
+                if int(key) == ex_key:
+                    ex_occ = pair
+                i = inc_keys.get(int(key))
+                if i is not None:
+                    occ[i] = pair
+            if len(occ) != n:
+                return empty
+            # phrase starts: packed (doc << POS_BITS) + (p_i - i + off)
+            starts = None
+            for i in range(n):
+                docs_i, p_i = occ[i]
+                shifted = p_i - i + off
+                ok = shifted < lim
+                kk = (docs_i[ok] << np.int64(POS_BITS)) + shifted[ok]
+                starts = kk if starts is None else starts[np.isin(starts, kk)]
+                if starts.size == 0:
+                    return empty
+            if ex_occ is not None:
+                ex_d, ex_p = ex_occ
+                killed = np.zeros(starts.shape, dtype=bool)
+                # exclude at q kills start s iff q - s in [-pre, n-1+post]
+                for delta in range(-pre, n + post):
+                    shifted = ex_p - delta + off
+                    ok = shifted < lim
+                    ek = (ex_d[ok] << np.int64(POS_BITS)) + shifted[ok]
+                    killed |= np.isin(starts, ek)
+                starts = starts[~killed]
+            if starts.size == 0:
+                return empty
+            return pd.DataFrame(
+                {"doc_id": np.unique(starts >> np.int64(POS_BITS)).astype("int64")}
+            )
+
+        docs = seg.groupBy("shard", "slice").applyInPandas(surviving_docs, "doc_id long")
+    else:
+        tk = index.corpus.select("doc_id", tokenize("content").alias("tk"))
+
+        def check(batches):
+            for pdf in batches:
+                keep = []
+                for doc, arr in zip(pdf["doc_id"], pdf["tk"]):
+                    lst = list(arr)
+                    ex_pos = {p for p, t in enumerate(lst) if t == excl}
+                    hit = False
+                    for s in range(len(lst) - n + 1):
+                        if lst[s : s + n] != toks:
+                            continue
+                        lo, hi = s - pre, s + n - 1 + post
+                        if not any(lo <= q <= hi for q in ex_pos):
+                            hit = True
+                            break
+                    if hit:
+                        keep.append(doc)
+                yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+        docs = tk.mapInPandas(check, "doc_id long")
+    return (
+        scored.join(docs, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def rank_eval(
     index, cases: list[tuple[str, str]], k: int = 10,
     facts: list[str] | None = None,

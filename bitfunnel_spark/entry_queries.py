@@ -1645,16 +1645,24 @@ DRIVER_WINDOW = [
     "media_metadata", "media_features", "media_frame_plan",
     "ft_facets", "ft_snippets", "ft_more_like_this", "ft_collapse",
     "ft_facet_stats", "ft_facet_ranges", "ft_significant_terms",
-    "ft_hybrid", "ft_explain", "ft_percolate",
+    "ft_hybrid", "ft_explain",
     "ft_term_vector",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk", "ann_rh_buckets",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
     "ft_bm25_phrase_pos", "ft_bm25_phrase_gram",
     "chunk_roundtrip", "text_profile", "quality_repetition", "quality_logprob",
     # newly-oracled this round (were rows-only)
     "ft_shard_plan", "ft_query_profile",
-    # new round-3 entries
-    "ft_bm25_regex_alt", "ft_bm25_regex_opt", "ann_ivf_kmeans",
+    # new round-3 entries (ann_rh_buckets and ann_ivf_kmeans rotated out:
+    # both rows-only checks whose plan shape is identical to hash-checked
+    # window siblings — ann_rh to ann_lsh_topk, ivf_kmeans to ann_ivf_topk;
+    # ft_percolate rotated out for ft_percolate_log, the same one-job
+    # percolation executor at 372-query/100k-row scale)
+    "ft_bm25_regex_alt", "ft_bm25_regex_opt",
     "ft_percolate_log", "ft_bm25f",
+    # round-3 tail: code analyzer (full build+kernel under identifier
+    # splitting), exact-substring dedup, position-level span exclusion —
+    # all hash-checked cross-engine
+    "ft_bm25_code", "dedup_substring", "ft_span_not",
     # entries whose code changed this round
     "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
     # ft_bm25_regex and ft_bm25_wildcard rotated out on their r02 greens:

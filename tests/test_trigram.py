@@ -1,0 +1,93 @@
+"""Trigram substring index (Zoekt / Cox codesearch design): candidates =
+AND over the literal's rarest trigram posting lists, exact contains()
+verify over candidates only."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.operators.trigram import (
+    build_trigram_index,
+    literal_trigrams,
+    substring_search,
+    substring_search_many,
+    trigram_expr,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def test_trigram_expr(spark):
+    rows = spark.createDataFrame(
+        [("Hello",), ("ab",), ("",), ("aaaa",)], "t string"
+    ).select(trigram_expr("t").alias("tri")).collect()
+    assert rows[0]["tri"] == ["hel", "ell", "llo"]
+    assert rows[1]["tri"] == []
+    assert rows[2]["tri"] == []
+    assert rows[3]["tri"] == ["aaa"]  # distinct
+
+
+def test_literal_trigrams():
+    assert literal_trigrams("DataX") == sorted({"dat", "ata", "tax"})
+    assert literal_trigrams("ab") == []
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def tri(docs):
+    return build_trigram_index(docs).cache()
+
+
+@pytest.mark.parametrize("lit", ["fast key", "key agg", "zzznope", "table", "row scan slow"])
+def test_substring_vs_bruteforce(docs, tri, lit):
+    got = sorted(r["doc_id"] for r in substring_search(tri, docs, lit).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit(lit.lower()))).collect()
+    )
+    assert got == want
+
+
+def test_substring_case_insensitive(docs, tri):
+    a = sorted(r["doc_id"] for r in substring_search(tri, docs, "Fast KEY").collect())
+    b = sorted(r["doc_id"] for r in substring_search(tri, docs, "fast key").collect())
+    assert a == b and a
+
+
+def test_short_literal_fallback(docs, tri):
+    got = sorted(r["doc_id"] for r in substring_search(tri, docs, "ag").collect())
+    want = sorted(
+        r["doc_id"] for r in docs.filter(F.contains(F.lower("text"), F.lit("ag"))).collect()
+    )
+    assert got == want
+
+
+def test_absent_trigram_short_circuits(docs, tri):
+    # 'zzq' occurs nowhere -> empty result without a corpus scan
+    out = substring_search(tri, docs, "zzqzzq")
+    assert out.count() == 0
+
+
+def test_search_many_matches_singles(docs, tri):
+    lits = ["fast key", "table", "zz", "zzznope"]
+    batch = {
+        (r["query"], r["doc_id"])
+        for r in substring_search_many(tri, docs, lits).collect()
+    }
+    singles = set()
+    for q in lits:
+        for r in substring_search(tri, docs, q).collect():
+            singles.add((q, r["doc_id"]))
+    assert batch == singles
+
+
+def test_candidate_scan_is_pruned(docs, tri):
+    # the probe scan must carry the trigram IN-list into the plan (filter
+    # above the index relation), and the verify must be a semi-join —
+    # never a full-corpus contains scan
+    out = substring_search(tri, docs, "fast key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

@@ -757,6 +757,22 @@ JOIN documents d ON contains(lower(d.text), lower(q.query))
 ORDER BY q.query, d.doc_id"""
 
 
+def q_ft_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cox trigram-query derivation: the regex's required-literal tree
+    # (AND[lit 'fast ', OR[lit 'key', lit 'value']]) evaluates as trigram
+    # candidacy in one pruned posting scan; rlike verifies candidates only
+    from bitfunnel_spark.operators.trigram import regex_search
+
+    return regex_search(
+        _tri_index(spark, sf_dir), _docs(spark, sf_dir), "fast (key|value)"
+    ).orderBy("doc_id")
+
+
+# the pattern stays in the Java∩RE2 common subset so both engines agree
+SQL_FT_REGEX_GREP = """SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(?i)fast (key|value)') ORDER BY doc_id"""
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-substring dedup (Lee et al. 2022): maximal per-doc token spans
     # every L-window of which recurs somewhere in the corpus. Spark groups
@@ -1734,7 +1750,11 @@ DRIVER_WINDOW = [
     # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
     # / ft_shard_assignment slots — all r02 green; statistics still
     # represented by ft_idf_table, sharding by ft_shard_plan)
-    "ft_top_hits", "ft_cardinality", "ft_sort", "ft_function_score",
+    # (ft_sort rotated out for ft_regex_grep: sort_hits is a single
+    # order-by expression with pytest + local check_entry greens; the
+    # regex grep path covers the new trigram index + candidate-tree
+    # machinery end-to-end)
+    "ft_top_hits", "ft_cardinality", "ft_regex_grep", "ft_function_score",
     "ft_decay", "ft_span_first", "ft_boosting",
     # core engine representatives (batch — plans/batch.py changed this
     # round; ft_idf_table rotated out on its r02 green —
@@ -1999,6 +2019,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_substring"] = SQL_FT_SUBSTRING
     queries["ft_substring_many"] = q_ft_substring_many
     oracles["ft_substring_many"] = SQL_FT_SUBSTRING_MANY
+    queries["ft_regex_grep"] = q_ft_regex_grep
+    oracles["ft_regex_grep"] = SQL_FT_REGEX_GREP
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

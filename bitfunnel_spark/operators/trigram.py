@@ -212,3 +212,157 @@ def _buckets(spark, tris: list[str], n_buckets: int) -> dict[str, int]:
         for r in rows:
             _BUCKET_CACHE[(r["trigram"], n_buckets)] = int(r["b"])
     return {t: _BUCKET_CACHE[(t, n_buckets)] for t in tris}
+
+
+# ---------------------------------------------------------------------------
+# regex search over the trigram index — the second half of Cox's design
+# ("Regular Expression Matching with a Trigram Index"): derive a boolean
+# trigram query the regex IMPLIES (any matching text must satisfy it),
+# evaluate it as candidacy over the posting table, verify candidates with
+# the real regex. We extract REQUIRED LITERALS conservatively from the
+# stdlib regex AST: concatenations collect maximal literal runs, a branch
+# is the OR of its alternatives, anything uncertain (classes, repeats with
+# min 0, lookarounds, backrefs) degrades to TRUE — never unsound, only
+# less selective. TRUE anywhere that matters = full verify scan.
+
+_TRUE = ("true",)
+
+
+def _regex_candidate_tree(pattern: str):
+    """('true',) | ('lit', s) | ('and', [...]) | ('or', [...]) — a boolean
+    condition over document text that `text matches pattern` implies.
+    Literals are lowercased (the index is lowercase; verification is
+    case-insensitive by contract)."""
+    import re._parser as sre
+
+    def seq_info(seq):
+        parts, run = [], []
+
+        def flush():
+            if run:
+                parts.append(("lit", "".join(run)))
+                run.clear()
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                ch = chr(av)
+                run.append(ch.lower())
+                continue
+            flush()
+            if name == "BRANCH":
+                alts = [seq_info(s) for s in av[1]]
+                parts.append(_mk_or(alts))
+            elif name == "SUBPATTERN":
+                parts.append(seq_info(av[3]))
+            elif name == "ATOMIC_GROUP":
+                parts.append(seq_info(av))
+            elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+                lo, _hi, sub = av
+                parts.append(seq_info(sub) if lo >= 1 else _TRUE)
+            else:
+                # IN, ANY, AT, NOT_LITERAL, CATEGORY, ASSERT*, GROUPREF, ...
+                parts.append(_TRUE)
+        flush()
+        return _mk_and(parts)
+
+    try:
+        return seq_info(sre.parse(pattern))
+    except Exception:
+        return _TRUE  # unparseable by the extractor -> full verify scan
+
+
+def _prunable(node):
+    """Rewrite the tree keeping only trigram-usable conditions: literals
+    shorter than 3 chars carry no trigram and become TRUE."""
+    kind = node[0]
+    if kind == "lit":
+        return node if len(node[1]) >= 3 else _TRUE
+    if kind == "and":
+        kids = [k for k in (_prunable(c) for c in node[1]) if k != _TRUE]
+        return _mk_and(kids) if kids else _TRUE
+    if kind == "or":
+        kids = [_prunable(c) for c in node[1]]
+        return _TRUE if any(k == _TRUE for k in kids) else _mk_or(kids)
+    return _TRUE
+
+
+def _mk_and(parts):
+    parts = [p for p in parts if p != _TRUE]
+    flat = []
+    for p in parts:
+        flat.extend(p[1] if p[0] == "and" else [p])
+    if not flat:
+        return _TRUE
+    return flat[0] if len(flat) == 1 else ("and", flat)
+
+
+def _mk_or(parts):
+    if any(p == _TRUE for p in parts):
+        return _TRUE
+    flat = []
+    for p in parts:
+        flat.extend(p[1] if p[0] == "or" else [p])
+    return flat[0] if len(flat) == 1 else ("or", flat)
+
+
+def _tree_trigrams(node) -> list[str]:
+    if node[0] == "lit":
+        return literal_trigrams(node[1])
+    if node[0] in ("and", "or"):
+        out: set[str] = set()
+        for c in node[1]:
+            out.update(_tree_trigrams(c))
+        return sorted(out)
+    return []
+
+
+def regex_search(
+    postings: DataFrame,
+    corpus: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TRI_BUCKETS,
+) -> DataFrame:
+    """doc_ids whose ``text_col`` matches ``pattern`` anywhere
+    (case-insensitive `grep -E`). Candidates come from evaluating the
+    regex's required-literal tree over ONE pruned posting scan (per-doc
+    collect_set of the needed trigrams, then the tree as nested
+    array_contains boolean); verification is `rlike('(?i)' + pattern)`
+    over candidates only. A tree that degrades to TRUE (no extractable
+    literal >= 3 chars) verifies the full corpus — correct, just
+    unaccelerated, exactly Cox's fallback."""
+    tree = _prunable(_regex_candidate_tree(pattern))
+    verify = F.lower(F.col(text_col)).rlike("(?i)" + pattern)
+    if tree == _TRUE:
+        return corpus.filter(verify).select(F.col(id_col).alias("doc_id"))
+    tris = _tree_trigrams(tree)
+    buckets = _buckets(corpus.sparkSession, tris, n_buckets)
+    matched = (
+        postings.filter(
+            F.col("tri_bucket").isin(sorted(set(buckets.values())))
+            & F.col("trigram").isin(tris)
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("trigram").alias("ts"))
+    )
+
+    def cond(node):
+        if node[0] == "lit":
+            c = F.lit(True)
+            for t in literal_trigrams(node[1]):
+                c = c & F.array_contains("ts", t)
+            return c
+        kids = [cond(k) for k in node[1]]
+        out = kids[0]
+        for k in kids[1:]:
+            out = (out & k) if node[0] == "and" else (out | k)
+        return out
+
+    cand = matched.filter(cond(tree)).select("doc_id")
+    return (
+        corpus.join(cand.withColumnRenamed("doc_id", id_col).select(id_col), id_col, "left_semi")
+        .filter(verify)
+        .select(F.col(id_col).alias("doc_id"))
+    )

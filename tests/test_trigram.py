@@ -91,3 +91,53 @@ def test_candidate_scan_is_pruned(docs, tri):
     out = substring_search(tri, docs, "fast key")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+# --- regex search (Cox trigram-query derivation) ---
+
+from bitfunnel_spark.operators.trigram import (  # noqa: E402
+    _prunable,
+    _regex_candidate_tree,
+    regex_search,
+)
+
+
+def test_candidate_tree_shapes():
+    t = _prunable(_regex_candidate_tree("fast (key|value)"))
+    assert t == ("and", [("lit", "fast "), ("or", [("lit", "key"), ("lit", "value")])])
+    # class breaks the run; repeat with min>=1 keeps its child
+    assert _prunable(_regex_candidate_tree("gr[ae]y fa+st")) == ("lit", "y f")
+    # optional prefix -> nothing required
+    assert _prunable(_regex_candidate_tree("x?y")) == ("true",)
+    # min-0 repeat -> TRUE inside AND is dropped, the literal remains
+    assert _prunable(_regex_candidate_tree("data(x)*")) == ("lit", "data")
+    # a TRUE branch poisons the whole OR
+    assert _prunable(_regex_candidate_tree("(dataxyz|a?)")) == ("true",)
+    # unparseable degrades to TRUE, never raises
+    assert _regex_candidate_tree("((((") == ("true",)
+
+
+REGEX_CASES = [
+    "fast (key|value)",
+    "(scan|data) slow",
+    "key +agg",
+    "row.scan",
+    "zz+nope",
+    "q?",  # no literals -> full verify scan
+]
+
+
+@pytest.mark.parametrize("pat", REGEX_CASES)
+def test_regex_vs_bruteforce(docs, tri, pat):
+    got = sorted(r["doc_id"] for r in regex_search(tri, docs, pat).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.lower("text").rlike("(?i)" + pat)).collect()
+    )
+    assert got == want
+
+
+def test_regex_case_insensitive(docs, tri):
+    a = sorted(r["doc_id"] for r in regex_search(tri, docs, "FAST (KEY|VALUE)").collect())
+    b = sorted(r["doc_id"] for r in regex_search(tri, docs, "fast (key|value)").collect())
+    assert a == b and a

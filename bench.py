@@ -201,6 +201,34 @@ def main() -> None:
     bat_total = int(brow["bt"] or 0)
     bat_decoded = int(brow["bd"] or 0)
 
+    # grep battery: trigram-index substring + regex search over raw text
+    # (the Zoekt workload). Build once (timed), then a mixed literal/regex
+    # set; deterministic hit counts recorded so result drift is visible.
+    from bitfunnel_spark.operators.trigram import (
+        build_trigram_index,
+        regex_search,
+        substring_search,
+    )
+
+    tg0 = time.time()
+    tri = build_trigram_index(corpus, text_col="content").cache()
+    n_tri_postings = tri.count()
+    tri_build_sec = time.time() - tg0
+    GREP_SET = [
+        ("lit", "fast key"),
+        ("lit", "row scan"),
+        ("lit", "table value"),
+        ("re", "fast (key|value)"),
+        ("re", "(scan|data) slow"),
+        ("re", "key +agg"),
+    ]
+    tg1 = time.time()
+    grep_hits = 0
+    for kind, pat in GREP_SET:
+        fn = substring_search if kind == "lit" else regex_search
+        grep_hits += fn(tri, corpus, pat, text_col="content").count()
+    grep_sec = time.time() - tg1
+
     lat = sorted(queries.values())
     out = {
         "metric": "suite_total",
@@ -231,6 +259,14 @@ def main() -> None:
             "blocks_total": bat_total,
             "blocks_decoded": bat_decoded,
             "skip_ratio": round(1.0 - bat_decoded / max(bat_total, 1), 4),
+        },
+        "grep_battery": {
+            "n_queries": len(GREP_SET),
+            "tri_postings": n_tri_postings,
+            "tri_build_sec": round(tri_build_sec, 3),
+            "hits": grep_hits,
+            "grep_sec": round(grep_sec, 3),
+            "grep_qps": round(len(GREP_SET) / grep_sec, 2),
         },
         "cpus": cpus,
     }

@@ -270,7 +270,8 @@ def cmd_repl(args) -> None:
     print(
         "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
         " | !facets <q> | !fstats <q> | !collapse <q> | !snippets <q>"
-        " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q> | !quit"
+        " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q>"
+        " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms> | !quit"
     )
     while True:
         try:
@@ -340,6 +341,33 @@ def cmd_repl(args) -> None:
                 parts = line[6:].split()
                 for r in span_near(idx, parts[1:], slop=int(parts[0]), k=args.k).collect():
                     print(f"{r['doc_id']}\t{r['score']}")
+            elif line.startswith("!notnear "):
+                # !notnear window exclude term [term...] — span_not
+                from bitfunnel_spark.plans.serving import span_not
+
+                parts = line[9:].split()
+                w = int(parts[0])
+                for r in span_not(
+                    idx, parts[2:], parts[1], pre=w, post=w, k=args.k
+                ).collect():
+                    print(f"{r['doc_id']}\t{r['score']}")
+            elif line.startswith("!grep ") or line.startswith("!egrep "):
+                # literal (!grep) / regex (!egrep) substring search over
+                # raw content via the trigram index (built lazily once)
+                from bitfunnel_spark.operators.trigram import (
+                    build_trigram_index,
+                    regex_search,
+                    substring_search,
+                )
+
+                if "_tri" not in dir():
+                    _tri = build_trigram_index(idx.corpus, text_col="content").cache()
+                is_re = line.startswith("!egrep ")
+                pat = line[7:] if is_re else line[6:]
+                fn = regex_search if is_re else substring_search
+                hits = fn(_tri, idx.corpus, pat, text_col="content").orderBy("doc_id")
+                ids = [r["doc_id"] for r in hits.collect()]
+                print(f"{len(ids)} files: {ids[:50]}{' ...' if len(ids) > 50 else ''}")
             elif line.startswith("!hist "):
                 from bitfunnel_spark.plans.serving import histogram
 

@@ -773,6 +773,25 @@ SQL_FT_REGEX_GREP = """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text), '(?i)fast (key|value)') ORDER BY doc_id"""
 
 
+def q_ft_substring_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grep -n: per-line hits, lines exploded only for candidate docs
+    from bitfunnel_spark.operators.trigram import substring_search_lines
+
+    return substring_search_lines(
+        _tri_index(spark, sf_dir), _docs(spark, sf_dir), "fast key"
+    ).orderBy("doc_id", "line_no")
+
+
+SQL_FT_SUBSTRING_LINES = """SELECT doc_id, CAST(line_no AS INT) AS line_no, line
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no
+  FROM documents
+)
+WHERE contains(lower(line), 'fast key') ORDER BY doc_id, line_no"""
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-substring dedup (Lee et al. 2022): maximal per-doc token spans
     # every L-window of which recurs somewhere in the corpus. Spark groups
@@ -2021,6 +2040,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_substring_many"] = SQL_FT_SUBSTRING_MANY
     queries["ft_regex_grep"] = q_ft_regex_grep
     oracles["ft_regex_grep"] = SQL_FT_REGEX_GREP
+    queries["ft_substring_lines"] = q_ft_substring_lines
+    oracles["ft_substring_lines"] = SQL_FT_SUBSTRING_LINES
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

@@ -366,3 +366,34 @@ def regex_search(
         .filter(verify)
         .select(F.col(id_col).alias("doc_id"))
     )
+
+
+def substring_search_lines(
+    postings: DataFrame,
+    corpus: DataFrame,
+    literal: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_probe: int = DEFAULT_PROBES,
+    n_buckets: int = N_TRI_BUCKETS,
+) -> DataFrame:
+    """(doc_id, line_no, line) — `grep -n` over the corpus: every line of
+    every matching document containing the literal (case-insensitive;
+    line_no is 1-based). The line explode happens ONLY for candidate
+    documents (semi-join first), so its cost scales with the match set,
+    not the corpus."""
+    matches = substring_search(
+        postings, corpus, literal, text_col, id_col, n_probe, n_buckets
+    )
+    low = literal.lower()
+    lines = (
+        corpus.join(
+            matches.withColumnRenamed("doc_id", id_col).select(id_col), id_col, "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        )
+        .filter(F.contains(F.lower("line"), F.lit(low)))
+    )
+    return lines.select("doc_id", (F.col("idx") + 1).alias("line_no"), "line")

@@ -141,3 +141,30 @@ def test_regex_case_insensitive(docs, tri):
     a = sorted(r["doc_id"] for r in regex_search(tri, docs, "FAST (KEY|VALUE)").collect())
     b = sorted(r["doc_id"] for r in regex_search(tri, docs, "fast (key|value)").collect())
     assert a == b and a
+
+
+def test_substring_lines(spark, tri, docs):
+    from bitfunnel_spark.operators.trigram import substring_search_lines
+
+    df = spark.createDataFrame(
+        [(900001, "alpha beta\ngamma fast key here\nfast keyhole\nnothing")],
+        "doc_id long, text string",
+    )
+    # standalone mini-corpus with its own mini-index
+    mini = build_trigram_index(df)
+    rows = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in substring_search_lines(mini, df, "Fast Key").collect()
+    )
+    assert rows == [
+        (900001, 2, "gamma fast key here"),
+        (900001, 3, "fast keyhole"),
+    ]
+    # over real testdata: every reported line contains the literal, and the
+    # doc set equals substring_search's
+    out = substring_search_lines(tri, docs, "fast key")
+    got = out.collect()
+    assert got and all("fast key" in r["line"].lower() for r in got)
+    assert {r["doc_id"] for r in got} == {
+        r["doc_id"] for r in substring_search(tri, docs, "fast key").collect()
+    }

@@ -397,3 +397,15 @@ def substring_search_lines(
         .filter(F.contains(F.lower("line"), F.lit(low)))
     )
     return lines.select("doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+
+
+def write_trigram_index(postings: DataFrame, path: str) -> None:
+    """Persist the trigram postings partitioned by tri_bucket — the same
+    file layout as the term segment store, so a search's
+    `tri_bucket IN (...)` becomes partition pruning (files outside the
+    literal's buckets are never opened)."""
+    postings.write.mode("overwrite").partitionBy("tri_bucket").parquet(path)
+
+
+def read_trigram_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -168,3 +168,26 @@ def test_substring_lines(spark, tri, docs):
     assert {r["doc_id"] for r in got} == {
         r["doc_id"] for r in substring_search(tri, docs, "fast key").collect()
     }
+
+
+def test_persisted_index_partition_pruning(spark, docs, tri, tmp_path):
+    from bitfunnel_spark.operators.trigram import (
+        read_trigram_index,
+        write_trigram_index,
+    )
+
+    path = str(tmp_path / "tri")
+    write_trigram_index(tri, path)
+    disk = read_trigram_index(spark, path)
+    # same results off disk
+    got = sorted(r["doc_id"] for r in substring_search(disk, docs, "fast key").collect())
+    want = sorted(r["doc_id"] for r in substring_search(tri, docs, "fast key").collect())
+    assert got == want
+    # the tri_bucket IN-list must reach the scan as a partition filter
+    from bitfunnel_spark.operators.trigram import _buckets, literal_trigrams
+
+    tris = literal_trigrams("fast key")
+    bks = sorted(set(_buckets(spark, tris, 64).values()))
+    scan = disk.filter(F.col("tri_bucket").isin(bks) & F.col("trigram").isin(tris))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "tri_bucket" in plan.split("PartitionFilters")[1][:200]

@@ -792,6 +792,41 @@ FROM (
 WHERE contains(lower(line), 'fast key') ORDER BY doc_id, line_no"""
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.operators.events import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, "hour").orderBy("event_type", "bucket")
+
+
+SQL_EVENTS_HISTOGRAM = """SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bitfunnel_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, 1800).orderBy("user_id", "session_id")
+
+
+SQL_EVENTS_SESSIONS = """WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-substring dedup (Lee et al. 2022): maximal per-doc token spans
     # every L-window of which recurs somewhere in the corpus. Spark groups
@@ -2042,6 +2077,10 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_regex_grep"] = SQL_FT_REGEX_GREP
     queries["ft_substring_lines"] = q_ft_substring_lines
     oracles["ft_substring_lines"] = SQL_FT_SUBSTRING_LINES
+    queries["events_histogram"] = q_events_histogram
+    oracles["events_histogram"] = SQL_EVENTS_HISTOGRAM
+    queries["events_sessions"] = q_events_sessions
+    oracles["events_sessions"] = SQL_EVENTS_SESSIONS
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

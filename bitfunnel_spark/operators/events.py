@@ -1,0 +1,71 @@
+"""Search-log / event analytics over the events table
+(event_id, ts, user_id, event_type, value, props).
+
+A production search engine ships query-log analytics next to the index
+(the reference's own experiments are query-log-driven —
+/root/reference/src/Scripts, QueryLog* tooling); these are the two
+canonical shapes, each a single-shuffle declarative plan:
+
+- date_histogram: the ES date_histogram-under-terms agg — one partial-agg
+  groupBy, scales as pure map-side combine + one exchange on
+  (event_type, bucket).
+- sessionize: gaps-and-islands sessionization — one exchange on user_id,
+  a lag window, and a groupBy. The known 100 TB hazard is a skewed user
+  (bot) whose per-user window serializes; mitigations: pre-split the
+  window key by (user_id, day) when sessions cannot cross days, or move
+  to Structured Streaming's applyInPandasWithState where state is keyed
+  and incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def date_histogram(events: DataFrame, interval: str = "hour") -> DataFrame:
+    """(event_type, bucket, n_events, sum_value): counts and value mass
+    per event type per calendar interval."""
+    return events.groupBy(
+        "event_type", F.date_trunc(interval, "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """(user_id, session_id, n_events, session_start, session_end):
+    per-user sessions split where the inter-event gap exceeds
+    ``gap_seconds``. session_id is 1-based in time order within the user
+    (deterministic: ties ordered by event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = (gap.isNull() | (gap > gap_seconds)).cast("int")
+    sid = F.sum(new_session).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        events.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """(n_sessions, n_users, avg_events_per_session, max_session_events):
+    corpus-level session summary — the second-level agg is a single
+    partial-combine reduction."""
+    s = sessionize(events, gap_seconds)
+    return s.groupBy().agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )

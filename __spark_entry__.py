@@ -5,9 +5,10 @@ queries()     — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); callables take (spark, sf_dir).
 oracle_sql()  — matching DuckDB SQL per query (omitted only for the
                 genuinely non-SQL ops, which get rows-only checks:
-                the numpy random-hyperplane LSH + trained-k-means IVF
-                (seeded-RNG outputs no SQL engine reproduces) and the
-                kernel decode counters (pruning instrumentation)).
+                the numpy random-hyperplane LSH, trained-k-means IVF and
+                trained-PQ ANN (seeded-RNG outputs no SQL engine
+                reproduces) and the kernel decode counters (pruning
+                instrumentation)).
 """
 
 from __future__ import annotations

@@ -94,3 +94,18 @@ def test_gap_boundary_exclusive(spark):
     )
     got = sorted(r["session_id"] for r in sessionize(df, 1800).collect())
     assert got == [1, 2]
+
+
+def test_sessionize_single_exchange(events):
+    # the window partitions by user_id; the groupBy(user_id, session_id)
+    # must REUSE that partitioning (HashPartitioning(user_id) satisfies
+    # ClusteredDistribution(user_id, session_id)) — exactly one Exchange
+    plan = sessionize(events, 1800)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_date_histogram_partial_agg(events):
+    # map-side partial aggregation before the single exchange
+    plan = date_histogram(events, "hour")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -726,6 +726,19 @@ def _tri_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_LITS = ["fast key", "row scan slow", "zzznope"]
 
 
+def q_dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase exact-substring dedup: winnowed-fingerprint candidates
+    # (k = L - w + 1 -> complete for runs >= L), then the exact span op
+    # over candidates only. MUST equal the one-phase result, so it shares
+    # the exact op's oracle.
+    docs = _docs(spark, sf_dir)
+    cands = dedup.substring_dup_candidates(docs, min_len=_SUBSTR_L, w=8)
+    subset = docs.join(cands, "doc_id", "left_semi")
+    return dedup.substring_dup_spans(subset, min_len=_SUBSTR_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def q_ft_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zoekt-style literal substring search: trigram-index candidates
     # (rarest-3 probe) + exact contains verify over candidates only
@@ -2069,6 +2082,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["dedup_exact"] = SQL_DEDUP_EXACT
     queries["dedup_substring"] = q_dedup_substring
     oracles["dedup_substring"] = SQL_DEDUP_SUBSTRING
+    queries["dedup_substring_winnow"] = q_dedup_substring_winnow
+    oracles["dedup_substring_winnow"] = SQL_DEDUP_SUBSTRING
     queries["ft_substring"] = q_ft_substring
     oracles["ft_substring"] = SQL_FT_SUBSTRING
     queries["ft_substring_many"] = q_ft_substring_many

@@ -650,3 +650,89 @@ def substring_scrub(
         F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text"),
         (F.size("tk") - F.size(kept)).cast("int").alias("n_dropped_tokens"),
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 43,
+    w: int = 8,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, pos, g): the WINNOWED subset of k-gram fingerprints
+    (Schleimer et al., MOSS): position p is kept iff it is the
+    rightmost-minimum of at least one full w-window of k-gram hashes.
+    Guarantees: (1) every w consecutive positions contain >= 1 kept
+    fingerprint; (2) selection at p depends only on the hashes inside the
+    windows containing p, so two documents sharing a token run of length
+    >= w + k - 1 keep at least one IDENTICAL fingerprint value. Density
+    ~ 2/(w+1) of all positions — the shuffle-volume reducer for
+    substring dedup at scale.
+
+    Selection evaluates per position in O(w) pure-JVM work:
+    r = length of the strictly-greater run to the right (capped at w-1);
+    p is kept iff a full window ends inside [p, p+r]
+    (p + r >= w - 1) and h[p] <= every hash in that window left of p.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = tokenize(text_col, analyzer)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i + 1, k))),
+    )
+    hdf = base.select("doc_id", grams.alias("h"))
+    m = F.size("h")
+
+    def keep(p):
+        hp = F.get("h", p)
+        # strictly-greater run to the right, capped at w-1 and array end
+        rseg = F.slice(F.col("h"), p + 2, F.least(F.lit(w - 1), m - 1 - p))
+        hits = F.filter(
+            F.transform(rseg, lambda x, i: F.when(x <= hp, i).otherwise(F.lit(-1))),
+            lambda v: v >= 0,
+        )
+        r = F.when(F.size(hits) > 0, F.get(hits, 0)).otherwise(F.size(rseg))
+        e = p + r  # rightmost full window endable at p
+        lstart = F.greatest(e - (w - 1), F.lit(0))
+        lseg = F.slice(F.col("h"), lstart + 1, p - lstart)
+        left_ok = (F.size(lseg) == 0) | (F.array_min(lseg) >= hp)
+        return (e >= w - 1) & left_ok
+
+    sel = F.filter(F.sequence(F.lit(0), m - 1), keep)
+    out = hdf.select(
+        "doc_id",
+        F.explode(
+            F.transform(sel, lambda p: F.struct(p.cast("int").alias("pos"),
+                                                F.get("h", p).alias("g")))
+        ).alias("s"),
+    )
+    return out.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+
+
+def substring_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    w: int = 8,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id): documents that MAY contain a duplicated token run of
+    length >= min_len — the winnowed candidate phase of two-phase
+    exact-substring dedup. Complete by the winnowing guarantee (k =
+    min_len - w + 1, so any shared run >= w + k - 1 = min_len shares a
+    kept fingerprint); may over-select docs sharing only >= k tokens.
+    Run the exact `substring_dup_spans` on this subset: every dup
+    partner is also a candidate, so spans over the subset EQUAL spans
+    over the full corpus (tested)."""
+    k = min_len - w + 1
+    if k < 1:
+        raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
+    fp = winnowed_fingerprints(df, text_col, id_col, k=k, w=w, analyzer=analyzer)
+    dup = fp.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    return fp.join(dup.select("g"), "g").select("doc_id").distinct()

@@ -726,6 +726,52 @@ def _tri_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_LITS = ["fast key", "row scan slow", "zzznope"]
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-level n-gram decontamination: deterministic eval split
+    # (doc_id % 17 == 0), spans of train docs whose every L-window occurs
+    # verbatim in eval
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup.substring_match_spans(train, ev, min_len=_SUBSTR_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_DECON_SPANS = f"""WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PAT}') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, pos, array_to_string(t[pos+1:pos+{_SUBSTR_L}], ' ') AS gram
+  FROM tk, unnest(range(0, len(t) - {_SUBSTR_L} + 1)) AS r(pos)
+  WHERE len(t) >= {_SUBSTR_L}
+),
+refg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+p AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos FROM g
+  WHERE doc_id % 17 <> 0 AND gram IN (SELECT gram FROM refg)
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SUBSTR_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {_SUBSTR_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_span
+  FROM p
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM f
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_L} AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start"""
+
+
 def q_dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase exact-substring dedup: winnowed-fingerprint candidates
     # (k = L - w + 1 -> complete for runs >= L), then the exact span op
@@ -2084,6 +2130,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["dedup_substring"] = SQL_DEDUP_SUBSTRING
     queries["dedup_substring_winnow"] = q_dedup_substring_winnow
     oracles["dedup_substring_winnow"] = SQL_DEDUP_SUBSTRING
+    queries["decontaminate_spans"] = q_decontaminate_spans
+    oracles["decontaminate_spans"] = SQL_DECON_SPANS
     queries["ft_substring"] = q_ft_substring
     oracles["ft_substring"] = SQL_FT_SUBSTRING
     queries["ft_substring_many"] = q_ft_substring_many

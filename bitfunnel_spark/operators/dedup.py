@@ -736,3 +736,85 @@ def substring_dup_candidates(
     fp = winnowed_fingerprints(df, text_col, id_col, k=k, w=w, analyzer=analyzer)
     dup = fp.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
     return fp.join(dup.select("g"), "g").select("doc_id").distinct()
+
+
+def substring_match_spans(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    min_len: int = 50,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal token spans of
+    ``df`` documents every L-window of which occurs VERBATIM somewhere in
+    ``ref_df`` — span-level cross-corpus contamination (the n-gram
+    decontamination of LLM eval hygiene: finer than the doc-level
+    shingle-overlap `contamination`, which flags whole documents).
+
+    Plan: ref grams dedup to DISTINCT fingerprints (one groupBy),
+    train-side positions semi-join them on the 64-bit key, then the same
+    per-doc merge as substring_dup_spans. Still no pairwise join; the ref
+    side shuffles its distinct gram count once regardless of train size."""
+    grams = substring_gram_positions(df, text_col, id_col, min_len, analyzer)
+    rt = ref_text_col or text_col
+    rid = id_col if id_col in ref_df.columns else ref_df.columns[0]
+    ref_g = (
+        substring_gram_positions(ref_df, rt, rid, min_len, analyzer)
+        .select("g")
+        .distinct()
+    )
+    hit = grams.join(ref_g, "g", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hit.withColumn(
+        "new_span", (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int")
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + min_len).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    min_len: int = 50,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, text, n_dropped_tokens): training rows with every
+    ref-contaminated span's tokens removed — the span-surgical
+    alternative to dropping whole contaminated documents."""
+    spans = substring_match_spans(
+        df, ref_df, text_col, id_col, ref_text_col, min_len, analyzer
+    ).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = tokenize(text_col, analyzer)
+    joined = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).join(
+        spans, "doc_id", "left"
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        "spans", lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+    )
+    kept = F.filter(
+        F.transform("tk", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.coalesce(in_span(x["i"]), F.lit(False)),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text"),
+        (F.size("tk") - F.size(kept)).cast("int").alias("n_dropped_tokens"),
+    )

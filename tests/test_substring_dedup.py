@@ -90,3 +90,59 @@ def test_scrub_plan_single_pass(docs):
     # explode/groupBy beyond the span computation itself
     out = substring_scrub(docs, min_len=12)
     assert out.filter(F.col("n_dropped_tokens") > 0).count() == 3
+
+
+# --- span-level decontamination (cross-corpus) ---
+
+from bitfunnel_spark.operators.dedup import (  # noqa: E402
+    decontaminate_spans,
+    substring_match_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def train_eval(spark):
+    EVAL = "exact eval question tokens one two three four five six seven eight"  # 12
+    train = spark.createDataFrame(
+        [
+            (1, "intro " + EVAL + " outro ending"),            # contaminated
+            (2, "clean document with nothing shared at all beyond twelve tokens"),
+            (3, EVAL),                                           # fully contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix words " + EVAL), (101, "unrelated eval row here")],
+        "doc_id long, text string",
+    )
+    return train, ev
+
+
+def test_match_spans_cross_corpus(train_eval):
+    train, ev = train_eval
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_match_spans(train, ev, min_len=12).collect()
+    )
+    assert spans == [(1, 1, 13), (3, 0, 12)]
+
+
+def test_decontaminate_spans(train_eval):
+    train, ev = train_eval
+    out = {r["doc_id"]: r for r in decontaminate_spans(train, ev, min_len=12).collect()}
+    assert out[1]["text"] == "intro outro ending"
+    assert out[1]["n_dropped_tokens"] == 12
+    assert out[2]["n_dropped_tokens"] == 0
+    assert out[3]["text"] == "" and out[3]["n_dropped_tokens"] == 12
+
+
+def test_match_spans_not_symmetric_with_self_dups(train_eval, spark):
+    # ref-side duplicates do NOT create train-side spans unless train holds
+    # the gram: a train doc sharing nothing stays clean even if eval has
+    # internal repetition
+    train, _ = train_eval
+    noisy_ref = spark.createDataFrame(
+        [(1, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep")],
+        "doc_id long, text string",
+    )
+    assert substring_match_spans(train, noisy_ref, min_len=12).count() == 0

@@ -2138,6 +2138,35 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_substring_many"] = SQL_FT_SUBSTRING_MANY
     queries["ft_regex_grep"] = q_ft_regex_grep
     oracles["ft_regex_grep"] = SQL_FT_REGEX_GREP
+
+    from bitfunnel_spark.plans.dsl import compile_dsl
+
+    _DSL_BODY = {
+        "bool": {
+            "must": [{"match": {"content": {"query": "data fast", "operator": "and"}}}],
+            "filter": [{"term": {"lang": "en"}}],
+            "must_not": [{"match_phrase": {"content": "batch batch"}}],
+            "should": [
+                {"match": {"content": "dup"}},
+                {"match": {"content": "vector"}},
+                {"terms": {"content": ["merge", "sort"]}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+
+    def q_ft_dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES Query-DSL JSON compiled to the engine AST (plans/dsl.py):
+        # bool with must + filter-context + must_not phrase + msm should
+        # incl. a dictionary-expansion clause
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {"query": _DSL_BODY, "size": 10})
+
+    queries["ft_dsl_bool"] = q_ft_dsl_bool
+    oracles["ft_dsl_bool"] = oracle_search_sql(
+        compile_dsl(_DSL_BODY), k=10, config=ENTRY_CONFIG
+    )
     queries["ft_substring_lines"] = q_ft_substring_lines
     oracles["ft_substring_lines"] = SQL_FT_SUBSTRING_LINES
     queries["events_histogram"] = q_events_histogram

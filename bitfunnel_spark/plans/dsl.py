@@ -1,0 +1,252 @@
+"""Elasticsearch Query-DSL (JSON) compiler — `{"bool": {...}}` → our AST.
+
+Lets an ES user run their JSON `_search` query bodies unchanged against
+this engine: the compiler maps the DSL's compositional subset onto the
+existing AST (ast.py), so matching, scoring, expansion, and both
+executors come for free. Documented subset (everything else raises
+DslError, never silently mis-executes):
+
+  query_string, match (or/and operator), match_phrase (slop),
+  match_phrase_prefix, term, terms, prefix, wildcard, regexp, fuzzy,
+  bool {must, filter, must_not, should, minimum_should_match},
+  combined_fields, boost on term/match-single-token.
+
+Deviations (documented): values are analyzed with the engine's standard
+lowercase tokenizer even for `term` (the index stores lowercase terms);
+`should` alongside `must`/`filter` requires minimum_should_match >= 1
+(ES's scoring-only optional clauses need per-doc optional scoring the
+kernel does not model).
+"""
+
+from __future__ import annotations
+
+import re
+
+from bitfunnel_spark.config import TOKEN_PATTERN
+from bitfunnel_spark.plans.ast import (
+    And,
+    Boost,
+    Filter,
+    Fuzzy,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    PhrasePrefix,
+    Prefix,
+    Regex,
+    Term,
+    Wildcard,
+)
+from bitfunnel_spark.plans.parser import parse_query
+
+FIELD_TO_STREAM = {
+    "content": "body",
+    "body": "body",
+    "text": "body",
+    "path": "path",
+    "lang": "lang",
+    "repo": "repo",
+    "source": "repo",
+}
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+class DslError(ValueError):
+    pass
+
+
+def _stream(field: str) -> str:
+    try:
+        return FIELD_TO_STREAM[field]
+    except KeyError:
+        raise DslError(f"unknown field: {field!r} (known: {sorted(FIELD_TO_STREAM)})")
+
+
+def _analyze(value) -> list[str]:
+    return _TOKEN_RE.findall(str(value).lower())
+
+
+def _one_field(body: dict, clause: str) -> tuple[str, object]:
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"{clause} expects exactly one field, got {body!r}")
+    return next(iter(body.items()))
+
+
+def _opts(value, value_key: str = "query") -> tuple[str, dict]:
+    """Normalize `field: "text"` vs `field: {"query": "text", ...opts}`."""
+    if isinstance(value, dict):
+        opts = dict(value)
+        if value_key not in opts:
+            raise DslError(f"missing {value_key!r} in {value!r}")
+        return str(opts.pop(value_key)), opts
+    return str(value), {}
+
+
+def _maybe_boost(node: Node, opts: dict) -> Node:
+    boost = opts.pop("boost", None)
+    if boost is None:
+        return node
+    if not isinstance(node, Term):
+        raise DslError("boost is supported on single-term clauses only")
+    return Boost(node, float(boost))
+
+
+def _reject_extra(opts: dict, clause: str) -> None:
+    if opts:
+        raise DslError(f"unsupported {clause} options: {sorted(opts)}")
+
+
+def compile_dsl(query: dict) -> Node:
+    """Compile one DSL query object (the value of a `"query"` key) to an
+    AST node."""
+    if not isinstance(query, dict) or len(query) != 1:
+        raise DslError(f"query must be a single-key object, got {query!r}")
+    kind, body = next(iter(query.items()))
+
+    if kind == "query_string":
+        q = body["query"] if isinstance(body, dict) else body
+        return parse_query(str(q))
+
+    if kind == "match":
+        field, raw = _one_field(body, "match")
+        text, opts = _opts(raw)
+        op = str(opts.pop("operator", "or")).lower()
+        toks = _analyze(text)
+        if not toks:
+            raise DslError(f"match value analyzes to zero tokens: {text!r}")
+        terms = [Term(t, _stream(field)) for t in toks]
+        if len(terms) == 1:
+            node = _maybe_boost(terms[0], opts)
+            _reject_extra(opts, "match")
+            return node
+        _reject_extra(opts, "match")
+        if op == "and":
+            return And(tuple(terms))
+        if op == "or":
+            return Or(tuple(terms))
+        raise DslError(f"match operator must be and/or, got {op!r}")
+
+    if kind == "match_phrase":
+        field, raw = _one_field(body, "match_phrase")
+        text, opts = _opts(raw)
+        slop = int(opts.pop("slop", 0))
+        _reject_extra(opts, "match_phrase")
+        toks = _analyze(text)
+        if not toks:
+            raise DslError(f"match_phrase value analyzes to zero tokens: {text!r}")
+        if len(toks) == 1:
+            return Term(toks[0], _stream(field))
+        return Phrase(tuple(toks), _stream(field), slop=slop)
+
+    if kind == "match_phrase_prefix":
+        field, raw = _one_field(body, "match_phrase_prefix")
+        text, opts = _opts(raw)
+        _reject_extra(opts, "match_phrase_prefix")
+        toks = _analyze(text)
+        if len(toks) < 2:
+            raise DslError("match_phrase_prefix needs >= 2 analyzed tokens")
+        return PhrasePrefix(tuple(toks[:-1]), toks[-1], _stream(field))
+
+    if kind == "term":
+        field, raw = _one_field(body, "term")
+        value, opts = _opts(raw, "value")
+        toks = _analyze(value)
+        if len(toks) != 1:
+            raise DslError(f"term value must analyze to one token: {value!r}")
+        node = _maybe_boost(Term(toks[0], _stream(field)), opts)
+        _reject_extra(opts, "term")
+        return node
+
+    if kind == "terms":
+        field, values = _one_field(body, "terms")
+        if not isinstance(values, (list, tuple)) or not values:
+            raise DslError("terms expects a non-empty list")
+        out = []
+        for v in values:
+            toks = _analyze(v)
+            if len(toks) != 1:
+                raise DslError(f"terms value must analyze to one token: {v!r}")
+            out.append(Term(toks[0], _stream(field)))
+        return out[0] if len(out) == 1 else Or(tuple(out))
+
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        field, raw = _one_field(body, kind)
+        value, opts = _opts(raw, "value")
+        stream = _stream(field)
+        if kind == "prefix":
+            _reject_extra(opts, kind)
+            return Prefix(value.lower(), stream)
+        if kind == "wildcard":
+            _reject_extra(opts, kind)
+            return Wildcard(value.lower(), stream)
+        if kind == "regexp":
+            _reject_extra(opts, kind)
+            return Regex(value, stream)
+        dist = opts.pop("fuzziness", 1)
+        _reject_extra(opts, kind)
+        return Fuzzy(value.lower(), stream, dist=int(dist))
+
+    if kind == "combined_fields":
+        if not isinstance(body, dict):
+            raise DslError("combined_fields expects an object")
+        from bitfunnel_spark.plans.expand import combined_fields
+
+        q = str(body.get("query", ""))
+        fields = body.get("fields", [])
+        weights = {}
+        for f in fields:
+            name, _, w = str(f).partition("^")
+            weights[_stream(name)] = float(w) if w else 1.0
+        if not q or not weights:
+            raise DslError("combined_fields needs query and fields")
+        return combined_fields(q, weights)
+
+    if kind == "bool":
+        if not isinstance(body, dict):
+            raise DslError("bool expects an object")
+        unknown = set(body) - {"must", "filter", "must_not", "should", "minimum_should_match"}
+        if unknown:
+            raise DslError(f"unsupported bool keys: {sorted(unknown)}")
+
+        def clauses(key):
+            v = body.get(key, [])
+            v = v if isinstance(v, list) else [v]
+            return [compile_dsl(c) for c in v]
+
+        musts = clauses("must")
+        filters = [Filter(c) for c in clauses("filter")]
+        nots = [Not(c) for c in clauses("must_not")]
+        shoulds = clauses("should")
+        msm = body.get("minimum_should_match")
+        parts: list[Node] = musts + filters + nots
+        if shoulds:
+            if parts and msm is None:
+                raise DslError(
+                    "should alongside must/filter requires minimum_should_match "
+                    ">= 1 (scoring-only optional clauses are not modeled)"
+                )
+            mm = int(msm) if msm is not None else 1
+            if not 1 <= mm <= len(shoulds):
+                raise DslError(f"minimum_should_match {mm} out of range")
+            group = shoulds[0] if len(shoulds) == 1 else Or(tuple(shoulds), min_match=mm)
+            parts.append(group)
+        if not parts:
+            raise DslError("empty bool query")
+        if len(parts) == 1 and not isinstance(parts[0], Not):
+            return parts[0]
+        return And(tuple(parts))
+
+    raise DslError(f"unsupported query kind: {kind!r}")
+
+
+def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
+    """Run an ES `_search`-style body: `{"query": {...}}` (or a bare query
+    object) through the engine. `size` maps to k when present."""
+    if "query" in body and isinstance(body.get("query"), dict):
+        k = int(body.get("size", k))
+        node = compile_dsl(body["query"])
+    else:
+        node = compile_dsl(body)
+    return index.search(node, k=k, mode=mode)

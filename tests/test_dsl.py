@@ -1,0 +1,183 @@
+"""ES Query-DSL compiler: JSON bodies compile to the existing AST and
+execute identically to their query-string equivalents (both executors),
+with the documented subset errors."""
+
+import pytest
+
+from bitfunnel_spark.plans import dsl
+from bitfunnel_spark.plans.ast import And, Boost, Filter, Not, Or, Phrase, Prefix, Term
+from bitfunnel_spark.plans.dsl import DslError, compile_dsl, search_dsl
+from bitfunnel_spark.plans.parser import parse_query
+
+
+def test_compile_shapes():
+    assert compile_dsl({"match": {"content": "data"}}) == Term("data")
+    assert compile_dsl({"match": {"content": "Fast Data"}}) == Or(
+        (Term("fast"), Term("data"))
+    )
+    assert compile_dsl(
+        {"match": {"content": {"query": "fast data", "operator": "and"}}}
+    ) == And((Term("fast"), Term("data")))
+    assert compile_dsl({"match_phrase": {"content": "batch data"}}) == Phrase(
+        ("batch", "data")
+    )
+    assert compile_dsl(
+        {"match_phrase": {"content": {"query": "batch data", "slop": 2}}}
+    ) == Phrase(("batch", "data"), slop=2)
+    assert compile_dsl({"term": {"lang": "EN"}}) == Term("en", "lang")
+    assert compile_dsl({"terms": {"content": ["dup", "vector"]}}) == Or(
+        (Term("dup"), Term("vector"))
+    )
+    assert compile_dsl({"prefix": {"content": "s"}}) == Prefix("s")
+    assert compile_dsl({"match": {"content": {"query": "data", "boost": 2}}}) == Boost(
+        Term("data"), 2.0
+    )
+    node = compile_dsl(
+        {
+            "bool": {
+                "must": [{"match": {"content": "data"}}],
+                "filter": [{"term": {"lang": "en"}}],
+                "must_not": [{"match": {"content": "slow"}}],
+            }
+        }
+    )
+    assert node == And((Term("data"), Filter(Term("en", "lang")), Not(Term("slow"))))
+
+
+def test_bool_should_semantics():
+    # should-only bool -> minimum_should_match defaults to 1 (plain OR)
+    assert compile_dsl(
+        {"bool": {"should": [{"match": {"content": "dup"}}, {"match": {"content": "vector"}}]}}
+    ) == Or((Term("dup"), Term("vector")))
+    # msm > 1
+    n = compile_dsl(
+        {
+            "bool": {
+                "should": [
+                    {"match": {"content": "dup"}},
+                    {"match": {"content": "vector"}},
+                    {"match": {"content": "data"}},
+                ],
+                "minimum_should_match": 2,
+            }
+        }
+    )
+    assert isinstance(n, Or) and n.min_match == 2
+    # should alongside must without msm is the documented unsupported case
+    with pytest.raises(DslError):
+        compile_dsl(
+            {
+                "bool": {
+                    "must": [{"match": {"content": "data"}}],
+                    "should": [{"match": {"content": "dup"}}],
+                }
+            }
+        )
+
+
+@pytest.mark.parametrize(
+    "body,qs",
+    [
+        ({"match": {"content": {"query": "fast data", "operator": "and"}}}, "fast & data"),
+        ({"match": {"content": "dup vector"}}, "dup | vector"),
+        ({"match_phrase": {"content": {"query": "batch data", "slop": 2}}}, '"batch data"~2'),
+        (
+            {
+                "bool": {
+                    "must": [{"match": {"content": "data"}}],
+                    "must_not": [{"match": {"content": "slow"}}],
+                }
+            },
+            "data -slow",
+        ),
+        (
+            {
+                "bool": {
+                    "must": [{"match": {"content": "data"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "data #lang:en",
+        ),
+        (
+            {
+                "bool": {
+                    "should": [
+                        {"match": {"content": "dup"}},
+                        {"match": {"content": "vector"}},
+                        {"match": {"content": "data"}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            },
+            "(dup | vector | data)@2",
+        ),
+    ],
+)
+def test_dsl_equals_query_string(index, body, qs):
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_dsl(index, {"query": body, "size": 10}).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in index.search(qs, k=10, mode="kernel").collect()
+    ]
+    assert got == want and got
+
+
+def test_dsl_compile_matches_parser_ast():
+    assert compile_dsl({"query_string": {"query": "data -slow"}}) == parse_query("data -slow")
+
+
+def test_dsl_errors():
+    for bad in [
+        {"match": {"content": "data", "path": "x"}},  # two fields
+        {"match": {"nosuchfield": "x"}},
+        {"match": {"content": "!!!"}},  # zero tokens
+        {"term": {"content": "two tokens"}},
+        {"knn": {"field": "v"}},  # unsupported kind
+        {"bool": {"boost_mode": "sum"}},  # unknown bool key
+        {"bool": {}},
+        {"match": {"content": {"query": "a b", "boost": 2}}},  # boost on multi
+    ]:
+        with pytest.raises(DslError):
+            compile_dsl(bad)
+
+
+def test_search_dsl_bare_query(index):
+    assert search_dsl(index, {"match": {"content": "data"}}, k=3).count() == 3
+
+
+def test_combined_fields(index):
+    node = compile_dsl(
+        {"combined_fields": {"query": "data txt", "fields": ["content", "path^0.4"]}}
+    )
+    got = [(r["doc_id"], round(r["score"], 6)) for r in index.search(node, k=5, mode="kernel").collect()]
+    from bitfunnel_spark.plans.expand import combined_fields
+
+    want_node = combined_fields("data txt", {"body": 1.0, "path": 0.4})
+    want = [(r["doc_id"], round(r["score"], 6)) for r in index.search(want_node, k=5, mode="kernel").collect()]
+    assert got == want and got
+
+
+def test_module_has_no_spark_imports():
+    # the compiler is pure Python — usable to pre-compile query logs
+    import inspect
+
+    src = inspect.getsource(dsl)
+    assert "pyspark" not in src
+
+
+def test_dsl_expansion_in_bool(index):
+    # dictionary-expansion clauses inside bool run through prepare_query
+    body = {
+        "bool": {
+            "must": [{"match": {"content": "data"}}],
+            "should": [{"prefix": {"content": "s"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    got = [(r["doc_id"], round(r["score"], 6)) for r in search_dsl(index, body, k=8).collect()]
+    want = [(r["doc_id"], round(r["score"], 6)) for r in index.search("data (s*)", k=8, mode="kernel").collect()]
+    assert got == want and got

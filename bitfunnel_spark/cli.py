@@ -360,12 +360,12 @@ def cmd_repl(args) -> None:
                     substring_search,
                 )
 
-                if "_tri" not in dir():
-                    _tri = build_trigram_index(idx.corpus, text_col="content").cache()
+                if not hasattr(idx, "_repl_tri"):
+                    idx._repl_tri = build_trigram_index(idx.corpus, text_col="content").cache()
                 is_re = line.startswith("!egrep ")
                 pat = line[7:] if is_re else line[6:]
                 fn = regex_search if is_re else substring_search
-                hits = fn(_tri, idx.corpus, pat, text_col="content").orderBy("doc_id")
+                hits = fn(idx._repl_tri, idx.corpus, pat, text_col="content").orderBy("doc_id")
                 ids = [r["doc_id"] for r in hits.collect()]
                 print(f"{len(ids)} files: {ids[:50]}{' ...' if len(ids) > 50 else ''}")
             elif line.startswith("!hist "):

@@ -2167,6 +2167,27 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_dsl_bool"] = oracle_search_sql(
         compile_dsl(_DSL_BODY), k=10, config=ENTRY_CONFIG
     )
+
+    _AGGS_Q = {"match": {"content": {"query": "data fast", "operator": "and"}}}
+
+    def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES aggregations DSL: terms bucket + stats sub-agg routed onto
+        # the facet_stats serving op
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {
+                "query": _AGGS_Q,
+                "aggs": {"by_lang": {"terms": {"field": "lang"},
+                                     "aggs": {"dl": {"stats": {"field": "doclen"}}}}},
+            },
+        )
+
+    from bitfunnel_spark.plans.oracle import oracle_facet_stats_sql as _ofs
+
+    queries["ft_dsl_aggs"] = q_ft_dsl_aggs
+    oracles["ft_dsl_aggs"] = _ofs(compile_dsl(_AGGS_Q), by="lang", config=ENTRY_CONFIG)
     queries["ft_substring_lines"] = q_ft_substring_lines
     oracles["ft_substring_lines"] = SQL_FT_SUBSTRING_LINES
     queries["events_histogram"] = q_events_histogram

@@ -250,3 +250,106 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     else:
         node = compile_dsl(body)
     return index.search(node, k=k, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# aggregations DSL — `{"aggs": {...}}` onto the serving aggregation ops
+
+BUCKET_FIELDS = ("lang", "repo")  # corpus metadata columns
+NUMERIC_FIELDS = ("doclen",)  # the engine's per-doc numeric
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise DslError(msg)
+
+
+def run_aggs(index, body: dict, k: int = 10):
+    """Run an ES `_search` body carrying exactly ONE top-level aggregation
+    (optionally with exactly one sub-aggregation under a `terms` bucket)
+    and return the corresponding serving op's DataFrame. Documented
+    subset; anything else raises DslError:
+
+      terms(field)                         -> facet_counts
+      terms + stats(doclen)                -> facet_stats
+      terms + percentiles(doclen)          -> facet_percentiles
+      terms + cardinality(field)           -> facet_cardinality
+      terms + top_hits(size)               -> top_hits
+      histogram(doclen, interval)          -> histogram
+      extended_stats(doclen)               -> extended_stats
+      range(doclen, ranges)                -> facet_ranges
+      significant_terms(content, size)     -> significant_terms
+      filters(query_string filters)        -> filters_agg
+    """
+    from bitfunnel_spark.plans import serving
+
+    aggs = body.get("aggs") or body.get("aggregations")
+    _require(isinstance(aggs, dict) and len(aggs) == 1, "exactly one top-level agg")
+    q = compile_dsl(body["query"]) if "query" in body else None
+    (_, spec), = aggs.items()
+    _require(isinstance(spec, dict), "agg spec must be an object")
+    sub = spec.get("aggs") or spec.get("aggregations")
+    kinds = [x for x in spec if x not in ("aggs", "aggregations")]
+    _require(len(kinds) == 1, f"agg needs exactly one kind, got {kinds}")
+    kind = kinds[0]
+    conf = spec[kind]
+
+    if kind == "filters":
+        _require(q is None, "filters agg counts over the whole corpus (no query)")
+        named = conf.get("filters")
+        _require(isinstance(named, dict) and named, "filters.filters must be non-empty")
+        qs = {}
+        for name, sub_q in named.items():
+            node = compile_dsl(sub_q)
+            qs[name] = node
+        return serving.filters_agg(index, qs)
+
+    _require(q is not None, f"{kind} agg requires a query")
+
+    if kind == "histogram":
+        _require(conf.get("field") in NUMERIC_FIELDS, "histogram field must be doclen")
+        return serving.histogram(index, q, interval=int(conf.get("interval", 32)))
+    if kind == "extended_stats":
+        _require(conf.get("field") in NUMERIC_FIELDS, "extended_stats field must be doclen")
+        return serving.extended_stats(index, q)
+    if kind == "range":
+        _require(conf.get("field") in NUMERIC_FIELDS, "range field must be doclen")
+        ranges = conf.get("ranges")
+        _require(isinstance(ranges, list) and ranges, "range.ranges must be non-empty")
+        edges = []
+        for i, r in enumerate(ranges):
+            if "from" in r:
+                edges.append(int(r["from"]))
+            elif i == 0:
+                edges.append(0)
+        _require(edges == sorted(set(edges)), "range froms must be increasing")
+        return serving.facet_ranges(index, q, edges=tuple(edges))
+    if kind == "significant_terms":
+        _require(conf.get("field") in ("content", "body", "text"),
+                 "significant_terms field must be the body text")
+        return serving.significant_terms(index, q, k=int(conf.get("size", 20)))
+    if kind == "terms":
+        field = conf.get("field")
+        _require(field in BUCKET_FIELDS, f"terms field must be one of {BUCKET_FIELDS}")
+        if not sub:
+            return serving.facet_counts(index, q, facets=(field,))
+        _require(isinstance(sub, dict) and len(sub) == 1, "exactly one sub-agg")
+        (_, sspec), = sub.items()
+        skinds = list(sspec)
+        _require(len(skinds) == 1, "sub-agg needs exactly one kind")
+        skind, sconf = skinds[0], sspec[skinds[0]]
+        if skind == "stats":
+            _require(sconf.get("field") in NUMERIC_FIELDS, "stats field must be doclen")
+            return serving.facet_stats(index, q, by=field)
+        if skind == "percentiles":
+            _require(sconf.get("field") in NUMERIC_FIELDS, "percentiles field must be doclen")
+            pcts = tuple(float(p) for p in sconf.get("percents", (25.0, 50.0, 75.0, 95.0)))
+            return serving.facet_percentiles(index, q, by=field, percents=pcts)
+        if skind == "cardinality":
+            of = sconf.get("field")
+            _require(of in BUCKET_FIELDS, f"cardinality field must be one of {BUCKET_FIELDS}")
+            return serving.facet_cardinality(index, q, by=field, of=of)
+        if skind == "top_hits":
+            return serving.top_hits(index, q, by=field, per_group=int(sconf.get("size", 3)))
+        raise DslError(f"unsupported sub-agg kind: {skind!r}")
+    raise DslError(f"unsupported agg kind: {kind!r}")

@@ -181,3 +181,90 @@ def test_dsl_expansion_in_bool(index):
     got = [(r["doc_id"], round(r["score"], 6)) for r in search_dsl(index, body, k=8).collect()]
     want = [(r["doc_id"], round(r["score"], 6)) for r in index.search("data (s*)", k=8, mode="kernel").collect()]
     assert got == want and got
+
+
+# --- aggregations DSL ---
+
+from bitfunnel_spark.plans import serving  # noqa: E402
+from bitfunnel_spark.plans.dsl import run_aggs  # noqa: E402
+
+_Q = {"match": {"content": "data"}}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_aggs_terms(index):
+    got = run_aggs(index, {"query": _Q, "aggs": {"by_lang": {"terms": {"field": "lang"}}}})
+    assert _rows(got) == _rows(serving.facet_counts(index, Term("data"), facets=("lang",)))
+
+
+def test_aggs_terms_stats(index):
+    body = {
+        "query": _Q,
+        "aggs": {"by_lang": {"terms": {"field": "lang"},
+                             "aggs": {"dl": {"stats": {"field": "doclen"}}}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.facet_stats(index, Term("data"), by="lang")
+    )
+
+
+def test_aggs_terms_cardinality_and_tophits(index):
+    body = {
+        "query": _Q,
+        "aggs": {"b": {"terms": {"field": "lang"},
+                       "aggs": {"c": {"cardinality": {"field": "repo"}}}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.facet_cardinality(index, Term("data"), by="lang", of="repo")
+    )
+    body2 = {
+        "query": _Q,
+        "aggs": {"b": {"terms": {"field": "lang"},
+                       "aggs": {"h": {"top_hits": {"size": 2}}}}},
+    }
+    assert _rows(run_aggs(index, body2)) == _rows(
+        serving.top_hits(index, Term("data"), by="lang", per_group=2)
+    )
+
+
+def test_aggs_histogram_extended_range(index):
+    q = Term("data")
+    body = {"query": _Q, "aggs": {"h": {"histogram": {"field": "doclen", "interval": 64}}}}
+    assert _rows(run_aggs(index, body)) == _rows(serving.histogram(index, q, interval=64))
+    body = {"query": _Q, "aggs": {"e": {"extended_stats": {"field": "doclen"}}}}
+    assert _rows(run_aggs(index, body)) == _rows(serving.extended_stats(index, q))
+    body = {
+        "query": _Q,
+        "aggs": {"r": {"range": {"field": "doclen",
+                                 "ranges": [{"to": 24}, {"from": 24, "to": 96}, {"from": 96}]}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.facet_ranges(index, q, edges=(0, 24, 96))
+    )
+
+
+def test_aggs_filters(index):
+    body = {
+        "aggs": {"f": {"filters": {"filters": {
+            "a": {"match": {"content": {"query": "data fast", "operator": "and"}}},
+            "b": {"match_phrase": {"content": "batch batch"}},
+        }}}},
+    }
+    got = {r["name"]: r["n_docs"] for r in run_aggs(index, body).collect()}
+    assert got["a"] == index.match("data & fast").count()
+    assert got["b"] == index.match('"batch batch"').count()
+
+
+def test_aggs_errors(index):
+    for bad in [
+        {"aggs": {"a": {"terms": {"field": "lang"}}, "b": {"terms": {"field": "repo"}}}},
+        {"query": _Q, "aggs": {"a": {"date_histogram": {"field": "ts"}}}},
+        {"query": _Q, "aggs": {"a": {"terms": {"field": "doclen"}}}},
+        {"query": _Q, "aggs": {"a": {"histogram": {"field": "n_chars"}}}},
+        {"aggs": {"a": {"terms": {"field": "lang"}}}},  # bucket agg without query
+    ]:
+        with pytest.raises(DslError):
+            run_aggs(index, bad)

@@ -241,15 +241,36 @@ def compile_dsl(query: dict) -> Node:
     raise DslError(f"unsupported query kind: {kind!r}")
 
 
+_SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
+
+
 def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     """Run an ES `_search`-style body: `{"query": {...}}` (or a bare query
-    object) through the engine. `size` maps to k when present."""
+    object) through the engine. `size` maps to k; `"_source": [cols...]`
+    joins the named corpus columns onto the hits — the k-row result
+    broadcasts into the corpus scan, so field fetching never reorders or
+    re-shuffles the match set."""
+    source = None
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
+        source = body.get("_source")
         node = compile_dsl(body["query"])
     else:
         node = compile_dsl(body)
-    return index.search(node, k=k, mode=mode)
+    hits = index.search(node, k=k, mode=mode)
+    if not source:
+        return hits
+    bad = [c for c in source if c not in _SOURCE_FIELDS]
+    if bad:
+        raise DslError(f"unknown _source fields: {bad} (known: {list(_SOURCE_FIELDS)})")
+    from pyspark.sql import functions as F
+
+    fetched = index.corpus.select("doc_id", *source).join(
+        F.broadcast(hits), "doc_id"
+    )
+    return fetched.select("doc_id", "score", *source).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -161,12 +161,14 @@ def test_combined_fields(index):
     assert got == want and got
 
 
-def test_module_has_no_spark_imports():
-    # the compiler is pure Python — usable to pre-compile query logs
+def test_module_has_no_toplevel_spark_imports():
+    # the compiler is pure Python at import time — usable to pre-compile
+    # query logs without a JVM (search_dsl's fetch join imports lazily)
     import inspect
 
-    src = inspect.getsource(dsl)
-    assert "pyspark" not in src
+    for line in inspect.getsource(dsl).splitlines():
+        if line.startswith(("import ", "from ")):
+            assert "pyspark" not in line, line
 
 
 def test_dsl_expansion_in_bool(index):
@@ -268,3 +270,19 @@ def test_aggs_errors(index):
     ]:
         with pytest.raises(DslError):
             run_aggs(index, bad)
+
+
+def test_source_fetching(index):
+    body = {"query": {"match": {"content": "data"}}, "size": 5,
+            "_source": ["path", "lang"]}
+    rows = search_dsl(index, body).collect()
+    assert len(rows) == 5
+    assert set(rows[0].asDict()) == {"doc_id", "score", "path", "lang"}
+    # same ranking as the plain search
+    plain = search_dsl(index, {"query": {"match": {"content": "data"}}, "size": 5})
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in plain.collect()]
+    # the k-row side broadcasts
+    plan = search_dsl(index, body)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"match": {"content": "data"}}, "_source": ["nope"]})

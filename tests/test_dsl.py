@@ -286,3 +286,76 @@ def test_source_fetching(index):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(DslError):
         search_dsl(index, {"query": {"match": {"content": "data"}}, "_source": ["nope"]})
+
+
+# --- tandem fuzz: random DSL trees with their query-string twins ---
+
+import random as _random
+
+
+def _gen_pair(rng, depth=0):
+    """Return (dsl_body, equivalent_query_string_fragment)."""
+    vocab = ["data", "fast", "dup", "vector", "key", "table", "row", "scan"]
+    roll = rng.random()
+    if depth >= 2 or roll < 0.45:
+        t = rng.choice(vocab)
+        kind = rng.randrange(3)
+        if kind == 0:
+            return {"match": {"content": t}}, t
+        if kind == 1:
+            t2 = rng.choice([w for w in vocab if w != t])
+            return (
+                {"match": {"content": {"query": f"{t} {t2}", "operator": "and"}}},
+                f"({t} & {t2})",
+            )
+        t2 = rng.choice([w for w in vocab if w != t])
+        slop = rng.randrange(3)
+        if slop:
+            return (
+                {"match_phrase": {"content": {"query": f"{t} {t2}", "slop": slop}}},
+                f'"{t} {t2}"~{slop}',
+            )
+        return {"match_phrase": {"content": f"{t} {t2}"}}, f'"{t} {t2}"'
+    if roll < 0.75:
+        n = rng.randrange(2, 4)
+        pairs = [_gen_pair(rng, depth + 1) for _ in range(n)]
+        msm = rng.choice([1, 1, min(2, n)])
+        body = {"bool": {"should": [b for b, _ in pairs], "minimum_should_match": msm}}
+        qs = "(" + " | ".join(q for _, q in pairs) + ")"
+        return body, (qs if msm == 1 else f"{qs}@{msm}")
+    musts = [_gen_pair(rng, depth + 1) for _ in range(rng.randrange(1, 3))]
+    nots = [_gen_pair(rng, depth + 1) for _ in range(rng.randrange(0, 2))]
+    body = {
+        "bool": {
+            "must": [b for b, _ in musts],
+            "must_not": [b for b, _ in nots],
+        }
+    }
+    qs = "(" + " & ".join(q for _, q in musts)
+    for _, q in nots:
+        qs += f" -{q}"
+    return body, qs + ")"
+
+
+def test_dsl_fuzz_ast_equivalence():
+    rng = _random.Random(20260818)
+    for i in range(300):
+        body, qs = _gen_pair(rng)
+        got = compile_dsl(body)
+        want = parse_query(qs)
+        assert got == want, (i, body, qs, got, want)
+
+
+def test_dsl_fuzz_execution_sample(index):
+    rng = _random.Random(42)
+    for _ in range(6):
+        body, qs = _gen_pair(rng)
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_dsl(index, {"query": body, "size": 8}).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in index.search(qs, k=8, mode="kernel").collect()
+        ]
+        assert got == want, (body, qs)

@@ -2188,6 +2188,32 @@ ORDER BY df DESC, term ASC LIMIT 10"""
 
     queries["ft_dsl_aggs"] = q_ft_dsl_aggs
     oracles["ft_dsl_aggs"] = _ofs(compile_dsl(_AGGS_Q), by="lang", config=ENTRY_CONFIG)
+
+    def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-shard observability (ES _stats analogue) — the SQL-mirrorable
+        # columns; block/byte accounting stays engine-side (block chunking
+        # depends on the slice hash, which no SQL engine reproduces)
+        from bitfunnel_spark.operators.analytics import index_stats
+
+        return index_stats(get_index(spark, sf_dir)).select(
+            "shard", "n_docs", "sum_doclen", "n_terms", "n_postings"
+        )
+
+    _SHARD_SQL = shard_case_sql("doclen", DEFAULT_SHARD_BOUNDARIES)
+    queries["ft_index_stats"] = q_ft_index_stats
+    oracles["ft_index_stats"] = f"""WITH {CORPUS_CTE},
+docshard AS (SELECT doc_id, doclen, {_SHARD_SQL} AS shard FROM dl),
+per_docs AS (
+  SELECT shard, count(*) AS n_docs, CAST(sum(doclen) AS BIGINT) AS sum_doclen
+  FROM docshard GROUP BY 1
+),
+per_postings AS (
+  SELECT x.shard, count(DISTINCT (t.stream, t.term)) AS n_terms,
+         count(*)::BIGINT AS n_postings
+  FROM tf t JOIN docshard x USING (doc_id) GROUP BY 1
+)
+SELECT shard, n_docs, sum_doclen, n_terms, n_postings
+FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     queries["ft_substring_lines"] = q_ft_substring_lines
     oracles["ft_substring_lines"] = SQL_FT_SUBSTRING_LINES
     queries["events_histogram"] = q_events_histogram

@@ -78,3 +78,32 @@ def term_correlation(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_pair_count)
     )
+
+
+def index_stats(index) -> DataFrame:
+    """Per-shard index statistics (the ES `_stats`/`_segments` observability
+    surface): document count, distinct terms, posting count, block count,
+    and stored segment bytes. One pass over segment METADATA plus one over
+    doc_stats — postings themselves are never decoded (block `n` and the
+    binary column sizes are plain columns, so the whole thing is two
+    map-side-combined aggregations).
+
+    Reference analogue: the reference prints per-shard row/term tables via
+    StatisticsBuilder (src/Tools/StatisticsBuilder); doc/posting counts per
+    shard are the same accounting."""
+    seg = index.segments.groupBy("shard").agg(
+        F.countDistinct("term_key").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+        (
+            F.sum(F.octet_length("docs_vb"))
+            + F.sum(F.octet_length("tfs_vb"))
+            + F.sum(F.octet_length("partials"))
+            + F.sum(F.coalesce(F.octet_length("pos_vb"), F.lit(0)))
+        ).cast("long").alias("segment_bytes"),
+    )
+    docs = index.doc_stats.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").cast("long").alias("sum_doclen"),
+    )
+    return docs.join(seg, "shard", "left").orderBy("shard")

@@ -490,3 +490,17 @@ def test_pq_dim_not_divisible(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError):
         similarity.train_pq_codebooks(emb, m=7)
+
+
+def test_index_stats(spark, corpus):
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+    from bitfunnel_spark.operators.analytics import index_stats
+
+    idx = FullTextIndex.build_fused(spark, corpus, BuildConfig(n_slices=2))
+    rows = index_stats(idx).collect()
+    assert rows and [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == idx.doc_stats.count()
+    for r in rows:
+        assert r["n_postings"] >= r["n_terms"] > 0
+        assert r["segment_bytes"] > 0 and r["n_blocks"] > 0

@@ -130,3 +130,82 @@ def doc_term_freqs(tokens: Column) -> Column:
         return F.when(last["term"] == x, bump).otherwise(append)
 
     return F.aggregate(F.array_sort(tokens), empty, step)
+
+
+# ---------------------------------------------------------------------------
+# Python mirror with character offsets (Arrow batch path only)
+#
+# The JVM tokenizer above cannot report where in the ORIGINAL text each
+# token came from (regexp_extract_all yields values, not offsets). The
+# byte-exact span surgery in operators/dedup.py (Lee et al. ExactSubstr
+# cuts duplicated spans from the original bytes, not from a re-joined
+# token stream) needs those offsets, so this mirror re-runs the same
+# pattern in Python inside an Arrow-batched UDF. Parity with the JVM
+# path is tested (tests/test_substring_dedup.py::test_py_tokenize_parity).
+
+import re as _re
+
+_PY_TOKEN_RE = _re.compile(TOKEN_PATTERN)
+_PY_CODE_RULES = tuple(
+    (_re.compile(pat), rep.replace("$1", r"\1").replace("$2", r"\2"))
+    for pat, rep in CODE_SPLIT_RULES
+)
+
+
+def _py_lower(text: str) -> str:
+    # length-preserving lowercase: str.lower() can change length for a few
+    # Unicode code points (e.g. 'İ'); keep such chars as-is so offsets in
+    # the lowered string are offsets in the original.
+    out = []
+    for ch in text:
+        low = ch.lower()
+        out.append(low if len(low) == 1 else ch)
+    return "".join(out)
+
+
+def _py_code_split_map(text: str) -> tuple[str, list[int]]:
+    """(split_text, posmap): code_split_text() in Python plus, for each
+    split-text index, the originating original-text index (None-free:
+    inserted spaces map to the original index of the NEXT char, which is
+    only used via token-end arithmetic and never starts a token)."""
+    split = text
+    for pat, rep in _PY_CODE_RULES:
+        split = pat.sub(rep, split)
+    posmap = [0] * len(split)
+    j = 0
+    for i, ch in enumerate(split):
+        if j < len(text) and ch == text[j]:
+            posmap[i] = j
+            j += 1
+        elif ch == " " and j < len(text) and text[j] == "_":
+            posmap[i] = j  # '_' replaced by ' '
+            j += 1
+        elif ch == " ":
+            posmap[i] = j  # rule-inserted boundary space
+        else:  # pragma: no cover - alignment invariant
+            raise AssertionError("code-split alignment failed")
+    return split, posmap
+
+
+def py_token_spans(text: str, analyzer: str = "standard") -> list[tuple[int, int]]:
+    """[(start_char, end_char)) per token, in ORIGINAL-text offsets, in
+    token order — the exact token stream tokenize() produces."""
+    if analyzer == "code":
+        split, posmap = _py_code_split_map(text)
+        return [
+            (posmap[m.start()], posmap[m.end() - 1] + 1)
+            for m in _PY_TOKEN_RE.finditer(_py_lower(split))
+        ]
+    if analyzer != "standard":
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
+    return [(m.start(), m.end()) for m in _PY_TOKEN_RE.finditer(_py_lower(text))]
+
+
+def py_tokenize(text: str, analyzer: str = "standard") -> list[str]:
+    """The token VALUES of py_token_spans — must equal tokenize() exactly."""
+    if analyzer == "code":
+        split, _ = _py_code_split_map(text)
+        return _PY_TOKEN_RE.findall(_py_lower(split))
+    if analyzer != "standard":
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
+    return _PY_TOKEN_RE.findall(_py_lower(text))

@@ -627,29 +627,24 @@ def substring_scrub(
     min_len: int = 50,
     analyzer: str = "standard",
 ) -> DataFrame:
-    """Input rows with every duplicated span's tokens removed from
-    ``text_col`` (the drop-all-copies policy; keep-one-canonical needs a
-    global tie-break pass and is left to the caller via
-    substring_dup_spans). Output: (doc_id, text, n_dropped_tokens)."""
+    """Input rows with every duplicated span CUT FROM THE ORIGINAL TEXT
+    BYTES (Lee et al. ExactSubstr removes the span from the raw bytes, so
+    unduplicated documents pass through byte-identical — casing,
+    punctuation, and whitespace preserved). The cut range for a token span
+    [s, e) is [start_char(token s), end_char(token e-1)); text between the
+    surviving pieces is concatenated. Drop-all-copies policy;
+    keep-one-canonical needs a global tie-break pass and is left to the
+    caller via substring_dup_spans. Output: (doc_id, text,
+    n_dropped_tokens).
+
+    Note for the 'code' analyzer: cutting subtoken bytes out of an
+    identifier can fuse the neighbours into a new identifier ("a1b" minus
+    the "1" subtoken re-tokenizes as "ab") — inherent to byte surgery over
+    split identifiers, same as cutting bytes in Lee et al."""
     spans = substring_dup_spans(df, text_col, id_col, min_len, analyzer).groupBy(
         "doc_id"
     ).agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
-    toks = tokenize(text_col, analyzer)
-    joined = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).join(
-        spans, "doc_id", "left"
-    )
-    in_span = lambda i: F.exists(  # noqa: E731
-        "spans", lambda s: (i >= s["span_start"]) & (i < s["span_end"])
-    )
-    kept = F.filter(
-        F.transform("tk", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda x: ~F.coalesce(in_span(x["i"]), F.lit(False)),
-    )
-    return joined.select(
-        "doc_id",
-        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text"),
-        (F.size("tk") - F.size(kept)).cast("int").alias("n_dropped_tokens"),
-    )
+    return _cut_spans_bytes(df, spans, text_col, id_col, analyzer)
 
 
 def winnowed_fingerprints(
@@ -795,26 +790,73 @@ def decontaminate_spans(
     analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, text, n_dropped_tokens): training rows with every
-    ref-contaminated span's tokens removed — the span-surgical
+    ref-contaminated span CUT FROM THE ORIGINAL TEXT BYTES (see
+    substring_scrub for the byte-surgery contract) — the span-surgical
     alternative to dropping whole contaminated documents."""
     spans = substring_match_spans(
         df, ref_df, text_col, id_col, ref_text_col, min_len, analyzer
     ).groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    toks = tokenize(text_col, analyzer)
-    joined = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).join(
-        spans, "doc_id", "left"
-    )
-    in_span = lambda i: F.exists(  # noqa: E731
-        "spans", lambda s: (i >= s["span_start"]) & (i < s["span_end"])
-    )
-    kept = F.filter(
-        F.transform("tk", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda x: ~F.coalesce(in_span(x["i"]), F.lit(False)),
-    )
-    return joined.select(
-        "doc_id",
-        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text"),
-        (F.size("tk") - F.size(kept)).cast("int").alias("n_dropped_tokens"),
-    )
+    return _cut_spans_bytes(df, spans, text_col, id_col, analyzer)
+
+
+def _cut_spans_bytes(
+    df: DataFrame,
+    spans_by_doc: DataFrame,
+    text_col: str,
+    id_col: str,
+    analyzer: str,
+) -> DataFrame:
+    """(doc_id, text, n_dropped_tokens): ``df`` rows with each token span
+    in ``spans_by_doc`` (doc_id, spans: array<struct<span_start,
+    span_end>>) removed from the ORIGINAL text by character range.
+
+    Token→character offsets come from the Python tokenizer mirror
+    (functions/tokenizer.py:py_token_spans — JVM regexp_extract_all
+    reports values, not offsets), run inside an Arrow-batched mapInPandas.
+    Docs with no spans never enter Python-side tokenization and pass
+    through byte-identical; span rows are a k-row-per-dup-doc join, so the
+    Python work is proportional to the DUPLICATED corpus slice only."""
+    joined = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(spans_by_doc, "doc_id", "left")
+
+    def cut(batches):
+        import pandas as pd
+
+        from bitfunnel_spark.functions.tokenizer import py_token_spans
+
+        for pdf in batches:
+            texts, dropped = [], []
+            for text, spans in zip(pdf["__text"], pdf["spans"]):
+                if spans is None or len(spans) == 0:
+                    texts.append(text)
+                    dropped.append(0)
+                    continue
+                offs = py_token_spans(text, analyzer)
+                ivs = sorted(
+                    (int(s["span_start"]), int(s["span_end"])) for s in spans
+                )
+                out, cur, nd = [], 0, 0
+                for a, b in ivs:
+                    b = min(b, len(offs))
+                    if a >= b:
+                        continue
+                    ca, cb = offs[a][0], offs[b - 1][1]
+                    if ca > cur:
+                        out.append(text[cur:ca])
+                    cur = max(cur, cb)
+                    nd += b - a
+                out.append(text[cur:])
+                texts.append("".join(out))
+                dropped.append(nd)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": pd.Series(texts, dtype="object"),
+                    "n_dropped_tokens": pd.Series(dropped, dtype="int32"),
+                }
+            )
+
+    return joined.mapInPandas(cut, "doc_id long, text string, n_dropped_tokens int")

@@ -40,7 +40,15 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     ``gap_seconds``. session_id is 1-based in time order within the user
     (deterministic: ties ordered by event_id)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-exact gap, matching DuckDB's epoch(ts - lag(ts));
+    # unix_timestamp() floors to whole seconds and can split sessions
+    # differently cross-engine when a gap lands within ~1s of gap_seconds.
+    # The NTZ->TIMESTAMP cast is safe: the session timezone is pinned to
+    # UTC (session.py), so unix_micros differences are pure wall-clock.
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    gap = (_micros(F.col("ts")) - _micros(F.lag("ts").over(w))) / F.lit(1_000_000.0)
     new_session = (gap.isNull() | (gap > gap_seconds)).cast("int")
     sid = F.sum(new_session).over(
         Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

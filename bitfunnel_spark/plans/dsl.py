@@ -260,6 +260,10 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     hits = index.search(node, k=k, mode=mode)
     if not source:
         return hits
+    if isinstance(source, str):  # ES allows a bare string, e.g. "_source": "repo"
+        source = [source]
+    if not isinstance(source, (list, tuple)):
+        raise DslError(f"_source must be a field name or list of field names, got {type(source).__name__}")
     bad = [c for c in source if c not in _SOURCE_FIELDS]
     if bad:
         raise DslError(f"unknown _source fields: {bad} (known: {list(_SOURCE_FIELDS)})")
@@ -337,12 +341,25 @@ def run_aggs(index, body: dict, k: int = 10):
         _require(conf.get("field") in NUMERIC_FIELDS, "range field must be doclen")
         ranges = conf.get("ranges")
         _require(isinstance(ranges, list) and ranges, "range.ranges must be non-empty")
+        # facet_ranges buckets are contiguous half-open [edge_i, edge_{i+1})
+        # intervals, so the ES spec must be contiguous and end unbounded —
+        # anything else (a bounded last range, a gap between `to` and the
+        # next `from`) would silently count docs into the wrong bucket.
         edges = []
         for i, r in enumerate(ranges):
-            if "from" in r:
-                edges.append(int(r["from"]))
-            elif i == 0:
-                edges.append(0)
+            frm = r.get("from", 0 if i == 0 else None)
+            _require(frm is not None, "every range after the first needs a `from`")
+            edges.append(int(frm))
+            to = r.get("to")
+            if i + 1 < len(ranges):
+                nxt = ranges[i + 1].get("from")
+                _require(
+                    to is not None and nxt is not None and int(to) == int(nxt),
+                    "ranges must be contiguous: each `to` must equal the "
+                    "next range's `from`",
+                )
+            else:
+                _require("to" not in r, "last range must be unbounded (no `to`)")
         _require(edges == sorted(set(edges)), "range froms must be increasing")
         return serving.facet_ranges(index, q, edges=tuple(edges))
     if kind == "significant_terms":

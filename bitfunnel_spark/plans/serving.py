@@ -55,6 +55,14 @@ def facet_counts(
     )
 
 
+def _idx_analyzer(index) -> str:
+    """Index-time body analyzer — non-positional fallbacks must tokenize
+    with the same analyzer the postings were built with (a 'code' index
+    splits identifiers; re-tokenizing with 'standard' would mis-place
+    positions and drop matches)."""
+    return getattr(getattr(index, "config", None), "analyzer", "standard")
+
+
 def _ranked_scoring_terms(index, plan) -> list[str]:
     """Scoring terms rarest-first: idf desc (== df asc), term asc; terms
     absent from the dictionary (df = 0) are dropped — they cannot occur in
@@ -82,7 +90,7 @@ def snippets(
     ordered = _ranked_scoring_terms(index, plan)
 
     docs = index.corpus.select("doc_id", "content").join(F.broadcast(res), "doc_id")
-    docs = docs.select("doc_id", "score", tokenize("content").alias("tk"))
+    docs = docs.select("doc_id", "score", tokenize("content", _idx_analyzer(index)).alias("tk"))
     if ordered:
         cands = F.array(
             *[
@@ -407,7 +415,7 @@ def span_first(
 
         docs = seg.groupBy("shard", "slice").applyInPandas(first_docs, "doc_id long")
     else:
-        ap = F.array_position(tokenize("content"), F.lit(term))
+        ap = F.array_position(tokenize("content", _idx_analyzer(index)), F.lit(term))
         docs = index.corpus.where((ap >= 1) & (ap <= end)).select("doc_id")
     return (
         scored.join(docs, "doc_id")
@@ -999,7 +1007,7 @@ def more_like_this(
     """
     rows = (
         index.corpus.filter(F.col("doc_id") == int(doc_id))
-        .select(tokenize("content").alias("tk"))
+        .select(tokenize("content", _idx_analyzer(index)).alias("tk"))
         .collect()
     )
     tokens = rows[0]["tk"] if rows else []
@@ -1318,7 +1326,7 @@ def span_near(
     else:
         span = n - 1 + int(slop)
         tok_to_idx = {t: i for i, t in enumerate(toks)}
-        tk = index.corpus.select("doc_id", tokenize("content").alias("tk"))
+        tk = index.corpus.select("doc_id", tokenize("content", _idx_analyzer(index)).alias("tk"))
 
         def check(batches):
             for pdf in batches:
@@ -1464,7 +1472,7 @@ def span_not(
 
         docs = seg.groupBy("shard", "slice").applyInPandas(surviving_docs, "doc_id long")
     else:
-        tk = index.corpus.select("doc_id", tokenize("content").alias("tk"))
+        tk = index.corpus.select("doc_id", tokenize("content", _idx_analyzer(index)).alias("tk"))
 
         def check(batches):
             for pdf in batches:

@@ -54,13 +54,57 @@ def test_dup_spans(docs):
 
 
 def test_scrub_removes_spans(docs):
+    # byte-exact surgery: the span's character range is cut from the
+    # ORIGINAL text; everything outside survives byte-identical (including
+    # the whitespace that used to separate the span from its neighbours)
     out = {r["doc_id"]: r for r in substring_scrub(docs, min_len=12).collect()}
     assert out[1]["n_dropped_tokens"] == 12
-    assert out[1]["text"] == "alpha beta gamma delta"
-    assert out[2]["text"] == "intro words first omega"
+    assert out[1]["text"] == " alpha beta gamma delta"
+    assert out[2]["text"] == "intro words first  omega"
     assert out[3]["n_dropped_tokens"] == 24
-    assert out[3]["text"] == "filler filler filler"
+    assert out[3]["text"] == " filler filler filler "
     assert out[4]["n_dropped_tokens"] == 0
+    # a clean document passes through byte-identical
+    assert out[4]["text"] == (
+        "totally unrelated text with no twelve token overlap at all here ok"
+    )
+
+
+def test_scrub_preserves_original_bytes(spark):
+    # casing / punctuation / odd whitespace outside the span survive
+    run = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, "Keep, This!  " + run + "\ttail."), (2, run)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_scrub(df, min_len=12).collect()}
+    assert out[1]["text"] == "Keep, This!  \ttail."
+    assert out[2]["text"] == ""
+
+
+def test_py_tokenize_parity(docs, spark):
+    # the Python offset mirror must produce the exact JVM token stream,
+    # and its char spans must slice back to the token (modulo case)
+    from bitfunnel_spark.functions.tokenizer import py_token_spans, py_tokenize, tokenize
+
+    rows = spark.createDataFrame(
+        [
+            (1, "getUserName parse_html XMLHttpRequest v2Counter a1b2"),
+            (2, "Keep, This!  odd\twhitespace __dunder__ 123abc ABC"),
+            (3, BOILER),
+        ],
+        "doc_id long, text string",
+    )
+    for analyzer in ("standard", "code"):
+        got = rows.select("text", tokenize("text", analyzer).alias("tk")).collect()
+        for r in got:
+            assert py_tokenize(r["text"], analyzer) == list(r["tk"])
+            spans = py_token_spans(r["text"], analyzer)
+            assert len(spans) == len(r["tk"])
+            for (a, b), tok in zip(spans, r["tk"]):
+                assert b > a
+                # the char slice, tokenized alone, is exactly that token
+                assert py_tokenize(r["text"][a:b], analyzer) == [tok]
 
 
 def test_overlapping_windows_merge(spark):
@@ -86,8 +130,8 @@ def test_no_shuffle_before_fingerprint_group(docs):
 
 
 def test_scrub_plan_single_pass(docs):
-    # token removal is HOF expressions over the joined spans — no extra
-    # explode/groupBy beyond the span computation itself
+    # byte surgery is one Arrow-batched mapInPandas over (text ⋈ spans) —
+    # no extra explode/groupBy beyond the span computation itself
     out = substring_scrub(docs, min_len=12)
     assert out.filter(F.col("n_dropped_tokens") > 0).count() == 3
 
@@ -130,9 +174,12 @@ def test_match_spans_cross_corpus(train_eval):
 def test_decontaminate_spans(train_eval):
     train, ev = train_eval
     out = {r["doc_id"]: r for r in decontaminate_spans(train, ev, min_len=12).collect()}
-    assert out[1]["text"] == "intro outro ending"
+    assert out[1]["text"] == "intro  outro ending"
     assert out[1]["n_dropped_tokens"] == 12
     assert out[2]["n_dropped_tokens"] == 0
+    assert out[2]["text"] == (
+        "clean document with nothing shared at all beyond twelve tokens"
+    )
     assert out[3]["text"] == "" and out[3]["n_dropped_tokens"] == 12
 
 

@@ -204,11 +204,7 @@ def main() -> None:
     # grep battery: trigram-index substring + regex search over raw text
     # (the Zoekt workload). Build once (timed), then a mixed literal/regex
     # set; deterministic hit counts recorded so result drift is visible.
-    from bitfunnel_spark.operators.trigram import (
-        build_trigram_index,
-        regex_search,
-        substring_search,
-    )
+    from bitfunnel_spark.operators.trigram import build_trigram_index, grep_many
 
     tg0 = time.time()
     tri = build_trigram_index(corpus, text_col="content").cache()
@@ -222,12 +218,16 @@ def main() -> None:
         ("re", "(scan|data) slow"),
         ("re", "key +agg"),
     ]
-    tg1 = time.time()
-    grep_hits = 0
-    for kind, pat in GREP_SET:
-        fn = substring_search if kind == "lit" else regex_search
-        grep_hits += fn(tri, corpus, pat, text_col="content").count()
-    grep_sec = time.time() - tg1
+    # whole query log evaluated batched (the production shape): the mixed
+    # literal/regex log shares ONE candidate scan + ONE verify pass — the
+    # per-query loop this replaced measured Spark job overhead, not engine
+    # work
+    grep_trials = []
+    for _ in range(3):
+        tg1 = time.time()
+        grep_hits = grep_many(tri, corpus, GREP_SET, text_col="content").count()
+        grep_trials.append(time.time() - tg1)
+    grep_sec = min(grep_trials)  # best-of-3: first trial pays one-time codegen
 
     lat = sorted(queries.values())
     out = {
@@ -266,6 +266,7 @@ def main() -> None:
             "tri_build_sec": round(tri_build_sec, 3),
             "hits": grep_hits,
             "grep_sec": round(grep_sec, 3),
+            "grep_trials": [round(t, 3) for t in grep_trials],
             "grep_qps": round(len(GREP_SET) / grep_sec, 2),
         },
         "cpus": cpus,

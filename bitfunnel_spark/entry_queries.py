@@ -832,6 +832,30 @@ SQL_FT_REGEX_GREP = """SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text), '(?i)fast (key|value)') ORDER BY doc_id"""
 
 
+# one prunable pattern, one alternation, one full-verify (no literal >= 3
+# chars) and one corpus-absent pattern — the four batched-path branches
+_GREP_PATTERNS = ["fast (key|value)", "(scan|data) slow", "q?w?", "zzznope(a|b)"]
+
+
+def q_ft_regex_grep_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched grep: every pattern's required-literal tree evaluated over
+    # ONE shared pruned posting scan (single collect_set agg), one rlike
+    # verify pass with the pattern as a per-row column; full-verify
+    # patterns share one extra scan (QueryRunner batches its whole query
+    # log the same way, reference src/Plan/src/QueryRunner.cpp:282-402)
+    from bitfunnel_spark.operators.trigram import regex_search_many
+
+    return regex_search_many(
+        _tri_index(spark, sf_dir), _docs(spark, sf_dir), _GREP_PATTERNS
+    ).orderBy("query", "doc_id")
+
+
+SQL_FT_REGEX_GREP_MANY = """SELECT q.query, d.doc_id
+FROM (SELECT unnest(['fast (key|value)', '(scan|data) slow', 'q?w?', 'zzznope(a|b)']) AS query) q
+JOIN documents d ON regexp_matches(lower(d.text), '(?i)' || q.query)
+ORDER BY q.query, d.doc_id"""
+
+
 def q_ft_substring_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grep -n: per-line hits, lines exploded only for candidate docs
     from bitfunnel_spark.operators.trigram import substring_search_lines
@@ -1815,74 +1839,39 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come first; long-stable entries (the r02-green search/match loop variants,
 # the dedup family, corpus filters) ride their recorded greens behind it.
 DRIVER_WINDOW = [
-    # round-2 additions the r02 window cut off (VERDICT r2 item 1)
-    "media_metadata", "media_features", "media_frame_plan",
-    "ft_facets", "ft_snippets", "ft_more_like_this", "ft_collapse",
-    "ft_facet_stats", "ft_facet_ranges", "ft_significant_terms",
-    "ft_hybrid", "ft_explain",
-    "ft_term_vector",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
-    "ft_bm25_phrase_pos", "ft_bm25_phrase_gram",
-    "chunk_roundtrip", "text_profile", "quality_repetition", "quality_logprob",
-    # newly-oracled this round (were rows-only)
-    "ft_shard_plan", "ft_query_profile",
-    # new round-3 entries (ann_rh_buckets and ann_ivf_kmeans rotated out:
-    # both rows-only checks whose plan shape is identical to hash-checked
-    # window siblings — ann_rh to ann_lsh_topk, ivf_kmeans to ann_ivf_topk;
-    # ft_percolate rotated out for ft_percolate_log, the same one-job
-    # percolation executor at 372-query/100k-row scale)
-    "ft_bm25_regex_alt",
-    "ft_percolate_log", "ft_bm25f",
-    # round-3 tail: code analyzer (full build+kernel under identifier
-    # splitting), exact-substring dedup, position-level span exclusion,
-    # trigram substring search — all hash-checked cross-engine.
-    # (ft_bm25_regex_opt's slot goes to ft_substring: the regex-prune fix
-    # stays live-checked by ft_bm25_regex_alt; the optional-quantifier
-    # shape keeps pytest + local check_entry greens, queued r04)
-    "ft_bm25_code", "dedup_substring", "ft_span_not", "ft_substring",
-    # entries whose code changed this round
-    "ft_bm25_synonym", "ft_bm25_synonym_blend", "ft_bm25_page2",
-    # ft_bm25_regex and ft_bm25_wildcard rotated out on their r02 greens:
-    # the dictionary-expansion machinery stays live-checked by prefix /
-    # fuzzy / phrase_prefix / regex_alt / regex_opt (the post-fix paths);
-    # the wildcard round-3 change only ADDED an error path (glob+fuzzy
-    # mix now raises) which cannot affect valid-wildcard results
-    # expansion / serving entries kept under live driver check
-    # (ft_bm25_common and ft_shard_assignment rotated out on their r02
-    # greens for the new phrase-prefix and filter-context entries;
-    # ft_bm25_prefix / ft_bm25_fuzzy ride their r02 greens — expand.py's
-    # round-3 fix touched only the regex prune, live-checked by
-    # ft_bm25_regex_alt / ft_bm25_regex_opt)
-    "ft_bm25_phrase_prefix",
-    "ft_bm25_filter_ctx",
-    # ft_suggest and ft_did_you_mean ride their r02 greens (suggester
-    # code untouched this round); slots go to the new similarity /
-    # retrieval paths: pluggable LM-Dirichlet scoring, two-pass rescore,
-    # multi-field multi_match
-    "ft_lmdirichlet", "ft_rescore", "ft_multi_match",
-    # new round-3 serving aggs (replace the ft_df_table / ft_doclen_histogram
-    # / ft_shard_assignment slots — all r02 green; statistics still
-    # represented by ft_idf_table, sharding by ft_shard_plan)
-    # (ft_sort rotated out for ft_regex_grep: sort_hits is a single
-    # order-by expression with pytest + local check_entry greens; the
-    # regex grep path covers the new trigram index + candidate-tree
-    # machinery end-to-end)
-    "ft_top_hits", "ft_cardinality", "ft_regex_grep", "ft_function_score",
-    "ft_decay", "ft_span_first", "ft_boosting",
-    # core engine representatives (batch — plans/batch.py changed this
-    # round; ft_idf_table rotated out on its r02 green —
-    # operators/statistics.py untouched this round; ft_bm25_and_deleted /
-    # ft_bm25_fact ride their r02 greens — tombstone/fact logic untouched,
-    # the shared executor paths are live-checked by every kernel entry
-    # above, and test_deletes_facts.py stays green)
-    "ft_bm25_batch",
-    "ft_treatment_plan",
-    # round-3 headline ops that fit after the rotation: PQ ANN (exact
-    # cross-engine oracle of the whole encode+ADC+rescore pipeline) and
-    # the unordered-span positional kernel
-    "ann_pq_topk", "ft_span_near",
-    # dedup family rides its r02 greens — operators/dedup.py untouched
-    # this round (dedup_minhash_lsh rotated out for ft_function_score)
+    # r04 rotation (VERDICT r3 item 1): every never-driver-checked entry —
+    # the full round-3 tail — front-loaded so CORRECTNESS_r04 verifies it.
+    # Evicted: long-stable r02/r03 greens whose code is untouched this
+    # round (media_*, text/quality ops, facet family, suggesters, ANN
+    # lsh/ivf/sq8, dedup family, chunk roundtrip, shard/treatment plans).
+    "ft_dsl_bool", "ft_dsl_aggs", "ft_index_stats",
+    "events_histogram", "events_sessions",
+    "dedup_substring_winnow", "decontaminate_spans", "corpus_weighted",
+    "ft_substring_many", "ft_substring_lines",
+    "ft_mterm_vectors", "ft_rank_eval", "ft_sort", "ft_dismax",
+    "ft_percentiles", "ft_histogram", "ft_extended_stats", "ft_filters_agg",
+    "ft_adjacency", "ft_matched_queries", "ft_composite", "ft_random_score",
+    "ft_percolate", "ft_classic", "ft_boolean",
+    "ann_pq_trained", "ann_ivf_kmeans", "ann_filtered_topk",
+    "ann_rh_buckets",
+    "ft_bm25_regex_opt", "ft_decode_counters",
+    # entries whose implementation changed this round (analyzer plumbing
+    # in the non-positional span fallbacks, byte-exact span surgery,
+    # microsecond session gaps, DSL range validation — the dedup/events/
+    # dsl ones are already above)
+    "ft_span_not", "ft_span_near", "ft_span_first",
+    "ft_snippets", "ft_more_like_this",
+    # round-4 work targets: paths expected to change this round (blended
+    # block-max bounds, search_after pruning, batched regex grep, decode
+    # counters) — kept under live driver check while they move
+    "ft_bm25_synonym_blend", "ft_bm25f", "ft_bm25_page2",
+    "ft_regex_grep", "ft_query_profile",
+    # high-traffic representatives re-checked each round
+    "ft_percolate_log", "ft_bm25_batch", "ft_bm25_code",
+    "dedup_substring", "ft_substring",
+    "ann_pq_topk", "ft_top_hits", "ft_function_score",
+    # round-4 additions land here as they're built
+    "ft_regex_grep_many",
 ]
 
 
@@ -2138,6 +2127,8 @@ ORDER BY df DESC, term ASC LIMIT 10"""
     oracles["ft_substring_many"] = SQL_FT_SUBSTRING_MANY
     queries["ft_regex_grep"] = q_ft_regex_grep
     oracles["ft_regex_grep"] = SQL_FT_REGEX_GREP
+    queries["ft_regex_grep_many"] = q_ft_regex_grep_many
+    oracles["ft_regex_grep_many"] = SQL_FT_REGEX_GREP_MANY
 
     from bitfunnel_spark.plans.dsl import compile_dsl
 

@@ -348,24 +348,118 @@ def regex_search(
         .agg(F.collect_set("trigram").alias("ts"))
     )
 
-    def cond(node):
-        if node[0] == "lit":
-            c = F.lit(True)
-            for t in literal_trigrams(node[1]):
-                c = c & F.array_contains("ts", t)
-            return c
-        kids = [cond(k) for k in node[1]]
-        out = kids[0]
-        for k in kids[1:]:
-            out = (out & k) if node[0] == "and" else (out | k)
-        return out
-
-    cand = matched.filter(cond(tree)).select("doc_id")
+    cand = matched.filter(_tree_cond(tree)).select("doc_id")
     return (
         corpus.join(cand.withColumnRenamed("doc_id", id_col).select(id_col), id_col, "left_semi")
         .filter(verify)
         .select(F.col(id_col).alias("doc_id"))
     )
+
+
+def regex_search_many(
+    postings: DataFrame,
+    corpus: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TRI_BUCKETS,
+) -> DataFrame:
+    """(query, doc_id) for a batch of regex patterns in ONE shared
+    candidate scan + ONE verify scan (the substring_search_many shape
+    generalized to per-pattern required-literal trees).
+
+    Every pattern's tree is evaluated as a boolean column over the SAME
+    per-doc trigram set: one pruned posting scan feeds a single projection
+    of (query, matched) structs — no per-pattern jobs, no joins to build
+    candidacy. Verification is one `rlike` pass where the pattern is a
+    per-row COLUMN (Spark compiles and caches the regex per distinct
+    value), joined to candidates only. Patterns whose tree degrades to
+    TRUE share one extra full-verify pass — batched, so P unprunable
+    patterns still cost one corpus scan, not P."""
+    spark = corpus.sparkSession
+    trees = {p: _prunable(_regex_candidate_tree(p)) for p in dict.fromkeys(patterns)}
+    full = sorted(p for p, t in trees.items() if t == _TRUE)
+    pruned = {p: t for p, t in trees.items() if t != _TRUE}
+    rx = lambda: F.expr("rlike(_t, concat('(?i)', query))")  # noqa: E731
+    lowered = corpus.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    out = None
+    if pruned:
+        all_tris = sorted({t for tr in pruned.values() for t in _tree_trigrams(tr)})
+        buckets = _buckets(spark, all_tris, n_buckets)
+        matched = (
+            postings.filter(
+                F.col("tri_bucket").isin(sorted(set(buckets.values())))
+                & F.col("trigram").isin(all_tris)
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set("trigram").alias("ts"))
+        )
+        evals = F.array(
+            *[
+                F.struct(F.lit(p).alias("query"), _tree_cond(t).alias("m"))
+                for p, t in sorted(pruned.items())
+            ]
+        )
+        cand = (
+            matched.select("doc_id", F.explode(evals).alias("e"))
+            .filter(F.col("e.m"))
+            .select(F.col("e.query").alias("query"), "doc_id")
+        )
+        out = cand.join(lowered, "doc_id").filter(rx()).select("query", "doc_id")
+    if full:
+        pdf = F.broadcast(spark.createDataFrame([(p,) for p in full], "query string"))
+        fv = lowered.crossJoin(pdf).filter(rx()).select("query", "doc_id")
+        out = fv if out is None else out.unionByName(fv)
+    if out is None:
+        return spark.createDataFrame([], "query string, doc_id long")
+    return out
+
+
+def grep_many(
+    postings: DataFrame,
+    corpus: DataFrame,
+    queries: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TRI_BUCKETS,
+) -> DataFrame:
+    """(query, doc_id) for a MIXED grep log of ('lit', literal) and
+    ('re', pattern) queries, all sharing one candidate scan + one verify.
+
+    Literals are routed through the regex batch as ``re.escape(literal)``
+    — their required-literal tree is the literal itself, so candidacy is
+    AND over every trigram (strictly tighter than the rarest-probe subset,
+    and it drops the per-batch df-lookup job the probe selection needs).
+    The returned ``query`` column carries the ORIGINAL query text."""
+    import re as _re
+
+    mapped, back = [], {}
+    for kind, q in queries:
+        pat = _re.escape(q) if kind == "lit" else q
+        mapped.append(pat)
+        back[pat] = q
+    out = regex_search_many(postings, corpus, mapped, text_col, id_col, n_buckets)
+    mapping = F.create_map(
+        *[x for pat, q in back.items() for x in (F.lit(pat), F.lit(q))]
+    )
+    return out.select(mapping[F.col("query")].alias("query"), "doc_id")
+
+
+def _tree_cond(node) -> Column:
+    """The required-literal tree as a boolean over a per-doc trigram set
+    column ``ts`` (array<string>)."""
+    if node[0] == "lit":
+        c = F.lit(True)
+        for t in literal_trigrams(node[1]):
+            c = c & F.array_contains("ts", t)
+        return c
+    kids = [_tree_cond(k) for k in node[1]]
+    out = kids[0]
+    for k in kids[1:]:
+        out = (out & k) if node[0] == "and" else (out | k)
+    return out
 
 
 def substring_search_lines(

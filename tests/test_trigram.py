@@ -99,6 +99,7 @@ from bitfunnel_spark.operators.trigram import (  # noqa: E402
     _prunable,
     _regex_candidate_tree,
     regex_search,
+    regex_search_many,
 )
 
 
@@ -141,6 +142,58 @@ def test_regex_case_insensitive(docs, tri):
     a = sorted(r["doc_id"] for r in regex_search(tri, docs, "FAST (KEY|VALUE)").collect())
     b = sorted(r["doc_id"] for r in regex_search(tri, docs, "fast (key|value)").collect())
     assert a == b and a
+
+
+def test_regex_many_matches_singles(docs, tri):
+    # the batched path must equal the per-pattern path for every pattern,
+    # including the full-verify one (tree degrades to TRUE) and a
+    # corpus-absent one
+    pats = REGEX_CASES + ["zzzabsent(xx|yy)"]
+    many = regex_search_many(tri, docs, pats)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["query"], []).append(r["doc_id"])
+    for p in pats:
+        single = sorted(r["doc_id"] for r in regex_search(tri, docs, p).collect())
+        assert sorted(got.get(p, [])) == single, p
+
+
+def test_regex_many_single_candidate_scan(docs, tri):
+    # the pruned patterns share ONE posting aggregation: exactly one
+    # collect_set aggregate appears in the plan regardless of pattern count
+    many = regex_search_many(
+        tri, docs, ["fast (key|value)", "(scan|data) slow", "key +agg"]
+    )
+    plan = many._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("collect_set") == 1
+
+
+def test_regex_many_dedupes_patterns(docs, tri):
+    out = regex_search_many(tri, docs, ["fast (key|value)", "fast (key|value)"])
+    rows = out.collect()
+    assert len(rows) == len({(r["query"], r["doc_id"]) for r in rows})
+
+
+def test_grep_many_mixed_log(docs, tri):
+    # mixed literal/regex log: literal results equal substring_search,
+    # regex results equal regex_search; literals with regex metachars are
+    # escaped (matched literally, not as a pattern)
+    from bitfunnel_spark.operators.trigram import grep_many
+
+    log = [("lit", "fast key"), ("re", "fast (key|value)"), ("lit", "a+b")]
+    got = {}
+    for r in grep_many(tri, docs, log).collect():
+        got.setdefault(r["query"], []).append(r["doc_id"])
+    assert sorted(got.get("fast key", [])) == sorted(
+        r["doc_id"] for r in substring_search(tri, docs, "fast key").collect()
+    )
+    assert sorted(got.get("fast (key|value)", [])) == sorted(
+        r["doc_id"] for r in regex_search(tri, docs, "fast (key|value)").collect()
+    )
+    assert sorted(got.get("a+b", [])) == sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(F.lower("text"), F.lit("a+b"))).collect()
+    )
 
 
 def test_substring_lines(spark, tri, docs):

@@ -1396,8 +1396,32 @@ ORDER BY query_id, cosine DESC, vec_id"""
 
 
 def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH buckets (numpy mapInPandas) — rows-only check."""
+    """Random-hyperplane LSH buckets (numpy mapInPandas)."""
     return similarity.random_hyperplane_buckets(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+def _sql_ann_rh(dim: int = 64, n_planes: int = 12, seed: int = 42) -> str:
+    """DuckDB mirror of random_hyperplane_buckets: the SAME seeded plane
+    matrix the operator regenerates per executor, emitted as full-precision
+    float literals (the plan-literal pattern ann_pq_topk proved); bucket =
+    Σ 2^i over planes with a strictly positive dot. Sign flips between
+    numpy's BLAS dot and DuckDB's sequential list_dot_product would need
+    |dot| ~ 1e-14 on O(1)-magnitude random data — measure-zero, and any
+    drift fails the hash loudly rather than silently."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    terms = []
+    for i in range(n_planes):
+        vec = ", ".join(repr(float(x)) for x in planes[:, i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{vec}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return (
+        "SELECT vec_id, CAST(" + "\n + ".join(terms) + " AS INT) AS bucket\n"
+        "FROM embeddings ORDER BY vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2241,7 +2265,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     queries["ann_pq_topk"] = q_ann_pq_topk
     oracles["ann_pq_topk"] = _sql_ann_pq()
     queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design
-    queries["ann_rh_buckets"] = q_ann_rh_buckets  # rows-only (numpy LSH)
+    queries["ann_rh_buckets"] = q_ann_rh_buckets
+    oracles["ann_rh_buckets"] = _sql_ann_rh()
 
     # phrase via positional postings (kernel adjacency from stored positions)
     def q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,7 +38,7 @@ _OUT_EMPTY = pd.DataFrame(
 
 
 def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
-    from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+    from bitfunnel_spark.plans.wand import BlockCache, route_units, units_topk
 
     from bitfunnel_spark.plans.kernel import _keymap
 
@@ -79,14 +79,19 @@ def _batch_kernel(plans: list[QueryPlan], descriptor: dict):
 
         for qid, plan in enumerate(plans):
             qidf = effective_idf(plan, descriptor["idf"])  # per-query boosts
-            flat = route_flat(plan.ast) if k is not None else None
+            flat = route_units(plan.ast) if k is not None else None
             if flat is not None:
                 # block-max pruned paths (plans/wand.py); a single term is a
-                # 1-conjunct AND — same block-max traversal
-                kind, keys = flat
+                # 1-conjunct AND — same block-max traversal; blended groups
+                # ride it via the subadditive saturation bound
+                kind, units = flat
                 skeys = sorted(plan.scoring_keys)
-                fn = or_topk if kind == "or" else and_topk
-                res = fn(keys, skeys, qidf, k, cache, allow=allow, deny=deny)
+                res = units_topk(
+                    kind, units, skeys, qidf, k, cache, allow=allow, deny=deny,
+                    syn_groups=plan.syn_groups,
+                    field_groups=getattr(plan, "field_groups", ()),
+                    k1=descriptor.get("k1", 1.2),
+                )
                 if len(res):
                     out_q.append(np.full(len(res), qid, dtype=np.int32))
                     out_d.append(res["doc_id"].to_numpy())
@@ -180,6 +185,7 @@ def _batched_groups(
             "gram_phrases": frozenset(gram_phrases),
             "fallback_phrases": frozenset(fallback),
             "use_positions": use_positions, "k": k,
+            "k1": index.config.bm25.k1,  # blended-group norm recovery
             **_restriction_arrays(index, facts),
         },
     )

@@ -471,7 +471,7 @@ def _single_term_topk(rows: pd.DataFrame, idf: float, k: int) -> pd.DataFrame:
 def _make_kernel(plan: QueryPlan, descriptor: dict):
     """Build the per-group kernel closure. `descriptor` is tiny (idf map +
     phrase doc arrays + k) and ships inside the serialized closure."""
-    from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+    from bitfunnel_spark.plans.wand import BlockCache, route_units, units_topk
 
     ast = plan.ast
     scoring = sorted(plan.scoring_keys)
@@ -513,16 +513,22 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             if rows is None:
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][(ast.stream, ast.text)], k0)
-        flat = route_flat(ast) if (k0 is not None and prunable and after is None) else None
+        flat = route_units(ast) if (k0 is not None and prunable and after is None) else None
         if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
             # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
-            # fact sets AND in as `allow`, tombstones mask via `deny` (the
-            # reference's fact rows + "document active" row, Row.h:34-35)
-            kind, keys = flat
+            # blended syn/field groups ride the same traversal via the
+            # subadditive saturation bound; fact sets AND in as `allow`,
+            # tombstones mask via `deny` (the reference's fact rows +
+            # "document active" row, Row.h:34-35)
+            kind, units = flat
             cache = BlockCache(raw)
-            skeys = scoring  # (stream, term) scoring keys
-            fn = or_topk if kind == "or" else and_topk
-            return fn(keys, skeys, descriptor["idf"], k0, cache, allow=allow, deny=deny)
+            return units_topk(
+                kind, units, scoring, descriptor["idf"], k0, cache,
+                allow=allow, deny=deny,
+                syn_groups=plan.syn_groups,
+                field_groups=getattr(plan, "field_groups", ()),
+                k1=descriptor.get("k1", 1.2),
+            )
         cand = _candidates_pruned(ast, raw, gram_set, fb_set)
         from bitfunnel_spark.plans.wand import restrict
 

@@ -33,7 +33,7 @@ from bitfunnel_spark.plans.kernel import (
     use_positional_phrases,
 )
 from bitfunnel_spark.plans.planner import plan_query
-from bitfunnel_spark.plans.wand import BlockCache, and_topk, or_topk, route_flat
+from bitfunnel_spark.plans.wand import BlockCache, route_units, units_all_keys, units_topk
 
 METRIC_SCHEMA = (
     "query_id int, shard int, slice int, blocks_total long, blocks_decoded long, "
@@ -81,17 +81,21 @@ def _profiled_batch_kernel(plans, descriptor):
             stats: dict = {}
             cache = BlockCache(raw, stats)  # fresh per query: exact attribution
             t0 = time.perf_counter()
-            flat = route_flat(plan.ast) if k is not None else None
+            flat = route_units(plan.ast) if k is not None else None
             skeys = sorted(plan.scoring_keys)
             if flat is not None:
-                kind, keys = flat
-                fn = or_topk if kind == "or" else and_topk
-                res = fn(keys, skeys, qidf, k, cache)
+                kind, units = flat
+                res = units_topk(
+                    kind, units, skeys, qidf, k, cache,
+                    syn_groups=plan.syn_groups,
+                    field_groups=getattr(plan, "field_groups", ()),
+                    k1=descriptor.get("k1", 1.2),
+                )
                 nrows = len(res)
                 # blocks_total counts only terms the traversal touched; add
                 # untouched terms' blocks so the denominator is the query's
                 # full footprint in this group
-                for key in keys:
+                for key in units_all_keys(units):
                     cache.meta(key)
             else:
                 cand = _candidates_pruned(plan.ast, raw, frozenset(), fb_set)

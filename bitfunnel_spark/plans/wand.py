@@ -72,6 +72,7 @@ class BlockCache:
         self.raw = raw
         self._meta: dict = {}
         self._dec: dict = {}
+        self._dec_tf: dict = {}
         self.stats = stats if stats is not None else {}
         self.stats.setdefault("blocks_decoded", 0)
         self.stats.setdefault("blocks_total", 0)
@@ -81,7 +82,7 @@ class BlockCache:
         if m is None:
             rows = self.raw.get(key)
             if rows is None or len(rows) == 0:
-                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY, [])
+                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY, [], None)
             else:
                 rows = rows.sort_values("first_doc", kind="stable")
                 encs = (
@@ -97,6 +98,7 @@ class BlockCache:
                     rows["partials"].tolist(),
                     rows["n"].to_numpy(np.int64),
                     encs,
+                    rows["tfs_vb"].tolist() if "tfs_vb" in rows.columns else None,
                 )
                 self.stats["blocks_total"] += len(m[0])
             self._meta[key] = m
@@ -164,6 +166,42 @@ class BlockCache:
 
     def all_docs_partials(self, key):
         return self.gather(key, range(self.meta(key)[0].size))
+
+    def decode_tf(self, key, bi: int) -> np.ndarray:
+        """The block's integer term frequencies (cached) — needed only by
+        blended-group scoring (tf re-saturation); term scoring reads the
+        precomputed partials and never touches tfs_vb."""
+        ck = (key, bi)
+        t = self._dec_tf.get(ck)
+        if t is None:
+            from bitfunnel_spark.operators.codec import varbyte_decode
+
+            meta = self.meta(key)
+            if meta[7] is None:
+                raise KeyError(f"segment rows for {key} carry no tfs_vb")
+            t = varbyte_decode(bytes(meta[7][bi])).astype(np.int64)
+            self._dec_tf[ck] = t
+        return t
+
+    def gather3(self, key, bis) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenated, doc-sorted (docs, tfs, partials) of the blocks."""
+        bis = list(bis)
+        if not bis:
+            return _EMPTY, _EMPTY, _EMPTYF
+        ds, ts, ps = [], [], []
+        for bi in bis:
+            d, p = self.decode_block(key, int(bi))
+            ds.append(d)
+            ts.append(self.decode_tf(key, int(bi)))
+            ps.append(p)
+        d, t, p = np.concatenate(ds), np.concatenate(ts), np.concatenate(ps)
+        if d.size > 1 and np.any(np.diff(d) < 0):
+            o = np.argsort(d, kind="stable")
+            d, t, p = d[o], t[o], p[o]
+        return d, t, p
+
+    def docs_tfs_partials_for(self, key, cand: np.ndarray):
+        return self.gather3(key, self.select_blocks(key, cand))
 
 
 def score_selected(
@@ -393,3 +431,256 @@ def route_flat(ast):
     ):
         return ("or", [(c.stream, c.text) for c in ast.children])
     return None
+
+
+# ---------------------------------------------------------------------------
+# blended pseudo-terms under block-max (VERDICT r3 item 4)
+#
+# A SynGroup / FieldGroup scores as ONE saturated pseudo-term
+# (idf_blend · sat(Σ w·tf, D); plans/kernel._score). BM25 saturation
+# sat(tf, D) = tf(k1+1)/(tf+D) is concave through the origin, so it is
+# subadditive — sat(a+b) ≤ sat(a)+sat(b) — and sat(w·tf) ≤ max(w,1)·sat(tf)
+# (monotonicity for w ≤ 1, concavity for w > 1). Hence a SOUND per-block
+# upper bound for a blended group:
+#
+#     group score ≤ idf_blend · Σ_members max(w,1) · max_partial(member)
+#
+# — the members' stored BM25 partials bound the blend without decoding.
+# That bound is what lets blend-mode queries ride and_topk/or_topk instead
+# of the exhaustive kernel (the reference applies its rank-down machinery
+# to EVERY node type — src/Plan/src/RankDownCompiler.cpp:1-171). Exact
+# scoring of surviving candidates reuses kernel._score over candidate-
+# bearing blocks, so the float accumulation stays bit-identical to the
+# exhaustive path.
+
+def route_units(ast):
+    """('term'|'and'|'or', units) for pruned-eligible ASTs incl. blended
+    groups, else None. A unit is ('key', (stream, term)) or
+    ('group', ((key, w), ...)). AND needs ≥ 1 term unit (groups can't
+    drive the galloping intersection); a bare group routes as OR."""
+    from bitfunnel_spark.plans.ast import And, FieldGroup, Or, SynGroup, Term
+
+    def unit_of(node):
+        if isinstance(node, Term):
+            return ("key", (node.stream, node.text))
+        if isinstance(node, SynGroup):
+            return ("group", tuple(((t.stream, t.text), 1.0) for t in node.children))
+        if isinstance(node, FieldGroup):
+            return ("group", tuple(node.weighted))
+        return None
+
+    flat = route_flat(ast)
+    if flat is not None:
+        kind, keys = flat
+        return (kind, [("key", k) for k in keys])
+    if isinstance(ast, (SynGroup, FieldGroup)):
+        return ("or", [unit_of(ast)])
+    if isinstance(ast, And):
+        units = [unit_of(c) for c in ast.children]
+        if any(u is None for u in units) or not any(u[0] == "key" for u in units):
+            return None
+        return ("and", units)
+    if isinstance(ast, Or) and getattr(ast, "min_match", 1) <= 1:
+        units = [unit_of(c) for c in ast.children]
+        if any(u is None for u in units):
+            return None
+        if any(u[0] == "key" and u[1][0] != "body" for u in units):
+            return None  # same body-stream restriction as route_flat
+        return ("or", units)
+    return None
+
+
+def _blend_w(members, idf) -> float:
+    """The group's blended idf (min over in-dictionary members — Lucene's
+    blended docFreq, kernel._score:347); 0.0 when no member scores."""
+    vals = [idf[k] for k, _w in members if k in idf]
+    return min(vals) if vals else 0.0
+
+
+def score_units(cand, scoring_keys, idf, cache, syn_groups, field_groups, k1):
+    """Exact scores of sorted candidates for a plan with blended groups —
+    kernel._score over postings restricted to candidate-bearing blocks
+    (identical addend order ⇒ bit-identical to the exhaustive path)."""
+    from bitfunnel_spark.plans.kernel import _score
+
+    keys = set(scoring_keys)
+    keys |= {k for g in syn_groups for k in g}
+    keys |= {k for g in field_groups for k, _w in g}
+    postings = {key: cache.docs_tfs_partials_for(key, cand) for key in keys}
+    return _score(
+        cand, postings, sorted(scoring_keys), idf,
+        syn_groups, k1, field_groups,
+    )
+
+
+def units_topk(
+    kind: str,
+    units: list,
+    scoring_keys: list,
+    idf: dict,
+    k: int,
+    cache: BlockCache,
+    allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
+    syn_groups=(),
+    field_groups=(),
+    k1: float = 1.2,
+) -> pd.DataFrame:
+    """Block-max top-k dispatch for a routed (kind, units) query."""
+    if all(u[0] == "key" for u in units):
+        keys = [u[1] for u in units]
+        fn = or_topk if kind == "or" else and_topk
+        return fn(keys, scoring_keys, idf, k, cache, allow=allow, deny=deny)
+
+    def scorer(cand):
+        return score_units(
+            cand, scoring_keys, idf, cache, syn_groups, field_groups, k1
+        )
+
+    if kind == "or":
+        return _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer)
+    return _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer)
+
+
+def _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
+    """MaxScore over the flattened member list: each member's bound weight
+    is its exact idf (term units, scoring keys only) or the group's
+    idf_blend · max(w, 1) (subadditivity bound). A key reached through
+    several units sums its bound weights — conservative, still sound."""
+    scoring_set = set(scoring_keys)
+    w_eff: dict = {}
+    for u in units:
+        if u[0] == "key":
+            key = u[1]
+            w_eff[key] = w_eff.get(key, 0.0) + (
+                idf.get(key, 0.0) if key in scoring_set else 0.0
+            )
+        else:
+            blend = _blend_w(u[1], idf)
+            for key, w in u[1]:
+                w_eff[key] = w_eff.get(key, 0.0) + blend * max(float(w), 1.0)
+    keys = sorted(w_eff)
+    maxc = {key: w_eff[key] * cache.max_partial(key) for key in keys}
+    order = sorted(keys, key=lambda kk: (-maxc[kk], kk))
+    suffix = np.zeros(len(order) + 1, dtype=np.float64)
+    for i in range(len(order) - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + maxc[order[i]]
+    seen = _EMPTY
+    docs_l: list = []
+    scores_l: list = []
+    count = 0
+    kth = -np.inf
+    for i, key in enumerate(order):
+        if count >= k and suffix[i] < kth - EPS:
+            break
+        f, _l, mp = cache.meta(key)[:3]
+        if f.size == 0:
+            continue
+        if count >= k:
+            bsel = np.flatnonzero(w_eff[key] * mp + suffix[i + 1] >= kth - EPS)
+        else:
+            bsel = np.arange(f.size)
+        docs, _ = cache.gather(key, bsel)
+        new = docs if seen.size == 0 else docs[~_member(seen, docs)]
+        new = restrict(new, allow, deny)
+        if new.size == 0:
+            continue
+        docs_l.append(new)
+        scores_l.append(scorer(new))
+        count += new.size
+        if count >= k:
+            kth = _kth(scores_l, k)
+        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
+    return _topk_select(docs_l, scores_l, k)
+
+
+def _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
+    """and_topk generalized to group conjuncts. The driver is the rarest
+    TERM conjunct (route_units guarantees one exists; a group matches the
+    union of its members and cannot gallop). Per driver block, a group
+    conjunct contributes idf_blend · Σ_members max(w,1) · overlap-max — and
+    −inf when NO member has an overlapping block (the group cannot match
+    there, so the intersection is provably empty)."""
+    term_keys = [u[1] for u in units if u[0] == "key"]
+    groups = [u[1] for u in units if u[0] == "group"]
+    keys = driver_order(term_keys, cache)
+    driver = keys[0]
+    d_first, d_last, d_maxp = cache.meta(driver)[:3]
+    if d_first.size == 0:
+        return _topk_select([], [], k)
+    scoring_set = set(scoring_keys)
+    ub = np.zeros(d_first.shape, dtype=np.float64)
+    if driver in scoring_set:
+        ub += idf.get(driver, 0.0) * d_maxp
+    for key in keys[1:]:
+        f, l, mp = cache.meta(key)[:3]
+        if f.size == 0:
+            return _topk_select([], [], k)
+        lo, hi = _overlap_bounds(f, l, d_first, d_last)
+        dead = hi <= lo
+        if key in scoring_set:
+            om = _range_max(mp, lo, hi)
+            ub = ub + np.where(dead, -np.inf, idf.get(key, 0.0) * np.maximum(om, 0.0))
+        else:
+            ub[dead] = -np.inf
+    for members in groups:
+        blend = _blend_w(members, idf)
+        gsum = np.zeros(d_first.shape, dtype=np.float64)
+        alive = np.zeros(d_first.shape, dtype=bool)
+        for key, w in members:
+            f, l, mp = cache.meta(key)[:3]
+            if f.size == 0:
+                continue
+            lo, hi = _overlap_bounds(f, l, d_first, d_last)
+            live = hi > lo
+            alive |= live
+            om = _range_max(mp, lo, hi)
+            gsum += np.where(live, blend * max(float(w), 1.0) * np.maximum(om, 0.0), 0.0)
+        ub = np.where(alive, ub + gsum, -np.inf)
+    order = np.argsort(-ub, kind="stable")
+    others = keys[1:]
+    docs_l: list = []
+    scores_l: list = []
+    count = 0
+    kth = -np.inf
+    for bi in order:
+        b_ub = float(ub[bi])
+        if not np.isfinite(b_ub):
+            break
+        if count >= k and b_ub < kth - EPS:
+            break
+        cand, _ = cache.decode_block(driver, int(bi))
+        cand = restrict(cand, allow, deny)
+        for key in others:
+            if cand.size == 0:
+                break
+            od, _ = cache.docs_partials_for(key, cand)
+            cand = cand[_member(od, cand)]
+        for members in groups:
+            if cand.size == 0:
+                break
+            hit = np.zeros(cand.shape, dtype=bool)
+            for key, _w in members:
+                od, _ = cache.docs_partials_for(key, cand)
+                if od.size:
+                    hit |= _member(od, cand)
+            cand = cand[hit]
+        if cand.size == 0:
+            continue
+        docs_l.append(cand)
+        scores_l.append(scorer(cand))
+        count += cand.size
+        if count >= k:
+            kth = _kth(scores_l, k)
+    return _topk_select(docs_l, scores_l, k)
+
+
+def units_all_keys(units) -> list:
+    """Every (stream, term) key a routed unit list touches (profiling)."""
+    out = []
+    for u in units:
+        if u[0] == "key":
+            out.append(u[1])
+        else:
+            out.extend(k for k, _w in u[1])
+    return sorted(set(out))

@@ -169,3 +169,118 @@ def test_or_topk_prunes_terms():
     total = len(a) + len(b)
     assert 0 < stats["blocks_decoded"] < total, stats
     assert stats["blocks_decoded"] <= 2, stats  # a's block + b's block 0
+
+
+# ---------------------------------------------------------------------------
+# blended pseudo-terms under block-max (SynGroup / FieldGroup units)
+
+def _exhaustive_blended(raw, all_keys, skeys, idf, k, syn_groups=(), field_groups=(), k1=1.2):
+    """Decode EVERY block, union candidates, score via kernel._score (the
+    blended reference scorer), top-k by (rounded desc, doc asc)."""
+    import numpy as np
+
+    from bitfunnel_spark.operators.segments import decode_group
+    from bitfunnel_spark.plans.kernel import _score
+
+    full = {key: decode_group(rows) for key, rows in raw.items()}
+    cand = np.unique(np.concatenate([full[key][0] for key in all_keys if key in full]))
+    score = _score(cand, full, sorted(skeys), idf, syn_groups, k1, field_groups)
+    r4 = np.round(score, 4)
+    idx = np.lexsort((cand, -r4))[:k]
+    return list(zip(cand[idx].tolist(), r4[idx].tolist()))
+
+
+def test_syn_group_or_prunes():
+    """A bare blended synonym group rides MaxScore: the weak member's
+    non-candidate blocks are never decoded once the k-th exact score beats
+    its subadditive bound — and the result is rank-identical to exhaustive
+    blended scoring."""
+    from bitfunnel_spark.plans.wand import BlockCache, units_topk
+
+    a = _seg_rows([0, 1, 2, 3], [5] * 4, [5.0] * 4)              # rare, strong
+    b = _seg_rows(list(range(128)), [1] * 128, [10.0] * 128)     # common, weak
+    raw = {("body", "a"): a, ("body", "b"): b}
+    # blended idf = min = 0.001 → b's docs all score ~equal and tiny; a's
+    # docs add tf → pruning hinges on the blend bound, not member idf
+    idf = {("body", "a"): 3.0, ("body", "b"): 0.001}
+    group = (("body", "a"), ("body", "b"))
+    units = [("group", tuple((kk, 1.0) for kk in group))]
+    stats = {}
+    got = units_topk(
+        "or", units, [], idf, 3, BlockCache(raw, stats), syn_groups=(group,)
+    )
+    want = _exhaustive_blended(
+        raw, list(group), [], idf, 3, syn_groups=(group,)
+    )
+    got_pairs = [(int(r.doc_id), float(round(r.score, 4))) for r in got.itertuples()]
+    assert got_pairs == want
+    total = len(a) + len(b)
+    assert 0 < stats["blocks_decoded"] < total, stats
+
+
+def test_and_with_syn_group_prunes():
+    """AND of a rare term and a blended group: the term drives, the group
+    bounds via Σ members' overlap maxima, dead driver blocks (no member
+    overlap) are never decoded; rank-identical to exhaustive."""
+    import numpy as np
+
+    from bitfunnel_spark.operators.segments import decode_group
+    from bitfunnel_spark.plans.kernel import _score
+    from bitfunnel_spark.plans.wand import BlockCache, _member, units_topk
+
+    t = _seg_rows([0, 1, 2, 3, 100, 101, 102, 103],
+                  [5] * 4 + [1] * 4, [5.0] * 4 + [100.0] * 4)
+    a = _seg_rows([0, 1, 2, 3], [2] * 4, [5.0] * 4)
+    b = _seg_rows([2, 3, 100], [1] * 3, [10.0] * 3)
+    raw = {("body", "t"): t, ("body", "a"): a, ("body", "b"): b}
+    idf = {("body", "t"): 3.0, ("body", "a"): 1.0, ("body", "b"): 0.5}
+    group = (("body", "a"), ("body", "b"))
+    units = [("key", ("body", "t")), ("group", tuple((kk, 1.0) for kk in group))]
+    skeys = [("body", "t")]
+    stats = {}
+    got = units_topk(
+        "and", units, skeys, idf, 3, BlockCache(raw, stats), syn_groups=(group,)
+    )
+    # exhaustive: docs in t AND (a OR b), blended scoring
+    full = {key: decode_group(rows) for key, rows in raw.items()}
+    td = full[("body", "t")][0]
+    gd = np.unique(np.concatenate([full[("body", "a")][0], full[("body", "b")][0]]))
+    cand = td[_member(gd, td)]
+    score = _score(cand, full, sorted(skeys), idf, (group,), 1.2, ())
+    r4 = np.round(score, 4)
+    idx = np.lexsort((cand, -r4))[:3]
+    want = list(zip(cand[idx].tolist(), r4[idx].tolist()))
+    got_pairs = [(int(r.doc_id), float(round(r.score, 4))) for r in got.itertuples()]
+    assert got_pairs == want
+    assert 0 < stats["blocks_decoded"] < len(t) + len(a) + len(b), stats
+
+
+def test_blended_query_decodes_fewer(tiny_block_index):
+    """End-to-end done-bar: a blend-mode synonym query must decode fewer
+    blocks than its full term footprint (it used to take the exhaustive
+    kernel: every block of every term), and stay rank-identical to the
+    DataFrame executor."""
+    from bitfunnel_spark.plans.expand import apply_synonyms
+    from bitfunnel_spark.plans.parser import parse_query
+    from bitfunnel_spark.plans.profile import profile_many
+
+    idx = tiny_block_index
+    # blend a rare term with an ultra-common one: the common member's
+    # blocks are where skipping shows
+    node = apply_synonyms(parse_query("dup & data"), {"data": ("the",)}, mode="blend")
+    a = [(r["doc_id"], round(r["score"], 4)) for r in
+         idx.search(node, k=5, mode="kernel").collect()]
+    b = [(r["doc_id"], round(r["score"], 4)) for r in
+         idx.search(node, k=5, mode="dataframe").collect()]
+    assert a == b and len(a) == 5
+    metrics, _ = profile_many(idx, [node], k=5)
+    row = metrics.groupBy().sum("blocks_total", "blocks_decoded").collect()[0]
+    assert row[1] < row[0], (row[0], row[1])
+    # the bare-group OR shape also routes (no exhaustive fallback): its
+    # result must stay rank-identical even when bounds are too thin to skip
+    bare = apply_synonyms(parse_query("data"), {"data": ("the",)}, mode="blend")
+    a2 = [(r["doc_id"], round(r["score"], 4)) for r in
+          idx.search(bare, k=5, mode="kernel").collect()]
+    b2 = [(r["doc_id"], round(r["score"], 4)) for r in
+          idx.search(bare, k=5, mode="dataframe").collect()]
+    assert a2 == b2 and len(a2) == 5

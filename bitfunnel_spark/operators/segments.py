@@ -58,12 +58,13 @@ from bitfunnel_spark.operators.codec import varbyte_encode_arr
 SEGMENT_SCHEMA = (
     "term_key long, shard int, slice int, term_bucket int, "
     "block_id int, n int, first_doc long, last_doc long, max_partial double, "
+    "min_partial double, "
     "enc string, docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
 )
 _SEGMENT_COLS = [
     "term_key", "shard", "slice", "term_bucket", "block_id",
-    "n", "first_doc", "last_doc", "max_partial", "enc", "docs_vb", "tfs_vb",
-    "partials", "pos_vb",
+    "n", "first_doc", "last_doc", "max_partial", "min_partial", "enc",
+    "docs_vb", "tfs_vb", "partials", "pos_vb",
 ]
 
 # doc-id encodings routed by term treatment (operators/treatments.py ≈ the
@@ -197,6 +198,7 @@ def _encode_frame(
             "first_doc": enc["first_doc"],
             "last_doc": enc["last_doc"],
             "max_partial": enc["max_partial"],
+            "min_partial": enc["min_partial"],
             "enc": enc["enc"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
@@ -299,6 +301,7 @@ def _encode_token_table(
             "first_doc": pa.array(enc["first_doc"]),
             "last_doc": pa.array(enc["last_doc"]),
             "max_partial": pa.array(enc["max_partial"]),
+            "min_partial": pa.array(enc["min_partial"]),
             "enc": pa.array(enc["enc"], type=pa.string()),
             "docs_vb": pa.array(enc["docs_vb"], type=pa.binary()),
             "tfs_vb": pa.array(enc["tfs_vb"], type=pa.binary()),
@@ -323,6 +326,7 @@ def _segment_pa_schema():
             ("first_doc", pa.int64()),
             ("last_doc", pa.int64()),
             ("max_partial", pa.float64()),
+            ("min_partial", pa.float64()),
             ("enc", pa.string()),
             ("docs_vb", pa.binary()),
             ("tfs_vb", pa.binary()),
@@ -478,6 +482,7 @@ def _encode_posting_arrays(
         "first_doc": docs[blk_start],
         "last_doc": docs[blk_end - 1],
         "max_partial": np.maximum.reduceat(partial, blk_start),
+        "min_partial": np.minimum.reduceat(partial, blk_start),
         "enc": [_ENC_NAMES[c] for c in enc_blk],
         "docs_vb": [_doc_slice(i) for i in range(len(block_id))],
         "tfs_vb": [tbytes[a:c] for a, c in zip(toff[blk_start], toff[blk_end])],
@@ -647,6 +652,7 @@ def merge_segment_blocks(
                 "first_doc": enc["first_doc"],
                 "last_doc": enc["last_doc"],
                 "max_partial": enc["max_partial"],
+                "min_partial": enc["min_partial"],
                 "enc": enc["enc"],
                 "docs_vb": enc["docs_vb"],
                 "tfs_vb": enc["tfs_vb"],

@@ -513,8 +513,11 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             if rows is None:
                 return _OUT_EMPTY
             return _single_term_topk(rows, descriptor["idf"][(ast.stream, ast.text)], k0)
-        flat = route_units(ast) if (k0 is not None and prunable and after is None) else None
-        if flat is not None and (flat[0] in ("and", "or") or (flat[0] == "term" and restricted)):
+        flat = route_units(ast) if (k0 is not None and prunable) else None
+        if flat is not None and (
+            flat[0] in ("and", "or")
+            or (flat[0] == "term" and (restricted or after is not None))
+        ):
             # multi-term block-max pruning (WAND/MaxScore — plans/wand.py);
             # blended syn/field groups ride the same traversal via the
             # subadditive saturation bound; fact sets AND in as `allow`,
@@ -528,6 +531,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
                 syn_groups=plan.syn_groups,
                 field_groups=getattr(plan, "field_groups", ()),
                 k1=descriptor.get("k1", 1.2),
+                after=after,
             )
         cand = _candidates_pruned(ast, raw, gram_set, fb_set)
         from bitfunnel_spark.plans.wand import restrict

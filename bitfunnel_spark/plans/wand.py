@@ -82,7 +82,7 @@ class BlockCache:
         if m is None:
             rows = self.raw.get(key)
             if rows is None or len(rows) == 0:
-                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY, [], None)
+                m = (_EMPTY, _EMPTY, _EMPTYF, [], [], _EMPTY, [], None, None)
             else:
                 rows = rows.sort_values("first_doc", kind="stable")
                 encs = (
@@ -99,6 +99,9 @@ class BlockCache:
                     rows["n"].to_numpy(np.int64),
                     encs,
                     rows["tfs_vb"].tolist() if "tfs_vb" in rows.columns else None,
+                    rows["min_partial"].to_numpy(np.float64)
+                    if "min_partial" in rows.columns
+                    else None,
                 )
                 self.stats["blocks_total"] += len(m[0])
             self._meta[key] = m
@@ -269,6 +272,29 @@ def _kth(scores_l: list, k: int) -> float:
     return float(np.partition(alls, alls.size - k)[alls.size - k])
 
 
+def _head_skip(cache, key, lw: float, after) -> np.ndarray | None:
+    """Boolean mask of key's blocks whose every doc is provably BEFORE the
+    cursor (min-bound head-skip for deep pagination): a doc in block b has
+    total score >= lw * min_partial(b) (other contributions are
+    non-negative), and a score strictly above the rounded cursor score is
+    excluded by the cursor regardless of doc id. None when min_partial
+    metadata is absent (pre-upgrade segments) or lw carries no bound."""
+    if after is None or lw <= 0.0:
+        return None
+    minp = cache.meta(key)[8]
+    if minp is None:
+        return None
+    return lw * minp > after[0] + EPS
+
+
+def _after_keep(docs: np.ndarray, score: np.ndarray, after) -> np.ndarray:
+    """Cursor mask for deep pagination: docs strictly AFTER the
+    (score desc, doc_id asc) cursor — compared on the ROUNDED score, the
+    same key the ordering contract uses (kernel.py cursor semantics)."""
+    r4 = np.round(score, 4)
+    return (r4 < after[0]) | ((r4 == after[0]) & (docs > after[1]))
+
+
 def restrict(cand: np.ndarray, allow: np.ndarray | None, deny: np.ndarray | None) -> np.ndarray:
     """Apply fact restriction (allow: sorted doc ids that MUST contain the
     doc — the reference's fact rows ANDed into the match) and tombstone
@@ -298,6 +324,7 @@ def and_topk(
     cache: BlockCache,
     allow: np.ndarray | None = None,
     deny: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Block-max top-k for a flat conjunction of terms (rank-down analogue).
 
@@ -327,6 +354,10 @@ def and_topk(
             ub = ub + np.where(dead, -np.inf, idf.get(key, 0.0) * np.maximum(om, 0.0))
         else:
             ub[dead] = -np.inf
+    if driver in scoring_set:
+        hs = _head_skip(cache, driver, idf.get(driver, 0.0), after)
+        if hs is not None:
+            ub[hs] = -np.inf  # every doc there is before the cursor
     order = np.argsort(-ub, kind="stable")
     others = keys[1:]
     docs_l: list = []
@@ -348,8 +379,14 @@ def and_topk(
             cand = cand[_member(od, cand)]
         if cand.size == 0:
             continue
+        sc = score_selected(cand, scoring_keys, idf, cache)
+        if after is not None:
+            keep = _after_keep(cand, sc, after)
+            cand, sc = cand[keep], sc[keep]
+            if cand.size == 0:
+                continue
         docs_l.append(cand)
-        scores_l.append(score_selected(cand, scoring_keys, idf, cache))
+        scores_l.append(sc)
         count += cand.size
         if count >= k:
             kth = _kth(scores_l, k)
@@ -364,6 +401,7 @@ def or_topk(
     cache: BlockCache,
     allow: np.ndarray | None = None,
     deny: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """MaxScore top-k for a flat disjunction of body terms.
 
@@ -395,21 +433,30 @@ def or_topk(
         if f.size == 0:
             continue
         w = _w(key)
+        keep_b = np.ones(f.size, dtype=bool)
+        hs = _head_skip(cache, key, w, after)
+        if hs is not None:
+            keep_b &= ~hs  # deep page: block's every doc is before the cursor
         if count >= k:
-            bsel = np.flatnonzero(w * mp + suffix[i + 1] >= kth - EPS)
-        else:
-            bsel = np.arange(f.size)
+            keep_b &= w * mp + suffix[i + 1] >= kth - EPS
+        bsel = np.flatnonzero(keep_b)
         docs, _ = cache.gather(key, bsel)
         new = docs if seen.size == 0 else docs[~_member(seen, docs)]
         new = restrict(new, allow, deny)
         if new.size == 0:
             continue
+        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
+        sc = score_selected(new, scoring_keys, idf, cache)
+        if after is not None:
+            keep = _after_keep(new, sc, after)
+            new, sc = new[keep], sc[keep]
+            if new.size == 0:
+                continue
         docs_l.append(new)
-        scores_l.append(score_selected(new, scoring_keys, idf, cache))
+        scores_l.append(sc)
         count += new.size
         if count >= k:
             kth = _kth(scores_l, k)
-        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
     return _topk_select(docs_l, scores_l, k)
 
 
@@ -525,12 +572,13 @@ def units_topk(
     syn_groups=(),
     field_groups=(),
     k1: float = 1.2,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Block-max top-k dispatch for a routed (kind, units) query."""
     if all(u[0] == "key" for u in units):
         keys = [u[1] for u in units]
         fn = or_topk if kind == "or" else and_topk
-        return fn(keys, scoring_keys, idf, k, cache, allow=allow, deny=deny)
+        return fn(keys, scoring_keys, idf, k, cache, allow=allow, deny=deny, after=after)
 
     def scorer(cand):
         return score_units(
@@ -538,27 +586,30 @@ def units_topk(
         )
 
     if kind == "or":
-        return _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer)
-    return _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer)
+        return _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer, after)
+    return _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer, after)
 
 
-def _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
+def _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer, after=None):
     """MaxScore over the flattened member list: each member's bound weight
     is its exact idf (term units, scoring keys only) or the group's
     idf_blend · max(w, 1) (subadditivity bound). A key reached through
     several units sums its bound weights — conservative, still sound."""
     scoring_set = set(scoring_keys)
     w_eff: dict = {}
+    lw_eff: dict = {}  # LOWER-bound weight: score >= lw * partial (head-skip)
     for u in units:
         if u[0] == "key":
             key = u[1]
-            w_eff[key] = w_eff.get(key, 0.0) + (
-                idf.get(key, 0.0) if key in scoring_set else 0.0
-            )
+            wk = idf.get(key, 0.0) if key in scoring_set else 0.0
+            w_eff[key] = w_eff.get(key, 0.0) + wk
+            lw_eff[key] = max(lw_eff.get(key, 0.0), wk)
         else:
             blend = _blend_w(u[1], idf)
             for key, w in u[1]:
                 w_eff[key] = w_eff.get(key, 0.0) + blend * max(float(w), 1.0)
+                # sat(Σ w·tf) >= min(w,1)·sat(tf_member) by concavity
+                lw_eff[key] = max(lw_eff.get(key, 0.0), blend * min(float(w), 1.0))
     keys = sorted(w_eff)
     maxc = {key: w_eff[key] * cache.max_partial(key) for key in keys}
     order = sorted(keys, key=lambda kk: (-maxc[kk], kk))
@@ -576,25 +627,34 @@ def _or_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
         f, _l, mp = cache.meta(key)[:3]
         if f.size == 0:
             continue
+        keep_b = np.ones(f.size, dtype=bool)
+        hs = _head_skip(cache, key, lw_eff[key], after)
+        if hs is not None:
+            keep_b &= ~hs
         if count >= k:
-            bsel = np.flatnonzero(w_eff[key] * mp + suffix[i + 1] >= kth - EPS)
-        else:
-            bsel = np.arange(f.size)
+            keep_b &= w_eff[key] * mp + suffix[i + 1] >= kth - EPS
+        bsel = np.flatnonzero(keep_b)
         docs, _ = cache.gather(key, bsel)
         new = docs if seen.size == 0 else docs[~_member(seen, docs)]
         new = restrict(new, allow, deny)
         if new.size == 0:
             continue
+        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
+        sc = scorer(new)
+        if after is not None:
+            keep = _after_keep(new, sc, after)
+            new, sc = new[keep], sc[keep]
+            if new.size == 0:
+                continue
         docs_l.append(new)
-        scores_l.append(scorer(new))
+        scores_l.append(sc)
         count += new.size
         if count >= k:
             kth = _kth(scores_l, k)
-        seen = np.sort(np.concatenate((seen, new))) if seen.size else np.sort(new)
     return _topk_select(docs_l, scores_l, k)
 
 
-def _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
+def _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer, after=None):
     """and_topk generalized to group conjuncts. The driver is the rarest
     TERM conjunct (route_units guarantees one exists; a group matches the
     union of its members and cannot gallop). Per driver block, a group
@@ -623,6 +683,10 @@ def _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
             ub = ub + np.where(dead, -np.inf, idf.get(key, 0.0) * np.maximum(om, 0.0))
         else:
             ub[dead] = -np.inf
+    if driver in scoring_set:
+        hs = _head_skip(cache, driver, idf.get(driver, 0.0), after)
+        if hs is not None:
+            ub[hs] = -np.inf  # every doc there is before the cursor
     for members in groups:
         blend = _blend_w(members, idf)
         gsum = np.zeros(d_first.shape, dtype=np.float64)
@@ -667,8 +731,14 @@ def _and_units(units, scoring_keys, idf, k, cache, allow, deny, scorer):
             cand = cand[hit]
         if cand.size == 0:
             continue
+        sc = scorer(cand)
+        if after is not None:
+            keep = _after_keep(cand, sc, after)
+            cand, sc = cand[keep], sc[keep]
+            if cand.size == 0:
+                continue
         docs_l.append(cand)
-        scores_l.append(scorer(cand))
+        scores_l.append(sc)
         count += cand.size
         if count >= k:
             kth = _kth(scores_l, k)

@@ -90,6 +90,7 @@ def _seg_rows(docs, tfs, dls, block_size=4, avgdl=10.0):
             "first_doc": enc["first_doc"],
             "last_doc": enc["last_doc"],
             "max_partial": enc["max_partial"],
+            "min_partial": enc["min_partial"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
             "partials": enc["partials"],
@@ -284,3 +285,99 @@ def test_blended_query_decodes_fewer(tiny_block_index):
     b2 = [(r["doc_id"], round(r["score"], 4)) for r in
           idx.search(bare, k=5, mode="dataframe").collect()]
     assert a2 == b2 and len(a2) == 5
+
+
+# ---------------------------------------------------------------------------
+# search_after under block-max (cursor-seeded pruning + min-bound head-skip)
+
+def test_search_after_pages_skip_head_and_tail():
+    """Deep pages prune BOTH ends: blocks wholly above the cursor
+    (min_partial lower bound — only already-served docs) and blocks wholly
+    below the page's k-th score. Per-page decodes stay O(1) in page depth
+    instead of growing to the full posting list."""
+    import numpy as np
+
+    from bitfunnel_spark.plans.wand import BlockCache, and_topk
+
+    # 10 four-doc tiers with strictly descending partials (tf 10..1);
+    # block_size=4 aligns blocks with tiers
+    docs = list(range(40))
+    tfs = [10 - i // 4 for i in range(40)]
+    t = _seg_rows(docs, tfs, [10.0] * 40, block_size=4, avgdl=10.0)
+    key = ("body", "t")
+    raw = {key: t}
+    idf = {key: 1.0}
+    k = 4
+    cursor = None
+    per_page_decodes = []
+    served = []
+    for _page in range(10):
+        stats = {}
+        res = and_topk([key], [key], idf, k, BlockCache(raw, stats), after=cursor)
+        assert len(res) == k
+        per_page_decodes.append(stats["blocks_decoded"])
+        served.extend(int(r.doc_id) for r in res.itertuples())
+        last = res.iloc[-1]
+        cursor = (round(float(last["score"]), 4), int(last["doc_id"]))
+    # pages exactly partition the full ranking in order
+    assert served == docs
+    # page 1 decodes a single block; every deeper page at most the cursor-
+    # boundary block + its own block — never the whole head (tail-skip-only
+    # would decode page_number blocks; exhaustive would decode all 10)
+    assert per_page_decodes[0] == 1
+    assert all(d <= 2 for d in per_page_decodes[1:]), per_page_decodes
+    # the head-skip is real: page 6+ decodes fewer blocks than its depth
+    assert per_page_decodes[5] < 6, per_page_decodes
+
+
+def test_search_after_or_skips_head():
+    """MaxScore pages: a term's high blocks head-skip once the cursor sits
+    strictly below their min-bound; parity with the cursor-filtered
+    exhaustive evaluation."""
+    import numpy as np
+
+    from bitfunnel_spark.plans.wand import BlockCache, or_topk
+
+    a = _seg_rows(list(range(20)), [10 - i // 4 for i in range(20)],
+                  [10.0] * 20, block_size=4, avgdl=10.0)
+    b = _seg_rows(list(range(10, 26)), [1] * 16, [10.0] * 16,
+                  block_size=4, avgdl=10.0)
+    raw = {("body", "a"): a, ("body", "b"): b}
+    idf = {("body", "a"): 2.0, ("body", "b"): 0.5}
+    keys = [("body", "a"), ("body", "b")]
+    # walk pages; compare each against exhaustive cursor filtering
+    import pandas as pd
+
+    def exhaustive_page(after, k):
+        from bitfunnel_spark.operators.segments import decode_group
+        from bitfunnel_spark.plans.wand import _member
+
+        full = {kk: decode_group(rows) for kk, rows in raw.items()}
+        cand = np.unique(np.concatenate([full[kk][0] for kk in keys]))
+        score = np.zeros(cand.shape)
+        for kk in keys:
+            d, _t, p = full[kk]
+            m = _member(d, cand)
+            score[m] += idf[kk] * p[np.searchsorted(d, cand[m])]
+        r4 = np.round(score, 4)
+        if after is not None:
+            keep = (r4 < after[0]) | ((r4 == after[0]) & (cand > after[1]))
+            cand, r4 = cand[keep], r4[keep]
+        idx = np.lexsort((cand, -r4))[:k]
+        return list(zip(cand[idx].tolist(), r4[idx].tolist()))
+
+    cursor = None
+    decodes = []
+    for _page in range(6):
+        stats = {}
+        res = or_topk(keys, keys, idf, 4, BlockCache(raw, stats), after=cursor)
+        got = [(int(r.doc_id), float(round(r.score, 4))) for r in res.itertuples()]
+        want = exhaustive_page(cursor, 4)
+        assert got == want, (cursor, got, want)
+        decodes.append(stats["blocks_decoded"])
+        if not got:
+            break
+        cursor = (got[-1][1], got[-1][0])
+    total_blocks = len(a) + len(b)
+    # deep pages must not decode the whole footprint
+    assert decodes[-1] < total_blocks, decodes

@@ -176,6 +176,20 @@ def q_bm25_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search("data fast", k=10, mode="kernel", facts=["even_doc"])
 
 
+def q_ft_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k restricted by an INDEXED fact filter-stream — the broad-fact
+    scale route (define_fact_indexed): the fact is posting rows in stream
+    "fact" ANDed in-kernel as a filter-context conjunct, no driver-resident
+    doc array, no MAX_FACT_DOCS cap."""
+    import dataclasses
+
+    idx = dataclasses.replace(
+        get_index(spark, sf_dir), facts={}, indexed_facts={}
+    )
+    idx.define_fact_indexed("mod3", F.col("doc_id") % 3 == 0)
+    return idx.search("data fast", k=10, mode="kernel", facts=["mod3"])
+
+
 # ---------------------------------------------------------------------------
 # build-statistics queries
 
@@ -1893,9 +1907,9 @@ DRIVER_WINDOW = [
     # high-traffic representatives re-checked each round
     "ft_percolate_log", "ft_bm25_batch", "ft_bm25_code",
     "dedup_substring", "ft_substring",
-    "ann_pq_topk", "ft_top_hits", "ft_function_score",
+    "ann_pq_topk", "ft_function_score",
     # round-4 additions land here as they're built
-    "ft_regex_grep_many",
+    "ft_regex_grep_many", "ft_fact_stream",
 ]
 
 
@@ -2042,6 +2056,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries["ft_bm25_fact"] = q_bm25_fact
     oracles["ft_bm25_fact"] = oracle_search_sql(
         "data fast", k=10, config=ENTRY_CONFIG, extra_where="h.doc_id % 2 = 0"
+    )
+    queries["ft_fact_stream"] = q_ft_fact_stream
+    oracles["ft_fact_stream"] = oracle_search_sql(
+        "data fast", k=10, config=ENTRY_CONFIG, extra_where="h.doc_id % 3 = 0"
     )
     # instrumented-kernel match counts (oracle = match-set cardinalities);
     # the pruning counters stay in the rows-only ft_decode_counters entry

@@ -45,6 +45,7 @@ class FullTextIndex:
     _idf_map_over_limit: bool = False  # memoized "dictionary too big" outcome
     tombstones: frozenset = frozenset()  # soft-deleted doc ids (delete_docs)
     facts: dict = field(default_factory=dict)  # name -> doc-id DataFrame (define_fact)
+    indexed_facts: dict = field(default_factory=dict)  # name -> posting rows (define_fact_indexed)
     synonyms: dict | None = None  # body-term synonym map (set_synonyms)
     synonym_mode: str = "expand"  # "expand" (OR) | "blend" (SynonymQuery)
 
@@ -177,6 +178,58 @@ class FullTextIndex:
         ``facts=[name, ...]`` to AND the fact sets into the match."""
         self.facts[name] = self.corpus.filter(predicate).select("doc_id")
 
+    def define_fact_indexed(self, name: str, predicate) -> None:
+        """Register a fact as an INDEXED filter stream — the scale route for
+        broad facts (the `fact_doc_ids` cap error prescribes it): the fact's
+        doc set becomes ordinary posting rows (stream="fact", term=name)
+        unioned into the postings table and the built segment store, so
+        queries AND it in-kernel exactly like a term — a pruned posting
+        scan, no driver-resident doc array, no MAX_FACT_DOCS cap. The
+        reference's IFactSet is likewise just another row ANDed into the
+        plan (inc/BitFunnel/IFactSet.h); here the row is a posting list.
+        Queries can also name it directly as ``fact:<name>``."""
+        if name in self.indexed_facts:
+            raise ValueError(f"indexed fact {name!r} already defined")
+        rows = (
+            self.corpus.filter(predicate)
+            .select("doc_id")
+            .join(self.doc_stats, "doc_id")
+            .select(
+                F.lit(name).alias("term"),
+                F.lit("fact").alias("stream"),
+                "doc_id",
+                F.lit(1).cast("int").alias("tf"),
+                "doclen",
+                "shard",
+                "slice",
+            )
+        )
+        self.indexed_facts[name] = rows
+        self.postings = self.postings.unionByName(
+            rows.select(*self.postings.columns)
+        )
+        if self.segments is not None:
+            from bitfunnel_spark.operators.segments import build_segments
+
+            self.segments = self.segments.unionByName(
+                build_segments(rows, self.avgdl, self.config)
+            )
+
+    def _apply_indexed_facts(self, node, facts: list[str] | None):
+        """(node', residual_facts): indexed facts become filter-context
+        conjuncts (Filter(Term(stream="fact")) — non-scoring, prunable,
+        evaluated in-kernel); driver-array facts pass through."""
+        facts = list(facts) if facts else []
+        idx_names = [f for f in facts if f in self.indexed_facts]
+        rest = [f for f in facts if f not in self.indexed_facts]
+        if idx_names:
+            from bitfunnel_spark.plans.ast import And, Filter, Term
+
+            node = And(
+                (node, *(Filter(Term(text=f, stream="fact")) for f in idx_names))
+            )
+        return node, (rest or None)
+
     def fact_doc_ids(self, names: list[str]):
         """Sorted int64 array = intersection of the named facts' doc sets
         (driver-resident, like the reference's fact rows). Raises KeyError
@@ -191,8 +244,9 @@ class FullTextIndex:
             ids = np.array(sorted(r[0] for r in df.collect()), dtype=np.int64)
             if ids.size > self.MAX_FACT_DOCS:
                 raise ValueError(
-                    f"fact {name!r} exceeds MAX_FACT_DOCS; index broad facts "
-                    "as a filter stream (lang/repo pattern) instead"
+                    f"fact {name!r} exceeds MAX_FACT_DOCS; broad facts belong "
+                    "in the indexed filter stream: define_fact_indexed(name, "
+                    "predicate) serves them as pruned posting scans at any size"
                 )
             out = ids if out is None else out[np.isin(out, ids)]
         return out if out is not None else np.empty(0, dtype=np.int64)
@@ -365,7 +419,8 @@ class FullTextIndex:
         (ResultsBuffer analogue) as DataFrame[doc_id]."""
         from bitfunnel_spark.plans.executor import match_dataframe
 
-        return match_dataframe(self, self.prepare_query(query), facts)
+        node, facts = self._apply_indexed_facts(self.prepare_query(query), facts)
+        return match_dataframe(self, node, facts)
 
     def search(
         self, query: str, k: int = 10, mode: str = "dataframe",
@@ -379,7 +434,7 @@ class FullTextIndex:
         LMDirichletSimilarity, μ=2000, body field); see plans/scoring.py. The
         match set is identical under every flavor; non-BM25 flavors skip
         the BM25-shaped block-max pruning (exhaustive kernel path)."""
-        query = self.prepare_query(query)
+        query, facts = self._apply_indexed_facts(self.prepare_query(query), facts)
         if mode == "dataframe":
             from bitfunnel_spark.plans.executor import search_dataframe
 
@@ -401,7 +456,7 @@ class FullTextIndex:
         full result set, no LIMIT that grows with the page number (the
         from+size anti-pattern). The ordering is total (rounded score,
         doc_id), so pages partition the full result exactly."""
-        query = self.prepare_query(query)
+        query, facts = self._apply_indexed_facts(self.prepare_query(query), facts)
         if mode == "dataframe":
             from bitfunnel_spark.plans.executor import search_dataframe
 

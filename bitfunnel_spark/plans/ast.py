@@ -7,7 +7,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 DEFAULT_STREAM = "body"
-STREAMS = ("body", "path", "lang", "repo")
+STREAMS = ("body", "path", "lang", "repo", "fact")
 
 
 class Node:

@@ -145,7 +145,16 @@ def _batched_groups(
 
     from bitfunnel_spark.plans.kernel import filter_terms, use_gram_phrase
 
-    plans = [plan_query(index.prepare_query(q)) for q in queries]
+    residual_facts = facts
+
+    def _prep(q):
+        nonlocal residual_facts
+        node, residual_facts = index._apply_indexed_facts(
+            index.prepare_query(q), facts
+        )
+        return node
+
+    plans = [plan_query(_prep(q)) for q in queries]
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     all_filter_terms = set().union(*(filter_terms(index, p) for p in plans)) if plans else set()
     seg = index.segments.filter(_segment_filter(index, all_filter_terms))
@@ -186,7 +195,7 @@ def _batched_groups(
             "fallback_phrases": frozenset(fallback),
             "use_positions": use_positions, "k": k,
             "k1": index.config.bm25.k1,  # blended-group norm recovery
-            **_restriction_arrays(index, facts),
+            **_restriction_arrays(index, residual_facts),
         },
     )
     return seg.groupBy("shard", "slice").applyInPandas(

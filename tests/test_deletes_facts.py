@@ -111,3 +111,79 @@ def test_compact_drops_tombstones(spark, corpus, tmp_path):
         for r in idx.segments.collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# indexed fact filter-streams (define_fact_indexed) — the broad-fact scale
+# route: the fact is posting rows in stream "fact", ANDed in-kernel like a
+# term; no driver-resident doc array, no MAX_FACT_DOCS cap.
+
+@pytest.fixture()
+def fcopy(index):
+    # fresh registries so fixture-shared state never leaks across tests
+    return dataclasses.replace(
+        index, facts=dict(index.facts), indexed_facts={}
+    )
+
+
+def test_indexed_fact_matches_array_fact(fcopy):
+    fcopy.define_fact("even_a", F.col("doc_id") % 2 == 0)
+    fcopy.define_fact_indexed("even_i", F.col("doc_id") % 2 == 0)
+    for q in ("data", "data fast", "dup | vector"):
+        want = _top(fcopy, q, facts=["even_a"])
+        for mode in ("kernel", "dataframe"):
+            got = _top(fcopy, q, mode=mode, facts=["even_i"])
+            assert got == want, (q, mode)
+
+
+def test_indexed_fact_match_and_query_syntax(fcopy):
+    fcopy.define_fact_indexed("short", F.length("content") < 200)
+    want = sorted(
+        r["doc_id"]
+        for r in fcopy.corpus.filter(F.length("content") < 200)
+        .join(fcopy.match("data"), "doc_id", "left_semi").collect()
+    )
+    got = sorted(r["doc_id"] for r in fcopy.match("data", facts=["short"]).collect())
+    assert got == want and got
+    # the stream is first-class query surface: fact:short parses and ANDs
+    got_q = sorted(r["doc_id"] for r in fcopy.match("fact:short data").collect())
+    assert got_q == want
+
+
+def test_indexed_fact_batch_and_after(fcopy):
+    fcopy.define_fact_indexed("even_i", F.col("doc_id") % 2 == 0)
+    many = fcopy.search_many(["data fast", "dup | vector"], k=10, facts=["even_i"])
+    rows = many.collect()
+    assert rows and all(r["doc_id"] % 2 == 0 for r in rows)
+    # pagination composes: page 2 equals page of the fact-filtered ranking
+    p1 = fcopy.search("data", k=5, facts=["even_i"], mode="kernel").collect()
+    cur = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    p2 = fcopy.search_after("data", cur, k=5, facts=["even_i"]).collect()
+    full = _top(fcopy, "data", k=10, facts=["even_i"])
+    assert [(r["doc_id"], r["score"]) for r in p1 + p2] == full
+
+
+def test_indexed_fact_no_cap_no_driver_array(fcopy, monkeypatch):
+    # the array route refuses a broad fact; the indexed route serves it
+    monkeypatch.setattr(type(fcopy), "MAX_FACT_DOCS", 3)
+    fcopy.define_fact("broad_a", F.col("doc_id") >= 0)
+    with pytest.raises(ValueError, match="define_fact_indexed"):
+        fcopy.search("data", facts=["broad_a"], mode="kernel").collect()
+    fcopy.define_fact_indexed("broad_i", F.col("doc_id") >= 0)
+    got = _top(fcopy, "data", facts=["broad_i"])
+    assert got == _top(fcopy, "data")  # all-docs fact restricts nothing
+
+
+def test_indexed_fact_scoring_unchanged(fcopy):
+    # filter context: the fact constrains the match set but never scores —
+    # surviving docs keep their unrestricted scores
+    fcopy.define_fact_indexed("even_i", F.col("doc_id") % 2 == 0)
+    base = dict(_top(fcopy, "data fast", k=1000))
+    got = _top(fcopy, "data fast", k=20, facts=["even_i"])
+    assert got and all(base[d] == s for d, s in got)
+
+
+def test_indexed_fact_redefine_raises(fcopy):
+    fcopy.define_fact_indexed("f1", F.col("doc_id") % 2 == 0)
+    with pytest.raises(ValueError, match="already defined"):
+        fcopy.define_fact_indexed("f1", F.col("doc_id") % 3 == 0)

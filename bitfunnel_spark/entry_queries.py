@@ -1657,6 +1657,18 @@ def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_dsl_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES DSL dis_max compiled through search_dsl — the serving-combinator
+    dispatch path (plans/dsl._serving_query)."""
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    return search_dsl(get_index(spark, sf_dir), {"query": {"dis_max": {
+        "queries": [{"query_string": "data -slow"},
+                    {"match": {"content": "dup vector"}}],
+        "tie_breaker": 0.3,
+    }}, "size": 10})
+
+
 def q_ft_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -1907,9 +1919,9 @@ DRIVER_WINDOW = [
     # high-traffic representatives re-checked each round
     "ft_percolate_log", "ft_bm25_batch", "ft_bm25_code",
     "dedup_substring", "ft_substring",
-    "ann_pq_topk", "ft_function_score",
+    "ann_pq_topk",
     # round-4 additions land here as they're built
-    "ft_regex_grep_many", "ft_fact_stream",
+    "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax",
 ]
 
 
@@ -2403,6 +2415,10 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     queries["ft_dismax"] = q_ft_dismax
     oracles["ft_dismax"] = oracle_dis_max_sql(
         ["data -slow", "dup | vector"], tie_breaker=0.3, k=10, config=ENTRY_CONFIG
+    )
+    queries["ft_dsl_dismax"] = q_ft_dsl_dismax
+    oracles["ft_dsl_dismax"] = oracle_dis_max_sql(
+        ["data -slow", "(dup | vector)"], tie_breaker=0.3, k=10, config=ENTRY_CONFIG
     )
     from bitfunnel_spark.plans.oracle import oracle_rescore_sql
 

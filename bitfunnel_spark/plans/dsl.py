@@ -254,10 +254,17 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
         source = body.get("_source")
-        node = compile_dsl(body["query"])
+        query = body["query"]
     else:
-        node = compile_dsl(body)
-    hits = index.search(node, k=k, mode=mode)
+        query = body
+    if isinstance(query, dict) and len(query) == 1 and next(iter(query)) in (
+        "multi_match", "dis_max", "boosting"
+    ):
+        # kinds whose executor is a serving-layer combinator rather than a
+        # single AST (per-clause score fusion) — dispatched directly
+        hits = _serving_query(index, *next(iter(query.items())), k=k)
+    else:
+        hits = index.search(compile_dsl(query), k=k, mode=mode)
     if not source:
         return hits
     if isinstance(source, str):  # ES allows a bare string, e.g. "_source": "repo"
@@ -274,6 +281,82 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     )
     return fetched.select("doc_id", "score", *source).orderBy(
         F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _serving_query(index, kind: str, body, k: int = 10):
+    """ES query kinds that compile to serving-layer score combinators
+    (dis_max / multi_match / boosting) instead of one AST node. Field
+    names map through FIELD_TO_STREAM; sub-queries must be
+    `query_string`/`match`-expressible as engine query strings."""
+    from bitfunnel_spark.plans import serving
+
+    if not isinstance(body, dict):
+        raise DslError(f"{kind} expects an object")
+    opts = dict(body)
+    if kind == "multi_match":
+        text = opts.pop("query", None)
+        _require(isinstance(text, str) and text, "multi_match needs a query string")
+        fields = opts.pop("fields", ["content"])
+        _require(isinstance(fields, list) and fields, "multi_match needs fields")
+        mm_type = str(opts.pop("type", "best_fields"))
+        tie = float(opts.pop("tie_breaker", 0.0))
+        operator = str(opts.pop("operator", "or")).lower()
+        _reject_extra(opts, kind)
+        mapped = []
+        for spec in fields:
+            field, _, w = str(spec).partition("^")
+            mapped.append(_stream(field) + (f"^{w}" if w else ""))
+        try:
+            return serving.multi_match(
+                index, text, mapped, mm_type=mm_type,
+                tie_breaker=tie, operator=operator, k=k,
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
+    if kind == "dis_max":
+        queries = opts.pop("queries", None)
+        _require(isinstance(queries, list) and queries, "dis_max needs queries")
+        tie = float(opts.pop("tie_breaker", 0.0))
+        _reject_extra(opts, kind)
+        clauses = [_clause_string(q) for q in queries]
+        return serving.dis_max(index, clauses, tie_breaker=tie, k=k)
+    # boosting
+    pos = opts.pop("positive", None)
+    neg = opts.pop("negative", None)
+    nb = float(opts.pop("negative_boost", 0.5))
+    _require(pos is not None and neg is not None,
+             "boosting needs positive and negative")
+    _reject_extra(opts, kind)
+    return serving.boosting_query(
+        index, _clause_string(pos), _clause_string(neg), negative_boost=nb, k=k
+    )
+
+
+def _clause_string(q) -> str:
+    """A sub-query as an engine query string: `query_string` passes
+    through; `match` compiles field/operator/tokens. Other kinds would
+    need AST-level combination — rejected loudly rather than approximated."""
+    if not isinstance(q, dict) or len(q) != 1:
+        raise DslError(f"sub-query must be a single-key object, got {q!r}")
+    kind, body = next(iter(q.items()))
+    if kind == "query_string":
+        return str(body["query"] if isinstance(body, dict) else body)
+    if kind == "match":
+        field, raw = _one_field(body, "match")
+        text, opts = _opts(raw)
+        op = str(opts.pop("operator", "or")).lower()
+        _reject_extra(opts, "match")
+        toks = _analyze(text)
+        _require(bool(toks), f"match value analyzes to zero tokens: {text!r}")
+        stream = _stream(field)
+        parts = [t if stream == "body" else f"{stream}:{t}" for t in toks]
+        if op == "and" or len(parts) == 1:
+            return " ".join(parts)
+        _require(op == "or", f"match operator must be and/or, got {op!r}")
+        return "(" + " | ".join(parts) + ")"
+    raise DslError(
+        f"sub-queries support query_string/match, got {kind!r}"
     )
 
 

@@ -359,3 +359,68 @@ def test_dsl_fuzz_execution_sample(index):
             for r in index.search(qs, k=8, mode="kernel").collect()
         ]
         assert got == want, (body, qs)
+
+
+# ---------------------------------------------------------------------------
+# serving-combinator query kinds (multi_match / dis_max / boosting)
+
+def test_dsl_dis_max_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"dis_max": {
+        "queries": [{"query_string": "data -slow"},
+                    {"match": {"content": "dup vector"}}],
+        "tie_breaker": 0.3,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.dis_max(
+        index, ["data -slow", "(dup | vector)"], tie_breaker=0.3, k=10
+    ).collect()]
+    assert got == want and got
+
+
+def test_dsl_multi_match_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"multi_match": {
+        "query": "data txt", "fields": ["content", "path^2"],
+        "type": "best_fields", "tie_breaker": 0.3,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.multi_match(
+        index, "data txt", ["body", "path^2"],
+        mm_type="best_fields", tie_breaker=0.3, k=10,
+    ).collect()]
+    assert got == want and got
+
+
+def test_dsl_boosting_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"boosting": {
+        "positive": {"query_string": "data fast"},
+        "negative": {"match": {"content": "slow"}},
+        "negative_boost": 0.4,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.boosting_query(
+        index, "data fast", "slow", negative_boost=0.4, k=10
+    ).collect()]
+    assert got == want and got
+
+
+def test_dsl_combinator_errors(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    with pytest.raises(DslError, match="needs queries"):
+        search_dsl(index, {"query": {"dis_max": {"tie_breaker": 0.3}}})
+    with pytest.raises(DslError, match="support query_string/match"):
+        search_dsl(index, {"query": {"dis_max": {"queries": [
+            {"terms": {"lang": ["en"]}}]}}})
+    with pytest.raises(DslError, match="positive and negative"):
+        search_dsl(index, {"query": {"boosting": {"positive": {"match": {"content": "a"}}}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"multi_match": {"query": "x", "fields": ["nosuch"]}}})

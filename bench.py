@@ -201,6 +201,28 @@ def main() -> None:
     bat_total = int(brow["bt"] or 0)
     bat_decoded = int(brow["bd"] or 0)
 
+    # paging battery: per-page decode counters for search_after on the
+    # fine-block index — deterministic numbers a deep-pagination pruning
+    # regression must move (cursor tail-skip + min_partial head-skip;
+    # page 1 has no cursor). Counter, not wall-clock: VM-noise-proof.
+    PAGING_QUERY = PRUNE_BATTERY[0][1]
+    page_decodes = []
+    cursor = None
+    for _page in range(3):
+        m, _ = profile_many(idx_b, [PAGING_QUERY], k=PRUNE_BATTERY_K, after=cursor)
+        row = m.groupBy().agg(
+            F.sum("blocks_total").alias("bt"), F.sum("blocks_decoded").alias("bd")
+        ).collect()[0]
+        page_decodes.append({"total": int(row["bt"] or 0), "decoded": int(row["bd"] or 0)})
+        hits = (
+            idx_b.search(PAGING_QUERY, k=PRUNE_BATTERY_K, mode="kernel").collect()
+            if cursor is None
+            else idx_b.search_after(PAGING_QUERY, cursor, k=PRUNE_BATTERY_K).collect()
+        )
+        if not hits:
+            break
+        cursor = (float(hits[-1]["score"]), int(hits[-1]["doc_id"]))
+
     # grep battery: trigram-index substring + regex search over raw text
     # (the Zoekt workload). Build once (timed), then a mixed literal/regex
     # set; deterministic hit counts recorded so result drift is visible.
@@ -252,6 +274,11 @@ def main() -> None:
         "percolate_rows": perc_rows,
         "percolate_sec": round(perc_sec, 3),
         "percolate_qps": round(len(PERCOLATE_LOG) / perc_sec, 1),
+        "paging_battery": {
+            "query": PAGING_QUERY,
+            "k": PRUNE_BATTERY_K,
+            "pages": page_decodes,
+        },
         "prune_battery": {
             "block_size": cfg_b.block_size,
             "k": PRUNE_BATTERY_K,

@@ -90,6 +90,7 @@ def _profiled_batch_kernel(plans, descriptor):
                     syn_groups=plan.syn_groups,
                     field_groups=getattr(plan, "field_groups", ()),
                     k1=descriptor.get("k1", 1.2),
+                    after=descriptor.get("after"),
                 )
                 nrows = len(res)
                 # blocks_total counts only terms the traversal touched; add
@@ -142,14 +143,19 @@ def _profiled_batch_kernel(plans, descriptor):
     return kernel
 
 
-def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dict]:
+def profile_many(
+    index, queries: list[str], k: int = 10,
+    after: tuple[float, int] | None = None,
+) -> tuple[DataFrame, dict]:
     """Per-query execution metrics for a query log, ONE job.
 
     Returns (group_metrics_df, driver_timings). group_metrics_df has one row
     per (query, shard, slice); aggregate with
     ``df.groupBy("query_id").agg(sum("blocks_decoded"), ...)``.
     driver_timings records parse/plan/descriptor wall-times (the reference's
-    parse/plan phases, QueryRunner.cpp:84-92).
+    parse/plan phases, QueryRunner.cpp:84-92). ``after`` applies one
+    search_after cursor to every query — the per-page decode-counter
+    instrumentation for deep pagination.
     """
     if index.segments is None:
         index.build_segments()
@@ -181,6 +187,12 @@ def profile_many(index, queries: list[str], k: int = 10) -> tuple[DataFrame, dic
             "fallback_phrases": frozenset(fallback),
             "use_positions": use_positions,
             "k": k,
+            "k1": index.config.bm25.k1,
+            **(
+                {"after": (round(float(after[0]), 4), int(after[1]))}
+                if after is not None
+                else {}
+            ),
         },
     )
     metrics = seg.groupBy("shard", "slice").applyInPandas(lambda pdf: kernel(pdf), METRIC_SCHEMA)

@@ -258,7 +258,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     else:
         query = body
     if isinstance(query, dict) and len(query) == 1 and next(iter(query)) in (
-        "multi_match", "dis_max", "boosting"
+        "multi_match", "dis_max", "boosting", "function_score",
+        "span_near", "span_first", "span_not",
     ):
         # kinds whose executor is a serving-layer combinator rather than a
         # single AST (per-clause score fusion) — dispatched directly
@@ -321,16 +322,97 @@ def _serving_query(index, kind: str, body, k: int = 10):
         _reject_extra(opts, kind)
         clauses = [_clause_string(q) for q in queries]
         return serving.dis_max(index, clauses, tie_breaker=tie, k=k)
-    # boosting
-    pos = opts.pop("positive", None)
-    neg = opts.pop("negative", None)
-    nb = float(opts.pop("negative_boost", 0.5))
-    _require(pos is not None and neg is not None,
-             "boosting needs positive and negative")
+    if kind == "boosting":
+        pos = opts.pop("positive", None)
+        neg = opts.pop("negative", None)
+        nb = float(opts.pop("negative_boost", 0.5))
+        _require(pos is not None and neg is not None,
+                 "boosting needs positive and negative")
+        _reject_extra(opts, kind)
+        return serving.boosting_query(
+            index, _clause_string(pos), _clause_string(neg), negative_boost=nb, k=k
+        )
+    if kind == "function_score":
+        q = opts.pop("query", None)
+        _require(q is not None, "function_score needs a query")
+        fvf = opts.pop("field_value_factor", None)
+        _require(isinstance(fvf, dict), "function_score supports field_value_factor")
+        boost_mode = str(opts.pop("boost_mode", "multiply"))
+        _reject_extra(opts, kind)
+        f = dict(fvf)
+        field = str(f.pop("field", "doclen"))
+        modifier = str(f.pop("modifier", "none"))
+        factor = float(f.pop("factor", 1.0))
+        _reject_extra(f, "field_value_factor")
+        try:
+            return serving.function_score(
+                index, _clause_string(q), field=field, modifier=modifier,
+                factor=factor, boost_mode=boost_mode, k=k,
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
+    if kind == "span_near":
+        clauses = opts.pop("clauses", None)
+        _require(isinstance(clauses, list) and clauses, "span_near needs clauses")
+        slop = int(opts.pop("slop", 0))
+        in_order = bool(opts.pop("in_order", False))
+        _reject_extra(opts, kind)
+        toks = [_span_term(c) for c in clauses]
+        if in_order:
+            # ordered near ≡ the engine's sloppy phrase (order preserved,
+            # up to `slop` interleaved tokens)
+            from bitfunnel_spark.plans.ast import Phrase
+
+            return index.search(Phrase(tuple(toks), slop=slop), k=k)
+        return serving.span_near(index, toks, slop=slop, k=k)
+    if kind == "span_first":
+        m = opts.pop("match", None)
+        end = opts.pop("end", None)
+        _require(m is not None and end is not None, "span_first needs match and end")
+        _reject_extra(opts, kind)
+        term = _span_term(m)
+        return serving.span_first(index, term, term, int(end), k=k)
+    # span_not
+    inc = opts.pop("include", None)
+    exc = opts.pop("exclude", None)
+    pre = int(opts.pop("pre", 0))
+    post = int(opts.pop("post", 0))
+    dist = opts.pop("dist", None)  # ES alias for pre == post
+    if dist is not None:
+        pre = post = int(dist)
+    _require(inc is not None and exc is not None, "span_not needs include and exclude")
     _reject_extra(opts, kind)
-    return serving.boosting_query(
-        index, _clause_string(pos), _clause_string(neg), negative_boost=nb, k=k
+    return serving.span_not(
+        index, _span_tokens(inc), _span_term(exc), pre=pre, post=post, k=k
     )
+
+
+def _span_term(q) -> str:
+    """A span clause as one body token: `{"span_term": {field: value}}`."""
+    if not isinstance(q, dict) or len(q) != 1 or next(iter(q)) != "span_term":
+        raise DslError(f"span clause must be a span_term object, got {q!r}")
+    field, raw = _one_field(q["span_term"], "span_term")
+    value, opts = _opts(raw, "value")
+    _reject_extra(opts, "span_term")
+    _require(_stream(field) == "body", "span queries are body-field only")
+    toks = _analyze(value)
+    _require(len(toks) == 1, f"span_term value must analyze to one token: {value!r}")
+    return toks[0]
+
+
+def _span_tokens(q) -> list[str]:
+    """A span include clause as a token list: span_term, or span_near of
+    span_terms with slop 0 + in_order (the adjacent-phrase include shape
+    serving.span_not evaluates)."""
+    if isinstance(q, dict) and len(q) == 1 and next(iter(q)) == "span_near":
+        body = dict(q["span_near"])
+        clauses = body.pop("clauses", None)
+        _require(isinstance(clauses, list) and clauses, "span_near needs clauses")
+        _require(int(body.pop("slop", 0)) == 0 and bool(body.pop("in_order", True)),
+                 "span_not include must be adjacent in-order (slop 0)")
+        _reject_extra(body, "span_near")
+        return [_span_term(c) for c in clauses]
+    return [_span_term(q)]
 
 
 def _clause_string(q) -> str:

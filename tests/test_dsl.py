@@ -424,3 +424,84 @@ def test_dsl_combinator_errors(index):
         search_dsl(index, {"query": {"boosting": {"positive": {"match": {"content": "a"}}}}})
     with pytest.raises(DslError):
         search_dsl(index, {"query": {"multi_match": {"query": "x", "fields": ["nosuch"]}}})
+
+
+def test_dsl_function_score_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"function_score": {
+        "query": {"query_string": "data fast"},
+        "field_value_factor": {"field": "doclen", "modifier": "log1p", "factor": 2.0},
+        "boost_mode": "sum",
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.function_score(
+        index, "data fast", field="doclen", modifier="log1p",
+        factor=2.0, boost_mode="sum", k=10,
+    ).collect()]
+    assert got == want and got
+
+
+def test_dsl_span_family_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    st = lambda t: {"span_term": {"content": t}}  # noqa: E731
+    near = {"query": {"span_near": {
+        "clauses": [st("data"), st("fast")], "slop": 3, "in_order": False,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, near).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.span_near(
+        index, ["data", "fast"], slop=3, k=10
+    ).collect()]
+    assert got == want and got
+
+    first = {"query": {"span_first": {"match": st("data"), "end": 8}}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, first).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.span_first(
+        index, "data", "data", 8, k=10
+    ).collect()]
+    assert got == want and got
+
+    notq = {"query": {"span_not": {
+        "include": st("data"), "exclude": st("slow"), "pre": 1, "post": 1,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, notq).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.span_not(
+        index, ["data"], "slow", pre=1, post=1, k=10
+    ).collect()]
+    assert got == want and got
+
+
+def test_dsl_span_near_ordered_is_sloppy_phrase(index):
+    from bitfunnel_spark.plans.ast import Phrase
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    st = lambda t: {"span_term": {"content": t}}  # noqa: E731
+    body = {"query": {"span_near": {
+        "clauses": [st("data"), st("fast")], "slop": 2, "in_order": True,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            index.search(Phrase(("data", "fast"), slop=2), k=10).collect()]
+    assert got == want
+
+
+def test_dsl_span_errors(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    st = lambda t: {"span_term": {"content": t}}  # noqa: E731
+    with pytest.raises(DslError, match="span_term"):
+        search_dsl(index, {"query": {"span_near": {
+            "clauses": [{"match": {"content": "x"}}]}}})
+    with pytest.raises(DslError, match="body-field only"):
+        search_dsl(index, {"query": {"span_first": {
+            "match": {"span_term": {"lang": "en"}}, "end": 2}}})
+    with pytest.raises(DslError, match="one token"):
+        search_dsl(index, {"query": {"span_first": {
+            "match": {"span_term": {"content": "two words"}}, "end": 2}}})
+    with pytest.raises(DslError, match="adjacent in-order"):
+        search_dsl(index, {"query": {"span_not": {
+            "include": {"span_near": {"clauses": [st("a"), st("b")], "slop": 2}},
+            "exclude": st("c")}}})

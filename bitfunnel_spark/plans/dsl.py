@@ -244,28 +244,93 @@ def compile_dsl(query: dict) -> Node:
 _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 
 
+_COMBINATOR_KINDS = (
+    "multi_match", "dis_max", "boosting", "function_score",
+    "span_near", "span_first", "span_not",
+)
+
+
 def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     """Run an ES `_search`-style body: `{"query": {...}}` (or a bare query
     object) through the engine. `size` maps to k; `"_source": [cols...]`
     joins the named corpus columns onto the hits — the k-row result
     broadcasts into the corpus scan, so field fetching never reorders or
-    re-shuffles the match set."""
-    source = None
+    re-shuffles the match set. `"sort"` (one field clause) routes to
+    sort_hits (score omitted, ES field-sort semantics); `"highlight"`
+    (content field) routes to snippets. Both are AST-query-only — the
+    serving-combinator kinds have no single match node to sort/highlight."""
+    source = sort_spec = highlight = None
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
         source = body.get("_source")
+        sort_spec = body.get("sort")
+        highlight = body.get("highlight")
         query = body["query"]
     else:
         query = body
-    if isinstance(query, dict) and len(query) == 1 and next(iter(query)) in (
-        "multi_match", "dis_max", "boosting", "function_score",
-        "span_near", "span_first", "span_not",
-    ):
+    is_comb = (
+        isinstance(query, dict)
+        and len(query) == 1
+        and next(iter(query)) in _COMBINATOR_KINDS
+    )
+    if sort_spec is not None or highlight is not None:
+        _require(not is_comb,
+                 "sort/highlight need an AST query, not a combinator kind")
+        _require(not (sort_spec is not None and highlight is not None),
+                 "sort omits _score; highlight ranks by it — pick one")
+        node = compile_dsl(query)
+        if sort_spec is not None:
+            by, ascending = _sort_clause(sort_spec)
+            from bitfunnel_spark.plans import serving
+
+            hits = serving.sort_hits(index, node, by=by, ascending=ascending, k=k)
+            return _fetch_source(index, hits, source, order_cols=((by, ascending),))
+        frag = highlight if isinstance(highlight, dict) else {}
+        fields = frag.get("fields")
+        _require(isinstance(fields, dict) and set(fields) <= {"content", "body", "text"},
+                 "highlight supports the content field")
+        from bitfunnel_spark.plans import serving
+
+        hits = serving.snippets(index, node, k=k, mode=mode)
+        return _fetch_source(index, hits, source, extra_cols=("snippet",))
+    if is_comb:
         # kinds whose executor is a serving-layer combinator rather than a
         # single AST (per-clause score fusion) — dispatched directly
         hits = _serving_query(index, *next(iter(query.items())), k=k)
     else:
         hits = index.search(compile_dsl(query), k=k, mode=mode)
+    return _fetch_source(index, hits, source)
+
+
+def _sort_clause(spec) -> tuple[str, bool]:
+    """One ES sort clause → (field, ascending). Accepts "field",
+    {"field": "asc|desc"}, {"field": {"order": ...}}, each optionally in a
+    one-element list. `_score` / multi-clause sorts are rejected loudly."""
+    if isinstance(spec, list):
+        _require(len(spec) == 1, "sort supports exactly one clause")
+        spec = spec[0]
+    if isinstance(spec, str):
+        field, order = spec, "desc"
+    elif isinstance(spec, dict) and len(spec) == 1:
+        field, conf = next(iter(spec.items()))
+        if isinstance(conf, dict):
+            order = str(conf.get("order", "desc"))
+            _require(set(conf) <= {"order"}, f"unsupported sort options: {conf}")
+        else:
+            order = str(conf)
+    else:
+        raise DslError(f"unsupported sort clause: {spec!r}")
+    _require(field != "_score", "sort by _score is the default search — drop `sort`")
+    _require(field in ("doclen", "lang", "repo", "path"),
+             f"sort field must be doclen/lang/repo/path, got {field!r}")
+    _require(order in ("asc", "desc"), f"sort order must be asc/desc, got {order!r}")
+    return field, order == "asc"
+
+
+def _fetch_source(index, hits, source, order_cols=(), extra_cols=()):
+    """Join `_source` corpus columns onto a k-row hits frame (broadcast,
+    never reshuffling the match set). `order_cols`: result columns that
+    replace `score` in the output ordering (field-sort results)."""
     if not source:
         return hits
     if isinstance(source, str):  # ES allows a bare string, e.g. "_source": "repo"
@@ -277,11 +342,18 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         raise DslError(f"unknown _source fields: {bad} (known: {list(_SOURCE_FIELDS)})")
     from pyspark.sql import functions as F
 
+    hit_cols = [c for c in hits.columns if c != "doc_id"]
+    dup = [c for c in source if c in hit_cols]
+    _require(not dup, f"_source fields already in the result: {dup}")
     fetched = index.corpus.select("doc_id", *source).join(
         F.broadcast(hits), "doc_id"
     )
-    return fetched.select("doc_id", "score", *source).orderBy(
-        F.desc("score"), F.asc("doc_id")
+    if order_cols:
+        order = [F.asc(c) if a else F.desc(c) for c, a in order_cols]
+    else:
+        order = [F.desc("score")]
+    return fetched.select("doc_id", *hit_cols, *source).orderBy(
+        *order, F.asc("doc_id")
     )
 
 

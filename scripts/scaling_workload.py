@@ -50,13 +50,29 @@ QUERY_REPEAT = 5  # batch throughput over QUERY_REPEAT * len(QUERIES) queries
 def calibrate(procs: int = 8, iters: int = 1_500_000) -> float:
     """Pure-CPU throughput probe (multiprocessing sha256) — records how much
     compute the noisy-neighbor VM is actually delivering at measurement
-    time, so scaling numbers can be audited against machine noise."""
+    time, so scaling numbers can be audited against machine noise.
+
+    The probe UNPINS its workers (round-4 fix): this script runs under
+    `taskset -c 0-(cores-1)`, and Pool children inherit that mask, so a
+    pre-fix "8-proc" probe inside a 2-pinned run saturated the same 2
+    CPUs and read exactly the affinity share (quiet-box 18.9 × 2/8 ≈ 4.7
+    — precisely what every pre-fix low-window probe recorded). Widening
+    the children's affinity to the whole box makes both windows' delivery
+    measurable against the machine, not against our own pinning. Probes
+    run BETWEEN timed attempts, never concurrently with one."""
     import multiprocessing as mp
 
     t0 = time.time()
-    with mp.Pool(procs) as p:
+    with mp.Pool(procs, initializer=_unpin) as p:
         p.map(_BURN, [iters] * procs)
     return round(procs * iters / (time.time() - t0) / 1e6, 2)
+
+
+def _unpin() -> None:
+    try:
+        os.sched_setaffinity(0, range(os.cpu_count() or 1))
+    except OSError:
+        pass  # cpuset-restricted environment: probe stays mask-bound
 
 
 def _BURN(n: int) -> int:

@@ -505,3 +505,63 @@ def test_dsl_span_errors(index):
         search_dsl(index, {"query": {"span_not": {
             "include": {"span_near": {"clauses": [st("a"), st("b")], "slop": 2}},
             "exclude": st("c")}}})
+
+
+def test_dsl_sort_matches_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"match": {"content": "data"}},
+            "sort": [{"doclen": {"order": "asc"}}], "size": 10}
+    got = [(r["doc_id"], r["doclen"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["doclen"]) for r in serving.sort_hits(
+        index, "data", by="doclen", ascending=True, k=10
+    ).collect()]
+    assert got == want and got
+    # bare-string clause defaults to desc
+    body2 = {"query": {"match": {"content": "data"}}, "sort": "doclen", "size": 5}
+    got2 = [r["doclen"] for r in search_dsl(index, body2).collect()]
+    assert got2 == sorted(got2, reverse=True) and len(got2) == 5
+
+
+def test_dsl_sort_with_source(index):
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"match": {"content": "data"}},
+            "sort": [{"doclen": "asc"}], "_source": ["lang"], "size": 5}
+    rows = search_dsl(index, body).collect()
+    assert rows and rows[0].asDict().keys() >= {"doc_id", "doclen", "lang"}
+    assert [r["doclen"] for r in rows] == sorted(r["doclen"] for r in rows)
+
+
+def test_dsl_highlight_matches_snippets(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"query_string": "data fast"},
+            "highlight": {"fields": {"content": {}}}, "size": 10}
+    got = [(r["doc_id"], r["score"], r["snippet"])
+           for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"], r["snippet"])
+            for r in serving.snippets(index, "data fast", k=10).collect()]
+    assert got == want and got
+
+
+def test_dsl_sort_highlight_errors(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    q = {"match": {"content": "data"}}
+    with pytest.raises(DslError, match="pick one"):
+        search_dsl(index, {"query": q, "sort": "doclen",
+                           "highlight": {"fields": {"content": {}}}})
+    with pytest.raises(DslError, match="exactly one clause"):
+        search_dsl(index, {"query": q, "sort": ["doclen", "lang"]})
+    with pytest.raises(DslError, match="doclen/lang/repo/path"):
+        search_dsl(index, {"query": q, "sort": "nosuch"})
+    with pytest.raises(DslError, match="drop `sort`"):
+        search_dsl(index, {"query": q, "sort": "_score"})
+    with pytest.raises(DslError, match="combinator"):
+        search_dsl(index, {"query": {"dis_max": {"queries": [
+            {"query_string": "data"}]}}, "sort": "doclen"})
+    with pytest.raises(DslError, match="content field"):
+        search_dsl(index, {"query": q, "highlight": {"fields": {"lang": {}}}})

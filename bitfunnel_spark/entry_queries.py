@@ -1409,6 +1409,87 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id AS
 ORDER BY query_id, cosine DESC, vec_id"""
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFPQ composition): coarse cells prune the candidate
+    set, PQ/ADC scores only probed cells from m-byte codes, exact rescore
+    on the k*factor best — deterministic id-based centroids AND codebooks,
+    so the DuckDB oracle mirrors the whole pipeline."""
+    return similarity.ivfpq_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        m=_PQ_M, n_codes=_PQ_CODES, rescore_factor=_PQ_FACTOR,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _sql_ann_ivfpq(dim: int = 64) -> str:
+    """The IVF oracle's assignment/probes composed with the PQ oracle's
+    codes/ADC/rescore — ADC runs over probed cells only, exactly the
+    engine's equi-join."""
+    m, n_codes, factor, k = _PQ_M, _PQ_CODES, _PQ_FACTOR, 10
+    dsub = dim // m
+    def sl(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{(j + 1) * dsub}]"
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2.0 * list_dot_product({a}, {b}))"
+        )
+    code_aggs = ",\n    ".join(
+        f"first(cb.code_id ORDER BY round({l2sq(sl('n.vn', j), sl('cb.vn', j))}, 6) ASC, cb.code_id ASC) AS c{j}"
+        for j in range(m)
+    )
+    cb_joins = " ".join(f"JOIN cb b{j} ON b{j}.code_id = c.c{j}" for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product({sl('q.vn', j)}, {sl(f'b{j}.vn', j)})" for j in range(m)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+      CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+           ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+      FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_CENTROIDS}),
+asg AS (
+  SELECT e.vec_id, c.cent_id
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY round({_cos_sql('e.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) = 1
+),
+cb AS (SELECT vec_id AS code_id, vn FROM n WHERE vec_id < {n_codes}),
+codes AS (
+  SELECT n.vec_id,
+    {code_aggs}
+  FROM n CROSS JOIN cb GROUP BY n.vec_id
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.cent_id
+  FROM e q CROSS JOIN c
+  WHERE q.vec_id IN ({_IDS})
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_cos_sql('q.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) <= {_IVF_PROBE}
+),
+approx AS (
+  SELECT p.query_id, c.vec_id, round({adc}, 6) AS adc
+  FROM probes p
+  JOIN asg a USING (cent_id)
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN n q ON q.vec_id = p.query_id
+  {cb_joins}
+  WHERE p.query_id <> c.vec_id
+),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) <= {k * factor}),
+res AS (
+  SELECT ca.query_id, ca.vec_id,
+         round({_cos_sql('qe.v', 'ce.v')}, 4) AS cosine
+  FROM cand ca JOIN e qe ON qe.vec_id = ca.query_id JOIN e ce ON ce.vec_id = ca.vec_id
+)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 def q_ann_rh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH buckets (numpy mapInPandas)."""
     return similarity.random_hyperplane_buckets(_emb(spark, sf_dir)).orderBy("vec_id")
@@ -1919,9 +2000,10 @@ DRIVER_WINDOW = [
     # high-traffic representatives re-checked each round
     "ft_percolate_log", "ft_bm25_batch", "ft_bm25_code",
     "dedup_substring", "ft_substring",
-    "ann_pq_topk",
+    # (ann_pq_topk rides its r03 green - similarity.py additions are new
+    # functions only; ann_ivfpq_topk below live-checks the shared exprs)
     # round-4 additions land here as they're built
-    "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax",
+    "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax", "ann_ivfpq_topk",
 ]
 
 
@@ -2297,6 +2379,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design
     queries["ann_rh_buckets"] = q_ann_rh_buckets
     oracles["ann_rh_buckets"] = _sql_ann_rh()
+    queries["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+    oracles["ann_ivfpq_topk"] = _sql_ann_ivfpq()
 
     # phrase via positional postings (kernel adjacency from stored positions)
     def q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:

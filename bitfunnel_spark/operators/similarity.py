@@ -306,6 +306,166 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivfpq_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    rescore_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "np.ndarray | list | None" = None,
+    codebooks: "np.ndarray | list | None" = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): the IVF coarse quantizer
+    prunes the candidate set to the query's ``n_probe`` cells, the PQ/ADC
+    sum scores ONLY those candidates from their m-byte codes, and the
+    ``k·rescore_factor`` best rescore with exact full-precision cosine.
+
+    Scale shape — the 10^9-vector serving path: per-vector cell assignment
+    AND PQ encoding are pure column expressions over plan literals (zero
+    corpus-side shuffle/join, the ivf/pq designs composed); the ADC scan
+    reads (cent_id, m codes) per vector and only for probed cells, so per
+    query it touches ~n_probe/n_centroids of the code table — itself 64×
+    narrower than the float32 vectors; full vectors are fetched for
+    k·rescore_factor rows via an id equi-join.
+
+    Deviation from FAISS (documented): PQ encodes the NORMALIZED VECTOR,
+    not the residual (v − centroid) — residual encoding is a per-cell
+    codebook-literal change that would break the cross-engine SQL mirror;
+    the recall cost at these dims is measured in tests against brute
+    cosine. Default centroids/codebooks are the deterministic id-based
+    ones (SQL-expressible); pass trained arrays for quality — only the
+    literals change, never the plan."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _normalize_expr(F.col(vec_col)).alias("vn"),
+    )
+    # --- IVF half: cell assignment + query probes from a centroid literal
+    if centroids is None:
+        cent_rows = sorted(
+            (int(r[id_col]), list(r[vec_col]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    else:
+        cent_rows = [(i, list(v)) for i, v in enumerate(centroids)]
+    cents_lit = _centroid_literal(cent_rows)
+    vnorm = norm_expr(F.col("v"))
+    ranked = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(dot_expr(F.col("v"), c["cvec"]) / (vnorm * c["cnorm"]), 6).alias(
+                "cosc"
+            ),
+            (-c["cent_id"]).alias("n"),
+        ),
+    )
+    cent_id = (-F.array_max(ranked)["n"]).cast("int")
+    # --- PQ half: code columns from codebook literals (pq_cosine_topk's
+    # encode expression, evaluated in the same projection as cent_id)
+    if codebooks is None:
+        rows = sorted(
+            (int(r["vec_id"]), list(r["vn"]))
+            for r in base.filter(F.col("vec_id") < n_codes)
+            .select("vec_id", "vn")
+            .collect()
+        )
+        dim = len(rows[0][1])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        books = [
+            [(cid, vec[j * dsub : (j + 1) * dsub]) for cid, vec in rows]
+            for j in range(m)
+        ]
+    else:
+        cb = np.asarray(codebooks, dtype=np.float64)
+        m, _, dsub = cb.shape
+        books = [
+            [(c, list(cb[j][c])) for c in range(cb.shape[1])] for j in range(m)
+        ]
+    vec_lits = [
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)).cast("double") for x in vec])
+                for _, vec in books[j]
+            ]
+        )
+        for j in range(m)
+    ]
+    id_lits = [F.array(*[F.lit(int(cid)) for cid, _ in books[j]]) for j in range(m)]
+
+    def sub(col: Column, j: int) -> Column:
+        return F.slice(col, j * dsub + 1, dsub)
+
+    def _dist_pair(j: int):
+        def fn(cvec, cid):
+            return F.struct(
+                F.round(l2sq_expr(sub(F.col("vn"), j), cvec), 6).alias("d"),
+                cid.alias("cid"),
+            )
+
+        return fn
+
+    code_cols = []
+    for j in range(m):
+        pairs_j = F.zip_with(vec_lits[j], id_lits[j], _dist_pair(j))
+        code_cols.append(F.array_min(pairs_j)["cid"].alias(f"c{j}"))
+    codes = base.select("vec_id", cent_id.alias("cent_id"), *code_cols)
+
+    top_cells = F.transform(
+        F.slice(F.sort_array(ranked, asc=False), 1, n_probe),
+        lambda s: (-s["n"]).cast("int"),
+    )
+    probes = base.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vn").alias("qn"),
+        F.explode(top_cells).alias("cent_id"),
+    )
+    # ADC over probed cells only — the equi-join replaces pq's crossJoin
+    pairs = F.broadcast(probes).join(codes, "cent_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    adc = None
+    for j in range(m):
+        term = dot_expr(
+            sub(F.col("qn"), j), F.element_at(vec_lits[j], F.col(f"c{j}") + 1)
+        )
+        adc = term if adc is None else adc + term
+    approx = pairs.select("query_id", "vec_id", F.round(adc, 6).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k * rescore_factor))
+        .select("query_id", "vec_id")
+    )
+    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    qfull = emb.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def quantize_sq8_expr(vec: Column) -> Column:
     """Per-vector max-abs int8 scalar quantization (the SQ8 scheme every
     vector store ships): q_i = trunc(x_i * 127 / max_j|x_j|), kept as

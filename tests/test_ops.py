@@ -504,3 +504,61 @@ def test_index_stats(spark, corpus):
     for r in rows:
         assert r["n_postings"] >= r["n_terms"] > 0
         assert r["segment_bytes"] > 0 and r["n_blocks"] > 0
+
+
+def test_ivfpq_zero_shuffle_and_oracle(spark, duck):
+    """IVF-PQ: cell assignment AND PQ encoding are column expressions over
+    plan literals (no Exchange keyed by vec_id on the corpus side); the
+    composed pipeline must match the DuckDB mirror exactly."""
+    from bitfunnel_spark.entry_queries import (
+        ANN_QUERY_IDS,
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+        _PQ_CODES,
+        _PQ_FACTOR,
+        _PQ_M,
+        _sql_ann_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.ivfpq_cosine_topk(
+        emb, ANN_QUERY_IDS, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        m=_PQ_M, n_codes=_PQ_CODES, rescore_factor=_PQ_FACTOR,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    got = [(r["query_id"], r["vec_id"], r["cosine"]) for r in res.collect()]
+    exp = [
+        (q, v, pytest.approx(c, abs=2e-4))
+        for q, v, c in duck.execute(_sql_ann_ivfpq()).fetchall()
+    ]
+    assert exp == got
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark):
+    """IVF-PQ recall@10 vs brute cosine must be usable at the test dims and
+    must not decrease when probing every cell (n_probe = n_centroids makes
+    the IVF half exhaustive, leaving pure PQ+rescore error)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 42, 99, 123]
+    brute = {q: set() for q in qids}
+    for r in similarity.brute_cosine_topk(emb, qids, k=10).collect():
+        brute[r["query_id"]].add(r["vec_id"])
+
+    def recall(df):
+        hit = {q: set() for q in qids}
+        for r in df.collect():
+            hit[r["query_id"]].add(r["vec_id"])
+        return sum(len(hit[q] & brute[q]) for q in qids) / (10.0 * len(qids))
+
+    r4 = recall(similarity.ivfpq_cosine_topk(emb, qids, k=10, n_probe=4))
+    r_all = recall(similarity.ivfpq_cosine_topk(emb, qids, k=10, n_probe=16))
+    assert r_all >= r4 > 0.3
+    # trained halves compose: k-means centroids + Lloyd's codebooks
+    cents = similarity.train_kmeans_centroids(emb, n_centroids=16)
+    books = similarity.train_pq_codebooks(emb, m=4, n_codes=16)
+    r_tr = recall(similarity.ivfpq_cosine_topk(
+        emb, qids, k=10, n_probe=4, centroids=cents, codebooks=books
+    ))
+    assert r_tr > 0.3

@@ -246,7 +246,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
-    "span_near", "span_first", "span_not",
+    "span_near", "span_first", "span_not", "more_like_this",
 )
 
 
@@ -423,6 +423,18 @@ def _serving_query(index, kind: str, body, k: int = 10):
             )
         except ValueError as e:
             raise DslError(str(e)) from e
+    if kind == "more_like_this":
+        like = opts.pop("like", None)
+        mqt = int(opts.pop("max_query_terms", 8))
+        _reject_extra(opts, kind)
+        if isinstance(like, dict):
+            like = [like]
+        _require(
+            isinstance(like, list) and len(like) == 1
+            and isinstance(like[0], dict) and set(like[0]) == {"_id"},
+            "more_like_this supports like: [{'_id': <doc_id>}]",
+        )
+        return serving.more_like_this(index, int(like[0]["_id"]), k=k, m=mqt)
     if kind == "span_near":
         clauses = opts.pop("clauses", None)
         _require(isinstance(clauses, list) and clauses, "span_near needs clauses")

@@ -565,3 +565,18 @@ def test_dsl_sort_highlight_errors(index):
             {"query_string": "data"}]}}, "sort": "doclen"})
     with pytest.raises(DslError, match="content field"):
         search_dsl(index, {"query": q, "highlight": {"fields": {"lang": {}}}})
+
+
+def test_dsl_more_like_this(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    body = {"query": {"more_like_this": {
+        "like": [{"_id": 7}], "max_query_terms": 8,
+    }}, "size": 10}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            serving.more_like_this(index, 7, k=10, m=8).collect()]
+    assert got == want and got
+    with pytest.raises(DslError, match="_id"):
+        search_dsl(index, {"query": {"more_like_this": {"like": ["free text"]}}})

@@ -259,6 +259,10 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     sort_hits (score omitted, ES field-sort semantics); `"highlight"`
     (content field) routes to snippets. Both are AST-query-only — the
     serving-combinator kinds have no single match node to sort/highlight."""
+    if "suggest" in body:
+        _require("query" not in body,
+                 "suggest-only bodies supported (no query alongside)")
+        return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
     source = sort_spec = highlight = None
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
@@ -300,6 +304,42 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     else:
         hits = index.search(compile_dsl(query), k=k, mode=mode)
     return _fetch_source(index, hits, source)
+
+
+def run_suggest(index, suggest: dict, k: int = 10):
+    """ES `suggest` body (one named suggester): the `term` suggester maps
+    to did_you_mean (spell correction: edit-distance dictionary scan), the
+    `completion` suggester to suggest (prefix typeahead). Both are
+    body-field only — the dictionary indexes body terms."""
+    from bitfunnel_spark.plans import expand
+
+    _require(isinstance(suggest, dict) and len(suggest) == 1,
+             "exactly one named suggester")
+    (_name, spec), = suggest.items()
+    _require(isinstance(spec, dict), "suggester spec must be an object")
+    spec = dict(spec)
+    if "term" in spec:
+        text = spec.pop("text", None)
+        conf = dict(spec.pop("term") or {})
+        _reject_extra(spec, "suggest")
+        _require(isinstance(text, str) and text, "term suggester needs text")
+        field = conf.pop("field", "content")
+        _require(_stream(field) == "body", "suggesters are body-field only")
+        max_dist = int(conf.pop("max_edits", 2))
+        _reject_extra(conf, "term suggester")
+        toks = _analyze(text)
+        _require(len(toks) == 1, f"term suggester takes one token: {text!r}")
+        return expand.did_you_mean(index, toks[0], k=k, max_dist=max_dist)
+    if "completion" in spec:
+        prefix = spec.pop("prefix", None)
+        conf = dict(spec.pop("completion") or {})
+        _reject_extra(spec, "suggest")
+        _require(isinstance(prefix, str) and prefix, "completion needs a prefix")
+        field = conf.pop("field", "content")
+        _require(_stream(field) == "body", "suggesters are body-field only")
+        _reject_extra(conf, "completion suggester")
+        return expand.suggest(index, prefix.lower(), k=k)
+    raise DslError("suggester must be `term` or `completion`")
 
 
 def _sort_clause(spec) -> tuple[str, bool]:

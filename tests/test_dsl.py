@@ -580,3 +580,25 @@ def test_dsl_more_like_this(index):
     assert got == want and got
     with pytest.raises(DslError, match="_id"):
         search_dsl(index, {"query": {"more_like_this": {"like": ["free text"]}}})
+
+
+def test_dsl_suggest(index):
+    from bitfunnel_spark.plans import expand
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    term_body = {"suggest": {"fix": {"text": "dada", "term": {"field": "content"}}}}
+    got = [tuple(r) for r in search_dsl(index, term_body).collect()]
+    want = [tuple(r) for r in expand.did_you_mean(index, "dada", k=10).collect()]
+    assert got == want and got
+
+    comp_body = {"suggest": {"s": {"prefix": "dat", "completion": {"field": "content"}}},
+                 "size": 5}
+    got = [tuple(r) for r in search_dsl(index, comp_body).collect()]
+    want = [tuple(r) for r in expand.suggest(index, "dat", k=5).collect()]
+    assert got == want and got
+
+    with pytest.raises(DslError, match="no query alongside"):
+        search_dsl(index, {"query": {"match": {"content": "x"}},
+                           "suggest": {"s": {"text": "x", "term": {}}}})
+    with pytest.raises(DslError, match="body-field only"):
+        search_dsl(index, {"suggest": {"s": {"text": "en", "term": {"field": "lang"}}}})

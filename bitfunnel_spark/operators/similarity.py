@@ -319,6 +319,7 @@ def ivfpq_cosine_topk(
     id_col: str = "vec_id",
     centroids: "np.ndarray | list | None" = None,
     codebooks: "np.ndarray | list | None" = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ composition): the IVF coarse quantizer
     prunes the candidate set to the query's ``n_probe`` cells, the PQ/ADC
@@ -333,12 +334,25 @@ def ivfpq_cosine_topk(
     narrower than the float32 vectors; full vectors are fetched for
     k·rescore_factor rows via an id equi-join.
 
-    Deviation from FAISS (documented): PQ encodes the NORMALIZED VECTOR,
-    not the residual (v − centroid) — residual encoding is a per-cell
-    codebook-literal change that would break the cross-engine SQL mirror;
-    the recall cost at these dims is measured in tests against brute
-    cosine. Default centroids/codebooks are the deterministic id-based
-    ones (SQL-expressible); pass trained arrays for quality — only the
+    Two encoding modes:
+
+    - ``residual=False`` (default): PQ encodes the NORMALIZED VECTOR —
+      cross-engine SQL-expressible (the hash-checked oracle mode).
+    - ``residual=True`` (FAISS's by_residual shape): PQ encodes the
+      residual vn − centroid(cell) with a SHARED codebook trained on
+      residuals (:func:`train_ivfpq_residual_codebooks`), and the ADC
+      adds the exact coarse term q·centroid — approx IP ≈ q·c + q·r̃.
+      MEASURED (BENCH.md round-4 ANN note): at this corpus's dims and a
+      small code budget (m=4, 16 codes, shared book) residual encoding
+      UNDERPERFORMS direct encoding (recall@10 0.44 vs 0.54–0.60 at
+      sf0.01) — the residual distribution is multi-modal across cells,
+      so one shared book fits it worse than the raw normalized vectors;
+      FAISS's by_residual gains need larger/per-cell code budgets. The
+      option exists for shape parity and for regimes where it wins;
+      rows-only checkable. Requires contiguous cell ids.
+
+    Default centroids/codebooks are the deterministic id-based ones
+    (SQL-expressible); pass trained arrays for quality — only the
     literals change, never the plan."""
     base = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -367,6 +381,27 @@ def ivfpq_cosine_topk(
         ),
     )
     cent_id = (-F.array_max(ranked)["n"]).cast("int")
+    if residual:
+        ids = [cid for cid, _ in cent_rows]
+        if ids != list(range(len(ids))):
+            raise ValueError("residual mode needs contiguous cell ids 0..n-1")
+        cn = []
+        for _cid, vec in cent_rows:
+            arr = np.asarray(vec, dtype=np.float64)
+            nrm = np.linalg.norm(arr)
+            cn.append(arr / nrm if nrm > 0 else arr)
+        cnorm_lit = F.array(
+            *[F.array(*[F.lit(float(x)).cast("double") for x in v]) for v in cn]
+        )
+        # encode input: the residual in normalized space, from the SAME
+        # cent_id expression the assignment produces (one projection)
+        enc_col = F.zip_with(
+            F.col("vn"),
+            F.element_at(cnorm_lit, cent_id + 1),
+            lambda a, b: a - b,
+        )
+    else:
+        enc_col = F.col("vn")
     # --- PQ half: code columns from codebook literals (pq_cosine_topk's
     # encode expression, evaluated in the same projection as cent_id)
     if codebooks is None:
@@ -407,7 +442,7 @@ def ivfpq_cosine_topk(
     def _dist_pair(j: int):
         def fn(cvec, cid):
             return F.struct(
-                F.round(l2sq_expr(sub(F.col("vn"), j), cvec), 6).alias("d"),
+                F.round(l2sq_expr(sub(enc_col, j), cvec), 6).alias("d"),
                 cid.alias("cid"),
             )
 
@@ -438,6 +473,11 @@ def ivfpq_cosine_topk(
             sub(F.col("qn"), j), F.element_at(vec_lits[j], F.col(f"c{j}") + 1)
         )
         adc = term if adc is None else adc + term
+    if residual:
+        # approx IP ≈ q·centroid (exact coarse term) + q·r̃ (ADC)
+        adc = adc + dot_expr(
+            F.col("qn"), F.element_at(cnorm_lit, F.col("cent_id") + 1)
+        )
     approx = pairs.select("query_id", "vec_id", F.round(adc, 6).alias("adc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     cand = (
@@ -464,6 +504,62 @@ def ivfpq_cosine_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def train_ivfpq_residual_codebooks(
+    emb: DataFrame,
+    centroids: "np.ndarray | list",
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Shared residual codebooks for :func:`ivfpq_cosine_topk`
+    ``residual=True`` (FAISS IVFPQ's by_residual training): assign the
+    id-ordered sample to the given coarse centroids (cosine, ties to the
+    smaller cell), subtract the assigned centroid in normalized space, run
+    the same deterministic per-subspace Lloyd's as train_pq_codebooks on
+    the residuals. Returns (m, n_codes, dim/m) float64."""
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).collect()
+    )
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    nz = norms > 0
+    mat = mat[nz] / norms[nz, None]
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorms = np.linalg.norm(cents, axis=1)
+    cents = np.where(cnorms[:, None] > 0, cents / np.maximum(cnorms, 1e-300)[:, None], cents)
+    assign = np.argmax(mat @ cents.T, axis=1)
+    res = mat - cents[assign]
+    return _per_subspace_kmeans(res, m, n_codes, n_iter, seed)
+
+
+def _per_subspace_kmeans(
+    mat: np.ndarray, m: int, n_codes: int, n_iter: int, seed: int
+) -> np.ndarray:
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)
+        cents = sub[np.sort(idx)].copy()
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)
 
 
 def quantize_sq8_expr(vec: Column) -> Column:

@@ -562,3 +562,41 @@ def test_ivfpq_recall_and_probe_monotonicity(spark):
         emb, qids, k=10, n_probe=4, centroids=cents, codebooks=books
     ))
     assert r_tr > 0.3
+
+
+def test_ivfpq_residual_mode(spark):
+    """FAISS-style by_residual IVFPQ (trained centroids + shared residual
+    codebooks, ADC = exact coarse term + residual lookup): the mechanism
+    must produce usable exact-cosine-ordered results and a deterministic
+    trainer. It does NOT assert superiority over direct encoding — the
+    measured result (similarity.py docstring / BENCH.md) is that at this
+    code budget the shared residual book loses to direct encoding."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 42, 99, 123]
+    brute = {q: set() for q in qids}
+    for r in similarity.brute_cosine_topk(emb, qids, k=10).collect():
+        brute[r["query_id"]].add(r["vec_id"])
+
+    def recall(df):
+        hit = {q: set() for q in qids}
+        for r in df.collect():
+            hit[r["query_id"]].add(r["vec_id"])
+        return sum(len(hit[q] & brute[q]) for q in qids) / (10.0 * len(qids))
+
+    cents = similarity.train_kmeans_centroids(emb, n_centroids=16)
+    plain_books = similarity.train_pq_codebooks(emb, m=4, n_codes=16)
+    res_books = similarity.train_ivfpq_residual_codebooks(emb, cents, m=4, n_codes=16)
+    r_plain = recall(similarity.ivfpq_cosine_topk(
+        emb, qids, k=10, n_probe=8, centroids=cents, codebooks=plain_books
+    ))
+    r_res = recall(similarity.ivfpq_cosine_topk(
+        emb, qids, k=10, n_probe=8, centroids=cents, codebooks=res_books,
+        residual=True,
+    ))
+    # both modes usable; the comparison itself is recorded in BENCH.md
+    assert r_plain > 0.4 and r_res > 0.3, (r_plain, r_res)
+    # determinism of the trainer
+    import numpy as np
+
+    res_books2 = similarity.train_ivfpq_residual_codebooks(emb, cents, m=4, n_codes=16)
+    assert np.array_equal(res_books, res_books2)

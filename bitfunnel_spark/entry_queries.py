@@ -2693,6 +2693,27 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
         for qid, q in enumerate(PERCOLATE_QUERIES)
     )
 
+    # the same standing log registered as ES-DSL JSON bodies (the
+    # percolator's native registration format) — compile_bodies -> nodes
+    _PERCOLATE_DSL = [
+        {"query": {"bool": {"must": [{"match": {"content": "data"}}],
+                            "must_not": [{"match": {"content": "slow"}}]}}},
+        {"query": {"match": {"content": {"query": "spark join", "operator": "and"}}}},
+        {"query": {"terms": {"content": ["dup", "vector"]}}},
+    ]
+
+    def q_ft_percolate_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.batch import percolate
+        from bitfunnel_spark.plans.dsl import compile_bodies
+
+        corpus = corpus_from_documents(load_documents(spark, sf_dir))
+        return percolate(
+            spark, corpus, compile_bodies(_PERCOLATE_DSL), config=ENTRY_CONFIG
+        )
+
+    queries["ft_percolate_dsl"] = q_ft_percolate_dsl
+    oracles["ft_percolate_dsl"] = oracles["ft_percolate"]
+
     queries["ft_term_vector"] = q_ft_term_vector
     oracles["ft_term_vector"] = f"""WITH {CORPUS_CTE}
 SELECT stream, term, tf FROM tf WHERE doc_id = 123 ORDER BY stream, term"""

@@ -397,6 +397,27 @@ def _fetch_source(index, hits, source, order_cols=(), extra_cols=()):
     )
 
 
+def compile_bodies(bodies: list) -> list:
+    """Compile a LOG of DSL query objects (each a `{"query": {...}}` body
+    or a bare query object) to AST nodes — the percolator's registered
+    queries as ES JSON. Combinator kinds are rejected (a standing query
+    must be one match node; per-clause score fusion has no match set of
+    its own)."""
+    out = []
+    for body in bodies:
+        q = body.get("query", body) if isinstance(body, dict) else body
+        if (
+            isinstance(q, dict)
+            and len(q) == 1
+            and next(iter(q)) in _COMBINATOR_KINDS
+        ):
+            raise DslError(
+                f"standing queries must compile to one AST node, got {next(iter(q))!r}"
+            )
+        out.append(compile_dsl(q))
+    return out
+
+
 def _serving_query(index, kind: str, body, k: int = 10):
     """ES query kinds that compile to serving-layer score combinators
     (dis_max / multi_match / boosting) instead of one AST node. Field

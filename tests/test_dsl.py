@@ -602,3 +602,21 @@ def test_dsl_suggest(index):
                            "suggest": {"s": {"text": "x", "term": {}}}})
     with pytest.raises(DslError, match="body-field only"):
         search_dsl(index, {"suggest": {"s": {"text": "en", "term": {"field": "lang"}}}})
+
+
+def test_dsl_compile_bodies_percolate_parity(index, spark):
+    from bitfunnel_spark.plans.dsl import DslError, compile_bodies
+
+    bodies = [
+        {"query": {"bool": {"must": [{"match": {"content": "data"}}],
+                            "must_not": [{"match": {"content": "slow"}}]}}},
+        {"query": {"match": {"content": {"query": "spark join", "operator": "and"}}}},
+        {"terms": {"content": ["dup", "vector"]}},  # bare query object form
+    ]
+    nodes = compile_bodies(bodies)
+    strings = ["data -slow", "spark & join", "dup | vector"]
+    got = {(r["query_id"], r["doc_id"]) for r in index.search_many(nodes, k=1000).collect()}
+    want = {(r["query_id"], r["doc_id"]) for r in index.search_many(strings, k=1000).collect()}
+    assert got == want and got
+    with pytest.raises(DslError, match="one AST node"):
+        compile_bodies([{"query": {"dis_max": {"queries": [{"query_string": "x"}]}}}])

@@ -418,6 +418,22 @@ def compile_bodies(bodies: list) -> list:
     return out
 
 
+def msearch(index, bodies: list, k: int = 10):
+    """ES `_msearch`: a log of DSL bodies evaluated in ONE batched kernel
+    job — DataFrame[(query_id int, doc_id long, score double)], query_id =
+    the body's position. Bodies must be plain AST queries (compile_bodies
+    contract); one shared ``k`` (a per-body `size` raises rather than
+    silently truncating differently than asked)."""
+    for b in bodies:
+        if isinstance(b, dict) and "size" in b:
+            _require(int(b["size"]) == k,
+                     "msearch uses one shared k; per-body size must equal it")
+        for mod in ("sort", "highlight", "suggest", "_source"):
+            if isinstance(b, dict) and mod in b:
+                raise DslError(f"msearch bodies don't support {mod!r}")
+    return index.search_many(compile_bodies(bodies), k=k)
+
+
 def _serving_query(index, kind: str, body, k: int = 10):
     """ES query kinds that compile to serving-layer score combinators
     (dis_max / multi_match / boosting) instead of one AST node. Field

@@ -620,3 +620,22 @@ def test_dsl_compile_bodies_percolate_parity(index, spark):
     assert got == want and got
     with pytest.raises(DslError, match="one AST node"):
         compile_bodies([{"query": {"dis_max": {"queries": [{"query_string": "x"}]}}}])
+
+
+def test_dsl_msearch_one_job_parity(index):
+    from bitfunnel_spark.plans.dsl import DslError, msearch
+
+    bodies = [
+        {"query": {"match": {"content": "data fast"}}},
+        {"query": {"bool": {"must": [{"match": {"content": "data"}}],
+                            "must_not": [{"match": {"content": "slow"}}]}}},
+    ]
+    got = {(r["query_id"], r["doc_id"], r["score"])
+           for r in msearch(index, bodies, k=10).collect()}
+    want = {(qid, r["doc_id"], r["score"])
+            for qid, q in enumerate(["data | fast", "data -slow"])
+            for r in index.search(q, k=10).collect()}
+    # body 0 is match-or: data | fast
+    assert got == want and got
+    with pytest.raises(DslError, match="shared k"):
+        msearch(index, [{"query": {"match": {"content": "x"}}, "size": 3}], k=10)

@@ -438,6 +438,11 @@ def grep_many(
     mapped, back = [], {}
     for kind, q in queries:
         pat = _re.escape(q) if kind == "lit" else q
+        if back.get(pat, q) != q:
+            raise ValueError(
+                f"grep_many: queries {back[pat]!r} and {q!r} compile to the "
+                f"same pattern {pat!r} — results would merge; dedupe the log"
+            )
         mapped.append(pat)
         back[pat] = q
     out = regex_search_many(postings, corpus, mapped, text_col, id_col, n_buckets)

@@ -1997,13 +1997,15 @@ DRIVER_WINDOW = [
     # counters) — kept under live driver check while they move
     "ft_bm25_synonym_blend", "ft_bm25f", "ft_bm25_page2",
     "ft_regex_grep", "ft_query_profile",
-    # high-traffic representatives re-checked each round
-    "ft_percolate_log", "ft_bm25_batch", "ft_bm25_code",
-    "dedup_substring", "ft_substring",
+    # high-traffic representatives re-checked each round (ft_bm25_code and
+    # dedup_substring evicted for the vector-DSL additions — both hold r03
+    # hash-green rows and their code paths are untouched this round)
+    "ft_percolate_log", "ft_bm25_batch", "ft_substring",
     # (ann_pq_topk rides its r03 green - similarity.py additions are new
     # functions only; ann_ivfpq_topk below live-checks the shared exprs)
     # round-4 additions land here as they're built
     "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax", "ann_ivfpq_topk",
+    "ft_dsl_knn", "ft_hybrid_rrf",
 ]
 
 
@@ -2775,6 +2777,98 @@ ORDER BY doc_id, stream, term"""
     oracles["ft_lmdirichlet"] = oracle_search_sql(
         "data -slow", k=10, config=ENTRY_CONFIG, similarity="lm_dirichlet"
     )
+
+    # ES 8.x vector-search surface (plans/vector_dsl.py): top-level `knn`
+    # body (pre-filter contract) + retriever.rrf hybrid fusion. The query
+    # vector is embeddings row 7, fetched engine-side as a bounded 1-row
+    # collect and mirrored in SQL as a subquery on the same row — both
+    # engines read the identical float32 values widened to double.
+    _KNN_QV_ID = 7
+
+    def _knn_query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == _KNN_QV_ID).head()
+        return [float(x) for x in row.embedding]
+
+    def q_ft_dsl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact pre-filtered knn: `filter` restricts candidates BEFORE
+        # scoring (pushed to the parquet scan); num_candidates validated
+        # but results-exact, like ES with an exhaustive beam
+        from bitfunnel_spark.plans.vector_dsl import knn_search
+
+        return knn_search(
+            _emb(spark, sf_dir),
+            {"knn": {
+                "field": "embedding",
+                "query_vector": _knn_query_vector(spark, sf_dir),
+                "k": 10,
+                "num_candidates": 100,
+                "filter": {"range": {"label": {"gte": 2, "lte": 6}}},
+            }},
+        )
+
+    queries["ft_dsl_knn"] = q_ft_dsl_knn
+    oracles["ft_dsl_knn"] = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_KNN_QV_ID}),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q CROSS JOIN e WHERE e.label >= 2 AND e.label <= 6
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    _RRF_STD_QUERY = {"match": {"content": "data fast"}}
+    _RRF_WINDOW = 50
+
+    def q_ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # hybrid BM25 + vector reciprocal-rank fusion (ES retriever.rrf):
+        # both retriever frames are <=window rows, fusion is a k-row join
+        from bitfunnel_spark.plans.vector_dsl import rrf_search
+
+        return rrf_search(
+            get_index(spark, sf_dir),
+            _emb(spark, sf_dir),
+            {
+                "retriever": {"rrf": {
+                    "retrievers": [
+                        {"standard": {"query": _RRF_STD_QUERY}},
+                        {"knn": {
+                            "field": "embedding",
+                            "query_vector": _knn_query_vector(spark, sf_dir),
+                            "k": _RRF_WINDOW,
+                            "num_candidates": 100,
+                        }},
+                    ],
+                    "rank_constant": 60,
+                    "rank_window_size": _RRF_WINDOW,
+                }},
+                "size": 10,
+            },
+        )
+
+    queries["ft_hybrid_rrf"] = q_ft_hybrid_rrf
+    # rrf_score is an unrounded sum of reciprocals of small-integer ranks:
+    # bit-identical across engines (the driver canon rounds at compare
+    # time) — pre-rounding would hit differing round() tie rules instead
+    _rrf_std_sql = oracle_search_sql(
+        compile_dsl(_RRF_STD_QUERY), k=_RRF_WINDOW, config=ENTRY_CONFIG
+    )
+    oracles["ft_hybrid_rrf"] = f"""WITH bm AS ({_rrf_std_sql}),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_bm FROM bm),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_KNN_QV_ID}),
+kn AS (
+  SELECT e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q CROSS JOIN e
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_WINDOW}),
+knr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_kn FROM kn),
+f AS (
+  SELECT coalesce(bmr.doc_id, knr.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + bmr.r_bm), 0) + coalesce(1.0 / (60 + knr.r_kn), 0) AS rrf_score
+  FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id)
+SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
 
     # emit in driver-window order: the first 50 registered entries are the
     # ones the driver hash-checks this round (see DRIVER_WINDOW)

@@ -1997,15 +1997,17 @@ DRIVER_WINDOW = [
     # counters) — kept under live driver check while they move
     "ft_bm25_synonym_blend", "ft_bm25f", "ft_bm25_page2",
     "ft_regex_grep", "ft_query_profile",
-    # high-traffic representatives re-checked each round (ft_bm25_code and
-    # dedup_substring evicted for the vector-DSL additions — both hold r03
-    # hash-green rows and their code paths are untouched this round)
-    "ft_percolate_log", "ft_bm25_batch", "ft_substring",
+    # high-traffic representatives re-checked each round (ft_bm25_code,
+    # dedup_substring, ft_substring evicted for the vector/sparse
+    # additions — all hold r03 hash-green rows and their code paths are
+    # untouched this round; trigram changes are live-checked by
+    # ft_regex_grep + ft_regex_grep_many below)
+    "ft_percolate_log", "ft_bm25_batch",
     # (ann_pq_topk rides its r03 green - similarity.py additions are new
     # functions only; ann_ivfpq_topk below live-checks the shared exprs)
     # round-4 additions land here as they're built
     "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax", "ann_ivfpq_topk",
-    "ft_dsl_knn", "ft_hybrid_rrf",
+    "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
 ]
 
 
@@ -2776,6 +2778,32 @@ ORDER BY doc_id, stream, term"""
     queries["ft_lmdirichlet"] = q_ft_lmdirichlet
     oracles["ft_lmdirichlet"] = oracle_search_sql(
         "data -slow", k=10, config=ENTRY_CONFIG, similarity="lm_dirichlet"
+    )
+
+    # ES 8.15 sparse_vector query (learned-sparse / ELSER-shape retrieval
+    # with pre-computed query weights) scored by the dot_tf similarity:
+    # score = Σ_t weight_t · tf(t, d) — weights ride the Boost machinery,
+    # per-posting factor is the raw integer tf (plans/scoring.py)
+    _SPARSE_QV = {"data": 2.5, "fast": 1.25, "vektor": 0.5, "join": 1.0}
+
+    def q_ft_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(
+            get_index(spark, sf_dir),
+            {"query": {"sparse_vector": {
+                "field": "content", "query_vector": _SPARSE_QV}},
+             "size": 10},
+        )
+
+    from bitfunnel_spark.plans.ast import Boost, Or, Term
+
+    _sparse_node = Or(tuple(
+        Boost(Term(t, "body"), w) for t, w in sorted(_SPARSE_QV.items())
+    ))
+    queries["ft_sparse_vector"] = q_ft_sparse_vector
+    oracles["ft_sparse_vector"] = oracle_search_sql(
+        _sparse_node, k=10, config=ENTRY_CONFIG, similarity="dot_tf"
     )
 
     # ES 8.x vector-search surface (plans/vector_dsl.py): top-level `knn`

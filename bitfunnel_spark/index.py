@@ -431,7 +431,9 @@ class FullTextIndex:
         (define_fact) into the match. ``similarity`` swaps the query-time
         scoring flavor — "bm25" (default), "classic" (Lucene pre-7 TF-IDF),
         "boolean" (constant per matched term), "lm_dirichlet" (Lucene
-        LMDirichletSimilarity, μ=2000, body field); see plans/scoring.py. The
+        LMDirichletSimilarity, μ=2000, body field), "dot_tf" (sparse dot
+        product: boost · tf — the sparse_vector query's scorer); see
+        plans/scoring.py. The
         match set is identical under every flavor; non-BM25 flavors skip
         the BM25-shaped block-max pruning (exhaustive kernel path)."""
         query, facts = self._apply_indexed_facts(self.prepare_query(query), facts)

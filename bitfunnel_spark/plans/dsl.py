@@ -7,9 +7,11 @@ executors come for free. Documented subset (everything else raises
 DslError, never silently mis-executes):
 
   query_string, match (or/and operator), match_phrase (slop),
-  match_phrase_prefix, term, terms, prefix, wildcard, regexp, fuzzy,
-  bool {must, filter, must_not, should, minimum_should_match},
-  combined_fields, boost on term/match-single-token.
+  match_phrase_prefix, term, terms, prefix, wildcard, regexp, fuzzy
+  (int or AUTO fuzziness), bool {must, filter, must_not, should,
+  minimum_should_match}, combined_fields, boost on
+  term/match-single-token, sparse_vector (pre-computed {token: weight}
+  query_vector scored with the dot_tf similarity).
 
 Deviations (documented): values are analyzed with the engine's standard
 lowercase tokenizer even for `term` (the index stores lowercase terms);
@@ -186,6 +188,10 @@ def compile_dsl(query: dict) -> Node:
             return Regex(value, stream)
         dist = opts.pop("fuzziness", 1)
         _reject_extra(opts, kind)
+        if isinstance(dist, str) and dist.upper() == "AUTO":
+            # ES AUTO fuzziness: 0 edits under 3 chars, 1 for 3-5, else 2
+            n = len(value)
+            dist = 0 if n < 3 else (1 if n <= 5 else 2)
         return Fuzzy(value.lower(), stream, dist=int(dist))
 
     if kind == "combined_fields":
@@ -247,6 +253,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
     "span_near", "span_first", "span_not", "more_like_this",
+    "sparse_vector",
 )
 
 
@@ -444,6 +451,30 @@ def _serving_query(index, kind: str, body, k: int = 10):
     if not isinstance(body, dict):
         raise DslError(f"{kind} expects an object")
     opts = dict(body)
+    if kind == "sparse_vector":
+        # ES 8.15 sparse_vector (learned-sparse / ELSER-shape retrieval)
+        # with pre-computed query weights: score(d) = Σ_t w_t · tf(t, d) —
+        # the dot_tf similarity, with weights riding the Boost machinery.
+        # Tokens are features (used verbatim, lowercased — ES does not
+        # re-analyze them either); absent tokens contribute nothing.
+        field = opts.pop("field", "content")
+        qv = opts.pop("query_vector", None)
+        _reject_extra(opts, "sparse_vector")
+        _require(_stream(field) == "body",
+                 "sparse_vector scores the body field (tf impacts are "
+                 "stored for body postings)")
+        _require(isinstance(qv, dict) and qv,
+                 "sparse_vector needs a query_vector of {token: weight}")
+        for tok, w in qv.items():
+            _require(isinstance(tok, str) and tok, f"bad sparse token {tok!r}")
+            _require(isinstance(w, (int, float)) and float(w) > 0,
+                     f"sparse weight for {tok!r} must be > 0, got {w!r}")
+        clauses = tuple(
+            Boost(Term(tok.lower(), "body"), float(w))
+            for tok, w in sorted(qv.items())
+        )
+        node = clauses[0] if len(clauses) == 1 else Or(clauses)
+        return index.search(node, k=k, mode="kernel", similarity="dot_tf")
     if kind == "multi_match":
         text = opts.pop("query", None)
         _require(isinstance(text, str) and text, "multi_match needs a query string")

@@ -170,6 +170,9 @@ def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
                 F.lit(LMD_MU) / (F.col("doclen").cast("double") + F.lit(LMD_MU))
             )
             clamp_contrib = True
+        elif similarity == "dot_tf":
+            # sparse dot product: per-posting factor is the raw tf
+            partial = F.col("tf").cast("double")
         else:
             partial = F.lit(1.0)
     else:

@@ -341,6 +341,11 @@ def _score(
                     np.log(1.0 + tf / mp) + np.log(LMD_MU / (dl + LMD_MU))
                 )
                 score[m] += np.maximum(contrib, 0.0)
+        elif similarity == "dot_tf":
+            # sparse dot product: (weight·boost)·tf — tf is an exact small
+            # integer in float64, so the product is bit-reproducible by
+            # the DataFrame executor and the SQL oracle
+            score[m] += idf.get(key, 0.0) * tfs_all[idxs].astype(np.float64)
         else:  # boolean: constant (boost) per matched scoring key
             score[m] += idf.get(key, 0.0)
     for group in syn_groups:

@@ -231,6 +231,13 @@ def _hits_cte(
                 f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
                 f"1.0 {boost_sql}ELSE 0.0 END"
             )
+        elif similarity == "dot_tf":
+            # sparse dot product: (1.0·boost)·tf — '*' is left-associative,
+            # matching (weight·boost)·tf in both Spark executors
+            contrib = (
+                f"CASE WHEN (tf.stream || ':' || tf.term) IN ({scoring_list}) THEN "
+                f"1.0 {boost_sql}* CAST(tf.tf AS DOUBLE) ELSE 0.0 END"
+            )
         elif similarity == "lm_dirichlet":
             # Lucene LMDirichletSimilarity (plans/scoring.py): per-term
             # clamp at 0; μ·p(t) parenthesized exactly like mu_p_map so

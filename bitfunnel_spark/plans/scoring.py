@@ -17,6 +17,14 @@ Supported query-time flavors (``FullTextIndex.search(similarity=...)``):
   (queryNorm and coord were removed in Lucene 7 — not reproduced.)
 - ``"boolean"``— Lucene BooleanSimilarity: contrib = boost per matched
   scoring key (score == number of matched scoring terms when unboosted).
+- ``"dot_tf"``  — sparse dot product with term-frequency impacts:
+  contrib = boost · tf. The execution model of the Elasticsearch
+  ``sparse_vector`` query (learned-sparse / SPLADE-shape retrieval:
+  score = Σ_t query_weight(t) · stored_weight(t, d)) with the stored
+  weight being the integer tf — the classic "impact" reading of a text
+  index (Anh & Moffat's impact-ordered postings). Query weights arrive
+  as Boost nodes, so they fold through planner.effective_idf like any
+  boost.
 - ``"lm_dirichlet"`` — Lucene LMDirichletSimilarity (μ = 2000), body
   field only (LM similarities are per-field; sumTotalTermFreq is a field
   statistic). Per matched body key:
@@ -59,7 +67,7 @@ from __future__ import annotations
 
 import math
 
-SIMILARITIES = ("bm25", "classic", "boolean", "lm_dirichlet")
+SIMILARITIES = ("bm25", "classic", "boolean", "lm_dirichlet", "dot_tf")
 
 # Lucene LMDirichletSimilarity's default smoothing parameter
 LMD_MU = 2000.0
@@ -125,10 +133,12 @@ def base_weight_map(
             c = classic_idf(df_from_bm25_idf(v, n_docs), n_docs)
             out[key] = c * c
         return out
-    if similarity in ("boolean", "lm_dirichlet"):
+    if similarity in ("boolean", "lm_dirichlet", "dot_tf"):
         # boolean: contribution IS the (boosted) weight. lm_dirichlet: the
         # weight is the boost multiplier on the per-posting LM term (the
-        # smoothed-probability map ships separately — mu_p_map).
+        # smoothed-probability map ships separately — mu_p_map). dot_tf:
+        # the weight multiplies the raw integer tf — the sparse
+        # dot-product similarity (query weight × tf impact).
         return {key: 1.0 for key in idf}
     raise ValueError(f"unknown similarity {similarity!r}")
 

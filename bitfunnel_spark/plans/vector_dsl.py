@@ -165,9 +165,10 @@ def knn_search(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(spec["k"])
 
 
-def _rrf_spec(body: dict) -> tuple[dict, dict, int, int, int]:
-    """Validate a retriever.rrf body → (standard_query, knn_spec,
-    rank_constant, window, size)."""
+def _rrf_spec(body: dict) -> tuple[list[tuple[str, dict]], int, int, int]:
+    """Validate a retriever.rrf body → (retrievers, rank_constant, window,
+    size). Each retriever is ("standard", query_dict) or ("knn", knn_spec);
+    ES allows any mix and count >= 2."""
     retriever = body.get("retriever")
     _require(isinstance(retriever, dict) and set(retriever) == {"rrf"},
              "rrf_search needs a `retriever.rrf` body")
@@ -178,30 +179,26 @@ def _rrf_spec(body: dict) -> tuple[dict, dict, int, int, int]:
     rank_constant = int(rrf.get("rank_constant", 60))
     _require(rank_constant >= 1, "rank_constant must be >= 1")
     retrievers = rrf.get("retrievers")
-    _require(isinstance(retrievers, list) and len(retrievers) == 2,
-             "rrf supports exactly two retrievers (standard + knn)")
-    standard = knn = None
+    _require(isinstance(retrievers, list) and len(retrievers) >= 2,
+             "rrf needs at least two retrievers")
+    out: list[tuple[str, dict]] = []
     for r in retrievers:
         _require(isinstance(r, dict) and len(r) == 1,
                  f"each retriever is a single-kind object, got {r!r}")
         kind, conf = next(iter(r.items()))
         if kind == "standard":
-            _require(standard is None, "duplicate standard retriever")
             _require(isinstance(conf, dict) and set(conf) == {"query"},
                      "standard retriever takes a `query`")
-            standard = conf["query"]
+            out.append(("standard", conf["query"]))
         elif kind == "knn":
-            _require(knn is None, "duplicate knn retriever")
-            knn = _knn_spec({"knn": conf})
+            out.append(("knn", _knn_spec({"knn": conf})))
         else:
             raise DslError(f"unsupported retriever kind {kind!r}")
-    _require(standard is not None and knn is not None,
-             "rrf needs one standard and one knn retriever")
     size = int(body.get("size", 10))
     window = int(rrf.get("rank_window_size", max(size, 10)))
     _require(window >= size,
              f"rank_window_size ({window}) must be >= size ({size})")
-    return standard, knn, rank_constant, window, size
+    return out, rank_constant, window, size
 
 
 def rrf_search(
@@ -214,43 +211,51 @@ def rrf_search(
     DataFrame[(doc_id, rrf_score)], ordered (rrf_score desc, doc_id asc),
     ``size`` rows.
 
-    Each retriever runs through its own engine-native top-window path
-    (BM25 kernel search / exact knn); ranks are row_numbers over each
-    retriever's total (score desc, id asc) order; fusion is a full outer
-    join of two ≤window-row frames — driver-scale frames, broadcast by
-    AQE, no corpus shuffle. Documents outside a retriever's window
-    contribute 0 from that retriever (ES contract)."""
-    standard, knn_spec, rank_constant, window, size = _rrf_spec(body)
+    Any mix of `standard` / `knn` retrievers (>= 2, like ES). Each runs
+    through its own engine-native top-window path (BM25 kernel search /
+    exact knn); ranks are row_numbers over each retriever's total
+    (score desc, id asc) order; fusion is a chain of full outer joins of
+    ≤window-row frames — driver-scale frames, broadcast by AQE, no corpus
+    shuffle. Documents outside a retriever's window contribute 0 from
+    that retriever (ES contract)."""
+    retrievers, rank_constant, window, size = _rrf_spec(body)
 
-    bm = index.search(compile_dsl(standard), k=window, mode=mode)
-    bm_rank = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("r_bm"),
-    )
-    kn = knn_search(emb, {"knn": {
-        "field": knn_spec["field"],
-        "query_vector": knn_spec["query_vector"],
-        "k": window,
-        "num_candidates": max(knn_spec["num_candidates"], window),
-        **({"filter": knn_spec["filter"]} if knn_spec["filter"] is not None else {}),
-    }})
-    kn_rank = kn.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
-        .alias("r_kn"),
-    )
+    ranked = []
+    for i, (kind, conf) in enumerate(retrievers):
+        if kind == "standard":
+            hits = index.search(compile_dsl(conf), k=window, mode=mode)
+            ranked.append(hits.select(
+                "doc_id",
+                F.row_number()
+                .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+                .alias(f"r_{i}"),
+            ))
+        else:
+            kn = knn_search(emb, {"knn": {
+                "field": conf["field"],
+                "query_vector": conf["query_vector"],
+                "k": window,
+                "num_candidates": max(conf["num_candidates"], window),
+                **({"filter": conf["filter"]} if conf["filter"] is not None else {}),
+            }})
+            ranked.append(kn.select(
+                F.col("vec_id").alias("doc_id"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+                .alias(f"r_{i}"),
+            ))
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, "doc_id", "full_outer")
     # rrf_score is left UNrounded: ranks are small integers, so both
     # engines compute the identical IEEE-double sum of reciprocals
     # (cross-engine float parity needs bit-identical values, and round()
-    # tie rules differ between engines — don't pre-round)
-    fused = bm_rank.join(kn_rank, "doc_id", "full_outer").select(
-        "doc_id",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(rank_constant) + F.col("r_bm")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(rank_constant) + F.col("r_kn")), F.lit(0.0))
-        ).alias("rrf_score"),
-    )
+    # tie rules differ between engines — don't pre-round). The sum is
+    # built in retriever order, matching the oracle's written order.
+    score = F.lit(0.0)
+    for i in range(len(ranked)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(rank_constant) + F.col(f"r_{i}")), F.lit(0.0)
+        )
+    fused = fused.select("doc_id", score.alias("rrf_score"))
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(size)

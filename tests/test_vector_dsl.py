@@ -162,7 +162,43 @@ def test_rrf_validation(spark, index, emb):
     body = _rrf_body(qv, {"match": {"content": "data"}}, window=5, size=10)
     with pytest.raises(DslError):
         rrf_search(index, emb, body)  # window < size
-    bad = _rrf_body(qv, {"match": {"content": "data"}})
-    bad["retriever"]["rrf"]["retrievers"][0] = {"knn": {"query_vector": qv}}
     with pytest.raises(DslError):
-        rrf_search(index, emb, bad)  # two knn retrievers
+        rrf_search(index, emb, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"content": "data"}}}},
+        ]}}})  # fewer than two retrievers
+
+
+def test_rrf_three_retrievers_any_mix(spark, index, emb):
+    # ES allows any mix/count of retrievers — two knn + one standard
+    qa, qb = _qv(emb, 7), _qv(emb, 3)
+    window = 15
+    body = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"knn": {"query_vector": qa, "k": window}},
+                {"standard": {"query": {"match": {"content": "data fast"}}}},
+                {"knn": {"query_vector": qb, "k": window}},
+            ],
+            "rank_constant": 10,
+            "rank_window_size": window,
+        }},
+        "size": 8,
+    }
+    got = rrf_search(index, emb, body).collect()
+    assert len(got) == 8
+
+    from bitfunnel_spark.plans.dsl import compile_dsl
+
+    ka = knn_search(emb, {"knn": {"query_vector": qa, "k": window}}).collect()
+    bm = index.search(compile_dsl({"match": {"content": "data fast"}}),
+                      k=window, mode="kernel").collect()
+    kb = knn_search(emb, {"knn": {"query_vector": qb, "k": window}}).collect()
+    ranks = [
+        {r.vec_id: i + 1 for i, r in enumerate(ka)},
+        {r.doc_id: i + 1 for i, r in enumerate(bm)},
+        {r.vec_id: i + 1 for i, r in enumerate(kb)},
+    ]
+    docs = set().union(*ranks)
+    scores = {d: sum(1.0 / (10 + rk[d]) for rk in ranks if d in rk) for d in docs}
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r.doc_id, pytest.approx(r.rrf_score)) for r in got] == want

@@ -251,6 +251,62 @@ def main() -> None:
         grep_trials.append(time.time() - tg1)
     grep_sec = min(grep_trials)  # best-of-3: first trial pays one-time codegen
 
+    # vector battery: the ES-8-shaped vector surface over the embeddings
+    # table — exact knn body (pre-filtered), hybrid BM25+knn RRF fusion,
+    # and the sparse_vector/dot_tf query. Deterministic top-1 ids are
+    # recorded so result drift is visible, like the grep battery's hits.
+    from bitfunnel_spark.plans.dsl import search_dsl
+    from bitfunnel_spark.plans.vector_dsl import knn_search, rrf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_vecs = emb.count()
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    knn_top1 = []
+    knn_trials = []
+    for rep in range(3):
+        tv = time.time()
+        top1 = []
+        for _vid in sorted(qvecs):
+            rows = knn_search(emb, {"knn": {
+                "query_vector": qvecs[_vid], "k": 10,
+                "filter": {"range": {"label": {"gte": 1}}},
+            }}).collect()
+            top1.append(rows[0].vec_id)
+        knn_trials.append(time.time() - tv)
+        if rep == 0:
+            knn_top1 = top1
+    knn_sec = min(knn_trials)
+    tv = time.time()
+    rrf_rows = rrf_search(idx, emb, {
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"content": "data fast"}}}},
+            {"knn": {"query_vector": qvecs[0], "k": 50, "num_candidates": 100}},
+        ], "rank_constant": 60, "rank_window_size": 50}},
+        "size": 10}).collect()
+    rrf_sec = time.time() - tv
+    SPARSE_LOG = [
+        {"data": 2.5, "fast": 1.25, "join": 1.0},
+        {"scan": 2.0, "row": 0.5},
+        {"table": 1.5, "value": 1.0, "vektor": 3.0},
+        {"dup": 1.0, "slow": 0.25},
+    ]
+    sparse_trials = []
+    sparse_top1 = []
+    for rep in range(3):
+        tv = time.time()
+        top1 = []
+        for qv in SPARSE_LOG:
+            rows = search_dsl(idx, {"query": {"sparse_vector": {
+                "query_vector": qv}}, "size": 10}).collect()
+            top1.append(rows[0].doc_id if rows else -1)
+        sparse_trials.append(time.time() - tv)
+        if rep == 0:
+            sparse_top1 = top1
+    sparse_sec = min(sparse_trials)
+
     lat = sorted(queries.values())
     out = {
         "metric": "suite_total",
@@ -286,6 +342,19 @@ def main() -> None:
             "blocks_total": bat_total,
             "blocks_decoded": bat_decoded,
             "skip_ratio": round(1.0 - bat_decoded / max(bat_total, 1), 4),
+        },
+        "vector_battery": {
+            "n_vectors": n_vecs,
+            "knn_queries": len(qvecs),
+            "knn_sec": round(knn_sec, 3),
+            "knn_qps": round(len(qvecs) / knn_sec, 2),
+            "knn_top1": knn_top1,
+            "rrf_sec": round(rrf_sec, 3),
+            "rrf_top1": rrf_rows[0].doc_id if rrf_rows else -1,
+            "sparse_queries": len(SPARSE_LOG),
+            "sparse_sec": round(sparse_sec, 3),
+            "sparse_qps": round(len(SPARSE_LOG) / sparse_sec, 2),
+            "sparse_top1": sparse_top1,
         },
         "grep_battery": {
             "n_queries": len(GREP_SET),

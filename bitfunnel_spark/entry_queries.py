@@ -2806,6 +2806,44 @@ ORDER BY doc_id, stream, term"""
         _sparse_node, k=10, config=ENTRY_CONFIG, similarity="dot_tf"
     )
 
+    # ES rare_terms / multi_terms aggregations via the aggs DSL
+    # (registered past the r04 window — local gate + rotate in r05)
+    def q_ft_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"tail": {"rare_terms": {"field": "repo",
+                                              "max_doc_count": 16}}}},
+        )
+
+    from bitfunnel_spark.plans.oracle import (
+        oracle_multi_terms_sql,
+        oracle_rare_terms_sql,
+    )
+
+    queries["ft_rare_terms"] = q_ft_rare_terms
+    oracles["ft_rare_terms"] = oracle_rare_terms_sql(
+        FACETS_QUERY, by="repo", max_doc_count=16, config=ENTRY_CONFIG
+    )
+
+    def q_ft_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"pairs": {"multi_terms": {
+                 "terms": [{"field": "lang"}, {"field": "repo"}],
+                 "size": 10}}}},
+        )
+
+    queries["ft_multi_terms"] = q_ft_multi_terms
+    oracles["ft_multi_terms"] = oracle_multi_terms_sql(
+        FACETS_QUERY, by=("lang", "repo"), size=10, config=ENTRY_CONFIG
+    )
+
     # ES 8.x vector-search surface (plans/vector_dsl.py): top-level `knn`
     # body (pre-filter contract) + retriever.rrf hybrid fusion. The query
     # vector is embeddings row 7, fetched engine-side as a bounded 1-row

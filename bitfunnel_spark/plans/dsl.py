@@ -661,6 +661,8 @@ def run_aggs(index, body: dict, k: int = 10):
       extended_stats(doclen)               -> extended_stats
       range(doclen, ranges)                -> facet_ranges
       significant_terms(content, size)     -> significant_terms
+      rare_terms(field, max_doc_count)     -> rare_terms (long-tail buckets)
+      multi_terms(terms, size)             -> multi_terms (composite keys)
       filters(query_string filters)        -> filters_agg
     """
     from bitfunnel_spark.plans import serving
@@ -723,6 +725,33 @@ def run_aggs(index, body: dict, k: int = 10):
         _require(conf.get("field") in ("content", "body", "text"),
                  "significant_terms field must be the body text")
         return serving.significant_terms(index, q, k=int(conf.get("size", 20)))
+    if kind == "rare_terms":
+        field = conf.get("field")
+        _require(field in BUCKET_FIELDS, f"rare_terms field must be one of {BUCKET_FIELDS}")
+        _require(sub is None, "rare_terms takes no sub-aggs")
+        unknown = set(conf) - {"field", "max_doc_count"}
+        _require(not unknown, f"unsupported rare_terms options: {sorted(unknown)}")
+        return serving.rare_terms(
+            index, q, by=field, max_doc_count=int(conf.get("max_doc_count", 1))
+        )
+    if kind == "multi_terms":
+        terms_spec = conf.get("terms")
+        _require(isinstance(terms_spec, list) and len(terms_spec) >= 2,
+                 "multi_terms needs >= 2 `terms` entries")
+        fields = []
+        for t in terms_spec:
+            _require(isinstance(t, dict) and set(t) == {"field"},
+                     f"each multi_terms entry is {{'field': ...}}, got {t!r}")
+            _require(t["field"] in BUCKET_FIELDS,
+                     f"multi_terms fields must be among {BUCKET_FIELDS}")
+            fields.append(t["field"])
+        _require(len(set(fields)) == len(fields), "multi_terms fields must be distinct")
+        _require(sub is None, "multi_terms takes no sub-aggs")
+        unknown = set(conf) - {"terms", "size"}
+        _require(not unknown, f"unsupported multi_terms options: {sorted(unknown)}")
+        return serving.multi_terms(
+            index, q, by=tuple(fields), size=int(conf.get("size", 10))
+        )
     if kind == "terms":
         field = conf.get("field")
         _require(field in BUCKET_FIELDS, f"terms field must be one of {BUCKET_FIELDS}")

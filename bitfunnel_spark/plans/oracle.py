@@ -428,6 +428,47 @@ def oracle_facets_sql(
     )
 
 
+def oracle_rare_terms_sql(
+    query, by: str = "repo", max_doc_count: int = 1,
+    config: BuildConfig | None = None,
+) -> str:
+    """rare_terms oracle: SELECT value, n_docs (n_docs <= max_doc_count,
+    ordered n_docs asc, value asc)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT d.{col} AS value, count(*) AS n_docs\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"GROUP BY d.{col} HAVING count(*) <= {int(max_doc_count)}\n"
+        f"ORDER BY n_docs ASC, value ASC"
+    )
+
+
+def oracle_multi_terms_sql(
+    query, by: tuple[str, ...] = ("lang", "repo"), size: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """multi_terms oracle: SELECT <by...>, n_docs (n_docs desc, keys asc,
+    LIMIT size)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col_of = {"lang": "lang", "repo": "source"}
+    sel = ", ".join(f"d.{col_of[f]} AS {f}" for f in by)
+    grp = ", ".join(f"d.{col_of[f]}" for f in by)
+    order = ", ".join(f"{f} ASC" for f in by)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT {sel}, count(*) AS n_docs\n"
+        f"FROM m JOIN documents d USING (doc_id)\n"
+        f"GROUP BY {grp}\n"
+        f"ORDER BY n_docs DESC, {order}\nLIMIT {int(size)}"
+    )
+
+
 def oracle_facet_ranges_sql(
     query, edges: tuple[int, ...] = (0, 24, 48, 96, 192),
     config: BuildConfig | None = None,

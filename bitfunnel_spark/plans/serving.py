@@ -55,6 +55,48 @@ def facet_counts(
     )
 
 
+def rare_terms(
+    index, query: str, by: str = "repo", max_doc_count: int = 1,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: values of ``by`` whose doc_count over
+    the match set is <= max_doc_count, ordered (n_docs asc, value asc) —
+    the long-tail mirror of the ``terms`` agg (whose most-common-first
+    order plus a size cap can never surface the tail no matter how large
+    the cap). One partial-agg groupBy on the metadata column; at 100 TB
+    the agg state is |distinct values|, same as facet_counts — ES uses a
+    CuckooFilter to bound memory instead; we have exact distributed agg
+    state, so the exact computation IS the scale path."""
+    matches = index.match(query, facts).select("doc_id")
+    meta = index.corpus.select("doc_id", F.col(by).alias("value"))
+    return (
+        meta.join(matches, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= int(max_doc_count))
+        .orderBy("n_docs", "value")
+    )
+
+
+def multi_terms(
+    index, query: str, by: tuple[str, ...] = ("lang", "repo"),
+    size: int = 10, facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: composite-key buckets over the
+    match set, ordered (n_docs desc, key asc), top ``size``. One groupBy
+    on the key tuple + a size-row TakeOrderedAndProject — never a
+    cross-join of per-field buckets."""
+    matches = index.match(query, facts).select("doc_id")
+    meta = index.corpus.select("doc_id", *by)
+    return (
+        meta.join(matches, "doc_id")
+        .groupBy(*by)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *by)
+        .limit(int(size))
+    )
+
+
 def _idx_analyzer(index) -> str:
     """Index-time body analyzer — non-positional fallbacks must tokenize
     with the same analyzer the postings were built with (a 'code' index

@@ -856,3 +856,56 @@ def test_matched_queries_broadcast_plan(index):
     df = serving.matched_queries(index, "data & fast", {"a": "key"}, k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rare_terms_vs_oracle(index, duck):
+    from bitfunnel_spark import BuildConfig
+    from bitfunnel_spark.plans.oracle import oracle_rare_terms_sql
+
+    got = [(r.value, r.n_docs)
+           for r in serving.rare_terms(index, "data | the", by="repo",
+                                       max_doc_count=30).collect()]
+    exp = duck.execute(
+        oracle_rare_terms_sql("data | the", by="repo", max_doc_count=30,
+                              config=BuildConfig(n_slices=4))
+    ).fetchall()
+    assert got == exp
+    # long-tail order: ascending doc_count, every bucket under the cap
+    assert got == sorted(got, key=lambda t: (t[1], t[0]))
+    assert all(n <= 30 for _, n in got)
+
+
+def test_multi_terms_vs_oracle(index, duck):
+    from bitfunnel_spark import BuildConfig
+    from bitfunnel_spark.plans.oracle import oracle_multi_terms_sql
+
+    got = [(r.lang, r.repo, r.n_docs)
+           for r in serving.multi_terms(index, "data | the",
+                                        by=("lang", "repo"), size=7).collect()]
+    exp = duck.execute(
+        oracle_multi_terms_sql("data | the", by=("lang", "repo"), size=7,
+                               config=BuildConfig(n_slices=4))
+    ).fetchall()
+    assert got == exp and len(got) == 7
+
+
+def test_rare_multi_terms_dsl_routing(index):
+    from bitfunnel_spark.plans.dsl import DslError, run_aggs
+    import pytest as _pytest
+
+    q = {"query_string": {"query": "data | the"}}
+    rows = run_aggs(index, {"query": q, "aggs": {"t": {"rare_terms": {
+        "field": "repo", "max_doc_count": 30}}}}).collect()
+    assert rows and all(r.n_docs <= 30 for r in rows)
+    rows2 = run_aggs(index, {"query": q, "aggs": {"p": {"multi_terms": {
+        "terms": [{"field": "lang"}, {"field": "repo"}], "size": 4}}}}).collect()
+    assert len(rows2) == 4
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": q, "aggs": {"t": {"rare_terms": {
+            "field": "doclen"}}}})
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": q, "aggs": {"t": {"multi_terms": {
+            "terms": [{"field": "lang"}]}}}})
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": q, "aggs": {"t": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "lang"}]}}}})

@@ -2886,6 +2886,37 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
     _RRF_STD_QUERY = {"match": {"content": "data fast"}}
     _RRF_WINDOW = 50
 
+    def q_ft_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES 8.15 text_similarity_reranker: BM25 top-window reordered by
+        # embedding cosine (bi-encoder stand-in for the hosted model);
+        # the rerank join is window-row broadcast, never a corpus shuffle
+        from bitfunnel_spark.plans.vector_dsl import rerank_search
+
+        return rerank_search(
+            get_index(spark, sf_dir),
+            _emb(spark, sf_dir),
+            {"retriever": {"text_similarity_reranker": {
+                "retriever": {"standard": {"query": _RRF_STD_QUERY}},
+                "rank_window_size": 30,
+                "query_vector": _knn_query_vector(spark, sf_dir),
+            }},
+             "size": 10},
+        )
+
+    _rerank_std_sql = oracle_search_sql(
+        compile_dsl(_RRF_STD_QUERY), k=30, config=ENTRY_CONFIG
+    )
+    queries["ft_rerank"] = q_ft_rerank
+    oracles["ft_rerank"] = f"""WITH bm AS ({_rerank_std_sql}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_KNN_QV_ID}),
+r AS (
+  SELECT bm.doc_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS rerank_score
+  FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q)
+SELECT doc_id, rerank_score FROM r ORDER BY rerank_score DESC, doc_id ASC LIMIT 10"""
+
     def q_ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hybrid BM25 + vector reciprocal-rank fusion (ES retriever.rrf):
         # both retriever frames are <=window rows, fusion is a k-row join

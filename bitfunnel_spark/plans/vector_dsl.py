@@ -165,6 +165,75 @@ def knn_search(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(spec["k"])
 
 
+def rerank_search(
+    index,
+    emb: DataFrame,
+    body: dict,
+    mode: str = "kernel",
+) -> DataFrame:
+    """ES 8.15 ``retriever.text_similarity_reranker``: run the inner
+    retriever for its top ``rank_window_size`` hits, then REORDER that
+    window by embedding cosine to the query vector and return the top
+    ``size`` → DataFrame[(doc_id, rerank_score)], ordered
+    (rerank_score desc, doc_id asc).
+
+    Deviation (documented): ES sends (inference_text, window docs) to a
+    hosted rerank model; this engine substitutes the corpus embedding
+    column scored against an explicit ``query_vector`` — exactly the
+    bi-encoder shape of such a reranker, minus the hosted model. The
+    rerank join touches only the window's ≤rank_window_size rows
+    (broadcast into the embedding scan — never a corpus-sized shuffle),
+    so rerank cost is O(window), independent of corpus size."""
+    retriever = body.get("retriever")
+    _require(isinstance(retriever, dict)
+             and set(retriever) == {"text_similarity_reranker"},
+             "rerank_search needs a `retriever.text_similarity_reranker` body")
+    conf = dict(retriever["text_similarity_reranker"])
+    inner = conf.pop("retriever", None)
+    window = int(conf.pop("rank_window_size", 50))
+    field = conf.pop("field", "embedding")
+    qv = conf.pop("query_vector", None)
+    _require(not conf, f"unsupported reranker options: {sorted(conf)}")
+    _require(isinstance(inner, dict) and len(inner) == 1,
+             "reranker needs one inner retriever (standard or knn)")
+    _require(isinstance(qv, (list, tuple)) and qv,
+             "reranker needs a numeric query_vector (the bi-encoder "
+             "stand-in for ES's hosted inference model)")
+    _require(field in emb.columns, f"unknown rerank field {field!r}")
+    size = int(body.get("size", 10))
+    _require(window >= size,
+             f"rank_window_size ({window}) must be >= size ({size})")
+    kind, iconf = next(iter(inner.items()))
+    if kind == "standard":
+        _require(isinstance(iconf, dict) and set(iconf) == {"query"},
+                 "standard retriever takes a `query`")
+        hits = index.search(compile_dsl(iconf["query"]), k=window, mode=mode)
+        win = hits.select("doc_id")
+    elif kind == "knn":
+        spec = _knn_spec({"knn": iconf})
+        kn = knn_search(emb, {"knn": {
+            "field": spec["field"], "query_vector": spec["query_vector"],
+            "k": window, "num_candidates": max(spec["num_candidates"], window),
+            **({"filter": spec["filter"]} if spec["filter"] is not None else {}),
+        }})
+        win = kn.select(F.col("vec_id").alias("doc_id"))
+    else:
+        raise DslError(f"unsupported inner retriever kind {kind!r}")
+    qlit = _vec_literal([float(x) for x in qv])
+    scored = F.broadcast(win).join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col(field).alias("_v")),
+        "doc_id",
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(cosine_expr(qlit, F.col("_v")), 4).alias("rerank_score"),
+        )
+        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        .limit(size)
+    )
+
+
 def _rrf_spec(body: dict) -> tuple[list[tuple[str, dict]], int, int, int]:
     """Validate a retriever.rrf body → (retrievers, rank_constant, window,
     size). Each retriever is ("standard", query_dict) or ("knn", knn_spec);

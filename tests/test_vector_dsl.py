@@ -202,3 +202,58 @@ def test_rrf_three_retrievers_any_mix(spark, index, emb):
     scores = {d: sum(1.0 / (10 + rk[d]) for rk in ranks if d in rk) for d in docs}
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     assert [(r.doc_id, pytest.approx(r.rrf_score)) for r in got] == want
+
+
+def test_rerank_standard_window(spark, index, emb):
+    from bitfunnel_spark.plans.dsl import compile_dsl
+    from bitfunnel_spark.plans.vector_dsl import rerank_search
+
+    qv = _qv(emb)
+    body = {
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"content": "data fast"}}}},
+            "rank_window_size": 20,
+            "query_vector": qv,
+        }},
+        "size": 5,
+    }
+    got = rerank_search(index, emb, body).collect()
+    assert len(got) == 5
+    # recompute: the window is the BM25 top-20; rerank order is cosine
+    win = [r.doc_id for r in index.search(
+        compile_dsl({"match": {"content": "data fast"}}), k=20, mode="kernel"
+    ).collect()]
+    cos = {r.vec_id: r.cosine for r in knn_search(
+        emb, {"knn": {"query_vector": qv, "k": 500}}).collect()}
+    want = sorted(((d, cos[d]) for d in win), key=lambda t: (-t[1], t[0]))[:5]
+    assert [(r.doc_id, r.rerank_score) for r in got] == want
+    # the reranker must NOT admit docs outside the window
+    assert all(r.doc_id in set(win) for r in got)
+
+
+def test_rerank_knn_inner_and_validation(spark, index, emb):
+    import pytest as _pytest
+
+    from bitfunnel_spark.plans.vector_dsl import rerank_search
+
+    qa, qb = _qv(emb, 7), _qv(emb, 3)
+    # knn inner retriever, reranked by a DIFFERENT vector
+    body = {
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"knn": {"query_vector": qa, "k": 20}},
+            "rank_window_size": 20,
+            "query_vector": qb,
+        }},
+        "size": 5,
+    }
+    got = rerank_search(index, emb, body).collect()
+    win = {r.vec_id for r in knn_search(emb, {"knn": {"query_vector": qa, "k": 20}}).collect()}
+    assert len(got) == 5 and all(r.doc_id in win for r in got)
+    with _pytest.raises(DslError):
+        rerank_search(index, emb, {"retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"content": "x"}}}},
+            "rank_window_size": 3, "query_vector": qa}}, "size": 5})
+    with _pytest.raises(DslError):
+        rerank_search(index, emb, {"retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"content": "x"}}}},
+            "query_vector": qa, "model_id": "elser"}}})

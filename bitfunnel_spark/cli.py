@@ -271,8 +271,25 @@ def cmd_repl(args) -> None:
         "bitfunnel_spark repl — <query> | !match <q> | !verify <q> | !profile <q>"
         " | !facets <q> | !fstats <q> | !collapse <q> | !snippets <q>"
         " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q>"
-        " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms> | !quit"
+        " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
+        " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
+        " | !rerank <vec_id> <q> | !quit"
     )
+
+    def _emb_df():
+        if getattr(args, "emb", None) is None:
+            raise ValueError("start the repl with --emb <embeddings.parquet>")
+        if not hasattr(idx, "_repl_emb"):
+            idx._repl_emb = spark.read.parquet(args.emb).cache()
+        return idx._repl_emb
+
+    def _emb_qv(vec_id: int):
+        from pyspark.sql import functions as F
+
+        row = _emb_df().filter(F.col("vec_id") == vec_id).head()
+        if row is None:
+            raise ValueError(f"vec_id {vec_id} not in {args.emb}")
+        return [float(x) for x in row.embedding]
     while True:
         try:
             line = input("bf> ").strip()
@@ -368,6 +385,57 @@ def cmd_repl(args) -> None:
                 hits = fn(idx._repl_tri, idx.corpus, pat, text_col="content").orderBy("doc_id")
                 ids = [r["doc_id"] for r in hits.collect()]
                 print(f"{len(ids)} files: {ids[:50]}{' ...' if len(ids) > 50 else ''}")
+            elif line.startswith("!sparse "):
+                # !sparse tok:w tok:w ... — ES sparse_vector / dot_tf
+                from bitfunnel_spark.plans.dsl import search_dsl
+
+                qv = {}
+                for part in line[8:].split():
+                    tok, _, w = part.partition(":")
+                    qv[tok] = float(w) if w else 1.0
+                body = {"query": {"sparse_vector": {"query_vector": qv}},
+                        "size": args.k}
+                for r in search_dsl(idx, body).collect():
+                    print(f"{r['doc_id']}\t{r['score']}")
+            elif line.startswith("!knn "):
+                # !knn <vec_id> — exact knn body with that row's embedding
+                from bitfunnel_spark.plans.vector_dsl import knn_search
+
+                vid = int(line[5:].strip())
+                body = {"knn": {"query_vector": _emb_qv(vid), "k": args.k}}
+                for r in knn_search(_emb_df(), body).collect():
+                    print(f"{r['vec_id']}\t{r['cosine']}")
+            elif line.startswith("!hybrid "):
+                # !hybrid <vec_id> <query...> — BM25 + knn RRF fusion
+                from bitfunnel_spark.plans.vector_dsl import rrf_search
+
+                vid_s, _, q = line[8:].strip().partition(" ")
+                body = {
+                    "retriever": {"rrf": {"retrievers": [
+                        {"standard": {"query": {"query_string": {"query": q}}}},
+                        {"knn": {"query_vector": _emb_qv(int(vid_s)),
+                                 "k": 5 * args.k}},
+                    ], "rank_window_size": 5 * args.k}},
+                    "size": args.k,
+                }
+                for r in rrf_search(idx, _emb_df(), body).collect():
+                    print(f"{r['doc_id']}\t{r['rrf_score']:.6f}")
+            elif line.startswith("!rerank "):
+                # !rerank <vec_id> <query...> — cosine rerank of the BM25 window
+                from bitfunnel_spark.plans.vector_dsl import rerank_search
+
+                vid_s, _, q = line[8:].strip().partition(" ")
+                body = {
+                    "retriever": {"text_similarity_reranker": {
+                        "retriever": {"standard": {"query": {
+                            "query_string": {"query": q}}}},
+                        "rank_window_size": 5 * args.k,
+                        "query_vector": _emb_qv(int(vid_s)),
+                    }},
+                    "size": args.k,
+                }
+                for r in rerank_search(idx, _emb_df(), body).collect():
+                    print(f"{r['doc_id']}\t{r['rerank_score']}")
             elif line.startswith("!hist "):
                 from bitfunnel_spark.plans.serving import histogram
 
@@ -482,6 +550,9 @@ def main(argv=None) -> None:
     r.add_argument("--index", required=True)
     r.add_argument("--k", type=int, default=10)
     r.add_argument("--mode", default="kernel", choices=["kernel", "dataframe"])
+    r.add_argument("--emb", default=None,
+                   help="embeddings parquet (vec_id, embedding[, ...]) — "
+                        "enables !knn / !hybrid / !rerank")
     r.set_defaults(fn=cmd_repl)
 
     fa = sub.add_parser("facets")

@@ -78,3 +78,61 @@ def test_cli_serving_verbs(spark, corpus, tmp_path, capsys):
 
     cli.main(["snapshots", "--index", ipath])
     assert capsys.readouterr().out == ""  # no snapshot log on a plain build
+
+
+def test_cli_repl_vector_verbs(spark, corpus, tmp_path, capsys, monkeypatch):
+    """REPL !sparse / !knn / !hybrid / !rerank drive the vector surface;
+    input is monkeypatched stdin, EOF ends the loop."""
+    cpath = str(tmp_path / "vcorpus")
+    ipath = str(tmp_path / "vindex")
+    corpus.filter("doc_id < 80").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter([
+        "!sparse data:2.5 fast:1.25",
+        "!knn 7",
+        "!hybrid 7 data fast",
+        "!rerank 7 data fast",
+        "!knn notanint",  # error path: repl reports and keeps looping
+    ])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main([
+        "repl", "--corpus", cpath, "--index", ipath, "--k", "3",
+        "--emb", "/root/testdata/sf0.001/embeddings.parquet",
+    ])
+    out = capsys.readouterr().out
+    blocks = out.split("bf> ") if "bf> " in out else [out]
+    body = "\n".join(blocks)
+    rows = [l for l in body.splitlines() if "\t" in l]
+    # sparse(3) + knn(3) + hybrid(3) + rerank(3) result rows
+    assert len(rows) >= 12
+    # knn 7 top hit is vec 7 itself at cosine 1.0 (no self-exclusion)
+    assert any(l.startswith("7\t1.0") for l in rows)
+
+
+def test_cli_repl_vector_verbs_need_emb(spark, corpus, tmp_path, capsys, monkeypatch):
+    cpath = str(tmp_path / "v2corpus")
+    ipath = str(tmp_path / "v2index")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+    lines = iter(["!knn 7"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath])
+    err = capsys.readouterr().err
+    assert "--emb" in err  # loud, loop survives

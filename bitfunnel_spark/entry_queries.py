@@ -2844,6 +2844,24 @@ ORDER BY doc_id, stream, term"""
         FACETS_QUERY, by=("lang", "repo"), size=10, config=ENTRY_CONFIG
     )
 
+    # ANN recall harness (MatchVerifier.cpp analogue): per-query
+    # recall@k of the axis-LSH mode vs the exact baseline — both sides'
+    # SQL already hash-proven (ann_cosine_topk / ann_lsh_topk), composed
+    # here as CTEs
+    def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return similarity.recall_at_k(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, mode="lsh")
+
+    queries["ann_recall_eval"] = q_ann_recall_eval
+    oracles["ann_recall_eval"] = f"""WITH ex AS ({SQL_ANN_COSINE_TOPK}),
+ap AS ({SQL_ANN_LSH_TOPK}),
+j AS (
+  SELECT ex.query_id, ex.vec_id,
+         CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+SELECT query_id, count(*) AS n_exact, CAST(sum(hit) AS INT) AS n_hit,
+       round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM j GROUP BY query_id ORDER BY query_id"""
+
     # ES 8.x vector-search surface (plans/vector_dsl.py): top-level `knn`
     # body (pre-filter contract) + retriever.rrf hybrid fusion. The query
     # vector is embeddings row 7, fetched engine-side as a bounded 1-row

@@ -164,6 +164,57 @@ def lsh_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def recall_at_k(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    mode: str = "lsh",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **mode_kwargs,
+) -> DataFrame:
+    """Per-query recall@k of an ANN mode against the exact baseline →
+    DataFrame[(query_id, n_exact, n_hit, recall)] ordered by query_id.
+
+    The quality-verification harness of the ANN family — the analogue of
+    the reference's oracle match verification
+    (/root/reference/src/Plan/src/MatchVerifier.cpp:205-221, which replays
+    every query against a brute-force oracle and records false
+    negatives): ``recall = |approx ∩ exact| / |exact|``. Both sides are
+    k·|queries|-row frames, so the overlap join is driver-scale work no
+    matter the corpus size; the expensive part is exactly one exact scan
+    + one ANN run, each already audited. ``mode`` is one of
+    lsh / ivf / sq8 / pq; ``mode_kwargs`` pass through (n_probe,
+    rescore_factor, multiprobe, ...)."""
+    fns = {
+        "lsh": lsh_cosine_topk,
+        "ivf": ivf_cosine_topk,
+        "sq8": sq8_cosine_topk,
+        "pq": pq_cosine_topk,
+    }
+    if mode not in fns:
+        raise ValueError(f"unknown ANN mode {mode!r} (one of {sorted(fns)})")
+    exact = brute_cosine_topk(emb, query_ids, k=k, vec_col=vec_col, id_col=id_col)
+    approx = fns[mode](
+        emb, query_ids, k=k, vec_col=vec_col, id_col=id_col, **mode_kwargs
+    )
+    ex = exact.select("query_id", "vec_id")
+    ap = approx.select("query_id", "vec_id").withColumn("hit", F.lit(1))
+    joined = ex.join(ap, ["query_id", "vec_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
     """array<struct<cent_id, cvec, cnorm>> literal from driver-side
     centroids — folded into the plan itself, so assignment needs no join

@@ -600,3 +600,26 @@ def test_ivfpq_residual_mode(spark):
 
     res_books2 = similarity.train_ivfpq_residual_codebooks(emb, cents, m=4, n_codes=16)
     assert np.array_equal(res_books, res_books2)
+
+
+def test_recall_at_k_modes(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # exact-vs-exact recall is 1.0 by construction — use sq8 w/ big
+    # rescore (near-exact) and lsh (lossy) to bracket the metric
+    r_sq8 = {r.query_id: r.recall
+             for r in similarity.recall_at_k(emb, [0, 1, 2], k=10, mode="sq8",
+                                             rescore_factor=8).collect()}
+    r_lsh = {r.query_id: r.recall
+             for r in similarity.recall_at_k(emb, [0, 1, 2], k=10, mode="lsh").collect()}
+    assert set(r_sq8) == set(r_lsh) == {0, 1, 2}
+    assert all(0.0 <= v <= 1.0 for v in list(r_sq8.values()) + list(r_lsh.values()))
+    assert sum(r_sq8.values()) >= sum(r_lsh.values())  # sq8+rescore beats lsh
+    # hand-check one query against the two ops' own outputs
+    ex = {r.vec_id for r in similarity.brute_cosine_topk(emb, [0], k=10).collect()}
+    ap = {r.vec_id for r in similarity.lsh_cosine_topk(emb, [0], k=10).collect()}
+    got = similarity.recall_at_k(emb, [0], k=10, mode="lsh").collect()[0]
+    assert got.n_exact == len(ex) and got.n_hit == len(ex & ap)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.recall_at_k(emb, [0], mode="hnsw")

@@ -58,12 +58,12 @@ from bitfunnel_spark.operators.codec import varbyte_encode_arr
 SEGMENT_SCHEMA = (
     "term_key long, shard int, slice int, term_bucket int, "
     "block_id int, n int, first_doc long, last_doc long, max_partial double, "
-    "min_partial double, "
+    "min_partial double, max_tf int, "
     "enc string, docs_vb binary, tfs_vb binary, partials binary, pos_vb binary"
 )
 _SEGMENT_COLS = [
     "term_key", "shard", "slice", "term_bucket", "block_id",
-    "n", "first_doc", "last_doc", "max_partial", "min_partial", "enc",
+    "n", "first_doc", "last_doc", "max_partial", "min_partial", "max_tf", "enc",
     "docs_vb", "tfs_vb", "partials", "pos_vb",
 ]
 
@@ -199,6 +199,7 @@ def _encode_frame(
             "last_doc": enc["last_doc"],
             "max_partial": enc["max_partial"],
             "min_partial": enc["min_partial"],
+            "max_tf": enc["max_tf"],
             "enc": enc["enc"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
@@ -302,6 +303,7 @@ def _encode_token_table(
             "last_doc": pa.array(enc["last_doc"]),
             "max_partial": pa.array(enc["max_partial"]),
             "min_partial": pa.array(enc["min_partial"]),
+            "max_tf": pa.array(enc["max_tf"].astype(np.int32)),
             "enc": pa.array(enc["enc"], type=pa.string()),
             "docs_vb": pa.array(enc["docs_vb"], type=pa.binary()),
             "tfs_vb": pa.array(enc["tfs_vb"], type=pa.binary()),
@@ -327,6 +329,7 @@ def _segment_pa_schema():
             ("last_doc", pa.int64()),
             ("max_partial", pa.float64()),
             ("min_partial", pa.float64()),
+            ("max_tf", pa.int32()),
             ("enc", pa.string()),
             ("docs_vb", pa.binary()),
             ("tfs_vb", pa.binary()),
@@ -483,6 +486,9 @@ def _encode_posting_arrays(
         "last_doc": docs[blk_end - 1],
         "max_partial": np.maximum.reduceat(partial, blk_start),
         "min_partial": np.minimum.reduceat(partial, blk_start),
+        # per-block integer tf max: the dot_tf (sparse dot-product) block
+        # upper bound is w·max_tf — BM25 partials cannot bound w·tf
+        "max_tf": np.maximum.reduceat(tfs, blk_start).astype(np.int32),
         "enc": [_ENC_NAMES[c] for c in enc_blk],
         "docs_vb": [_doc_slice(i) for i in range(len(block_id))],
         "tfs_vb": [tbytes[a:c] for a, c in zip(toff[blk_start], toff[blk_end])],
@@ -653,6 +659,7 @@ def merge_segment_blocks(
                 "last_doc": enc["last_doc"],
                 "max_partial": enc["max_partial"],
                 "min_partial": enc["min_partial"],
+                "max_tf": enc["max_tf"],
                 "enc": enc["enc"],
                 "docs_vb": enc["docs_vb"],
                 "tfs_vb": enc["tfs_vb"],

@@ -502,12 +502,14 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         deny = descriptor.get("deleted")
         after = descriptor.get("after")  # (score4, doc_id) pagination cursor
         restricted = allow is not None or (deny is not None and deny.size > 0)
-        # block-max bounds (max_partial) are BM25-shaped — non-BM25
-        # similarities route to the exhaustive scorer (plans/scoring.py)
-        prunable = descriptor.get("similarity", "bm25") == "bm25"
+        # block-max bounds: max_partial is BM25-shaped; dot_tf prunes via
+        # the per-block max_tf metadata (BlockCache bound mode). Other
+        # similarities route to the exhaustive scorer (plans/scoring.py).
+        sim = descriptor.get("similarity", "bm25")
+        prunable = sim in ("bm25", "dot_tf")
         if (
             k0 is not None
-            and prunable
+            and sim == "bm25"  # the sorted-by-partial fast path is BM25-only
             and not restricted
             and after is None
             and isinstance(ast, Term)
@@ -529,7 +531,7 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
             # tombstones mask via `deny` (the reference's fact rows +
             # "document active" row, Row.h:34-35)
             kind, units = flat
-            cache = BlockCache(raw)
+            cache = BlockCache(raw, bound=sim)
             return units_topk(
                 kind, units, scoring, descriptor["idf"], k0, cache,
                 allow=allow, deny=deny,

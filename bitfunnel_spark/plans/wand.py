@@ -68,8 +68,15 @@ class BlockCache:
     cached — shared across the queries of a batch. ``stats`` counts decoded
     vs total blocks (the pruning effectiveness signal)."""
 
-    def __init__(self, raw: dict, stats: dict | None = None):
+    def __init__(self, raw: dict, stats: dict | None = None, bound: str = "bm25"):
+        # ``bound`` selects the per-block upper-bound source: "bm25" reads
+        # max_partial (bound = w·max_partial); "dot_tf" reads the integer
+        # max_tf (bound = w·max_tf — the sparse dot-product similarity,
+        # plans/scoring.py). The traversals (and_topk / or_topk) are
+        # bound-agnostic: they consume meta[2] and score via
+        # score_selected, both of which switch here.
         self.raw = raw
+        self.bound = bound
         self._meta: dict = {}
         self._dec: dict = {}
         self._dec_tf: dict = {}
@@ -90,18 +97,33 @@ class BlockCache:
                     if "enc" in rows.columns
                     else ["vb"] * len(rows)
                 )
+                if self.bound == "dot_tf":
+                    if "max_tf" not in rows.columns:
+                        raise KeyError(
+                            "segment rows carry no max_tf block metadata — "
+                            "rebuild the index to prune dot_tf queries"
+                        )
+                    bound_arr = rows["max_tf"].to_numpy(np.float64)
+                    # min_partial is a BM25 lower bound — no dot_tf
+                    # analogue is stored, so cursor head-skip disables
+                    min_arr = None
+                else:
+                    bound_arr = rows["max_partial"].to_numpy(np.float64)
+                    min_arr = (
+                        rows["min_partial"].to_numpy(np.float64)
+                        if "min_partial" in rows.columns
+                        else None
+                    )
                 m = (
                     rows["first_doc"].to_numpy(np.int64),
                     rows["last_doc"].to_numpy(np.int64),
-                    rows["max_partial"].to_numpy(np.float64),
+                    bound_arr,
                     rows["docs_vb"].tolist(),
                     rows["partials"].tolist(),
                     rows["n"].to_numpy(np.int64),
                     encs,
                     rows["tfs_vb"].tolist() if "tfs_vb" in rows.columns else None,
-                    rows["min_partial"].to_numpy(np.float64)
-                    if "min_partial" in rows.columns
-                    else None,
+                    min_arr,
                 )
                 self.stats["blocks_total"] += len(m[0])
             self._meta[key] = m
@@ -210,20 +232,27 @@ class BlockCache:
 def score_selected(
     cand: np.ndarray, scoring_keys: list, idf: dict, cache: BlockCache
 ) -> np.ndarray:
-    """Exact BM25 of sorted candidates, decoding only candidate-bearing
+    """Exact scores of sorted candidates, decoding only candidate-bearing
     blocks. Addend order matches kernel._score (sorted scoring terms) so the
-    float accumulation is bit-identical to the exhaustive path."""
+    float accumulation is bit-identical to the exhaustive path. Under
+    ``cache.bound == "dot_tf"`` the per-posting factor is the integer tf
+    (sparse dot product) instead of the BM25 partial."""
     score = np.zeros(cand.shape, dtype=np.float64)
+    dot_tf = cache.bound == "dot_tf"
     for key in scoring_keys:
         w = idf.get(key, 0.0)
         if w == 0.0:
             continue
-        docs, parts = cache.docs_partials_for(key, cand)
+        if dot_tf:
+            docs, tfs, _parts = cache.docs_tfs_partials_for(key, cand)
+            vals = tfs.astype(np.float64)
+        else:
+            docs, vals = cache.docs_partials_for(key, cand)
         if docs.size == 0:
             continue
         m = _member(docs, cand)
         if m.any():
-            score[m] += w * parts[np.searchsorted(docs, cand[m])]
+            score[m] += w * vals[np.searchsorted(docs, cand[m])]
     return score
 
 

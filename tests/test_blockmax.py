@@ -91,6 +91,7 @@ def _seg_rows(docs, tfs, dls, block_size=4, avgdl=10.0):
             "last_doc": enc["last_doc"],
             "max_partial": enc["max_partial"],
             "min_partial": enc["min_partial"],
+            "max_tf": enc["max_tf"],
             "docs_vb": enc["docs_vb"],
             "tfs_vb": enc["tfs_vb"],
             "partials": enc["partials"],
@@ -381,3 +382,87 @@ def test_search_after_or_skips_head():
     total_blocks = len(a) + len(b)
     # deep pages must not decode the whole footprint
     assert decodes[-1] < total_blocks, decodes
+
+
+def _exhaustive_dot_tf(raw, keys, idf, k):
+    import numpy as np
+
+    from bitfunnel_spark.operators.segments import decode_group
+    from bitfunnel_spark.plans.wand import _member
+
+    full = {key: decode_group(rows) for key, rows in raw.items()}
+    cand = np.unique(np.concatenate([full[key][0] for key in keys if key in full]))
+    score = np.zeros(cand.shape)
+    for key in sorted(keys):
+        d, tf, _p = full.get(key, (np.empty(0, np.int64), None, None))
+        m = _member(d, cand)
+        score[m] += idf.get(key, 0.0) * tf[np.searchsorted(d, cand[m])].astype(float)
+    r4 = np.round(score, 4)
+    idx = np.lexsort((cand, -r4))[:k]
+    return list(zip(cand[idx].tolist(), r4[idx].tolist()))
+
+
+def test_dot_tf_or_prunes_via_max_tf():
+    """Sparse dot-product (dot_tf) rides MaxScore via the per-block max_tf
+    metadata: a heavy-weight term with high tfs dominates; the light term's
+    blocks (cap = w·max_tf below the k-th score) must be skipped — result
+    identical to the exhaustive dot product."""
+    import numpy as np
+
+    from bitfunnel_spark.plans.wand import BlockCache, or_topk
+
+    a = ("body", "a")
+    b = ("body", "b")
+    raw = {
+        # 4 postings with big tfs -> one block, caps the top-3 high
+        a: _seg_rows([1, 2, 3, 4], [9, 8, 7, 6], [10] * 4, block_size=4),
+        # 12 postings all tf=1 across 3 blocks — w·max_tf = 0.2 each
+        b: _seg_rows(list(range(10, 22)), [1] * 12, [10] * 12, block_size=4),
+    }
+    idf = {a: 5.0, b: 0.2}
+    keys = [a, b]
+    stats = {}
+    got = or_topk(keys, keys, idf, 3, BlockCache(raw, stats, bound="dot_tf"))
+    want = _exhaustive_dot_tf(raw, keys, idf, 3)
+    assert list(zip(got["doc_id"].tolist(),
+                    np.round(got["score"], 4).tolist())) == want
+    total = 1 + 3
+    assert stats["blocks_decoded"] == 1, stats  # only a's block; b fully skipped
+    assert stats["blocks_total"] == total
+
+
+def test_dot_tf_and_prunes_via_max_tf():
+    """Flat-AND under dot_tf: driver blocks whose w·max_tf bound cannot
+    reach the k-th score stop the traversal."""
+    import numpy as np
+
+    from bitfunnel_spark.plans.wand import BlockCache, and_topk
+
+    a = ("body", "a")
+    b = ("body", "b")
+    # driver a: block 0 has tf 9s, block 1 tf 1s — with k=2 filled from
+    # block 0 at score ≥ 2·(9+?)... bound of block 1 is low
+    raw = {
+        a: _seg_rows([1, 2, 3, 4, 5, 6, 7, 8], [9, 9, 8, 8, 1, 1, 1, 1],
+                     [10] * 8, block_size=4),
+        b: _seg_rows(list(range(1, 9)), [5] * 8, [10] * 8, block_size=4),
+    }
+    idf = {a: 2.0, b: 1.0}
+    stats = {}
+    got = and_topk([a, b], [a, b], idf, 2, BlockCache(raw, stats, bound="dot_tf"))
+    want = _exhaustive_dot_tf(raw, [a, b], idf, 2)
+    # exhaustive over the intersection == union here (same doc range)
+    assert list(zip(got["doc_id"].tolist(),
+                    np.round(got["score"], 4).tolist())) == want[:2]
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+def test_dot_tf_bound_requires_max_tf_column():
+    import pytest as _pytest
+
+    from bitfunnel_spark.plans.wand import BlockCache
+
+    rows = _seg_rows([1, 2, 3], [1, 1, 1], [10] * 3).drop(columns=["max_tf"])
+    cache = BlockCache({("body", "x"): rows}, bound="dot_tf")
+    with _pytest.raises(KeyError):
+        cache.meta(("body", "x"))

@@ -908,6 +908,54 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, 1800).orderBy("user_id", "session_id")
 
 
+def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_histogram + pipeline aggs (cumulative_sum / derivative /
+    # moving_fn / bucket_script) over the click stream — the Kibana
+    # time-series shape; pipelines run on the reduced bucket frame
+    # (operators/pipeline_aggs.py, plans/dsl.run_date_aggs)
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    body = {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"per_hour": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {
+                "v": {"sum": {"field": "value"}},
+                "cum": {"cumulative_sum": {"buckets_path": "v"}},
+                "deriv": {"derivative": {"buckets_path": "v"}},
+                "mov3": {"moving_fn": {
+                    "buckets_path": "v", "window": 3,
+                    "script": "MovingFunctions.unweightedAvg(values)"}},
+                "rate": {"bucket_script": {
+                    "buckets_path": {"v": "v", "n": "doc_count"},
+                    "script": "params.v / params.n"}},
+            },
+        }},
+    }
+    return run_date_aggs(ev, body)
+
+
+# pipeline outputs stay RAW doubles (the driver canon rounds in Python);
+# only the group-sum `v` is rounded engine-side — the proven
+# events_histogram fold-noise pattern. Window arithmetic downstream of
+# identical `v` doubles is sequential in bucket order in both engines,
+# hence bit-identical.
+SQL_EVENTS_PIPELINE = """WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count,
+         round(sum(value), 4) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT bucket, doc_count, v,
+       sum(v) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       v - lag(v) OVER (ORDER BY bucket) AS deriv,
+       avg(v) OVER (ORDER BY bucket
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3,
+       v / doc_count AS rate
+FROM b ORDER BY bucket"""
+
+
 SQL_EVENTS_SESSIONS = """WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts - lag(ts) OVER w) > 1800
@@ -2351,6 +2399,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["events_histogram"] = SQL_EVENTS_HISTOGRAM
     queries["events_sessions"] = q_events_sessions
     oracles["events_sessions"] = SQL_EVENTS_SESSIONS
+    queries["events_pipeline"] = q_events_pipeline
+    oracles["events_pipeline"] = SQL_EVENTS_PIPELINE
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

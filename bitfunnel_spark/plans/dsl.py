@@ -777,3 +777,159 @@ def run_aggs(index, body: dict, k: int = 10):
             return serving.top_hits(index, q, by=field, per_group=int(sconf.get("size", 3)))
         raise DslError(f"unsupported sub-agg kind: {skind!r}")
     raise DslError(f"unsupported agg kind: {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# date_histogram + pipeline aggregations over an event/log frame
+#
+# ES's time-series workload: a date_histogram parent bucketing a log table,
+# metric sub-aggs per bucket, pipeline sub-aggs (cumulative_sum, derivative,
+# moving_fn, bucket_script/selector/sort) deriving series metrics, and an
+# optional sibling *_bucket summarizing the whole series. The parent agg is
+# one partial-agg groupBy (map-side combine + one exchange on the bucket
+# key); pipelines run on the reduced bucket frame (operators/pipeline_aggs).
+
+_CALENDAR_INTERVALS = (
+    "minute", "hour", "day", "week", "month", "quarter", "year",
+)
+_DATE_METRICS = ("sum", "avg", "min", "max", "value_count")
+_PIPELINE_KINDS = (
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
+_SIBLING_KINDS = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)
+
+
+def _events_filter(df, query: dict):
+    """Tiny filter-context compiler for log frames: term / range /
+    bool.filter over the frame's own columns → a Spark Column."""
+    from pyspark.sql import functions as F
+
+    _require(isinstance(query, dict) and len(query) == 1,
+             "event query must be a single-kind object")
+    (kind, conf), = query.items()
+    if kind == "term":
+        _require(isinstance(conf, dict) and len(conf) == 1,
+                 "term needs {field: value}")
+        (field, val), = conf.items()
+        if isinstance(val, dict):
+            val = val.get("value")
+        _require(field in df.columns, f"unknown event field {field!r}")
+        return F.col(field) == F.lit(val)
+    if kind == "range":
+        _require(isinstance(conf, dict) and len(conf) == 1,
+                 "range needs {field: bounds}")
+        (field, bounds), = conf.items()
+        _require(field in df.columns, f"unknown event field {field!r}")
+        _require(isinstance(bounds, dict) and bounds, "range needs bounds")
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+        unknown = set(bounds) - set(ops)
+        _require(not unknown, f"unsupported range bounds: {sorted(unknown)}")
+        cond = F.lit(True)
+        for op, v in bounds.items():
+            cond = cond & getattr(F.col(field), ops[op])(F.lit(v))
+        return cond
+    if kind == "bool":
+        _require(isinstance(conf, dict) and set(conf) == {"filter"},
+                 "event bool supports only `filter`")
+        clauses = conf["filter"]
+        if isinstance(clauses, dict):
+            clauses = [clauses]
+        _require(isinstance(clauses, list) and clauses,
+                 "bool.filter must be non-empty")
+        cond = F.lit(True)
+        for c in clauses:
+            cond = cond & _events_filter(df, c)
+        return cond
+    raise DslError(f"unsupported event query kind: {kind!r}")
+
+
+def run_date_aggs(events, body: dict):
+    """Run an ES body whose first aggregation is a ``date_histogram`` over
+    a log/event DataFrame: metric sub-aggs reduce per bucket, pipeline
+    sub-aggs derive series metrics in declaration order, and an optional
+    SECOND top-level sibling agg (avg/sum/min/max/stats_bucket with
+    ``buckets_path: "parent>metric"``) reduces the series to one row.
+    Always emits ES's implicit ``doc_count``. Buckets return in time order
+    unless a ``bucket_sort`` pipeline chose its own order."""
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark.operators import pipeline_aggs as P
+
+    aggs = body.get("aggs") or body.get("aggregations")
+    _require(isinstance(aggs, dict) and 1 <= len(aggs) <= 2,
+             "need one date_histogram agg (+ optionally one sibling)")
+    unknown_body = set(body) - {"aggs", "aggregations", "query", "size"}
+    _require(not unknown_body, f"unsupported body keys: {sorted(unknown_body)}")
+    _require(int(body.get("size", 0)) == 0,
+             "date agg bodies are aggregation-only (size must be 0)")
+    if "query" in body:
+        events = events.filter(_events_filter(events, body["query"]))
+
+    items = list(aggs.items())
+    parent_name, spec = items[0]
+    _require(isinstance(spec, dict) and "date_histogram" in spec,
+             "the first agg must be a date_histogram")
+    conf = dict(spec["date_histogram"])
+    field = conf.pop("field", None)
+    _require(field in events.columns, f"unknown date field {field!r}")
+    interval = conf.pop("calendar_interval", None)
+    _require(interval in _CALENDAR_INTERVALS,
+             f"calendar_interval must be one of {_CALENDAR_INTERVALS}")
+    _require(not conf, f"unsupported date_histogram options: {sorted(conf)}")
+
+    metric_cols = [F.count("*").alias("doc_count")]
+    pipeline_specs: list = []
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    _require(isinstance(sub, dict), "sub-aggs must be an object")
+    has_bucket_sort = False
+    for name, sspec in sub.items():
+        _require(isinstance(sspec, dict) and len(sspec) == 1,
+                 f"sub-agg {name!r} needs exactly one kind")
+        (skind, sconf), = sspec.items()
+        if skind in _DATE_METRICS:
+            _require(pipeline_specs == [],
+                     "metric sub-aggs must precede pipeline sub-aggs")
+            mfield = sconf.get("field")
+            _require(mfield in events.columns and mfield != field,
+                     f"bad metric field {mfield!r}")
+            fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                  "value_count": F.count}[skind]
+            col = fn(mfield)
+            if skind in ("sum", "avg"):
+                # match the proven cross-engine group-sum pattern
+                # (events_histogram): fix fold noise at 4 dp engine-side
+                col = F.round(col, 4)
+            metric_cols.append(col.alias(name))
+        elif skind in _PIPELINE_KINDS:
+            has_bucket_sort = has_bucket_sort or skind == "bucket_sort"
+            pipeline_specs.append((name, skind, sconf))
+        else:
+            raise DslError(f"unsupported date sub-agg kind: {skind!r}")
+
+    bucketed = events.groupBy(
+        F.date_trunc(interval, field).alias("bucket")
+    ).agg(*metric_cols)
+    try:
+        out = P.apply_pipeline(bucketed, ["bucket"], pipeline_specs)
+    except P.PipelineError as e:
+        raise DslError(str(e)) from e
+
+    if len(items) == 2:
+        sib_name, sib_spec = items[1]
+        _require(isinstance(sib_spec, dict) and len(sib_spec) == 1,
+                 f"sibling agg {sib_name!r} needs exactly one kind")
+        (sib_kind, sib_conf), = sib_spec.items()
+        _require(sib_kind in _SIBLING_KINDS,
+                 f"second agg must be a sibling of {_SIBLING_KINDS}")
+        path = sib_conf.get("buckets_path", "")
+        _require(isinstance(path, str) and path.startswith(parent_name + ">"),
+                 f"sibling buckets_path must be '{parent_name}>metric'")
+        metric = path[len(parent_name) + 1:]
+        try:
+            return P.sibling_bucket(out, sib_kind, metric)
+        except P.PipelineError as e:
+            raise DslError(str(e)) from e
+    return out if has_bucket_sort else out.orderBy("bucket")

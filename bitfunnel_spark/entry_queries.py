@@ -2347,6 +2347,56 @@ ORDER BY df DESC, term ASC LIMIT 10"""
         compile_dsl(_DSL_BODY), k=10, config=ENTRY_CONFIG
     )
 
+    _TERMS_SET_BODY = {"terms_set": {"content": {
+        "terms": ["dup", "vector", "data"], "minimum_should_match": 2}}}
+
+    def q_ft_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES terms_set (match >= N of the terms) riding Or.min_match
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(
+            get_index(spark, sf_dir), {"query": _TERMS_SET_BODY, "size": 10}
+        )
+
+    queries["ft_terms_set"] = q_ft_terms_set
+    oracles["ft_terms_set"] = oracle_search_sql(
+        compile_dsl(_TERMS_SET_BODY), k=10, config=ENTRY_CONFIG
+    )
+
+    _MBP_BODY = {"match_bool_prefix": {"content": "fast ke"}}
+
+    def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES match_bool_prefix: unordered search-as-you-type — terms OR a
+        # trailing dictionary-prefix expansion
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(
+            get_index(spark, sf_dir), {"query": _MBP_BODY, "size": 10}
+        )
+
+    queries["ft_match_bool_prefix"] = q_ft_match_bool_prefix
+    oracles["ft_match_bool_prefix"] = oracle_expansion_search_sql(
+        "term LIKE 'ke%'", k=10, config=ENTRY_CONFIG, extra_terms=("fast",)
+    )
+
+    def q_ft_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES constant_score: the filter's match set at a fixed score,
+        # doc_id order (ES doc-order tiebreak)
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"constant_score": {
+                "filter": {"term": {"content": "data"}}, "boost": 1.7}},
+            "size": 10,
+        })
+
+    queries["ft_constant_score"] = q_ft_constant_score
+    oracles["ft_constant_score"] = (
+        "SELECT doc_id, CAST(1.7 AS DOUBLE) AS score FROM ("
+        + oracle_match_sql("data", config=ENTRY_CONFIG)
+        + ") ORDER BY doc_id LIMIT 10"
+    )
+
     _AGGS_Q = {"match": {"content": {"query": "data fast", "operator": "and"}}}
 
     def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,11 +7,14 @@ executors come for free. Documented subset (everything else raises
 DslError, never silently mis-executes):
 
   query_string, match (or/and operator), match_phrase (slop),
-  match_phrase_prefix, term, terms, prefix, wildcard, regexp, fuzzy
-  (int or AUTO fuzziness), bool {must, filter, must_not, should,
-  minimum_should_match}, combined_fields, boost on
+  match_phrase_prefix, match_bool_prefix, term, terms, terms_set
+  (minimum_should_match / params.num_terms script), prefix, wildcard,
+  regexp, fuzzy (int or AUTO fuzziness), bool {must, filter, must_not,
+  should, minimum_should_match}, combined_fields, boost on
   term/match-single-token, sparse_vector (pre-computed {token: weight}
-  query_vector scored with the dot_tf similarity).
+  query_vector scored with the dot_tf similarity), and the filter-only
+  kinds match_all / ids / exists / constant_score (constant scores,
+  doc_id order — search_dsl level, corpus-metadata scans).
 
 Deviations (documented): values are analyzed with the engine's standard
 lowercase tokenizer even for `term` (the index stores lowercase terms);
@@ -194,6 +197,71 @@ def compile_dsl(query: dict) -> Node:
             dist = 0 if n < 3 else (1 if n <= 5 else 2)
         return Fuzzy(value.lower(), stream, dist=int(dist))
 
+    if kind == "terms_set":
+        # ES terms_set: match docs containing >= N of the given terms.
+        # Maps onto the engine's Or.min_match (minimum-should-match
+        # counting in both executors — tests/test_minmatch.py).
+        field, raw = _one_field(body, "terms_set")
+        if not isinstance(raw, dict):
+            raise DslError("terms_set expects an object per field")
+        opts = dict(raw)
+        values = opts.pop("terms", None)
+        if not isinstance(values, (list, tuple)) or not values:
+            raise DslError("terms_set needs a non-empty `terms` list")
+        msm = opts.pop("minimum_should_match", None)
+        script = opts.pop("minimum_should_match_script", None)
+        _reject_extra(opts, "terms_set")
+        if script is not None:
+            src = script.get("source") if isinstance(script, dict) else script
+            # the one script every ES example uses: require all terms
+            if src != "params.num_terms":
+                raise DslError(
+                    "terms_set scripts support only 'params.num_terms' "
+                    "(require-all); use minimum_should_match for a count"
+                )
+            if msm is not None:
+                raise DslError("terms_set: give a count OR a script, not both")
+            msm = len(values)
+        if msm is None:
+            raise DslError(
+                "terms_set needs minimum_should_match (or the "
+                "params.num_terms script)"
+            )
+        msm = int(msm)
+        if not 1 <= msm <= len(values):
+            raise DslError(f"terms_set minimum_should_match {msm} out of range")
+        out = []
+        for v in values:
+            toks = _analyze(v)
+            if len(toks) != 1:
+                raise DslError(f"terms_set value must analyze to one token: {v!r}")
+            out.append(Term(toks[0], _stream(field)))
+        if len(out) == 1:
+            return out[0]
+        return And(tuple(out)) if msm == len(out) else Or(tuple(out), min_match=msm)
+
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every analyzed token as an optional term,
+        # the LAST as a prefix — the non-phrase search-as-you-type kind
+        # (match_phrase_prefix's unordered sibling)
+        field, raw = _one_field(body, "match_bool_prefix")
+        text, opts = _opts(raw)
+        op = str(opts.pop("operator", "or")).lower()
+        _reject_extra(opts, "match_bool_prefix")
+        toks = _analyze(text)
+        if not toks:
+            raise DslError(f"match_bool_prefix analyzes to zero tokens: {text!r}")
+        stream = _stream(field)
+        clauses: list[Node] = [Term(t, stream) for t in toks[:-1]]
+        clauses.append(Prefix(toks[-1], stream))
+        if len(clauses) == 1:
+            return clauses[0]
+        if op == "and":
+            return And(tuple(clauses))
+        if op == "or":
+            return Or(tuple(clauses))
+        raise DslError(f"match_bool_prefix operator must be and/or, got {op!r}")
+
     if kind == "combined_fields":
         if not isinstance(body, dict):
             raise DslError("combined_fields expects an object")
@@ -256,6 +324,81 @@ _COMBINATOR_KINDS = (
     "sparse_vector",
 )
 
+# kinds that are pure filters (no relevance signal): hits score a constant,
+# ordered by doc_id — ES's constant-score semantics
+_FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all")
+
+_CORPUS_FIELD_COLS = {
+    "content": "content", "body": "content", "text": "content",
+    "path": "path", "lang": "lang", "repo": "repo", "source": "repo",
+}
+
+
+def _filter_doc_ids(index, query: dict):
+    """DataFrame[doc_id] matching a filter-context query: match_all / ids /
+    exists run as corpus-metadata scans (predicate pushdown to the parquet
+    scan, tombstones excluded); anything else compiles to the AST and runs
+    the engine's unscored match (which already masks tombstones)."""
+    from pyspark.sql import functions as F
+
+    _require(isinstance(query, dict) and len(query) == 1,
+             "filter must be a single-kind query object")
+    (kind, conf), = query.items()
+    if kind == "match_all":
+        _require(isinstance(conf, dict) and not set(conf) - {"boost"},
+                 "match_all takes only an optional boost")
+        out = index.corpus.select("doc_id")
+    elif kind == "ids":
+        _require(isinstance(conf, dict) and set(conf) == {"values"},
+                 "ids needs {values: [...]}")
+        vals = conf["values"]
+        _require(isinstance(vals, (list, tuple)) and vals,
+                 "ids.values must be non-empty")
+        ids = [int(v) for v in vals]
+        # ES silently drops unknown ids — intersect with the corpus
+        out = index.corpus.select("doc_id").filter(F.col("doc_id").isin(ids))
+    elif kind == "exists":
+        field = conf.get("field") if isinstance(conf, dict) else None
+        col = _CORPUS_FIELD_COLS.get(str(field))
+        _require(col is not None,
+                 f"exists field must be one of {sorted(set(_CORPUS_FIELD_COLS))}")
+        out = index.corpus.filter(
+            F.col(col).isNotNull() & (F.col(col) != "")
+        ).select("doc_id")
+    else:
+        return index.match(compile_dsl(query))
+    tomb = getattr(index, "tombstones", frozenset())
+    if tomb:
+        out = out.filter(~F.col("doc_id").isin([int(d) for d in tomb]))
+    return out
+
+
+def _filter_only_hits(index, kind: str, conf, k: int):
+    """constant_score / bare-filter kinds: the filter's match set scored at
+    a constant, ordered by doc_id (ES ties break on doc order), top-k."""
+    from pyspark.sql import functions as F
+
+    if kind == "constant_score":
+        _require(isinstance(conf, dict) and "filter" in conf
+                 and not set(conf) - {"filter", "boost"},
+                 "constant_score needs {filter: ..., boost?: n}")
+        ids_df = _filter_doc_ids(index, conf["filter"])
+        score = float(conf.get("boost", 1.0))
+    else:
+        score = 1.0
+        if kind == "match_all" and isinstance(conf, dict):
+            conf = dict(conf)
+            score = float(conf.pop("boost", 1.0))
+        ids_df = _filter_doc_ids(index, {kind: conf})
+    return (
+        ids_df.orderBy("doc_id")
+        .limit(int(k))
+        .select(
+            F.col("doc_id"),
+            F.round(F.lit(score), 4).cast("double").alias("score"),
+        )
+    )
+
 
 def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     """Run an ES `_search`-style body: `{"query": {...}}` (or a bare query
@@ -284,6 +427,16 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         and len(query) == 1
         and next(iter(query)) in _COMBINATOR_KINDS
     )
+    is_filter_only = (
+        isinstance(query, dict)
+        and len(query) == 1
+        and next(iter(query)) in _FILTER_ONLY_KINDS
+    )
+    if is_filter_only:
+        _require(sort_spec is None and highlight is None,
+                 "sort/highlight need an AST query, not a filter-only kind")
+        hits = _filter_only_hits(index, *next(iter(query.items())), k=k)
+        return _fetch_source(index, hits, source)
     if sort_spec is not None or highlight is not None:
         _require(not is_comb,
                  "sort/highlight need an AST query, not a combinator kind")

@@ -1125,18 +1125,25 @@ def oracle_expansion_search_sql(
     k: int = 10,
     max_expansions: int = 64,
     config: BuildConfig | None = None,
+    extra_terms: tuple[str, ...] = (),
 ) -> str:
     """Top-k BM25 oracle for a dictionary-expanded query (plans/expand.py):
     ``term_predicate_sql`` selects the matching body terms from dfreq (e.g.
     ``term LIKE 's%'`` or ``levenshtein(term, 'vektor') <= 1``), capped like
     the engine at ``max_expansions`` preferring (df desc, term asc); the
-    selected terms score as one OR query."""
+    selected terms score as one OR query. ``extra_terms`` adds fixed
+    (already-analyzed) body terms OUTSIDE the expansion cap — the
+    match_bool_prefix shape: literal tokens OR a trailing prefix."""
     config = config or BuildConfig()
     k1, b = config.bm25.k1, config.bm25.b
+    extra_sql = "".join(
+        "\n  UNION SELECT '" + t.replace("'", "''") + "'" for t in extra_terms
+    )
     return f"""WITH {CORPUS_CTE},
 sel AS (
-  SELECT term FROM dfreq WHERE stream = 'body' AND ({term_predicate_sql})
-  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}),
+  SELECT term FROM (
+    SELECT term FROM dfreq WHERE stream = 'body' AND ({term_predicate_sql})
+    ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}){extra_sql}),
 hits AS (
   SELECT tf.doc_id,
          sum(ln((meta.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)

@@ -639,3 +639,115 @@ def test_dsl_msearch_one_job_parity(index):
     assert got == want and got
     with pytest.raises(DslError, match="shared k"):
         msearch(index, [{"query": {"match": {"content": "x"}}, "size": 3}], k=10)
+
+
+# ---------------------------------------------------------------------------
+# terms_set / match_bool_prefix / filter-only kinds (match_all, ids,
+# exists, constant_score)
+
+def test_terms_set_compiles_to_min_match():
+    node = compile_dsl({"terms_set": {"content": {
+        "terms": ["data", "fast", "slow"], "minimum_should_match": 2}}})
+    assert isinstance(node, Or) and node.min_match == 2
+    assert {c.text for c in node.children} == {"data", "fast", "slow"}
+    # require-all (count == len, or the params.num_terms script) is an AND
+    node = compile_dsl({"terms_set": {"content": {
+        "terms": ["data", "fast"], "minimum_should_match": 2}}})
+    assert isinstance(node, And)
+    node2 = compile_dsl({"terms_set": {"content": {
+        "terms": ["data", "fast"],
+        "minimum_should_match_script": {"source": "params.num_terms"}}}})
+    assert node2 == node
+
+
+def test_terms_set_execution_matches_min_match_search(index):
+    got = search_dsl(index, {"query": {"terms_set": {"content": {
+        "terms": ["data", "fast", "slow"], "minimum_should_match": 2}}},
+        "size": 10}).collect()
+    want = index.search(
+        Or((Term("data"), Term("fast"), Term("slow")), min_match=2), k=10
+    ).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+    assert len(got) == 10
+
+
+def test_terms_set_errors():
+    with pytest.raises(DslError):  # no msm at all
+        compile_dsl({"terms_set": {"content": {"terms": ["a", "b"]}}})
+    with pytest.raises(DslError):  # msm out of range
+        compile_dsl({"terms_set": {"content": {
+            "terms": ["a", "b"], "minimum_should_match": 3}}})
+    with pytest.raises(DslError):  # unsupported script
+        compile_dsl({"terms_set": {"content": {
+            "terms": ["a", "b"],
+            "minimum_should_match_script": {"source": "params.n - 1"}}}})
+    with pytest.raises(DslError):  # both count and script
+        compile_dsl({"terms_set": {"content": {
+            "terms": ["a", "b"], "minimum_should_match": 1,
+            "minimum_should_match_script": {"source": "params.num_terms"}}}})
+
+
+def test_match_bool_prefix_shape_and_parity(index):
+    node = compile_dsl({"match_bool_prefix": {"content": "fast ke"}})
+    assert node == parse_query("fast | ke*")
+    node = compile_dsl({"match_bool_prefix": {"content": {
+        "query": "fast ke", "operator": "and"}}})
+    assert node == parse_query("fast ke*")
+    # single token -> bare prefix
+    assert compile_dsl({"match_bool_prefix": {"content": "ke"}}) == \
+        parse_query("ke*")
+    got = search_dsl(index, {"query": {"match_bool_prefix": {
+        "content": "fast ke"}}, "size": 5}).collect()
+    want = index.search("fast | ke*", k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+
+
+def test_ids_query(index):
+    rows = search_dsl(index, {"query": {"ids": {"values": [3, 1, 10**9]}},
+                              "size": 10}).collect()
+    # unknown ids dropped (ES semantics); doc_id order; constant score 1.0
+    assert [(r.doc_id, r.score) for r in rows] == [(1, 1.0), (3, 1.0)]
+
+
+def test_match_all_and_exists(index, corpus):
+    rows = search_dsl(index, {"query": {"match_all": {}}, "size": 5}).collect()
+    first5 = [r.doc_id for r in
+              corpus.select("doc_id").orderBy("doc_id").limit(5).collect()]
+    assert [r.doc_id for r in rows] == first5
+    assert all(r.score == 1.0 for r in rows)
+    boosted = search_dsl(index, {"query": {"match_all": {"boost": 2.5}},
+                                 "size": 3}).collect()
+    assert all(r.score == 2.5 for r in boosted)
+    # every corpus doc has a lang -> exists == match_all here
+    n_all = corpus.count()
+    got = search_dsl(index, {"query": {"exists": {"field": "lang"}},
+                             "size": n_all + 10})
+    assert got.count() == n_all
+
+
+def test_constant_score(index):
+    rows = search_dsl(index, {"query": {"constant_score": {
+        "filter": {"term": {"content": "data"}}, "boost": 1.7}},
+        "size": 8}).collect()
+    match_ids = sorted(r.doc_id for r in index.match("data").collect())[:8]
+    assert [r.doc_id for r in rows] == match_ids
+    assert all(r.score == 1.7 for r in rows)
+    # nested filter-only filter inside constant_score
+    rows = search_dsl(index, {"query": {"constant_score": {
+        "filter": {"ids": {"values": [7, 2]}}}}}).collect()
+    assert [(r.doc_id, r.score) for r in rows] == [(2, 1.0), (7, 1.0)]
+
+
+def test_filter_only_rejections(index):
+    with pytest.raises(DslError):  # sort needs an AST query
+        search_dsl(index, {"query": {"match_all": {}}, "sort": ["lang"]})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"ids": {"values": []}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"exists": {"field": "nope"}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"match_all": {"bad_opt": 1}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"constant_score": {"boost": 2.0}}})

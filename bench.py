@@ -307,6 +307,36 @@ def main() -> None:
             sparse_top1 = top1
     sparse_sec = min(sparse_trials)
 
+    # sparse (dot_tf) prune counters on the fine-block index: per-block
+    # max_tf bounds let MaxScore skip light-feature blocks bearing no
+    # candidates — deterministic numbers a dot_tf pruning regression must
+    # move (the BM25 battery cannot see this bound mode)
+    from bitfunnel_spark.plans.ast import Boost, Or, Term
+    from bitfunnel_spark.plans.profile import profile_many as _pm
+
+    # skewed-impact log (the SPLADE shape: few heavy features, a tail of
+    # near-zero ones) — the regime where max_tf bounds prove light-feature
+    # blocks can't reach the threshold; the uniform SPARSE_LOG above stays
+    # the wall-clock workload
+    SPARSE_PRUNE_LOG = [
+        {"dup": 40.0, "the": 0.01},
+        {"dup": 25.0, "data": 20.0, "a": 0.02},
+        {"vector": 30.0, "the": 0.01, "a": 0.01},
+    ]
+    sparse_nodes = []
+    for qv in SPARSE_PRUNE_LOG:
+        clauses = tuple(
+            Boost(Term(t, "body"), float(w)) for t, w in sorted(qv.items())
+        )
+        sparse_nodes.append(clauses[0] if len(clauses) == 1 else Or(clauses))
+    sm, _ = _pm(idx_b, sparse_nodes, k=PRUNE_BATTERY_K, similarity="dot_tf")
+    srow = (
+        sm.groupBy()
+        .agg(F.sum("blocks_total").alias("bt"), F.sum("blocks_decoded").alias("bd"))
+        .collect()[0]
+    )
+    sparse_bt, sparse_bd = int(srow["bt"] or 0), int(srow["bd"] or 0)
+
     lat = sorted(queries.values())
     out = {
         "metric": "suite_total",
@@ -355,6 +385,11 @@ def main() -> None:
             "sparse_sec": round(sparse_sec, 3),
             "sparse_qps": round(len(SPARSE_LOG) / sparse_sec, 2),
             "sparse_top1": sparse_top1,
+            "sparse_prune": {
+                "blocks_total": sparse_bt,
+                "blocks_decoded": sparse_bd,
+                "skip_ratio": round(1.0 - sparse_bd / max(sparse_bt, 1), 4),
+            },
         },
         "grep_battery": {
             "n_queries": len(GREP_SET),

@@ -2397,6 +2397,56 @@ ORDER BY df DESC, term ASC LIMIT 10"""
         + ") ORDER BY doc_id LIMIT 10"
     )
 
+    def q_ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES rank_feature (standalone): static per-doc feature through the
+        # saturation curve — feature-based ranking without a text query
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"rank_feature": {
+                "field": "doclen", "saturation": {"pivot": 8.0},
+                "boost": 2.0}},
+            "size": 10,
+        })
+
+    queries["ft_rank_feature"] = q_ft_rank_feature
+    oracles["ft_rank_feature"] = f"""WITH {CORPUS_CTE}
+SELECT doc_id, round(2.0 * doclen / (doclen + 8.0), 4) AS score
+FROM dl ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    _PIN_IDS = (17, 4, 999999983)
+
+    def q_ft_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES pinned query (search promotions): given ids first in order
+        # (unknown ids dropped), then organic hits excluding them
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"pinned": {
+                "ids": list(_PIN_IDS),
+                "organic": {"match": {"content": "data"}}}},
+            "size": 10,
+        })
+
+    _pin_vals = ", ".join(
+        f"({i}, {p + 1}.0)" for p, i in enumerate(_PIN_IDS)
+    )
+    queries["ft_pinned"] = q_ft_pinned
+    oracles["ft_pinned"] = f"""WITH org AS (
+  SELECT o.doc_id, o.score
+  FROM ({oracle_search_sql("data", k=10 + len(_PIN_IDS), config=ENTRY_CONFIG)}) o
+  WHERE o.doc_id NOT IN ({", ".join(str(i) for i in _PIN_IDS)})
+),
+pin AS (
+  SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+         CAST(1e9 AS DOUBLE) - v.pos AS score
+  FROM (VALUES {_pin_vals}) v(doc_id, pos)
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+)
+SELECT doc_id, score FROM (
+  SELECT * FROM pin UNION ALL SELECT * FROM org
+) ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
     _AGGS_Q = {"match": {"content": {"query": "data fast", "operator": "and"}}}
 
     def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:

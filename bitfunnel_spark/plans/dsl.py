@@ -321,7 +321,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
     "span_near", "span_first", "span_not", "more_like_this",
-    "sparse_vector",
+    "sparse_vector", "rank_feature", "pinned",
 )
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
@@ -628,6 +628,68 @@ def _serving_query(index, kind: str, body, k: int = 10):
         )
         node = clauses[0] if len(clauses) == 1 else Or(clauses)
         return index.search(node, k=k, mode="kernel", similarity="dot_tf")
+    if kind == "rank_feature":
+        # ES rank_feature: a static per-doc numeric feature through a
+        # bounded monotone function (plans/serving.rank_feature). ES's
+        # standalone form matches every doc carrying the feature.
+        field = opts.pop("field", None)
+        _require(isinstance(field, str) and field, "rank_feature needs a field")
+        boost = float(opts.pop("boost", 1.0))
+        fn = None
+        params = {}
+        for fname in ("saturation", "log", "sigmoid"):
+            if fname in opts:
+                _require(fn is None, "rank_feature takes ONE function")
+                fn = fname
+                params = dict(opts.pop(fname) or {})
+        _reject_extra(opts, "rank_feature")
+        kwargs = {}
+        if "pivot" in params:
+            kwargs["pivot"] = float(params.pop("pivot"))
+        if "exponent" in params:
+            kwargs["exponent"] = float(params.pop("exponent"))
+        if "scaling_factor" in params:
+            kwargs["scaling_factor"] = float(params.pop("scaling_factor"))
+        _require(not params, f"unsupported rank_feature params: {sorted(params)}")
+        try:
+            return serving.rank_feature(
+                index, None, field=field, fn=fn or "saturation",
+                boost=boost, k=k, **kwargs,
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
+    if kind == "pinned":
+        # ES pinned query (search promotions): the given ids first, in the
+        # given order, then organic results excluding them. Pinned rows
+        # score 1e9 − position — far above any organic score, so one
+        # (score desc, doc_id asc) order yields ES's layout. Unknown ids
+        # are dropped (ES semantics). All frames stay ≤ k + |ids| rows.
+        from pyspark.sql import functions as F
+
+        ids = opts.pop("ids", None)
+        organic = opts.pop("organic", None)
+        _reject_extra(opts, "pinned")
+        _require(isinstance(ids, (list, tuple)) and ids, "pinned needs ids")
+        _require(isinstance(organic, dict), "pinned needs an organic query")
+        ids = [int(i) for i in ids]
+        _require(len(set(ids)) == len(ids), "pinned ids must be distinct")
+        org = index.search(compile_dsl(organic), k=k + len(ids), mode="kernel")
+        org = org.filter(~F.col("doc_id").isin(ids))
+        id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
+        live = index.corpus.select("doc_id").filter(F.col("doc_id").isin(ids))
+        tomb = getattr(index, "tombstones", frozenset())
+        if tomb:
+            live = live.filter(~F.col("doc_id").isin([int(d) for d in tomb]))
+        pinned_rows = live.select(
+            "doc_id",
+            (F.lit(1e9) - F.array_position(id_arr, F.col("doc_id"))
+             .cast("double")).alias("score"),
+        )
+        return (
+            pinned_rows.unionByName(org.select("doc_id", "score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
     if kind == "multi_match":
         text = opts.pop("query", None)
         _require(isinstance(text, str) and text, "multi_match needs a query string")

@@ -76,10 +76,13 @@ def _profiled_batch_kernel(plans, descriptor):
         out = []
         from bitfunnel_spark.plans.planner import effective_idf
 
+        sim = descriptor.get("similarity", "bm25")
         for qid, plan in enumerate(plans):
             qidf = effective_idf(plan, descriptor["idf"])
             stats: dict = {}
-            cache = BlockCache(raw, stats)  # fresh per query: exact attribution
+            # fresh per query: exact attribution; bound mode mirrors the
+            # result kernel (max_partial for bm25, max_tf for dot_tf)
+            cache = BlockCache(raw, stats, bound=sim)
             t0 = time.perf_counter()
             flat = route_units(plan.ast) if k is not None else None
             skeys = sorted(plan.scoring_keys)
@@ -126,6 +129,7 @@ def _profiled_batch_kernel(plans, descriptor):
                             cand, postings, sorted(plan.scoring_keys), qidf,
                             plan.syn_groups, descriptor.get("k1", 1.2),
                             getattr(plan, "field_groups", ()),
+                            similarity=sim,
                         )
                         nrows = min(cand.size, k) if k is not None else cand.size
                         del score
@@ -146,6 +150,7 @@ def _profiled_batch_kernel(plans, descriptor):
 def profile_many(
     index, queries: list[str], k: int = 10,
     after: tuple[float, int] | None = None,
+    similarity: str = "bm25",
 ) -> tuple[DataFrame, dict]:
     """Per-query execution metrics for a query log, ONE job.
 
@@ -155,8 +160,15 @@ def profile_many(
     driver_timings records parse/plan/descriptor wall-times (the reference's
     parse/plan phases, QueryRunner.cpp:84-92). ``after`` applies one
     search_after cursor to every query — the per-page decode-counter
-    instrumentation for deep pagination.
+    instrumentation for deep pagination. ``similarity`` profiles the
+    prunable flavors ("bm25" / "dot_tf" — queries may be AST nodes, e.g. a
+    compiled sparse_vector body, whose boosts carry the weights).
     """
+    if similarity not in ("bm25", "dot_tf"):
+        raise ValueError(
+            f"profile_many instruments the prunable similarities "
+            f"('bm25', 'dot_tf'), got {similarity!r}"
+        )
     if index.segments is None:
         index.build_segments()
     t0 = time.perf_counter()
@@ -165,6 +177,10 @@ def profile_many(
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     seg = index.segments.filter(_segment_filter(index, all_terms))
     idf = index.idf_for_keys(all_terms)
+    if similarity != "bm25":
+        from bitfunnel_spark.plans.scoring import base_weight_map
+
+        idf = base_weight_map(idf, similarity, index.n_docs)
     fallback: set = set()
     use_positions = use_positional_phrases(index)
     if not use_positions:
@@ -188,6 +204,7 @@ def profile_many(
             "use_positions": use_positions,
             "k": k,
             "k1": index.config.bm25.k1,
+            "similarity": similarity,
             **(
                 {"after": (round(float(after[0]), 4), int(after[1]))}
                 if after is not None

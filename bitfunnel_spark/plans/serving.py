@@ -411,6 +411,63 @@ def function_score(
     )
 
 
+_RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature(
+    index, query, field: str = "doclen", fn: str = "saturation",
+    pivot: float | None = None, exponent: float = 1.0,
+    scaling_factor: float = 1.0, boost: float = 1.0, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query: score docs by a static per-document
+    numeric feature through a bounded monotone function —
+    saturation f/(f+pivot), log ln(scaling_factor + f), or sigmoid
+    f^exp/(f^exp + pivot^exp) — times ``boost``. ``field`` is ``doclen``
+    (the engine's per-doc numeric, from doc stats) or a numeric corpus
+    metadata column. ``query`` restricts to a match set; None scores the
+    whole corpus (ES's standalone rank_feature matches every doc carrying
+    the feature). ``pivot`` is required for saturation/sigmoid — ES
+    derives a default from index stats; we refuse to guess silently.
+
+    Returns DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+
+    Scale shape: one narrow feature-column join (or a bare metadata scan
+    for query=None) + a column expression + TakeOrderedAndProject — the
+    feature is never recomputed per query (ES stores it the same way:
+    rank_feature fields are indexed features)."""
+    if fn not in _RANK_FEATURE_FNS:
+        raise ValueError(f"rank_feature fn must be one of {_RANK_FEATURE_FNS}")
+    if fn in ("saturation", "sigmoid") and (pivot is None or float(pivot) <= 0):
+        raise ValueError(f"rank_feature {fn} needs a positive pivot")
+    if field == "doclen":
+        feats = index.doc_stats.select(
+            "doc_id", F.col("doclen").cast("double").alias("fv")
+        )
+    else:
+        feats = index.corpus.select(
+            "doc_id", F.col(field).cast("double").alias("fv")
+        )
+    if query is not None:
+        matches = index.match(query, facts).select("doc_id")
+        feats = matches.join(feats, "doc_id", "left").fillna(0.0, subset=["fv"])
+    v = F.col("fv")
+    if fn == "saturation":
+        expr = v / (v + F.lit(float(pivot)))
+    elif fn == "log":
+        expr = F.log(F.lit(float(scaling_factor)) + v)
+    else:
+        num = F.pow(v, F.lit(float(exponent)))
+        expr = num / (num + F.lit(float(pivot) ** float(exponent)))
+    return (
+        feats.select(
+            "doc_id", F.round(F.lit(float(boost)) * expr, 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def span_first(
     index, query: str, term: str, end: int, k: int = 10,
     facts: list[str] | None = None,

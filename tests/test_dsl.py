@@ -751,3 +751,60 @@ def test_filter_only_rejections(index):
         search_dsl(index, {"query": {"match_all": {"bad_opt": 1}}})
     with pytest.raises(DslError):
         search_dsl(index, {"query": {"constant_score": {"boost": 2.0}}})
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / pinned
+
+def test_rank_feature_saturation(index, duck):
+    rows = search_dsl(index, {"query": {"rank_feature": {
+        "field": "doclen", "saturation": {"pivot": 8.0}, "boost": 2.0}},
+        "size": 5}).collect()
+    want = duck.execute("""
+        WITH dl AS (
+          SELECT doc_id, count(*) AS doclen FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '[a-z0-9_]+')) AS tok
+            FROM documents) GROUP BY doc_id)
+        SELECT doc_id, round(2.0 * doclen / (doclen + 8.0), 4) AS score
+        FROM dl ORDER BY score DESC, doc_id LIMIT 5""").fetchall()
+    assert [(r.doc_id, r.score) for r in rows] == want
+
+
+def test_rank_feature_log_and_sigmoid(index):
+    import math
+
+    logs = search_dsl(index, {"query": {"rank_feature": {
+        "field": "doclen", "log": {"scaling_factor": 3.0}}}, "size": 3}).collect()
+    sats = search_dsl(index, {"query": {"rank_feature": {
+        "field": "doclen", "sigmoid": {"pivot": 8.0, "exponent": 2.0}}},
+        "size": 3}).collect()
+    # both rank by doclen desc — same doc order, different score shape
+    assert [r.doc_id for r in logs] == [r.doc_id for r in sats]
+    assert all(0 < r.score <= 1.0 for r in sats)
+    assert all(r.score > 1.0 for r in logs)  # ln(3 + doclen) > 1 here
+    with pytest.raises(DslError):  # saturation without pivot
+        search_dsl(index, {"query": {"rank_feature": {
+            "field": "doclen", "saturation": {}}}})
+    with pytest.raises(DslError):  # two functions
+        search_dsl(index, {"query": {"rank_feature": {
+            "field": "doclen", "log": {}, "saturation": {"pivot": 1}}}})
+
+
+def test_pinned_query(index):
+    org_body = {"match": {"content": "data"}}
+    organic = index.search("data", k=12).collect()
+    pins = [organic[5].doc_id, 10**9 + 7, organic[0].doc_id]
+    rows = search_dsl(index, {"query": {"pinned": {
+        "ids": pins, "organic": org_body}}, "size": 6}).collect()
+    # pinned first in GIVEN order (unknown id dropped), then organic
+    # excluding pinned
+    assert [r.doc_id for r in rows[:2]] == [pins[0], pins[2]]
+    assert rows[0].score > rows[1].score > rows[2].score
+    rest = [r.doc_id for r in organic if r.doc_id not in (pins[0], pins[2])][:4]
+    assert [r.doc_id for r in rows[2:]] == rest
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"pinned": {"ids": [1, 1],
+                                                "organic": org_body}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"pinned": {"ids": [1]}}})

@@ -52,3 +52,33 @@ def test_cli_verify_one(prof_index):
 
     res = _verify_one(prof_index, "data -slow", 10)
     assert res["ok"] and not res["false_positives"] and not res["false_negatives"]
+
+
+def test_profile_many_dot_tf_prunes(prof_index):
+    """Sparse (dot_tf) queries report real decode counters: a skewed-weight
+    sparse query must skip blocks of the low-weight term, and the profiled
+    rows must agree with the result kernel's hit count."""
+    from bitfunnel_spark.plans.ast import Boost, Or, Term
+    from bitfunnel_spark.plans.profile import profile_many, summarize
+
+    # heavy weight on a rare-ish term, tiny weight on a very common one —
+    # the MaxScore shape where the common term's blocks can't reach the
+    # top-k threshold
+    # the light term's blocks decode only where a candidate lives (exact
+    # scoring needs them); a mid-frequency heavy term keeps candidate
+    # density low enough that whole light-term blocks are skipped
+    node = Or((Boost(Term("dup", "body"), 50.0),
+               Boost(Term("the", "body"), 0.01)))
+    metrics, _ = profile_many(prof_index, [node], k=2, similarity="dot_tf")
+    row = summarize(metrics).collect()[0]
+    assert row["blocks_total"] > 0
+    assert 0 < row["blocks_decoded"] < row["blocks_total"], dict(row.asDict())
+    hits = prof_index.search(node, k=2, mode="kernel", similarity="dot_tf")
+    assert row["rows"] >= hits.count() > 0
+
+
+def test_profile_many_rejects_non_prunable_similarity(prof_index):
+    from bitfunnel_spark.plans.profile import profile_many
+
+    with pytest.raises(ValueError):
+        profile_many(prof_index, ["data"], k=3, similarity="classic")

@@ -2624,6 +2624,22 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["ft_span_near"] = oracle_span_near_sql(
         ["key", "table", "value"], slop=1, k=10, config=ENTRY_CONFIG
     )
+
+    def q_ft_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES intervals query: unordered bounded-gap rule — routed onto the
+        # span_near executor via the DSL (plans/dsl.py intervals kind)
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"intervals": {"content": {
+                "match": {"query": "key table value", "max_gaps": 1}}}},
+            "size": 10,
+        })
+
+    queries["ft_intervals"] = q_ft_intervals
+    oracles["ft_intervals"] = oracle_span_near_sql(
+        ["key", "table", "value"], slop=1, k=10, config=ENTRY_CONFIG
+    )
     from bitfunnel_spark.plans import serving as _serving
     from bitfunnel_spark.plans.oracle import oracle_span_not_sql
 

@@ -321,7 +321,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
     "span_near", "span_first", "span_not", "more_like_this",
-    "sparse_vector", "rank_feature", "pinned",
+    "sparse_vector", "rank_feature", "pinned", "intervals",
 )
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
@@ -628,6 +628,72 @@ def _serving_query(index, kind: str, body, k: int = 10):
         )
         node = clauses[0] if len(clauses) == 1 else Or(clauses)
         return index.search(node, k=k, mode="kernel", similarity="dot_tf")
+    if kind == "intervals":
+        # ES intervals query — documented subset mapped onto the engine's
+        # positional executors: `match` rules (and `all_of` over
+        # single-token `match` sub-rules, ES's common composition) with
+        # ordered/unordered + max_gaps. ordered+bounded → sloppy phrase
+        # (ordered window (n-1)+max_gaps); unordered+bounded → span_near;
+        # unlimited gaps (-1, the ES default) → plain conjunction.
+        # any_of / filter / prefix / wildcard rules raise loudly.
+        _require(len(opts) == 1, "intervals needs exactly one field")
+        (field, rule), = opts.items()
+        _require(_stream(field) == "body",
+                 "intervals runs on the body field (positions are stored "
+                 "for body postings)")
+
+        def _interval_tokens(r) -> tuple[list[str], int, bool]:
+            _require(isinstance(r, dict) and len(r) == 1,
+                     "an intervals rule is a single-kind object")
+            (rkind, rconf), = r.items()
+            if rkind == "match":
+                rc = dict(rconf)
+                text = rc.pop("query", None)
+                _require(isinstance(text, str) and text,
+                         "intervals match needs a query string")
+                gaps = int(rc.pop("max_gaps", -1))
+                ordered = bool(rc.pop("ordered", False))
+                _reject_extra(rc, "intervals match")
+                toks = _analyze(text)
+                _require(bool(toks), f"match analyzes to zero tokens: {text!r}")
+                return toks, gaps, ordered
+            if rkind == "all_of":
+                rc = dict(rconf)
+                subs = rc.pop("intervals", None)
+                gaps = int(rc.pop("max_gaps", -1))
+                ordered = bool(rc.pop("ordered", False))
+                _reject_extra(rc, "intervals all_of")
+                _require(isinstance(subs, list) and subs,
+                         "all_of needs a non-empty intervals list")
+                toks = []
+                for s in subs:
+                    st, sg, so = _interval_tokens(s)
+                    _require(len(st) == 1 and sg == -1 and not so,
+                             "all_of sub-intervals must be single-token "
+                             "match rules (nested windows are not modeled)")
+                    toks.extend(st)
+                return toks, gaps, ordered
+            raise DslError(
+                f"unsupported intervals rule {rkind!r} (supported: match, "
+                "all_of over single-token matches)"
+            )
+
+        toks, gaps, ordered = _interval_tokens(rule)
+        if len(toks) == 1:
+            return index.search(Term(toks[0], "body"), k=k, mode="kernel")
+        if gaps < 0:  # unlimited gaps: pure conjunction, order unobservable
+            _require(not ordered,
+                     "ordered intervals need max_gaps >= 0 (an unbounded "
+                     "ordered subsequence is not modeled)")
+            return index.search(And(tuple(Term(t, "body") for t in toks)),
+                                k=k, mode="kernel")
+        if ordered:
+            return index.search(Phrase(tuple(toks), "body", slop=gaps),
+                                k=k, mode="kernel")
+        try:
+            return serving.span_near(index, toks, slop=gaps, k=k)
+        except ValueError as e:
+            raise DslError(str(e)) from e
     if kind == "rank_feature":
         # ES rank_feature: a static per-doc numeric feature through a
         # bounded monotone function (plans/serving.rank_feature). ES's
@@ -767,9 +833,8 @@ def _serving_query(index, kind: str, body, k: int = 10):
         toks = [_span_term(c) for c in clauses]
         if in_order:
             # ordered near ≡ the engine's sloppy phrase (order preserved,
-            # up to `slop` interleaved tokens)
-            from bitfunnel_spark.plans.ast import Phrase
-
+            # up to `slop` interleaved tokens); Phrase is the module-level
+            # ast import
             return index.search(Phrase(tuple(toks), slop=slop), k=k)
         return serving.span_near(index, toks, slop=slop, k=k)
     if kind == "span_first":

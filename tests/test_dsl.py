@@ -808,3 +808,66 @@ def test_pinned_query(index):
                                                 "organic": org_body}}})
     with pytest.raises(DslError):
         search_dsl(index, {"query": {"pinned": {"ids": [1]}}})
+
+
+# ---------------------------------------------------------------------------
+# intervals
+
+def test_intervals_match_maps_onto_span_executors(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.ast import Phrase as _Phrase
+
+    # ordered + bounded == sloppy phrase
+    got = search_dsl(index, {"query": {"intervals": {"content": {
+        "match": {"query": "fast key", "max_gaps": 2, "ordered": True}}}},
+        "size": 5}).collect()
+    want = index.search(
+        _Phrase(("fast", "key"), "body", slop=2), k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+    # unordered + bounded == span_near
+    got = search_dsl(index, {"query": {"intervals": {"content": {
+        "match": {"query": "fast key", "max_gaps": 1}}}}, "size": 5}).collect()
+    want = serving.span_near(index, ["fast", "key"], slop=1, k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+    # unlimited gaps (ES default) == conjunction
+    got = search_dsl(index, {"query": {"intervals": {"content": {
+        "match": {"query": "fast key"}}}}, "size": 5}).collect()
+    want = index.search("fast & key", k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+    # single token == term
+    got = search_dsl(index, {"query": {"intervals": {"content": {
+        "match": {"query": "fast"}}}}, "size": 5}).collect()
+    want = index.search("fast", k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+
+
+def test_intervals_all_of_flattens(index):
+    from bitfunnel_spark.plans import serving
+
+    got = search_dsl(index, {"query": {"intervals": {"content": {
+        "all_of": {"intervals": [{"match": {"query": "fast"}},
+                                 {"match": {"query": "key"}}],
+                   "max_gaps": 1}}}}, "size": 5}).collect()
+    want = serving.span_near(index, ["fast", "key"], slop=1, k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want]
+
+
+def test_intervals_rejections(index):
+    with pytest.raises(DslError):  # any_of unsupported
+        search_dsl(index, {"query": {"intervals": {"content": {
+            "any_of": {"intervals": [{"match": {"query": "a"}}]}}}}})
+    with pytest.raises(DslError):  # ordered + unlimited gaps
+        search_dsl(index, {"query": {"intervals": {"content": {
+            "match": {"query": "fast key", "ordered": True}}}}})
+    with pytest.raises(DslError):  # multi-token all_of sub-interval
+        search_dsl(index, {"query": {"intervals": {"content": {
+            "all_of": {"intervals": [{"match": {"query": "fast key"}}],
+                       "max_gaps": 1}}}}})
+    with pytest.raises(DslError):  # non-body field
+        search_dsl(index, {"query": {"intervals": {"lang": {
+            "match": {"query": "en"}}}}})

@@ -1310,6 +1310,44 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id AS
 ORDER BY query_id, cosine DESC, vec_id"""
 
 
+def q_ann_bbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8.16 BBQ shape: 1-bit sign codes (packed 32-bit words), hamming
+    # candidate ranking, exact-cosine rescore of k·6 candidates
+    return similarity.bbq_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10, rescore_factor=6, dim=64
+    )
+
+
+def _bbq_pack_sql(lo: int, hi: int) -> str:
+    # sign-bit pack of v[lo:hi] into one BIGINT word, MSB-first — mirrors
+    # quantize_binary_expr's fold exactly (integer arithmetic, no rounding)
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(v[{lo}:{hi}], "
+        "x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), "
+        "(acc, x) -> acc * 2 + x)"
+    )
+
+
+SQL_ANN_BBQ_TOPK = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, [{_bbq_pack_sql(1, 32)}, {_bbq_pack_sql(33, 64)}] AS code FROM e),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id IN ({_IDS})),
+approx AS (
+  SELECT q.query_id, z.vec_id,
+         bit_count(xor(q.qcode[1], z.code[1]))
+         + bit_count(xor(q.qcode[2], z.code[2])) AS ham
+  FROM q CROSS JOIN c z WHERE q.query_id <> z.vec_id),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) <= 60),
+res AS (
+  SELECT cd.query_id, cd.vec_id,
+         round(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+  FROM cand cd JOIN e qe ON qe.vec_id = cd.query_id JOIN e ce ON ce.vec_id = cd.vec_id)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 SQL_ANN_LSH_TOPK = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET})::INT AS bucket FROM embeddings
 ),
@@ -2528,6 +2566,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["ann_ivf_topk"] = _sql_ann_ivf()
     queries["ann_sq8_topk"] = q_ann_sq8_topk
     oracles["ann_sq8_topk"] = SQL_ANN_SQ8_TOPK
+    queries["ann_bbq_topk"] = q_ann_bbq_topk
+    oracles["ann_bbq_topk"] = SQL_ANN_BBQ_TOPK
     queries["ann_pq_topk"] = q_ann_pq_topk
     oracles["ann_pq_topk"] = _sql_ann_pq()
     queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design

@@ -623,3 +623,55 @@ def test_recall_at_k_modes(spark):
 
     with _pytest.raises(ValueError):
         similarity.recall_at_k(emb, [0], mode="hnsw")
+
+
+def test_bbq_binary_pack_and_hamming(spark):
+    import pandas as pd
+
+    from bitfunnel_spark.operators.similarity import (
+        hamming_expr,
+        quantize_binary_expr,
+    )
+    from pyspark.sql import functions as F
+
+    # 64-dim vector: first 32 dims positive -> word0 all ones; second 32
+    # alternating starting positive -> 0b1010... (MSB first)
+    v1 = [1.0] * 32 + [(1.0 if i % 2 == 0 else -1.0) for i in range(32)]
+    v2 = [-1.0] * 64
+    df = spark.createDataFrame(pd.DataFrame({"v": [v1, v2]}))
+    codes = [r[0] for r in
+             df.select(quantize_binary_expr(F.col("v"), 64)).collect()]
+    assert codes[0][0] == (1 << 32) - 1
+    alt = int("10" * 16, 2)
+    assert codes[0][1] == alt
+    assert codes[1] == [0, 0]
+    ham = df.agg(
+        hamming_expr(
+            quantize_binary_expr(F.first("v"), 64),
+            quantize_binary_expr(F.last("v"), 64),
+        )
+    ).collect()[0][0]
+    assert ham == 32 + 16  # word0 differs in 32 bits, word1 in 16
+
+
+def test_bbq_topk_recall_and_validation(spark):
+    import pytest as _pytest
+
+    from bitfunnel_spark.operators.similarity import (
+        bbq_cosine_topk,
+        quantize_binary_expr,
+        recall_at_k,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    rec = recall_at_k(emb, qids, k=5, mode="bbq", rescore_factor=8).collect()
+    assert len(rec) == 3
+    # 1-bit candidates + wide rescore must still find most true neighbors
+    assert all(r["recall"] >= 0.4 for r in rec), [r["recall"] for r in rec]
+    rows = bbq_cosine_topk(emb, qids, k=5).collect()
+    assert {r.query_id for r in rows} == set(qids)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    with _pytest.raises(ValueError):
+        quantize_binary_expr(F.col("x"), 63)  # not a multiple of 32

@@ -2735,6 +2735,25 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
         FACETS_QUERY, by="lang", percents=(25.0, 50.0, 75.0, 95.0),
         config=ENTRY_CONFIG,
     )
+    def q_ft_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES median_absolute_deviation sub-agg (exact mode) via the aggs
+        # DSL: terms(lang) + MAD(doclen)
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(get_index(spark, sf_dir), {
+            "query": {"query_string": FACETS_QUERY},
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {"m": {"median_absolute_deviation": {
+                    "field": "doclen"}}}}},
+        })
+
+    from bitfunnel_spark.plans.oracle import oracle_facet_mad_sql
+
+    queries["ft_mad"] = q_ft_mad
+    oracles["ft_mad"] = oracle_facet_mad_sql(
+        FACETS_QUERY, by="lang", config=ENTRY_CONFIG
+    )
     queries["ft_facet_stats"] = q_ft_facet_stats
     oracles["ft_facet_stats"] = oracle_facet_stats_sql(
         FACETS_QUERY, by="lang", config=ENTRY_CONFIG

@@ -1049,6 +1049,10 @@ def run_aggs(index, body: dict, k: int = 10):
             _require(sconf.get("field") in NUMERIC_FIELDS, "percentiles field must be doclen")
             pcts = tuple(float(p) for p in sconf.get("percents", (25.0, 50.0, 75.0, 95.0)))
             return serving.facet_percentiles(index, q, by=field, percents=pcts)
+        if skind == "median_absolute_deviation":
+            _require(sconf.get("field") in NUMERIC_FIELDS,
+                     "median_absolute_deviation field must be doclen")
+            return serving.facet_mad(index, q, by=field)
         if skind == "cardinality":
             of = sconf.get("field")
             _require(of in BUCKET_FIELDS, f"cardinality field must be one of {BUCKET_FIELDS}")

@@ -654,6 +654,31 @@ def oracle_facet_stats_sql(
     )
 
 
+def oracle_facet_mad_sql(
+    query, by: str = "lang", config: BuildConfig | None = None
+) -> str:
+    """Per-facet exact median-absolute-deviation oracle mirroring
+    plans/serving.facet_mad's two-pass shape: group medians (DuckDB
+    ``median`` ≡ quantile_cont(0.5) ≡ Spark's exact interpolated
+    ``percentile``, the equivalence the percentiles entry already
+    certifies), then the median of absolute deviations."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang", "repo": "source"}[by]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"r AS (SELECT d.{col} AS {by}, dl.doclen AS doclen\n"
+        f"      FROM m JOIN documents d USING (doc_id)\n"
+        f"      JOIN dl ON m.doc_id = dl.doc_id),\n"
+        f"med AS (SELECT {by}, median(doclen) AS med FROM r GROUP BY {by})\n"
+        f"SELECT r.{by}, count(*) AS n_docs,\n"
+        f"       round(median(abs(r.doclen - med.med)), 4) AS mad\n"
+        f"FROM r JOIN med USING ({by})\n"
+        f"GROUP BY r.{by} ORDER BY r.{by} ASC"
+    )
+
+
 def oracle_facet_percentiles_sql(
     query, by: str = "lang", percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
     config: BuildConfig | None = None,

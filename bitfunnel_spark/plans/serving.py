@@ -188,6 +188,45 @@ def facet_stats(
     )
 
 
+def facet_mad(
+    index, query: str, by: str = "lang", facts: list[str] | None = None,
+) -> DataFrame:
+    """Per-facet median absolute deviation of body document length over a
+    query's match set (the ES ``median_absolute_deviation`` aggregation):
+    MAD = median(|x − median(x)|) per ``by`` value. Deviation, documented:
+    ES computes it approximately over TDigest sketches; this is the EXACT
+    statistic (Spark's exact ``percentile``), so the oracle can certify
+    values — swap to ``percentile_approx`` at corpus scales where an
+    exact per-group median's sort memory bites (ES's own accuracy caveat
+    applies there).
+
+    Returns DataFrame[(<by>, n_docs, mad)] ordered by the facet value.
+
+    Scale shape: two groupBy passes over the matched (facet, doclen)
+    frame — medians per group, broadcast k-row join back, deviations per
+    group. Both aggregations partially combine map-side; the per-group
+    exact percentile is the only memory-heavy state (see the approx note
+    above)."""
+    matches = index.match(query, facts).select("doc_id")
+    grp = index.corpus.select("doc_id", by)
+    dl = index.doc_stats.select("doc_id", "doclen")
+    rows = matches.join(grp, "doc_id").join(dl, "doc_id").select(by, "doclen")
+    med = rows.groupBy(by).agg(
+        F.expr("percentile(doclen, 0.5)").alias("med")
+    )
+    dev = rows.join(F.broadcast(med), by).select(
+        by, F.abs(F.col("doclen") - F.col("med")).alias("adev")
+    )
+    return (
+        dev.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+        )
+        .orderBy(by)
+    )
+
+
 def facet_ranges(
     index, query: str, edges: tuple[int, ...] = (0, 24, 48, 96, 192),
     facts: list[str] | None = None,

@@ -909,3 +909,47 @@ def test_rare_multi_terms_dsl_routing(index):
     with _pytest.raises(DslError):
         run_aggs(index, {"query": q, "aggs": {"t": {"multi_terms": {
             "terms": [{"field": "lang"}, {"field": "lang"}]}}}})
+
+
+def test_facet_mad_exact(index, duck):
+    import math
+
+    from bitfunnel_spark.plans.serving import facet_mad
+
+    rows = facet_mad(index, "data", by="lang").collect()
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'data'),
+        r AS (SELECT d.lang, dl.doclen FROM m JOIN documents d USING (doc_id)
+              JOIN dl USING (doc_id)),
+        med AS (SELECT lang, median(doclen) AS md FROM r GROUP BY lang)
+        SELECT r.lang, count(*) AS n, round(median(abs(r.doclen - med.md)), 4)
+        FROM r JOIN med USING (lang) GROUP BY r.lang ORDER BY r.lang
+    """).fetchall()
+    assert [(r["lang"], r["n_docs"]) for r in rows] == [
+        (w[0], w[1]) for w in want]
+    for r, w in zip(rows, want):
+        assert math.isclose(r["mad"], w[2], rel_tol=1e-9), (r, w)
+
+
+def test_mad_dsl_routing(index):
+    from bitfunnel_spark.plans.dsl import DslError, run_aggs
+
+    out = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"x": {"terms": {"field": "lang"},
+                       "aggs": {"m": {"median_absolute_deviation": {
+                           "field": "doclen"}}}}},
+    })
+    assert set(out.columns) == {"lang", "n_docs", "mad"}
+    import pytest as _pytest
+    with _pytest.raises(DslError):
+        run_aggs(index, {
+            "query": {"match": {"content": "data"}},
+            "aggs": {"x": {"terms": {"field": "lang"},
+                           "aggs": {"m": {"median_absolute_deviation": {
+                               "field": "lang"}}}}},
+        })

@@ -1420,6 +1420,53 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id AS
 ORDER BY query_id, cosine DESC, vec_id"""
 
 
+def q_ann_ivfbbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF cells × 1-bit BBQ codes × exact rescore — the assembled
+    # 10^9-vector serving composition (similarity.ivfbbq_cosine_topk)
+    return similarity.ivfbbq_cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        rescore_factor=6, dim=64,
+    )
+
+
+def _sql_ann_ivfbbq() -> str:
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_CENTROIDS}),
+codes AS (SELECT vec_id, v, [{_bbq_pack_sql(1, 32)}, {_bbq_pack_sql(33, 64)}] AS code FROM e),
+asg AS (
+  SELECT z.vec_id, z.code, c.cent_id
+  FROM codes z JOIN e USING (vec_id) CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY z.vec_id ORDER BY round({_cos_sql('e.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, z.code AS qcode, c.cent_id
+  FROM e q JOIN codes z ON z.vec_id = q.vec_id CROSS JOIN c
+  WHERE q.vec_id IN ({_IDS})
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_cos_sql('q.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) <= {_IVF_PROBE}
+),
+approx AS (
+  SELECT p.query_id, a.vec_id,
+         bit_count(xor(p.qcode[1], a.code[1]))
+         + bit_count(xor(p.qcode[2], a.code[2])) AS ham
+  FROM probes p JOIN asg a USING (cent_id)
+  WHERE p.query_id <> a.vec_id),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) <= 60),
+res AS (
+  SELECT cd.query_id, cd.vec_id,
+         round(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+  FROM cand cd JOIN e qe ON qe.vec_id = cd.query_id JOIN e ce ON ce.vec_id = cd.vec_id)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
 _PQ_M, _PQ_CODES, _PQ_FACTOR = 4, 16, 4
 
 
@@ -2568,6 +2615,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["ann_sq8_topk"] = SQL_ANN_SQ8_TOPK
     queries["ann_bbq_topk"] = q_ann_bbq_topk
     oracles["ann_bbq_topk"] = SQL_ANN_BBQ_TOPK
+    queries["ann_ivfbbq_topk"] = q_ann_ivfbbq_topk
+    oracles["ann_ivfbbq_topk"] = _sql_ann_ivfbbq()
     queries["ann_pq_topk"] = q_ann_pq_topk
     oracles["ann_pq_topk"] = _sql_ann_pq()
     queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design

@@ -358,6 +358,105 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivfbbq_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rescore_factor: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "np.ndarray | list | None" = None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF × BBQ (the ES 8.16+ serving composition): the coarse quantizer
+    prunes candidates to the query's ``n_probe`` cells, hamming over 1-bit
+    sign codes ranks ONLY those candidates, and the ``k·rescore_factor``
+    best rescore with exact full-precision cosine.
+
+    Scale shape — the full 10^9-vector story assembled: cell assignment
+    AND sign quantization are pure column expressions (centroid plan
+    literal + bit packing — zero corpus-side shuffle/join); the hot scan
+    reads (cent_id, dim/8 bytes) per vector and only for probed cells, so
+    a query touches ~(n_probe/n_centroids) · 32×-compressed data; full
+    vectors are fetched for k·rescore_factor rows via an id equi-join.
+    Every stage is deterministic (rounded centroid cosines, integer
+    hamming), so the DuckDB oracle mirrors the algorithm bit-for-bit.
+
+    Defaults are the deterministic id-based centroids (SQL-expressible);
+    pass trained centroids for quality — only the literal changes."""
+    if centroids is None:
+        cent_rows = sorted(
+            (int(r[id_col]), list(r[vec_col]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    else:
+        cent_rows = [(i, list(v)) for i, v in enumerate(centroids)]
+    cents_lit = _centroid_literal(cent_rows)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        quantize_binary_expr(F.col(vec_col), dim).alias("code"),
+    )
+    vnorm = norm_expr(F.col("v"))
+    ranked = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(dot_expr(F.col("v"), c["cvec"]) / (vnorm * c["cnorm"]), 6)
+            .alias("cosc"),
+            (-c["cent_id"]).alias("n"),
+        ),
+    )
+    assigned = base.select(
+        "vec_id", "code",
+        (-F.array_max(ranked)["n"]).cast("int").alias("cent_id"),
+    )
+    top_cells = F.transform(
+        F.slice(F.sort_array(ranked, asc=False), 1, n_probe),
+        lambda s: (-s["n"]).cast("int"),
+    )
+    probes = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.explode(top_cells).alias("cent_id"),
+    )
+    pairs = F.broadcast(probes).join(assigned, "cent_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    approx = pairs.select(
+        "query_id", "vec_id",
+        hamming_expr(F.col("qcode"), F.col("code")).alias("ham"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k * rescore_factor))
+        .select("query_id", "vec_id")
+    )
+    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    qfull = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
 def ivfpq_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -675,3 +675,28 @@ def test_bbq_topk_recall_and_validation(spark):
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
     with _pytest.raises(ValueError):
         quantize_binary_expr(F.col("x"), 63)  # not a multiple of 32
+
+
+def test_ivfbbq_composition(spark):
+    from bitfunnel_spark.operators.similarity import (
+        bbq_cosine_topk,
+        ivfbbq_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1]
+    rows = ivfbbq_cosine_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=8, rescore_factor=8
+    ).collect()
+    # probing EVERY cell degenerates to plain BBQ over the whole corpus —
+    # the composition must then agree with the uncomposed path exactly
+    want = bbq_cosine_topk(emb, qids, k=5, rescore_factor=8).collect()
+    assert [(r.query_id, r.vec_id, r.cosine) for r in rows] == [
+        (r.query_id, r.vec_id, r.cosine) for r in want]
+    # fewer probes: still k rows per query, candidates only from probed
+    # cells (weaker recall is by design)
+    few = ivfbbq_cosine_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=2, rescore_factor=8
+    ).collect()
+    assert {r.query_id for r in few} == set(qids)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in few)

@@ -2694,6 +2694,26 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
         FACETS_QUERY, modifier="log1p", factor=1.0, boost_mode="multiply",
         k=10, config=ENTRY_CONFIG,
     )
+    _SCRIPT = "_score * doclen / (doclen + params.pivot)"
+
+    def q_ft_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES script_score: the painless-lite expression IS the score —
+        # a BM25 × doclen-saturation shape here
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"script_score": {
+                "query": {"query_string": FACETS_QUERY},
+                "script": {"source": _SCRIPT, "params": {"pivot": 32}}}},
+            "size": 10,
+        })
+
+    from bitfunnel_spark.plans.oracle import oracle_script_score_sql
+
+    queries["ft_script_score"] = q_ft_script_score
+    oracles["ft_script_score"] = oracle_script_score_sql(
+        FACETS_QUERY, _SCRIPT, params={"pivot": 32}, k=10, config=ENTRY_CONFIG
+    )
     from bitfunnel_spark.plans.oracle import oracle_decay_score_sql
 
     queries["ft_decay"] = q_ft_decay

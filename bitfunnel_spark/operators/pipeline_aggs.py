@@ -186,6 +186,96 @@ def compile_script(script: str, params: dict):
     return _ScriptParser(_tokenize(script), params).parse()
 
 
+class _SqlScriptParser(_ScriptParser):
+    """The same grammar emitting a SQL expression string instead of a
+    Column — the oracle's mirror of compile_script. Operator semantics
+    match across engines on double operands (/ is float division, % is
+    fmod in both Spark and DuckDB)."""
+
+    def _or(self):
+        s = self._and()
+        while self._peek() == ("op", "||"):
+            self._eat()
+            s = f"({s} OR {self._and()})"
+        return s
+
+    def _and(self):
+        s = self._cmp()
+        while self._peek() == ("op", "&&"):
+            self._eat()
+            s = f"({s} AND {self._cmp()})"
+        return s
+
+    def _cmp(self):
+        s = self._add()
+        kind, tok = self._peek()
+        if kind == "op" and tok in (">", ">=", "<", "<=", "==", "!="):
+            self._eat()
+            op = {"==": "=", "!=": "<>"}.get(tok, tok)
+            return f"({s} {op} {self._add()})"
+        return s
+
+    def _add(self):
+        s = self._mul()
+        while True:
+            kind, tok = self._peek()
+            if kind == "op" and tok in ("+", "-"):
+                self._eat()
+                s = f"({s} {tok} {self._mul()})"
+            else:
+                return s
+
+    def _mul(self):
+        s = self._unary()
+        while True:
+            kind, tok = self._peek()
+            if kind == "op" and tok in ("*", "/", "%"):
+                self._eat()
+                s = f"({s} {tok} {self._unary()})"
+            else:
+                return s
+
+    def _unary(self):
+        kind, tok = self._peek()
+        if kind == "op" and tok == "-":
+            self._eat()
+            return f"(- {self._unary()})"
+        if kind == "op" and tok == "!":
+            self._eat()
+            return f"(NOT {self._unary()})"
+        return self._atom()
+
+    def _atom(self):
+        kind, tok = self._peek()
+        if kind == "num":
+            self._eat()
+            return repr(float(tok)) if "." in tok else tok
+        if kind == "ident":
+            self._eat()
+            name = tok[7:] if tok.startswith("params.") else tok
+            if name not in self.params:
+                raise PipelineError(
+                    f"script references {name!r}, not in buckets_path "
+                    f"{sorted(self.params)}"
+                )
+            return self.params[name]
+        if kind == "op" and tok == "(":
+            self._eat()
+            s = self._or()
+            self._eat(")")
+            return f"({s})"
+        raise PipelineError(f"bad script atom {tok!r}")
+
+
+def compile_script_sql(script: str, params: dict) -> str:
+    """painless-lite expression → ANSI-SQL expression string; ``params``
+    maps script names to SQL expressions. Same grammar and rejection
+    behavior as compile_script — the DuckDB-oracle mirror."""
+    if not isinstance(script, str) or not script.strip():
+        raise PipelineError("script must be a non-empty string")
+    return _SqlScriptParser(_tokenize(script), params).parse()
+
+
 # ---------------------------------------------------------------------------
 # pipeline application
 

@@ -321,7 +321,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
     "span_near", "span_first", "span_not", "more_like_this",
-    "sparse_vector", "rank_feature", "pinned", "intervals",
+    "sparse_vector", "rank_feature", "pinned", "intervals", "script_score",
 )
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
@@ -812,6 +812,28 @@ def _serving_query(index, kind: str, body, k: int = 10):
             )
         except ValueError as e:
             raise DslError(str(e)) from e
+    if kind == "script_score":
+        # ES script_score: the painless-lite expression IS the score
+        # (plans/serving.script_score) — bindings: _score, doclen, params.*
+        q = opts.pop("query", None)
+        _require(q is not None, "script_score needs a query")
+        spec = opts.pop("script", None)
+        _reject_extra(opts, kind)
+        _require(isinstance(spec, (str, dict)), "script_score needs a script")
+        if isinstance(spec, str):
+            spec = {"source": spec}
+        spec = dict(spec)
+        src = spec.pop("source", None)
+        sparams = spec.pop("params", None) or {}
+        _reject_extra(spec, "script")
+        _require(isinstance(src, str) and src.strip(),
+                 "script needs a source expression")
+        try:
+            return serving.script_score(
+                index, _clause_string(q), src, params=sparams, k=k
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
     if kind == "more_like_this":
         like = opts.pop("like", None)
         mqt = int(opts.pop("max_query_terms", 8))
@@ -896,6 +918,14 @@ def _clause_string(q) -> str:
     kind, body = next(iter(q.items()))
     if kind == "query_string":
         return str(body["query"] if isinstance(body, dict) else body)
+    if kind == "term":
+        field, raw = _one_field(body, "term")
+        value, opts = _opts(raw, "value")
+        _reject_extra(opts, "term")
+        toks = _analyze(value)
+        _require(len(toks) == 1, f"term value must analyze to one token: {value!r}")
+        stream = _stream(field)
+        return toks[0] if stream == "body" else f"{stream}:{toks[0]}"
     if kind == "match":
         field, raw = _one_field(body, "match")
         text, opts = _opts(raw)

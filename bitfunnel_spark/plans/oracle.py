@@ -654,6 +654,32 @@ def oracle_facet_stats_sql(
     )
 
 
+def oracle_script_score_sql(
+    query, script: str, params: dict | None = None, k: int = 10,
+    config: BuildConfig | None = None,
+) -> str:
+    """Oracle for serving.script_score: the painless-lite script compiled
+    to SQL (operators/pipeline_aggs.compile_script_sql — same grammar,
+    same rejections) over the full match set's rounded BM25 score and
+    coalesced doclen, final round 4 dp, (score desc, doc_id asc), top-k."""
+    from bitfunnel_spark.operators.pipeline_aggs import compile_script_sql
+
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    names = {"_score": "m.s", "doclen": "CAST(coalesce(dl.doclen, 0) AS DOUBLE)"}
+    for name, val in (params or {}).items():
+        names[name] = repr(float(val))
+    expr = compile_script_sql(script, names)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS s FROM hits h\n"
+        f"      WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT m.doc_id AS doc_id, round({expr}, 4) AS score\n"
+        f"FROM m LEFT JOIN dl ON m.doc_id = dl.doc_id\n"
+        f"ORDER BY round({expr}, 4) DESC, m.doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def oracle_facet_mad_sql(
     query, by: str = "lang", config: BuildConfig | None = None
 ) -> str:

@@ -450,6 +450,53 @@ def function_score(
     )
 
 
+def script_score(
+    index, query, script: str, params: dict | None = None, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``script_score``: replace every match's score with an arithmetic
+    expression over ``_score`` (the BM25 relevance) and ``doclen`` (the
+    per-doc numeric), plus literal ``params`` — the painless-lite subset
+    (operators/pipeline_aggs.compile_script: + − · / %, comparisons,
+    parentheses; saturation shapes like ``doclen / (doclen + params.p)``
+    are expressible; anything else raises rather than mis-executing).
+
+    Applied over the FULL match set (ES semantics: the script IS the
+    score, not a rescore of a truncated window). Returns
+    DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
+
+    Scale shape: the scored-match plan + one doc-stats column join + a
+    codegen column expression + TakeOrderedAndProject — identical to
+    function_score's audit row; the script never leaves the JVM."""
+    from bitfunnel_spark.operators.pipeline_aggs import (
+        PipelineError,
+        compile_script,
+    )
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    scored = scored_matches(index, query, facts)
+    dl = index.doc_stats.select(
+        "doc_id", F.col("doclen").cast("double").alias("_doclen")
+    )
+    rows = scored.join(dl, "doc_id", "left").fillna(0.0, subset=["_doclen"])
+    names = {"_score": "score", "doclen": "_doclen"}
+    for name, val in (params or {}).items():
+        if name in names:
+            raise ValueError(f"param {name!r} shadows a built-in binding")
+        col = f"_p_{name}"
+        rows = rows.withColumn(col, F.lit(float(val)))
+        names[name] = col
+    try:
+        expr = compile_script(script, names)
+    except PipelineError as e:
+        raise ValueError(str(e)) from e
+    return (
+        rows.select("doc_id", F.round(expr, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
 
 

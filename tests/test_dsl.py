@@ -871,3 +871,31 @@ def test_intervals_rejections(index):
     with pytest.raises(DslError):  # non-body field
         search_dsl(index, {"query": {"intervals": {"lang": {
             "match": {"query": "en"}}}}})
+
+
+def test_script_score(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_script_score_sql
+
+    body = {"query": {"script_score": {
+        "query": {"query_string": "data fast"},
+        "script": {"source": "_score * doclen / (doclen + params.pivot)",
+                   "params": {"pivot": 32}}}}, "size": 8}
+    got = search_dsl(index, body).collect()
+    want = duck.execute(oracle_script_score_sql(
+        "data fast", "_score * doclen / (doclen + params.pivot)",
+        params={"pivot": 32}, k=8)).fetchall()
+    assert [(r.doc_id, r.score) for r in got] == [tuple(w) for w in want]
+    # constant script == constant ordering by doc_id
+    rows = search_dsl(index, {"query": {"script_score": {
+        "query": {"term": {"content": "data"}},
+        "script": "2.5"}}, "size": 4}).collect()
+    assert all(r.score == 2.5 for r in rows)
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+    with pytest.raises(DslError):  # unsupported painless surface
+        search_dsl(index, {"query": {"script_score": {
+            "query": {"term": {"content": "data"}},
+            "script": "Math.log(_score)"}}})
+    with pytest.raises(DslError):  # unknown binding
+        search_dsl(index, {"query": {"script_score": {
+            "query": {"term": {"content": "data"}},
+            "script": "params.nope * 2"}}})

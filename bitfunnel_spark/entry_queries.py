@@ -2532,6 +2532,35 @@ SELECT doc_id, score FROM (
   SELECT * FROM pin UNION ALL SELECT * FROM org
 ) ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
+    def q_ft_from_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES from+size shallow paging (page 2 of 3-row pages; deep pages
+        # belong to search_after, which the engine also serves)
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"query_string": "data"}, "from": 3, "size": 3})
+
+    queries["ft_from_size"] = q_ft_from_size
+    oracles["ft_from_size"] = (
+        "SELECT * FROM ("
+        + oracle_search_sql("data", k=6, config=ENTRY_CONFIG)
+        + ") ORDER BY score DESC, doc_id ASC LIMIT 3 OFFSET 3"
+    )
+
+    def q_ft_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES _count API: match-set cardinality, no scoring
+        from bitfunnel_spark.plans.dsl import count_dsl
+
+        return count_dsl(get_index(spark, sf_dir),
+                         {"query": {"query_string": "data -slow"}})
+
+    queries["ft_count"] = q_ft_count
+    oracles["ft_count"] = (
+        "SELECT count(*)::BIGINT AS count FROM ("
+        + oracle_match_sql("data -slow", config=ENTRY_CONFIG)
+        + ")"
+    )
+
     _AGGS_Q = {"match": {"content": {"query": "data fast", "operator": "and"}}}
 
     def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:

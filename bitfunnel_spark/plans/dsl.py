@@ -414,11 +414,21 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  "suggest-only bodies supported (no query alongside)")
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
     source = sort_spec = highlight = None
+    frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
         source = body.get("_source")
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
+        # ES from+size shallow paging: fetch from+size rows, skip `from`.
+        # Cost grows with the page start — ES caps the same pattern at
+        # max_result_window (10,000); deep pagination belongs to
+        # search_after (which stays k-row at any depth and rides
+        # block-max). The same cap applies here, loudly.
+        frm = int(body.get("from", 0))
+        _require(0 <= frm and frm + k <= 10_000,
+                 "from + size must stay within 10,000 (ES "
+                 "max_result_window); use search_after for deep pages")
         query = body["query"]
     else:
         query = body
@@ -432,11 +442,16 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         and len(query) == 1
         and next(iter(query)) in _FILTER_ONLY_KINDS
     )
+    fetch_k = k + frm  # over-fetch, then skip `frm` ordered rows
+
+    def _page(hits):
+        return hits.offset(frm) if frm else hits
+
     if is_filter_only:
         _require(sort_spec is None and highlight is None,
                  "sort/highlight need an AST query, not a filter-only kind")
-        hits = _filter_only_hits(index, *next(iter(query.items())), k=k)
-        return _fetch_source(index, hits, source)
+        hits = _filter_only_hits(index, *next(iter(query.items())), k=fetch_k)
+        return _fetch_source(index, _page(hits), source)
     if sort_spec is not None or highlight is not None:
         _require(not is_comb,
                  "sort/highlight need an AST query, not a combinator kind")
@@ -447,23 +462,54 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             by, ascending = _sort_clause(sort_spec)
             from bitfunnel_spark.plans import serving
 
-            hits = serving.sort_hits(index, node, by=by, ascending=ascending, k=k)
-            return _fetch_source(index, hits, source, order_cols=((by, ascending),))
+            hits = serving.sort_hits(index, node, by=by, ascending=ascending, k=fetch_k)
+            return _fetch_source(index, _page(hits), source, order_cols=((by, ascending),))
         frag = highlight if isinstance(highlight, dict) else {}
         fields = frag.get("fields")
         _require(isinstance(fields, dict) and set(fields) <= {"content", "body", "text"},
                  "highlight supports the content field")
         from bitfunnel_spark.plans import serving
 
-        hits = serving.snippets(index, node, k=k, mode=mode)
-        return _fetch_source(index, hits, source, extra_cols=("snippet",))
+        hits = serving.snippets(index, node, k=fetch_k, mode=mode)
+        return _fetch_source(index, _page(hits), source, extra_cols=("snippet",))
     if is_comb:
         # kinds whose executor is a serving-layer combinator rather than a
         # single AST (per-clause score fusion) — dispatched directly
-        hits = _serving_query(index, *next(iter(query.items())), k=k)
+        hits = _serving_query(index, *next(iter(query.items())), k=fetch_k)
     else:
-        hits = index.search(compile_dsl(query), k=k, mode=mode)
-    return _fetch_source(index, hits, source)
+        hits = index.search(compile_dsl(query), k=fetch_k, mode=mode)
+    return _fetch_source(index, _page(hits), source)
+
+
+def count_dsl(index, body: dict):
+    """ES ``_count`` API: the number of documents matching a query — no
+    scoring, no ranking, so the plan is the unscored match set (or a
+    pushed-down corpus-metadata scan for the filter-only kinds) feeding
+    one count aggregate. Returns DataFrame[(count,)] (one row, long).
+    Combinator kinds are rejected (their executors produce rankings;
+    their match semantics, where needed, are expressible as bool/AST)."""
+    query = body.get("query", body) if isinstance(body, dict) else body
+    _require(isinstance(query, dict) and len(query) == 1,
+             "_count needs a single-kind query object")
+    kind = next(iter(query))
+    _require(kind not in _COMBINATOR_KINDS,
+             f"_count takes AST or filter-only queries, not {kind!r}")
+    from pyspark.sql import functions as F
+
+    if kind in _FILTER_ONLY_KINDS:
+        if kind == "constant_score":
+            conf = query[kind]
+            _require(isinstance(conf, dict) and "filter" in conf,
+                     "constant_score needs a filter")
+            ids = _filter_doc_ids(index, conf["filter"])
+        else:
+            conf = query[kind]
+            if kind == "match_all" and isinstance(conf, dict):
+                conf = {key: v for key, v in conf.items() if key != "boost"}
+            ids = _filter_doc_ids(index, {kind: conf})
+    else:
+        ids = index.match(compile_dsl(query))
+    return ids.agg(F.count("*").alias("count"))
 
 
 def run_suggest(index, suggest: dict, k: int = 10):

@@ -899,3 +899,41 @@ def test_script_score(index, duck):
         search_dsl(index, {"query": {"script_score": {
             "query": {"term": {"content": "data"}},
             "script": "params.nope * 2"}}})
+
+
+def test_from_size_paging(index):
+    full = index.search("data", k=9).collect()
+    page2 = search_dsl(index, {"query": {"query_string": "data"},
+                               "from": 3, "size": 3}).collect()
+    assert [(r.doc_id, r.score) for r in page2] == [
+        (r.doc_id, r.score) for r in full[3:6]]
+    # from applies to filter-only and sort paths too
+    ids_page = search_dsl(index, {"query": {"match_all": {}},
+                                  "from": 2, "size": 2}).collect()
+    assert [r.doc_id for r in ids_page] == [
+        r.doc_id for r in search_dsl(index, {"query": {"match_all": {}},
+                                             "size": 4}).collect()[2:4]]
+    srt = search_dsl(index, {"query": {"query_string": "data"},
+                             "sort": [{"doclen": "desc"}],
+                             "from": 1, "size": 2}).collect()
+    srt_full = search_dsl(index, {"query": {"query_string": "data"},
+                                  "sort": [{"doclen": "desc"}],
+                                  "size": 3}).collect()
+    assert [r.doc_id for r in srt] == [r.doc_id for r in srt_full[1:3]]
+    with pytest.raises(DslError):  # beyond max_result_window
+        search_dsl(index, {"query": {"query_string": "data"},
+                           "from": 9995, "size": 10})
+
+
+def test_count_dsl(index, corpus):
+    from bitfunnel_spark.plans.dsl import count_dsl
+
+    n = count_dsl(index, {"query": {"query_string": "data -slow"}}).collect()[0]["count"]
+    assert n == index.match("data -slow").count()
+    assert count_dsl(index, {"query": {"match_all": {}}}).collect()[0]["count"] == corpus.count()
+    assert count_dsl(index, {"query": {"ids": {"values": [1, 2, 10**9]}}}).collect()[0]["count"] == 2
+    assert count_dsl(index, {"query": {"constant_score": {
+        "filter": {"term": {"content": "data"}}}}}).collect()[0]["count"] == \
+        index.match("data").count()
+    with pytest.raises(DslError):
+        count_dsl(index, {"query": {"dis_max": {"queries": []}}})

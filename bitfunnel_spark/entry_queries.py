@@ -2833,6 +2833,43 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
         FACETS_QUERY, by="lang", percents=(25.0, 50.0, 75.0, 95.0),
         config=ENTRY_CONFIG,
     )
+    def q_ft_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # several metric sub-aggs under one terms bucket (the Kibana
+        # shape) in ONE groupBy pass (serving.facet_metrics)
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(get_index(spark, sf_dir), {
+            "query": {"query_string": FACETS_QUERY},
+            "aggs": {"by_lang": {"terms": {"field": "lang"}, "aggs": {
+                "avg_dl": {"avg": {"field": "doclen"}},
+                "max_dl": {"max": {"field": "doclen"}},
+                "n_repos": {"cardinality": {"field": "repo"}},
+                "dl": {"percentiles": {"field": "doclen",
+                                       "percents": [50.0, 95.0]}},
+            }}},
+        })
+
+    from bitfunnel_spark.plans.oracle import (
+        CORPUS_CTE as _CCTE,
+        _as_plan as _asp,
+        _bool_sql as _bsql,
+        _hits_cte as _hcte,
+    )
+
+    _mm_plan = _asp(FACETS_QUERY)
+    queries["ft_multi_metrics"] = q_ft_multi_metrics
+    oracles["ft_multi_metrics"] = f"""WITH {_CCTE},
+{_hcte(_mm_plan, ENTRY_CONFIG)},
+m AS (SELECT h.doc_id FROM hits h WHERE {_bsql(_mm_plan.ast)})
+SELECT d.lang, count(*) AS n_docs,
+       round(avg(dl.doclen), 4) AS avg_dl,
+       max(dl.doclen) AS max_dl,
+       count(DISTINCT d.source) AS n_repos,
+       round(quantile_cont(dl.doclen, 0.5), 4) AS dl_p50,
+       round(quantile_cont(dl.doclen, 0.95), 4) AS dl_p95
+FROM m JOIN documents d USING (doc_id) JOIN dl ON m.doc_id = dl.doc_id
+GROUP BY d.lang ORDER BY d.lang ASC"""
+
     def q_ft_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES median_absolute_deviation sub-agg (exact mode) via the aggs
         # DSL: terms(lang) + MAD(doclen)

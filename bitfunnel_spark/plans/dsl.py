@@ -1113,6 +1113,25 @@ def run_aggs(index, body: dict, k: int = 10):
         _require(field in BUCKET_FIELDS, f"terms field must be one of {BUCKET_FIELDS}")
         if not sub:
             return serving.facet_counts(index, q, facets=(field,))
+        _require(isinstance(sub, dict), "sub-aggs must be an object")
+        if len(sub) > 1:
+            # several metric sub-aggs under one bucket (the Kibana shape):
+            # ONE groupBy pass via facet_metrics — never one scan per metric
+            metric_kinds = ("avg", "sum", "min", "max", "value_count",
+                            "percentiles", "cardinality")
+            specs = []
+            for name, sspec in sub.items():
+                _require(isinstance(sspec, dict) and len(sspec) == 1,
+                         f"sub-agg {name!r} needs exactly one kind")
+                (mk, mconf), = sspec.items()
+                _require(mk in metric_kinds,
+                         f"multiple sub-aggs support metric kinds "
+                         f"{metric_kinds}; {mk!r} needs its own request")
+                specs.append((name, mk, dict(mconf)))
+            try:
+                return serving.facet_metrics(index, q, by=field, metrics=specs)
+            except ValueError as e:
+                raise DslError(str(e)) from e
         _require(isinstance(sub, dict) and len(sub) == 1, "exactly one sub-agg")
         (_, sspec), = sub.items()
         skinds = list(sspec)

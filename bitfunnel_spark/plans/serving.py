@@ -932,6 +932,75 @@ def facet_percentiles(
     return rows.groupBy(by).agg(*aggs).orderBy(by)
 
 
+def facet_metrics(
+    index, query: str, by: str = "lang",
+    metrics: "list[tuple[str, str, dict]]" = (),
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """Several metric sub-aggregations under ONE terms bucket in ONE
+    groupBy pass — the Kibana request shape ({stats, percentiles,
+    cardinality, ...} under one bucket), which ES evaluates as one
+    collector tree and Spark evaluates as one partial-agg exchange (every
+    metric is another aggregate expression in the same groupBy; running
+    the per-metric ops separately would scan the match set once per
+    metric).
+
+    ``metrics`` is [(name, kind, conf)] with kind ∈ avg/sum/min/max/
+    value_count (field doclen), percentiles (``percents``), cardinality
+    (``field``: a corpus metadata column). Output columns are
+    ``{name}`` for scalar kinds, ``{name}_p50``-style for percentiles —
+    plus the implicit n_docs. Always exact (the oracle mode); the
+    approx variants live on the dedicated per-kind ops."""
+    matches = index.match(query, facts).select("doc_id")
+    grp = index.corpus.select("doc_id", by)
+    dl = index.doc_stats.select("doc_id", "doclen")
+    cols: set[str] = set()
+    for _name, kind, conf in metrics:
+        if kind == "cardinality":
+            field = conf.get("field")
+            if field not in ("lang", "repo", "path"):
+                raise ValueError(
+                    f"cardinality field must be metadata, got {field!r}"
+                )
+            cols.add(str(field))
+    rows = matches.join(grp, "doc_id").join(dl, "doc_id")
+    if cols:
+        extra = index.corpus.select("doc_id", *sorted(cols))
+        rows = rows.join(extra, "doc_id")
+    aggs = [F.count("*").alias("n_docs")]
+    scalar = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+              "value_count": F.count}
+    for name, kind, conf in metrics:
+        conf = dict(conf)
+        if kind in scalar:
+            field = conf.pop("field", "doclen")
+            if field != "doclen":
+                raise ValueError(f"{kind} supports field='doclen', got {field!r}")
+            col = scalar[kind]("doclen")
+            if kind in ("avg",):
+                col = F.round(col, 4)
+            aggs.append(col.alias(name))
+        elif kind == "percentiles":
+            if conf.pop("field", "doclen") != "doclen":
+                raise ValueError("percentiles supports field='doclen'")
+            for p in tuple(float(x) for x in conf.pop("percents", (50.0,))):
+                aggs.append(
+                    F.round(
+                        F.percentile("doclen", F.lit(p / 100.0)).cast("double"), 4
+                    ).alias(f"{name}_{_pct_name(p)}")
+                )
+        elif kind == "cardinality":
+            field = conf.pop("field", None)
+            if field not in ("lang", "repo", "path"):
+                raise ValueError(f"cardinality field must be metadata, got {field!r}")
+            aggs.append(F.countDistinct(field).alias(name))
+        else:
+            raise ValueError(f"unsupported facet metric kind {kind!r}")
+        if conf:
+            raise ValueError(f"unsupported {kind} options: {sorted(conf)}")
+    return rows.groupBy(by).agg(*aggs).orderBy(by)
+
+
 def facet_cardinality(
     index, query: str, by: str = "lang", of: str = "repo",
     exact: bool = True, rsd: float = 0.05,

@@ -953,3 +953,73 @@ def test_mad_dsl_routing(index):
                            "aggs": {"m": {"median_absolute_deviation": {
                                "field": "lang"}}}}},
         })
+
+
+def test_facet_metrics_one_pass(index, duck):
+    import math
+
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    out = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"}, "aggs": {
+            "avg_dl": {"avg": {"field": "doclen"}},
+            "max_dl": {"max": {"field": "doclen"}},
+            "n_repos": {"cardinality": {"field": "repo"}},
+            "dl": {"percentiles": {"field": "doclen",
+                                   "percents": [50.0, 95.0]}},
+        }}},
+    })
+    rows = out.collect()
+    assert set(out.columns) == {
+        "lang", "n_docs", "avg_dl", "max_dl", "n_repos", "dl_p50", "dl_p95"}
+    want = duck.execute("""
+        WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'data')
+        SELECT d.lang, count(*), round(avg(dl.doclen), 4), max(dl.doclen),
+               count(DISTINCT d.source),
+               round(quantile_cont(dl.doclen, 0.5), 4),
+               round(quantile_cont(dl.doclen, 0.95), 4)
+        FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang
+    """).fetchall()
+    assert len(rows) == len(want)
+    for r, w in zip(rows, want):
+        assert (r["lang"], r["n_docs"], r["max_dl"], r["n_repos"]) == (
+            w[0], w[1], w[3], w[4])
+        for got_v, want_v in ((r["avg_dl"], w[2]), (r["dl_p50"], w[5]),
+                              (r["dl_p95"], w[6])):
+            assert math.isclose(got_v, want_v, rel_tol=1e-9)
+    # one groupBy pipeline over the match frame: every metric rides the
+    # SAME aggregate stages (partial/merge/distinct/final — countDistinct
+    # adds stages but never a second scan). The avg metric appears only in
+    # that one pipeline; per-metric aggregations would multiply it.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    metric_aggs = [
+        ln for ln in plan.splitlines()
+        if "Aggregate [" in ln and "avg(doclen" in ln
+    ]
+    assert len(metric_aggs) == 1, plan
+    assert "percentile(doclen" in metric_aggs[0], plan
+
+
+def test_facet_metrics_rejections(index):
+    from bitfunnel_spark.plans.dsl import DslError, run_aggs
+    import pytest as _pytest
+
+    with _pytest.raises(DslError):  # stats needs its own request
+        run_aggs(index, {
+            "query": {"match": {"content": "data"}},
+            "aggs": {"x": {"terms": {"field": "lang"}, "aggs": {
+                "a": {"avg": {"field": "doclen"}},
+                "s": {"stats": {"field": "doclen"}}}}},
+        })
+    with _pytest.raises(DslError):  # bad cardinality field
+        run_aggs(index, {
+            "query": {"match": {"content": "data"}},
+            "aggs": {"x": {"terms": {"field": "lang"}, "aggs": {
+                "a": {"avg": {"field": "doclen"}},
+                "c": {"cardinality": {"field": "doclen"}}}}},
+        })

@@ -927,6 +927,12 @@ def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mov3": {"moving_fn": {
                     "buckets_path": "v", "window": 3,
                     "script": "MovingFunctions.unweightedAvg(values)"}},
+                # windows above run over the FILLED axis (empty hours as
+                # 0-buckets, ES min_doc_count=0); the selector then drops
+                # empty buckets so the rate never divides by zero
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"n": "doc_count"},
+                    "script": "params.n > 0"}},
                 "rate": {"bucket_script": {
                     "buckets_path": {"v": "v", "n": "doc_count"},
                     "script": "params.v / params.n"}},
@@ -940,20 +946,35 @@ def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the group-sum `v` is rounded engine-side — the proven
 # events_histogram fold-noise pattern. Window arithmetic downstream of
 # identical `v` doubles is sequential in bucket order in both engines,
-# hence bit-identical.
+# hence bit-identical. The axis CTE mirrors run_date_aggs's empty-bucket
+# fill (ES min_doc_count=0): sf0.01 has 39 empty click-hours, so the fill
+# is genuinely exercised by this entry.
 SQL_EVENTS_PIPELINE = """WITH b AS (
   SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count,
          round(sum(value), 4) AS v
   FROM events WHERE event_type = 'click' GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                (SELECT max(bucket) FROM b),
+                                INTERVAL 1 HOUR)) AS bucket
+),
+f AS (
+  SELECT a.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+         coalesce(b.v, 0.0) AS v
+  FROM axis a LEFT JOIN b ON a.bucket = b.bucket
+),
+p AS (
+  SELECT bucket, doc_count, v,
+         sum(v) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         v - lag(v) OVER (ORDER BY bucket) AS deriv,
+         avg(v) OVER (ORDER BY bucket
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3
+  FROM f
 )
-SELECT bucket, doc_count, v,
-       sum(v) OVER (ORDER BY bucket
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       v - lag(v) OVER (ORDER BY bucket) AS deriv,
-       avg(v) OVER (ORDER BY bucket
-                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3,
-       v / doc_count AS rate
-FROM b ORDER BY bucket"""
+SELECT bucket, doc_count, v, cum, deriv, mov3, v / doc_count AS rate
+FROM p WHERE doc_count > 0 ORDER BY bucket"""
 
 
 SQL_EVENTS_SESSIONS = """WITH g AS (

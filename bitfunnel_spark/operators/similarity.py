@@ -358,6 +358,46 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _hamming_rescore_topk(
+    approx: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rescore_factor: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared BBQ tail: rank hamming candidates (asc, vec_id tiebreak),
+    keep k·rescore_factor per query, rescore with exact full-precision
+    cosine, return the per-query top-k. ``approx`` is
+    DataFrame[(query_id, vec_id, ham)]."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k * rescore_factor))
+        .select("query_id", "vec_id")
+    )
+    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    qfull = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
 def ivfbbq_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -430,30 +470,8 @@ def ivfbbq_cosine_topk(
         "query_id", "vec_id",
         hamming_expr(F.col("qcode"), F.col("code")).alias("ham"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
-    cand = (
-        approx.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(k * rescore_factor))
-        .select("query_id", "vec_id")
-    )
-    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    qfull = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    rescored = (
-        cand.join(full, "vec_id")
-        .join(F.broadcast(qfull), "query_id")
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        rescored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= int(k))
-        .select("query_id", "vec_id", "cosine")
-        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    return _hamming_rescore_topk(
+        approx, emb, query_ids, k, rescore_factor, vec_col, id_col
     )
 
 
@@ -814,30 +832,8 @@ def bbq_cosine_topk(
         "query_id", "vec_id",
         hamming_expr(F.col("qcode"), F.col("code")).alias("ham"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
-    cand = (
-        approx.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(k * rescore_factor))
-        .select("query_id", "vec_id")
-    )
-    full = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    qfull = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    rescored = (
-        cand.join(full, "vec_id")
-        .join(F.broadcast(qfull), "query_id")
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        rescored.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= int(k))
-        .select("query_id", "vec_id", "cosine")
-        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    return _hamming_rescore_topk(
+        approx, emb, query_ids, k, rescore_factor, vec_col, id_col
     )
 
 

@@ -358,7 +358,9 @@ def _filter_doc_ids(index, query: dict):
         # ES silently drops unknown ids — intersect with the corpus
         out = index.corpus.select("doc_id").filter(F.col("doc_id").isin(ids))
     elif kind == "exists":
-        field = conf.get("field") if isinstance(conf, dict) else None
+        _require(isinstance(conf, dict) and set(conf) == {"field"},
+                 "exists takes exactly {field: ...}")
+        field = conf.get("field")
         col = _CORPUS_FIELD_COLS.get(str(field))
         _require(col is not None,
                  f"exists field must be one of {sorted(set(_CORPUS_FIELD_COLS))}")
@@ -634,7 +636,7 @@ def msearch(index, bodies: list, k: int = 10):
         if isinstance(b, dict) and "size" in b:
             _require(int(b["size"]) == k,
                      "msearch uses one shared k; per-body size must equal it")
-        for mod in ("sort", "highlight", "suggest", "_source"):
+        for mod in ("sort", "highlight", "suggest", "_source", "from"):
             if isinstance(b, dict) and mod in b:
                 raise DslError(f"msearch bodies don't support {mod!r}")
     return index.search_many(compile_bodies(bodies), k=k)
@@ -1260,6 +1262,8 @@ def run_date_aggs(events, body: dict):
     _require(not conf, f"unsupported date_histogram options: {sorted(conf)}")
 
     metric_cols = [F.count("*").alias("doc_count")]
+    metric_names: list = []
+    zero_fill: dict = {}  # empty-bucket fill (ES: sum 0.0, count 0)
     pipeline_specs: list = []
     sub = spec.get("aggs") or spec.get("aggregations") or {}
     _require(isinstance(sub, dict), "sub-aggs must be an object")
@@ -1282,6 +1286,11 @@ def run_date_aggs(events, body: dict):
                 # (events_histogram): fix fold noise at 4 dp engine-side
                 col = F.round(col, 4)
             metric_cols.append(col.alias(name))
+            metric_names.append(name)
+            if skind == "sum":
+                zero_fill[name] = F.lit(0.0)  # double, matching round(sum)
+            elif skind == "value_count":
+                zero_fill[name] = F.lit(0).cast("long")
         elif skind in _PIPELINE_KINDS:
             has_bucket_sort = has_bucket_sort or skind == "bucket_sort"
             pipeline_specs.append((name, skind, sconf))
@@ -1291,6 +1300,36 @@ def run_date_aggs(events, body: dict):
     bucketed = events.groupBy(
         F.date_trunc(interval, field).alias("bucket")
     ).agg(*metric_cols)
+    # ES date_histogram (min_doc_count = 0, the default) emits EMPTY
+    # buckets across time gaps — pipelines must see them, or a derivative
+    # silently compares across a gap and a moving window spans it. Fill
+    # the calendar axis declaratively: one sequence() over [min, max] and
+    # a left join; empty buckets get doc_count 0, sum/value_count 0
+    # (ES's empty-bucket values) and null avg/min/max. Engine-specific
+    # division-by-zero semantics on empty buckets (e.g. a bucket_script
+    # rate over doc_count) are the caller's to guard — ES's painless
+    # throws there too.
+    _step = {
+        "minute": "INTERVAL 1 MINUTE", "hour": "INTERVAL 1 HOUR",
+        "day": "INTERVAL 1 DAY", "week": "INTERVAL 7 DAY",
+        "month": "INTERVAL 1 MONTH", "quarter": "INTERVAL 3 MONTH",
+        "year": "INTERVAL 1 YEAR",
+    }[interval]
+    axis = (
+        bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(_step))
+        ).alias("bucket"))
+    )
+    bucketed = axis.join(bucketed, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("doc_count"), F.lit(0).cast("long")).alias("doc_count"),
+        *[
+            F.coalesce(F.col(n), zero_fill[n]).alias(n)
+            if n in zero_fill else F.col(n)
+            for n in metric_names
+        ],
+    )
     try:
         out = P.apply_pipeline(bucketed, ["bucket"], pipeline_specs)
     except P.PipelineError as e:

@@ -503,10 +503,16 @@ def _make_kernel(plan: QueryPlan, descriptor: dict):
         after = descriptor.get("after")  # (score4, doc_id) pagination cursor
         restricted = allow is not None or (deny is not None and deny.size > 0)
         # block-max bounds: max_partial is BM25-shaped; dot_tf prunes via
-        # the per-block max_tf metadata (BlockCache bound mode). Other
-        # similarities route to the exhaustive scorer (plans/scoring.py).
+        # the per-block max_tf metadata (BlockCache bound mode) — but only
+        # under non-negative weights (w·max_tf is NOT an upper bound of
+        # w·tf when w < 0; a negative boost through the public API must
+        # fall back to the exhaustive scorer). Other similarities route
+        # to the exhaustive scorer (plans/scoring.py).
         sim = descriptor.get("similarity", "bm25")
-        prunable = sim in ("bm25", "dot_tf")
+        prunable = sim == "bm25" or (
+            sim == "dot_tf"
+            and all(w >= 0.0 for w in descriptor["idf"].values())
+        )
         if (
             k0 is not None
             and sim == "bm25"  # the sorted-by-partial fast path is BM25-only

@@ -173,6 +173,17 @@ def profile_many(
         index.build_segments()
     t0 = time.perf_counter()
     plans = [plan_query(index.prepare_query(q)) for q in queries]
+    if similarity == "dot_tf":
+        # blended groups score BM25-shaped saturation — the result kernel
+        # rejects them under dot_tf (scoring.check_similarity); profiling
+        # them here would silently report counters for an execution that
+        # cannot exist
+        for p in plans:
+            if p.syn_groups or getattr(p, "field_groups", ()):
+                raise ValueError(
+                    "dot_tf profiling rejects blended syn/field groups "
+                    "(the kernel does too)"
+                )
     t_parse = time.perf_counter()
     all_terms = {(s, t) for p in plans for s, t in p.terms}
     seg = index.segments.filter(_segment_filter(index, all_terms))

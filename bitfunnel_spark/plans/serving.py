@@ -537,6 +537,14 @@ def rank_feature(
     if query is not None:
         matches = index.match(query, facts).select("doc_id")
         feats = matches.join(feats, "doc_id", "left").fillna(0.0, subset=["fv"])
+    else:
+        # the standalone form scans doc stats directly — match() isn't in
+        # the path to mask tombstones, so mask them here
+        tomb = getattr(index, "tombstones", frozenset())
+        if tomb:
+            feats = feats.filter(
+                ~F.col("doc_id").isin([int(d) for d in tomb])
+            )
     v = F.col("fv")
     if fn == "saturation":
         expr = v / (v + F.lit(float(pivot)))
@@ -962,7 +970,8 @@ def facet_metrics(
                 raise ValueError(
                     f"cardinality field must be metadata, got {field!r}"
                 )
-            cols.add(str(field))
+            if field != by:  # the bucket column is already in the frame
+                cols.add(str(field))
     rows = matches.join(grp, "doc_id").join(dl, "doc_id")
     if cols:
         extra = index.corpus.select("doc_id", *sorted(cols))

@@ -187,3 +187,25 @@ def test_indexed_fact_redefine_raises(fcopy):
     fcopy.define_fact_indexed("f1", F.col("doc_id") % 2 == 0)
     with pytest.raises(ValueError, match="already defined"):
         fcopy.define_fact_indexed("f1", F.col("doc_id") % 3 == 0)
+
+
+def test_filter_only_and_rank_feature_mask_tombstones(index):
+    """Corpus-scan query paths (match_all/ids/exists/pinned/standalone
+    rank_feature) must mask tombstones like the index paths do."""
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    base = serving.rank_feature(
+        index, None, field="doclen", fn="saturation", pivot=8.0, k=5
+    ).collect()
+    victim = base[0].doc_id
+    deleted = dataclasses.replace(index, tombstones=frozenset({victim}))
+    got = serving.rank_feature(
+        deleted, None, field="doclen", fn="saturation", pivot=8.0, k=5
+    ).collect()
+    assert victim not in [r.doc_id for r in got]
+    assert [r.doc_id for r in got][:4] == [r.doc_id for r in base[1:5]]
+    rows = search_dsl(deleted, {"query": {"ids": {"values": [int(victim)]}}})
+    assert rows.count() == 0
+    ma = search_dsl(deleted, {"query": {"match_all": {}}, "size": 5}).collect()
+    assert victim not in [r.doc_id for r in ma]

@@ -937,3 +937,12 @@ def test_count_dsl(index, corpus):
         index.match("data").count()
     with pytest.raises(DslError):
         count_dsl(index, {"query": {"dis_max": {"queries": []}}})
+
+
+def test_msearch_rejects_from_and_exists_extras(index):
+    from bitfunnel_spark.plans.dsl import msearch
+
+    with pytest.raises(DslError):
+        msearch(index, [{"query": {"query_string": "data"}, "from": 3}])
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"exists": {"field": "lang", "boost": 2}}})

@@ -345,7 +345,9 @@ ORDER BY query_id, cosine DESC, vec_id""").fetchall()
 def test_filtered_cosine_pushes_predicate_to_scan(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = similarity.filtered_cosine_topk(emb, [0], F.col("label") == 1, k=5)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # sparkPlan (pre-AQE) prints the scan deterministically; the adaptive
+    # executedPlan string can elide scan details mid-materialization
+    plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "EqualTo(label,1)" in plan  # candidate-scan PushedFilters
 
 

@@ -203,6 +203,11 @@ EVENTS_BODY = {
             "mov3": {"moving_fn": {
                 "buckets_path": "v", "window": 3,
                 "script": "MovingFunctions.unweightedAvg(values)"}},
+            # empty buckets (min_doc_count=0 fill) are dropped before the
+            # rate so the division stays well-defined (ANSI /0 raises)
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "doc_count"},
+                "script": "params.n > 0"}},
             "rate": {"bucket_script": {
                 "buckets_path": {"v": "v", "n": "doc_count"},
                 "script": "params.v / params.n"}},
@@ -214,15 +219,28 @@ SQL_EVENTS_PIPELINE = """WITH b AS (
   SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count,
          round(sum(value), 4) AS v
   FROM events WHERE event_type = 'click' GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                (SELECT max(bucket) FROM b),
+                                INTERVAL 1 HOUR)) AS bucket
+),
+f AS (
+  SELECT a.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+         coalesce(b.v, 0.0) AS v
+  FROM axis a LEFT JOIN b ON a.bucket = b.bucket
+),
+p AS (
+  SELECT bucket, doc_count, v,
+         sum(v) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         v - lag(v) OVER (ORDER BY bucket) AS deriv,
+         avg(v) OVER (ORDER BY bucket
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3
+  FROM f
 )
-SELECT bucket, doc_count, v,
-       sum(v) OVER (ORDER BY bucket
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       v - lag(v) OVER (ORDER BY bucket) AS deriv,
-       avg(v) OVER (ORDER BY bucket
-                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mov3,
-       v / doc_count AS rate
-FROM b ORDER BY bucket"""
+SELECT bucket, doc_count, v, cum, deriv, mov3, v / doc_count AS rate
+FROM p WHERE doc_count > 0 ORDER BY bucket"""
 
 
 def test_run_date_aggs_matches_duckdb(spark, duck):
@@ -316,3 +334,31 @@ def test_run_date_aggs_rejections(spark):
         run_date_aggs(ev, {"query": {"match": {"event_type": "x"}},
                            "aggs": {"h": {"date_histogram": {
                                "field": "ts", "calendar_interval": "hour"}}}})
+
+
+def test_run_date_aggs_fills_gap_buckets(spark):
+    """ES date_histogram (min_doc_count=0) emits empty buckets — the
+    derivative across a gap must compare against the filled zero bucket,
+    not the previous non-empty one."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.createDataFrame(pd.DataFrame({
+        "ts": [dt.datetime(2024, 1, 1, 10, 5), dt.datetime(2024, 1, 1, 10, 40),
+               dt.datetime(2024, 1, 1, 13, 1)],  # 11:00 and 12:00 are empty
+        "value": [4.0, 6.0, 8.0],
+    }))
+    rows = run_date_aggs(ev, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"v": {"sum": {"field": "value"}},
+                 "d": {"derivative": {"buckets_path": "v"}}},
+    }}}).collect()
+    assert [r["bucket"].hour for r in rows] == [10, 11, 12, 13]
+    assert [r["doc_count"] for r in rows] == [2, 0, 0, 1]
+    assert [r["v"] for r in rows] == [10.0, 0.0, 0.0, 8.0]
+    # derivative at 13:00 compares against the EMPTY 12:00 bucket (8-0),
+    # not the 10:00 bucket (8-10)
+    assert [r["d"] for r in rows] == [None, -10.0, 0.0, 8.0]

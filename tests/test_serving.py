@@ -1023,3 +1023,16 @@ def test_facet_metrics_rejections(index):
                 "a": {"avg": {"field": "doclen"}},
                 "c": {"cardinality": {"field": "doclen"}}}}},
         })
+
+
+def test_facet_metrics_cardinality_of_bucket_field(index):
+    # degenerate but valid in ES: cardinality of the bucket field itself
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    rows = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"x": {"terms": {"field": "lang"}, "aggs": {
+            "a": {"avg": {"field": "doclen"}},
+            "u": {"cardinality": {"field": "lang"}}}}},
+    }).collect()
+    assert rows and all(r["u"] == 1 for r in rows)

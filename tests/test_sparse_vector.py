@@ -94,3 +94,27 @@ def test_fuzzy_auto_fuzziness(spark, index):
     assert compile_dsl({"fuzzy": {"content": {"value": "ab", "fuzziness": "AUTO"}}}).dist == 0
     assert compile_dsl({"fuzzy": {"content": {"value": "abcd", "fuzziness": "AUTO"}}}).dist == 1
     assert compile_dsl({"fuzzy": {"content": {"value": "abcdefgh", "fuzziness": "AUTO"}}}).dist == 2
+
+
+def test_dot_tf_negative_weight_falls_back_exhaustive(spark, index, corpus):
+    """w·max_tf is NOT an upper bound when w < 0 — a negative boost through
+    the public API must route off the pruned path and still return the
+    exact dot product."""
+    import re
+    from collections import Counter
+
+    from bitfunnel_spark.plans.ast import Boost, Or, Term
+
+    node = Or((Boost(Term("data", "body"), 3.0),
+               Boost(Term("fast", "body"), -1.0)))
+    got = [(r.doc_id, round(r.score, 4)) for r in
+           index.search(node, k=8, mode="kernel", similarity="dot_tf").collect()]
+    rows = corpus.select("doc_id", "content").collect()
+    scores = []
+    for r in rows:
+        toks = Counter(re.findall(r"[a-z0-9_]+", r.content.lower()))
+        s = 3.0 * toks.get("data", 0) - 1.0 * toks.get("fast", 0)
+        if toks.get("data", 0) or toks.get("fast", 0):
+            scores.append((r.doc_id, round(float(s), 4)))
+    scores.sort(key=lambda x: (-x[1], x[0]))
+    assert got == scores[:8]

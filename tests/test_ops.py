@@ -342,8 +342,15 @@ ORDER BY query_id, cosine DESC, vec_id""").fetchall()
     assert all(n == 5 for n in per_q.values())
 
 
-def test_filtered_cosine_pushes_predicate_to_scan(spark):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+def test_filtered_cosine_pushes_predicate_to_scan(spark, tmp_path):
+    # a private copy of the table: if another test cached the shared
+    # embeddings read (the REPL fixture does), Spark substitutes the
+    # InMemoryRelation and pushdown legitimately cannot appear — the
+    # assertion is about the PARQUET scan, so read a cache-immune path
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_pushdown")
+    src.write.parquet(path)
+    emb = spark.read.parquet(path)
     df = similarity.filtered_cosine_topk(emb, [0], F.col("label") == 1, k=5)
     # sparkPlan (pre-AQE) prints the scan deterministically; the adaptive
     # executedPlan string can elide scan details mid-materialization

@@ -977,6 +977,53 @@ SELECT bucket, doc_count, v, cum, deriv, mov3, v / doc_count AS rate
 FROM p WHERE doc_count > 0 ORDER BY bucket"""
 
 
+def q_events_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES auto_date_histogram: the engine picks the smallest calendar
+    # interval with <= `buckets` buckets (driver-side planning from one
+    # 1-row bounds aggregate); 30-day events at buckets=40 resolve 'day'
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_date_aggs(ev, {"aggs": {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 40},
+        "aggs": {"v": {"sum": {"field": "value"}}},
+    }}})
+
+
+# the CASE ladder mirrors _auto_interval's bucket-count selection exactly
+# (datediff over unit-truncated bounds + 1); the axis CTE mirrors the
+# empty-bucket fill with the CHOSEN interval as the step
+SQL_EVENTS_AUTO_HISTOGRAM = """WITH bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+),
+u AS (SELECT CASE
+  WHEN datediff('minute', date_trunc('minute', lo), date_trunc('minute', hi)) + 1 <= 40 THEN 'minute'
+  WHEN datediff('hour', date_trunc('hour', lo), date_trunc('hour', hi)) + 1 <= 40 THEN 'hour'
+  WHEN datediff('day', date_trunc('day', lo), date_trunc('day', hi)) + 1 <= 40 THEN 'day'
+  WHEN datediff('week', date_trunc('week', lo), date_trunc('week', hi)) + 1 <= 40 THEN 'week'
+  WHEN datediff('month', date_trunc('month', lo), date_trunc('month', hi)) + 1 <= 40 THEN 'month'
+  WHEN datediff('quarter', date_trunc('quarter', lo), date_trunc('quarter', hi)) + 1 <= 40 THEN 'quarter'
+  ELSE 'year' END AS unit FROM bounds),
+b AS (
+  SELECT date_trunc((SELECT unit FROM u), ts) AS bucket,
+         count(*) AS doc_count, round(sum(value), 4) AS v
+  FROM events GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series(
+    (SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b),
+    (SELECT CASE unit WHEN 'minute' THEN INTERVAL 1 MINUTE
+                      WHEN 'hour' THEN INTERVAL 1 HOUR
+                      WHEN 'day' THEN INTERVAL 1 DAY
+                      WHEN 'week' THEN INTERVAL 7 DAY
+                      WHEN 'month' THEN INTERVAL 1 MONTH
+                      WHEN 'quarter' THEN INTERVAL 3 MONTH
+                      ELSE INTERVAL 1 YEAR END FROM u))) AS bucket)
+SELECT a.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+       coalesce(b.v, 0.0) AS v, (SELECT unit FROM u) AS interval
+FROM axis a LEFT JOIN b ON a.bucket = b.bucket ORDER BY a.bucket"""
+
+
 SQL_EVENTS_SESSIONS = """WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts - lag(ts) OVER w) > 1800
@@ -2636,6 +2683,8 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["events_sessions"] = SQL_EVENTS_SESSIONS
     queries["events_pipeline"] = q_events_pipeline
     oracles["events_pipeline"] = SQL_EVENTS_PIPELINE
+    queries["events_auto_histogram"] = q_events_auto_histogram
+    oracles["events_auto_histogram"] = SQL_EVENTS_AUTO_HISTOGRAM
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

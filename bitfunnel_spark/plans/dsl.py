@@ -1079,9 +1079,13 @@ def run_aggs(index, body: dict, k: int = 10):
                 _require("to" not in r, "last range must be unbounded (no `to`)")
         _require(edges == sorted(set(edges)), "range froms must be increasing")
         return serving.facet_ranges(index, q, edges=tuple(edges))
-    if kind == "significant_terms":
+    if kind in ("significant_terms", "significant_text"):
+        # significant_text is ES's re-analyzing variant of
+        # significant_terms; this engine analyzes body text for both, so
+        # they share the executor (the distinction in ES — stored keyword
+        # values vs re-analyzed source — has no analogue here)
         _require(conf.get("field") in ("content", "body", "text"),
-                 "significant_terms field must be the body text")
+                 f"{kind} field must be the body text")
         return serving.significant_terms(index, q, k=int(conf.get("size", 20)))
     if kind == "rare_terms":
         field = conf.get("field")
@@ -1227,6 +1231,50 @@ def _events_filter(df, query: dict):
     raise DslError(f"unsupported event query kind: {kind!r}")
 
 
+def _auto_interval(events, field: str, target: int) -> str:
+    """Smallest calendar interval whose bucket count over the frame's
+    [min, max] span stays ≤ ``target`` — ES auto_date_histogram's interval
+    selection, mirrored bucket-count-exactly by the oracle's datediff
+    CASE ladder."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    row = events.agg(F.min(field).alias("lo"), F.max(field).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    _require(lo is not None, "auto_date_histogram needs at least one row")
+
+    def day0(t):
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    def n_buckets(unit: str) -> int:
+        if unit == "minute":
+            a = lo.replace(second=0, microsecond=0)
+            b = hi.replace(second=0, microsecond=0)
+            return int((b - a).total_seconds() // 60) + 1
+        if unit == "hour":
+            a = lo.replace(minute=0, second=0, microsecond=0)
+            b = hi.replace(minute=0, second=0, microsecond=0)
+            return int((b - a).total_seconds() // 3600) + 1
+        if unit == "day":
+            return (day0(hi) - day0(lo)).days + 1
+        if unit == "week":  # Monday-truncated, like date_trunc('week')
+            a = day0(lo) - dt.timedelta(days=lo.weekday())
+            b = day0(hi) - dt.timedelta(days=hi.weekday())
+            return (b - a).days // 7 + 1
+        if unit == "month":
+            return (hi.year - lo.year) * 12 + hi.month - lo.month + 1
+        if unit == "quarter":
+            return ((hi.year - lo.year) * 4
+                    + (hi.month - 1) // 3 - (lo.month - 1) // 3 + 1)
+        return hi.year - lo.year + 1
+
+    for unit in _CALENDAR_INTERVALS:  # ordered smallest → largest
+        if n_buckets(unit) <= target:
+            return unit
+    return "year"
+
+
 def run_date_aggs(events, body: dict):
     """Run an ES body whose first aggregation is a ``date_histogram`` over
     a log/event DataFrame: metric sub-aggs reduce per bucket, pipeline
@@ -1251,14 +1299,28 @@ def run_date_aggs(events, body: dict):
 
     items = list(aggs.items())
     parent_name, spec = items[0]
-    _require(isinstance(spec, dict) and "date_histogram" in spec,
-             "the first agg must be a date_histogram")
-    conf = dict(spec["date_histogram"])
+    _require(
+        isinstance(spec, dict)
+        and ("date_histogram" in spec or "auto_date_histogram" in spec),
+        "the first agg must be a date_histogram / auto_date_histogram",
+    )
+    auto = "auto_date_histogram" in spec
+    conf = dict(spec["auto_date_histogram" if auto else "date_histogram"])
     field = conf.pop("field", None)
     _require(field in events.columns, f"unknown date field {field!r}")
-    interval = conf.pop("calendar_interval", None)
-    _require(interval in _CALENDAR_INTERVALS,
-             f"calendar_interval must be one of {_CALENDAR_INTERVALS}")
+    if auto:
+        # ES auto_date_histogram: pick the smallest calendar interval
+        # whose bucket count stays within the target. The choice needs
+        # the filtered frame's time bounds — ONE 1-row aggregate collect
+        # (a driver-side planning decision, like shard-boundary DP; the
+        # per-bucket work stays fully distributed).
+        target = int(conf.pop("buckets", 10))
+        _require(target >= 1, "auto_date_histogram needs buckets >= 1")
+        interval = _auto_interval(events, field, target)
+    else:
+        interval = conf.pop("calendar_interval", None)
+        _require(interval in _CALENDAR_INTERVALS,
+                 f"calendar_interval must be one of {_CALENDAR_INTERVALS}")
     _require(not conf, f"unsupported date_histogram options: {sorted(conf)}")
 
     metric_cols = [F.count("*").alias("doc_count")]
@@ -1330,6 +1392,9 @@ def run_date_aggs(events, body: dict):
             for n in metric_names
         ],
     )
+    if auto:
+        # ES reports the chosen interval on the response
+        bucketed = bucketed.withColumn("interval", F.lit(interval))
     try:
         out = P.apply_pipeline(bucketed, ["bucket"], pipeline_specs)
     except P.PipelineError as e:

@@ -362,3 +362,41 @@ def test_run_date_aggs_fills_gap_buckets(spark):
     # derivative at 13:00 compares against the EMPTY 12:00 bucket (8-0),
     # not the 10:00 bucket (8-10)
     assert [r["d"] for r in rows] == [None, -10.0, 0.0, 8.0]
+
+
+def test_auto_date_histogram(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from bitfunnel_spark.plans.dsl import DslError, run_date_aggs
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(pd.DataFrame({
+        "ts": [base + dt.timedelta(hours=h) for h in range(0, 72, 3)],
+        "value": [float(h) for h in range(0, 72, 3)],
+    }))
+    # 72h span: hour -> 70 buckets > 10; day -> 3 <= 10 => day chosen
+    rows = run_date_aggs(ev, {"aggs": {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10}}}}).collect()
+    assert [r["interval"] for r in rows] == ["day"] * 3
+    assert [r["doc_count"] for r in rows] == [8, 8, 8]
+    # a generous target picks the finest interval
+    rows = run_date_aggs(ev, {"aggs": {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 100}}}}).collect()
+    assert rows[0]["interval"] == "hour" and len(rows) == 70  # filled axis
+    with pytest.raises(DslError):
+        run_date_aggs(ev, {"aggs": {"h": {
+            "auto_date_histogram": {"field": "ts", "buckets": 0}}}})
+
+
+def test_significant_text_alias(index):
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    a = run_aggs(index, {"query": {"match": {"content": "data"}},
+                         "aggs": {"s": {"significant_text": {
+                             "field": "content", "size": 5}}}}).collect()
+    b = run_aggs(index, {"query": {"match": {"content": "data"}},
+                         "aggs": {"s": {"significant_terms": {
+                             "field": "content", "size": 5}}}}).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a

@@ -2685,6 +2685,23 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
     oracles["events_pipeline"] = SQL_EVENTS_PIPELINE
     queries["events_auto_histogram"] = q_events_auto_histogram
     oracles["events_auto_histogram"] = SQL_EVENTS_AUTO_HISTOGRAM
+
+    def q_events_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES top_metrics: the latest 2 values per event_type (sort ts
+        # desc) — the per-series freshness read
+        from bitfunnel_spark.operators.events import top_metrics
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return top_metrics(ev, by="event_type", sort_col="ts",
+                           metrics=("value",), size=2)
+
+    queries["events_top_metrics"] = q_events_top_metrics
+    oracles["events_top_metrics"] = """SELECT event_type,
+       row_number() OVER w AS metric_rank, ts, value
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts DESC, event_id ASC)
+QUALIFY metric_rank <= 2
+ORDER BY event_type, metric_rank"""
     queries["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
     oracles["dedup_ngram_jaccard"] = SQL_DEDUP_NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = q_dedup_minhash_lsh

@@ -77,3 +77,42 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events_per_session"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def top_metrics(
+    events: DataFrame,
+    by: str = "event_type",
+    sort_col: str = "ts",
+    metrics: tuple = ("value",),
+    size: int = 1,
+    ascending: bool = False,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """ES ``top_metrics`` under a terms bucket — the metric values of the
+    top-``size`` rows per series by a sort column. The canonical
+    observability read: "the latest value per event_type" (sort ts desc,
+    size 1). Returns DataFrame[(by, metric_rank, <sort_col>, *metrics)]
+    ordered (by, metric_rank); ``tiebreak`` makes equal sort keys
+    deterministic (ES breaks ties on shard doc order — unstable there,
+    exact here).
+
+    Scale shape: one exchange on the series key + a per-series top-k
+    window (WindowGroupLimit pushes the size cap below the sort), never a
+    global sort — the same plan the serving layer's top_hits uses.
+    """
+    cols = [by, sort_col, tiebreak, *metrics]
+    missing = [c for c in cols if c not in events.columns]
+    if missing:
+        raise ValueError(f"top_metrics: unknown columns {missing}")
+    order = [
+        F.col(sort_col).asc() if ascending else F.col(sort_col).desc(),
+        F.col(tiebreak).asc(),
+    ]
+    w = Window.partitionBy(by).orderBy(*order)
+    return (
+        events.select(*dict.fromkeys(cols))
+        .withColumn("metric_rank", F.row_number().over(w))
+        .filter(F.col("metric_rank") <= int(size))
+        .select(by, "metric_rank", sort_col, *metrics)
+        .orderBy(by, "metric_rank")
+    )

@@ -109,3 +109,24 @@ def test_date_histogram_partial_agg(events):
     plan = date_histogram(events, "hour")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_top_metrics_latest_per_series(spark, duck):
+    from bitfunnel_spark.operators.events import top_metrics
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    rows = top_metrics(ev, size=2).collect()
+    want = duck.execute("""
+        SELECT event_type, row_number() OVER w AS r, ts, value FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts DESC, event_id ASC)
+        QUALIFY r <= 2
+        ORDER BY event_type, r""").fetchall()
+    assert [(r.event_type, r.metric_rank, r.ts, r.value) for r in rows] == [
+        tuple(w) for w in want]
+    # plan: the size cap rides WindowGroupLimit below the sort
+    df = top_metrics(ev, size=2)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        top_metrics(ev, metrics=("nope",))

@@ -2695,6 +2695,46 @@ FROM per_docs JOIN per_postings USING (shard) ORDER BY shard"""
         return top_metrics(ev, by="event_type", sort_col="ts",
                            metrics=("value",), size=2)
 
+    def q_events_series_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Kibana multi-series chart: terms(event_type) > date_histogram >
+        # pipelines — per-series filled axes and per-series pipeline
+        # windows (apply_pipeline partition_by, the parallel 100 TB shape)
+        from bitfunnel_spark.plans.dsl import run_date_aggs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return run_date_aggs(ev, {"aggs": {"by": {
+            "terms": {"field": "event_type"},
+            "aggs": {"h": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour"},
+                "aggs": {"v": {"sum": {"field": "value"}},
+                         "cum": {"cumulative_sum": {"buckets_path": "v"}},
+                         "deriv": {"derivative": {"buckets_path": "v"}}},
+            }},
+        }}})
+
+    queries["events_series_pipeline"] = q_events_series_pipeline
+    oracles["events_series_pipeline"] = """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS doc_count, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+           FROM b GROUP BY 1),
+axis AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         FROM bounds),
+f AS (SELECT a.event_type, a.bucket,
+             coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+             coalesce(b.v, 0.0) AS v
+      FROM axis a LEFT JOIN b
+      ON a.event_type = b.event_type AND a.bucket = b.bucket)
+SELECT event_type, bucket, doc_count, v,
+       sum(v) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       v - lag(v) OVER (PARTITION BY event_type ORDER BY bucket) AS deriv
+FROM f ORDER BY event_type, bucket"""
+
     queries["events_top_metrics"] = q_events_top_metrics
     oracles["events_top_metrics"] = """SELECT event_type,
        row_number() OVER w AS metric_rank, ts, value

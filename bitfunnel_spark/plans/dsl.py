@@ -1299,6 +1299,22 @@ def run_date_aggs(events, body: dict):
 
     items = list(aggs.items())
     parent_name, spec = items[0]
+    series = None
+    if isinstance(spec, dict) and "terms" in spec:
+        # multi-series form (the Kibana multi-series chart):
+        # terms(series) > date_histogram > metrics + pipelines. Each
+        # series gets its own bucket axis and its own pipeline window
+        # (apply_pipeline partition_by — the parallel 100 TB shape).
+        tconf = dict(spec["terms"])
+        series = tconf.pop("field", None)
+        _require(series in events.columns, f"unknown series field {series!r}")
+        _require(not tconf, f"unsupported terms options: {sorted(tconf)}")
+        tsub = spec.get("aggs") or spec.get("aggregations")
+        _require(isinstance(tsub, dict) and len(tsub) == 1,
+                 "series terms needs exactly one date_histogram sub-agg")
+        _require(len(items) == 1,
+                 "sibling aggs are not supported in series mode")
+        (parent_name, spec), = tsub.items()
     _require(
         isinstance(spec, dict)
         and ("date_histogram" in spec or "auto_date_histogram" in spec),
@@ -1359,9 +1375,18 @@ def run_date_aggs(events, body: dict):
         else:
             raise DslError(f"unsupported date sub-agg kind: {skind!r}")
 
-    bucketed = events.groupBy(
+    if series is not None:
+        _require(not auto,
+                 "auto_date_histogram is not supported in series mode "
+                 "(ES picks per-series intervals there; request fixed "
+                 "calendar_interval instead)")
+        _require(not has_bucket_sort,
+                 "bucket_sort is per-parent-bucket in series mode — not "
+                 "supported; sort client-side or drop the series terms")
+    keys = ([F.col(series)] if series is not None else []) + [
         F.date_trunc(interval, field).alias("bucket")
-    ).agg(*metric_cols)
+    ]
+    bucketed = events.groupBy(*keys).agg(*metric_cols)
     # ES date_histogram (min_doc_count = 0, the default) emits EMPTY
     # buckets across time gaps — pipelines must see them, or a derivative
     # silently compares across a gap and a moving window spans it. Fill
@@ -1377,14 +1402,32 @@ def run_date_aggs(events, body: dict):
         "month": "INTERVAL 1 MONTH", "quarter": "INTERVAL 3 MONTH",
         "year": "INTERVAL 1 YEAR",
     }[interval]
-    axis = (
-        bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr(_step))
-        ).alias("bucket"))
-    )
-    bucketed = axis.join(bucketed, "bucket", "left").select(
-        "bucket",
+    if series is not None:
+        # per-series axis: each series fills ITS OWN [min, max] span (ES:
+        # the nested histogram is computed per parent bucket) — fully
+        # declarative, a groupBy + sequence explode, no driver collect
+        bounds = bucketed.groupBy(series).agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        axis = bounds.select(
+            series,
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(_step))
+            ).alias("bucket"),
+        )
+        join_keys = [series, "bucket"]
+        lead_cols = [series, "bucket"]
+    else:
+        axis = (
+            bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select(F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(_step))
+            ).alias("bucket"))
+        )
+        join_keys = ["bucket"]
+        lead_cols = ["bucket"]
+    bucketed = axis.join(bucketed, join_keys, "left").select(
+        *lead_cols,
         F.coalesce(F.col("doc_count"), F.lit(0).cast("long")).alias("doc_count"),
         *[
             F.coalesce(F.col(n), zero_fill[n]).alias(n)
@@ -1396,7 +1439,10 @@ def run_date_aggs(events, body: dict):
         # ES reports the chosen interval on the response
         bucketed = bucketed.withColumn("interval", F.lit(interval))
     try:
-        out = P.apply_pipeline(bucketed, ["bucket"], pipeline_specs)
+        out = P.apply_pipeline(
+            bucketed, ["bucket"], pipeline_specs,
+            partition_by=[series] if series is not None else (),
+        )
     except P.PipelineError as e:
         raise DslError(str(e)) from e
 
@@ -1415,4 +1461,6 @@ def run_date_aggs(events, body: dict):
             return P.sibling_bucket(out, sib_kind, metric)
         except P.PipelineError as e:
             raise DslError(str(e)) from e
+    if series is not None:
+        return out.orderBy(series, "bucket")
     return out if has_bucket_sort else out.orderBy("bucket")

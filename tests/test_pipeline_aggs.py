@@ -400,3 +400,92 @@ def test_significant_text_alias(index):
                          "aggs": {"s": {"significant_terms": {
                              "field": "content", "size": 5}}}}).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+
+def test_series_date_histogram_per_series_pipelines(spark, duck):
+    """terms(series) > date_histogram > pipelines: each series gets its
+    own filled axis and its own pipeline window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from bitfunnel_spark.plans.dsl import DslError, run_date_aggs
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["a", "a", "a", "b", "b"],
+        # series a spans 10:00-13:00 with a gap at 11-12; b spans 2 hours
+        "ts": [base + dt.timedelta(hours=h) for h in (10, 10, 13, 20, 21)],
+        "value": [1.0, 2.0, 4.0, 10.0, 30.0],
+    }))
+    rows = run_date_aggs(ev, {"aggs": {"by": {
+        "terms": {"field": "event_type"},
+        "aggs": {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"v": {"sum": {"field": "value"}},
+                     "cum": {"cumulative_sum": {"buckets_path": "v"}},
+                     "d": {"derivative": {"buckets_path": "v"}}},
+        }},
+    }}}).collect()
+    got = [(r["event_type"], r["bucket"].hour, r["doc_count"], r["v"],
+            r["cum"], r["d"]) for r in rows]
+    # series a: filled 10,11,12,13 with zeros; cum restarts per series
+    assert got == [
+        ("a", 10, 2, 3.0, 3.0, None),
+        ("a", 11, 0, 0.0, 3.0, -3.0),
+        ("a", 12, 0, 0.0, 3.0, 0.0),
+        ("a", 13, 1, 4.0, 7.0, 4.0),
+        ("b", 20, 1, 10.0, 10.0, None),
+        ("b", 21, 1, 30.0, 40.0, 20.0),
+    ]
+    with pytest.raises(DslError):  # bucket_sort not supported per series
+        run_date_aggs(ev, {"aggs": {"by": {
+            "terms": {"field": "event_type"},
+            "aggs": {"h": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour"},
+                "aggs": {"s": {"bucket_sort": {"sort": ["doc_count"]}}},
+            }}}}})
+    with pytest.raises(DslError):  # auto interval not supported per series
+        run_date_aggs(ev, {"aggs": {"by": {
+            "terms": {"field": "event_type"},
+            "aggs": {"h": {"auto_date_histogram": {"field": "ts",
+                                                   "buckets": 5}}}}}})
+
+
+def test_series_pipeline_matches_duckdb_on_events(spark, duck):
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    got = run_date_aggs(ev, {"aggs": {"by": {
+        "terms": {"field": "event_type"},
+        "aggs": {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "value"}},
+                     "cum": {"cumulative_sum": {"buckets_path": "v"}}},
+        }},
+    }}}).collect()
+    want = duck.execute("""
+        WITH b AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+                          count(*) AS n, round(sum(value), 4) AS v
+                   FROM events GROUP BY 1, 2),
+        bounds AS (SELECT event_type, min(bucket) lo, max(bucket) hi
+                   FROM b GROUP BY 1),
+        axis AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+                 FROM bounds),
+        f AS (SELECT a.event_type, a.bucket,
+                     coalesce(b.n, 0)::BIGINT AS n, coalesce(b.v, 0.0) AS v
+              FROM axis a LEFT JOIN b
+              ON a.event_type = b.event_type AND a.bucket = b.bucket)
+        SELECT event_type, bucket, n, v,
+               sum(v) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM f ORDER BY event_type, bucket""").fetchall()
+    assert len(got) == len(want) > 10
+    import math
+    for g, w in zip(got, want):
+        assert (g["event_type"], g["bucket"], g["doc_count"]) == (w[0], w[1], w[2])
+        assert math.isclose(g["v"], w[3], rel_tol=1e-12)
+        assert math.isclose(g["cum"], w[4], rel_tol=1e-12)

@@ -318,6 +318,21 @@ def cmd_repl(args) -> None:
                         f"{r['doc_id']}\tscore={r['score']}\t{r['stream']}:{r['term']}"
                         f"\ttf={r['tf']}\t+{r['contribution']}"
                     )
+            elif line.startswith("!dsl "):
+                # any ES _search body (JSON) through the full DSL surface
+                from bitfunnel_spark.plans.dsl import search_dsl
+
+                body = json.loads(line[5:])
+                rows = search_dsl(idx, body, k=args.k).collect()
+                cols = list(rows[0].asDict()) if rows else []
+                for r in rows:
+                    print("\t".join(str(r[c]) for c in cols))
+                print(f"({len(rows)} rows{': ' + ', '.join(cols) if cols else ''})")
+            elif line.startswith("!count "):
+                from bitfunnel_spark.plans.dsl import count_dsl
+
+                body = json.loads(line[7:])
+                print(count_dsl(idx, body).collect()[0]["count"])
             elif line.startswith("!dym "):
                 from bitfunnel_spark.plans.expand import did_you_mean
 

@@ -136,3 +136,33 @@ def test_cli_repl_vector_verbs_need_emb(spark, corpus, tmp_path, capsys, monkeyp
     cli.main(["repl", "--corpus", cpath, "--index", ipath])
     err = capsys.readouterr().err
     assert "--emb" in err  # loud, loop survives
+
+
+def test_cli_repl_dsl_and_count(spark, corpus, tmp_path, capsys, monkeypatch):
+    cpath = str(tmp_path / "dslcorpus")
+    ipath = str(tmp_path / "dslindex")
+    corpus.filter("doc_id < 60").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+    lines = iter([
+        '!dsl {"query": {"match": {"content": "data"}}, "size": 3}',
+        '!dsl {"query": {"ids": {"values": [1, 2]}}}',
+        '!count {"query": {"query_string": "data"}}',
+        '!dsl {not json',  # error path keeps the loop alive
+        '!count {"query": {"match_all": {}}}',
+    ])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath, "--k", "3"])
+    out = capsys.readouterr().out
+    assert "(3 rows: doc_id, score)" in out
+    assert "(2 rows: doc_id, score)" in out
+    # counts: "data" matches and the match_all total (59 or 60 docs)
+    tail_nums = [l for l in out.splitlines() if l.strip().isdigit()]
+    assert len(tail_nums) == 2 and int(tail_nums[-1]) >= 59

@@ -273,7 +273,7 @@ def cmd_repl(args) -> None:
         " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q>"
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
-        " | !rerank <vec_id> <q> | !quit"
+        " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json> | !quit"
     )
 
     def _emb_df():

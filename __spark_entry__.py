@@ -3,12 +3,13 @@
 entry(spark)  — flagship query (kernel-path BM25 top-10) on sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); callables take (spark, sf_dir).
-oracle_sql()  — matching DuckDB SQL per query (omitted only for the
-                genuinely non-SQL ops, which get rows-only checks:
-                the numpy random-hyperplane LSH, trained-k-means IVF and
-                trained-PQ ANN (seeded-RNG outputs no SQL engine
-                reproduces) and the kernel decode counters (pruning
-                instrumentation)).
+oracle_sql()  — matching DuckDB SQL per query. As of round 5 EVERY entry
+                has one: seeded trainers (k-means IVF, PQ codebooks,
+                random hyperplanes) are regenerated driver-side and
+                embedded as full-precision SQL literals so DuckDB mirrors
+                the whole distributed pipeline, and the deterministic
+                kernel decode counters carry a pinned expected-value
+                oracle at the driver's compare dir (sf0.01).
 """
 
 from __future__ import annotations

@@ -238,14 +238,55 @@ def _sql_query_profile() -> str:
 def q_decode_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query block decode counters (QueryRunner/QueryInstrumentation
     parity): blocks decoded vs present + skip ratio for the batch log.
-    Rows-only check — pruning counters have no SQL mirror; kernel_ms is
+    Pruning counters have no SQL mirror, but they are deterministic and
+    bit-stable (BENCH.md gates), so the oracle at the driver's compare dir
+    is the PINNED expectation (_sql_decode_counters_pinned); kernel_ms is
     dropped (nondeterministic timing)."""
     from bitfunnel_spark.plans.profile import profile_many, summarize
 
     metrics, _timings = profile_many(get_index(spark, sf_dir), BATCH_QUERIES, k=10)
     return summarize(metrics).select(
-        "query_id", "blocks_total", "blocks_decoded", "rows", "skip_ratio"
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("blocks_total").cast("long").alias("blocks_total"),
+        F.col("blocks_decoded").cast("long").alias("blocks_decoded"),
+        F.col("rows").cast("long").alias("rows"),
+        F.col("skip_ratio").cast("double").alias("skip_ratio"),
     ).orderBy("query_id")
+
+
+# Pinned expected counters (VERDICT r04 item 3): no SQL engine reproduces
+# the kernel's pruning instrumentation, but every counter is deterministic
+# and bit-stable on this corpus, so at the driver's compare dir (sf0.01)
+# the oracle IS the pinned expectation — a regression pin, honestly
+# labeled. A kernel change that moves a counter fails the hash loudly and
+# must update this table alongside a BENCH.md entry (VERDICT r04 item 6).
+_DECODE_COUNTERS_SF001 = [
+    (0, 32, 32, 109, 0.0),
+    (1, 32, 32, 65, 0.0),
+    (2, 25, 25, 123, 0.0),
+    (3, 15, 15, 20, 0.0),
+]
+
+
+def _sql_decode_counters_pinned() -> "str | None":
+    import os
+
+    sf_dir = os.environ.get("BF_ORACLE_SF_DIR", _ORACLE_SF_DEFAULT)
+    if os.path.normpath(sf_dir) != os.path.normpath(_ORACLE_SF_DEFAULT):
+        return None  # pins are per-corpus; other dirs stay rows-only
+    rows = ",\n  ".join(
+        f"({q}, {bt}, {bd}, {r}, {sr})"
+        for q, bt, bd, r, sr in _DECODE_COUNTERS_SF001
+    )
+    return (
+        'SELECT query_id::BIGINT AS query_id,'
+        ' blocks_total::BIGINT AS blocks_total,'
+        ' blocks_decoded::BIGINT AS blocks_decoded,'
+        ' "rows"::BIGINT AS "rows", skip_ratio::DOUBLE AS skip_ratio\n'
+        "FROM (VALUES\n  " + rows + ')\n'
+        '  t(query_id, blocks_total, blocks_decoded, "rows", skip_ratio)\n'
+        "ORDER BY query_id"
+    )
 
 
 def q_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,7 +1073,11 @@ SQL_EVENTS_SESSIONS = """WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         -- ::BIGINT: DuckDB's windowed sum() yields HUGEINT, which the
+         -- driver's pandas canon coerces to float64 and hash-diverges from
+         -- Spark's int64 even though every value is identical (VERDICT r04)
+         (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,
@@ -1550,9 +1595,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with per-subspace Lloyd's codebooks (train_pq_codebooks) — same
-    plan, trained literals. Deterministic but the k-means runs engine-side
-    (numpy), so rows-only here; recall vs brute is measured in
-    tests/test_ops.py."""
+    plan, trained literals. The oracle (_sql_ann_pq_trained) regenerates
+    the seeded training from the raw parquet and mirrors the full pipeline
+    as literal SQL; recall vs brute is measured in tests/test_ops.py."""
     emb = _emb(spark, sf_dir)
     books = similarity.train_pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
     return similarity.pq_cosine_topk(
@@ -1718,6 +1763,146 @@ def _sql_ann_rh(dim: int = 64, n_planes: int = 12, seed: int = 42) -> str:
         "SELECT vec_id, CAST(" + "\n + ".join(terms) + " AS INT) AS bucket\n"
         "FROM embeddings ORDER BY vec_id"
     )
+
+
+# -- trained-quantizer oracles (VERDICT r04 item 3): the deterministic
+# seeded trainers (similarity.kmeans_from_matrix / pq_books_from_matrix)
+# are re-run here WITHOUT Spark — straight from the parquet the driver
+# compares at — and the learned centroids/codebooks are embedded as
+# full-precision SQL literals, the plan-literal pattern _sql_ann_rh proved.
+# DuckDB then independently verifies the whole DISTRIBUTED pipeline
+# (assignment, probing, ADC, rescore, top-k); the training itself is a
+# shared deterministic driver-side constant, exactly like the engine's.
+
+_ORACLE_SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _oracle_emb_matrix(sample_size: int = 4096):
+    """The trainers' sample regenerated without a SparkSession: first
+    ``sample_size`` embeddings by vec_id (mirrors similarity.train_*'s
+    ``orderBy(vec_id).limit(n)``) from the sf the driver compares at
+    (sf0.01; scripts/check_entry.py overrides BF_ORACLE_SF_DIR when
+    checking other scale factors)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("BF_ORACLE_SF_DIR", _ORACLE_SF_DEFAULT)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {int(sample_size)}"
+    ).fetchall()
+    con.close()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _vals_rows(vectors) -> str:
+    """(id, DOUBLE[]) VALUES rows with repr-round-trip float literals —
+    bit-identical doubles on both engines (the _sql_ann_rh convention)."""
+    return ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(vectors)
+    )
+
+
+def _sql_ann_ivf_trained() -> str:
+    """ann_ivf_kmeans oracle: the _sql_ann_ivf pipeline verbatim, with the
+    ``c`` centroid CTE replaced by the trained-literal table."""
+    cents = similarity.kmeans_from_matrix(
+        _oracle_emb_matrix(), n_centroids=_IVF_CENTROIDS
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT * FROM (VALUES
+    {_vals_rows(cents)}) t(cent_id, cv)),
+asg AS (
+  SELECT e.vec_id, e.v, c.cent_id
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY round({_cos_sql('e.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id
+  FROM e q CROSS JOIN c
+  WHERE q.vec_id IN ({_IDS})
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY round({_cos_sql('q.v', 'c.cv')}, 6) DESC, c.cent_id ASC
+  ) <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({_cos_sql('p.qv', 'a.v')}, 4) AS cosine
+  FROM probes p JOIN asg a USING (cent_id)
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 10
+ORDER BY query_id, cosine DESC, vec_id"""
+
+
+def _sql_ann_pq_trained(dim: int = 64) -> str:
+    """ann_pq_trained oracle: the _sql_ann_pq pipeline with per-subspace
+    trained codebook literal tables (cb0..cb{m-1}, dsub-dim vectors) in
+    place of the id-based shared codebook. Encoding, ADC, candidate cut,
+    and rescore mirror pq_cosine_topk's trained branch expression for
+    expression (argmin round(l2sq, 6) ties to smaller code id; ADC =
+    Σ_j q_slice·book[j][c_j] rounded 6; exact-cosine rescore rounded 4)."""
+    m, n_codes, factor, k = _PQ_M, _PQ_CODES, _PQ_FACTOR, 10
+    books = similarity.pq_books_from_matrix(
+        _oracle_emb_matrix(), m=m, n_codes=n_codes
+    )
+    dsub = dim // m
+
+    def sl(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{(j + 1) * dsub}]"
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2.0 * list_dot_product({a}, {b}))"
+        )
+
+    cb_ctes = ",\n".join(
+        f"cb{j} AS (SELECT * FROM (VALUES\n    {_vals_rows(books[j])}) t(code_id, bv))"
+        for j in range(m)
+    )
+    code_ctes = ",\n".join(
+        f"code{j} AS (\n"
+        f"  SELECT n.vec_id, first(b.code_id ORDER BY "
+        f"round({l2sq(sl('n.vn', j), 'b.bv')}, 6) ASC, b.code_id ASC) AS c{j}\n"
+        f"  FROM n CROSS JOIN cb{j} b GROUP BY n.vec_id\n)"
+        for j in range(m)
+    )
+    codes_join = " ".join(f"JOIN code{j} USING (vec_id)" for j in range(1, m))
+    cb_joins = " ".join(f"JOIN cb{j} b{j} ON b{j}.code_id = c.c{j}" for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product({sl('q.vn', j)}, b{j}.bv)" for j in range(m)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id,
+      CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+           ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+      FROM e),
+{cb_ctes},
+{code_ctes},
+codes AS (SELECT * FROM code0 {codes_join}),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round({adc}, 6) AS adc
+  FROM n q CROSS JOIN codes c {cb_joins}
+  WHERE q.vec_id IN ({_IDS}) AND q.vec_id <> c.vec_id
+),
+cand AS (SELECT query_id, vec_id FROM approx
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) <= {k * factor}),
+res AS (
+  SELECT c.query_id, c.vec_id,
+         round({_cos_sql('qe.v', 'ce.v')}, 4) AS cosine
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine FROM res
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}
+ORDER BY query_id, cosine DESC, vec_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -2151,9 +2336,9 @@ SELECT query_id, doc_id FROM (
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with TRAINED (sampled spherical k-means) centroids — same plan
-    shape as ann_ivf_topk, only the centroid literal changes. Rows-only
-    check (the trainer is seeded numpy, no SQL mirror); recall-vs-brute is
-    asserted in test_ops.py."""
+    shape as ann_ivf_topk, only the centroid literal changes. The oracle
+    (_sql_ann_ivf_trained) regenerates the seeded training from the raw
+    parquet and mirrors the pipeline; recall-vs-brute in test_ops.py."""
     emb = _emb(spark, sf_dir)
     cents = similarity.train_kmeans_centroids(emb, n_centroids=_IVF_CENTROIDS)
     return similarity.ivf_cosine_topk(
@@ -2171,44 +2356,39 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come first; long-stable entries (the r02-green search/match loop variants,
 # the dedup family, corpus filters) ride their recorded greens behind it.
 DRIVER_WINDOW = [
-    # r04 rotation (VERDICT r3 item 1): every never-driver-checked entry —
-    # the full round-3 tail — front-loaded so CORRECTNESS_r04 verifies it.
-    # Evicted: long-stable r02/r03 greens whose code is untouched this
-    # round (media_*, text/quality ops, facet family, suggesters, ANN
-    # lsh/ivf/sq8, dedup family, chunk roundtrip, shard/treatment plans).
-    "ft_dsl_bool", "ft_dsl_aggs", "ft_index_stats",
-    "events_histogram", "events_sessions",
-    "dedup_substring_winnow", "decontaminate_spans", "corpus_weighted",
-    "ft_substring_many", "ft_substring_lines",
-    "ft_mterm_vectors", "ft_rank_eval", "ft_sort", "ft_dismax",
-    "ft_percentiles", "ft_histogram", "ft_extended_stats", "ft_filters_agg",
-    "ft_adjacency", "ft_matched_queries", "ft_composite", "ft_random_score",
-    "ft_percolate", "ft_classic", "ft_boolean",
-    "ann_pq_trained", "ann_ivf_kmeans", "ann_filtered_topk",
-    "ann_rh_buckets",
-    "ft_bm25_regex_opt", "ft_decode_counters",
-    # entries whose implementation changed this round (analyzer plumbing
-    # in the non-positional span fallbacks, byte-exact span surgery,
-    # microsecond session gaps, DSL range validation — the dedup/events/
-    # dsl ones are already above)
-    "ft_span_not", "ft_span_near", "ft_span_first",
-    "ft_snippets", "ft_more_like_this",
-    # round-4 work targets: paths expected to change this round (blended
-    # block-max bounds, search_after pruning, batched regex grep, decode
-    # counters) — kept under live driver check while they move
-    "ft_bm25_synonym_blend", "ft_bm25f", "ft_bm25_page2",
-    "ft_regex_grep", "ft_query_profile",
-    # high-traffic representatives re-checked each round (ft_bm25_code,
-    # dedup_substring, ft_substring evicted for the vector/sparse
-    # additions — all hold r03 hash-green rows and their code paths are
-    # untouched this round; trigram changes are live-checked by
-    # ft_regex_grep + ft_regex_grep_many below)
-    "ft_percolate_log", "ft_bm25_batch",
-    # (ann_pq_topk rides its r03 green - similarity.py additions are new
-    # functions only; ann_ivfpq_topk below live-checks the shared exprs)
-    # round-4 additions land here as they're built
-    "ft_regex_grep_many", "ft_fact_stream", "ft_dsl_dismax", "ann_ivfpq_topk",
-    "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
+    # r05 rotation (VERDICT r4 item 1): the 27 entries without a
+    # cross-round hash-green driver row, front-loaded so CORRECTNESS_r05
+    # closes the registry at 156/156 hash-verified.
+    # (a) the 5 r04 non-green rows, all fixed this round: the two
+    # driver-canon reds (session_id::BIGINT cast; matched array→string)
+    # and the three former rows-only entries, now with seeded-literal /
+    # pinned oracles (VERDICT r4 items 2-3)
+    "events_sessions", "ft_matched_queries",
+    "ann_pq_trained", "ann_ivf_kmeans", "ft_decode_counters",
+    # (b) the 22 round-4-tail entries never driver-checked (all green in
+    # the r04 judge's local gate)
+    "ft_terms_set", "ft_match_bool_prefix", "ft_constant_score",
+    "ft_rank_feature", "ft_pinned", "ft_from_size", "ft_count",
+    "events_pipeline", "events_auto_histogram", "events_series_pipeline",
+    "events_top_metrics", "ann_bbq_topk", "ann_ivfbbq_topk",
+    "ft_script_score", "ft_intervals", "ft_multi_metrics", "ft_mad",
+    "ft_percolate_dsl", "ft_rare_terms", "ft_multi_terms",
+    "ann_recall_eval", "ft_rerank",
+    # (c) entries whose code paths change this round: the distributed
+    # cumulative-counts rewrite (VERDICT r4 item 4), the profile/kernel
+    # counters shared with the new pinned oracle, similarity.py's trainer
+    # refactor (shared exprs live-checked via ivfpq/rh), and the serving
+    # machinery the new REPL !show verb reads
+    "ft_cum_term_counts", "ft_query_profile", "ann_ivfpq_topk",
+    "ann_rh_buckets", "ft_index_stats",
+    # (d) high-traffic representatives re-checked each round: kernel
+    # AND/OR/NOT, batch, paging, vector/sparse serving, trigram grep,
+    # dedup, DSL, percolation, chunk roundtrip, snippets, events
+    "ft_bm25_and", "ft_bm25_or", "ft_bm25_not", "ft_bm25_batch",
+    "ft_bm25_page2", "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
+    "ft_regex_grep", "ft_regex_grep_many", "dedup_substring",
+    "dedup_minhash_lsh", "events_histogram", "ft_dsl_bool", "ft_dsl_aggs",
+    "ft_percolate_log", "chunk_roundtrip", "ft_snippets",
 ]
 
 
@@ -2364,7 +2544,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the pruning counters stay in the rows-only ft_decode_counters entry
     queries["ft_query_profile"] = q_query_profile
     oracles["ft_query_profile"] = _sql_query_profile()
-    queries["ft_decode_counters"] = q_decode_counters  # rows-only (counters)
+    queries["ft_decode_counters"] = q_decode_counters
+    _pin = _sql_decode_counters_pinned()
+    if _pin is not None:  # other compare dirs stay rows-only
+        oracles["ft_decode_counters"] = _pin
 
     # regex-expansion soundness regressions (ADVICE r2): top-level
     # alternation and optional-quantifier shapes whose fully-matching terms
@@ -2775,7 +2958,8 @@ ORDER BY event_type, metric_rank"""
     oracles["ann_ivfbbq_topk"] = _sql_ann_ivfbbq()
     queries["ann_pq_topk"] = q_ann_pq_topk
     oracles["ann_pq_topk"] = _sql_ann_pq()
-    queries["ann_pq_trained"] = q_ann_pq_trained  # rows-only by design
+    queries["ann_pq_trained"] = q_ann_pq_trained
+    oracles["ann_pq_trained"] = _sql_ann_pq_trained()
     queries["ann_rh_buckets"] = q_ann_rh_buckets
     oracles["ann_rh_buckets"] = _sql_ann_rh()
     queries["ann_ivfpq_topk"] = q_ann_ivfpq_topk
@@ -3097,13 +3281,19 @@ GROUP BY d.lang ORDER BY d.lang ASC"""
     def q_ft_matched_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bitfunnel_spark.plans import serving
 
+        # array_join: the driver's pandas canonicalizer can't sort/hash an
+        # array<string> column (r04 err row) — the entry flattens the
+        # annotation to a comma-joined string; the API keeps the list.
         return serving.matched_queries(
             get_index(spark, sf_dir), "data & fast", MQ_NAMED, k=10
+        ).select(
+            "doc_id", "score", F.array_join("matched", ",").alias("matched")
         )
 
     queries["ft_matched_queries"] = q_ft_matched_queries
     oracles["ft_matched_queries"] = oracle_matched_queries_sql(
-        "data & fast", MQ_NAMED, k=10, config=ENTRY_CONFIG
+        "data & fast", MQ_NAMED, k=10, config=ENTRY_CONFIG,
+        matched_as_string=True,
     )
 
     # composite pagination: page TWO (after-key from page one's last
@@ -3228,7 +3418,8 @@ ORDER BY doc_id, stream, term"""
     queries["media_frame_plan"] = q_media_frame_plan
     oracles["media_frame_plan"] = SQL_MEDIA_FRAME_PLAN
 
-    queries["ann_ivf_kmeans"] = q_ann_ivf_kmeans  # rows-only (numpy trainer)
+    queries["ann_ivf_kmeans"] = q_ann_ivf_kmeans
+    oracles["ann_ivf_kmeans"] = _sql_ann_ivf_trained()
     queries["ft_percolate_log"] = q_ft_percolate_log
     oracles["ft_percolate_log"] = _sql_percolate_log()
 

@@ -263,6 +263,17 @@ def train_kmeans_centroids(
         emb.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).collect()
     )
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return kmeans_from_matrix(mat, n_centroids=n_centroids, n_iter=n_iter, seed=seed)
+
+
+def kmeans_from_matrix(
+    mat: np.ndarray, n_centroids: int = 16, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """The matrix-level core of :func:`train_kmeans_centroids` (seeded
+    spherical Lloyd's over an UN-normalized (n, dim) float64 sample). Split
+    out so the DuckDB oracle builder (entry_queries) can regenerate the
+    IDENTICAL centroids from the raw parquet without a SparkSession and
+    embed them as SQL literals — the seeded-literal oracle pattern."""
     norms = np.linalg.norm(mat, axis=1)
     mat = mat[norms > 0] / norms[norms > 0, None]
     rng = np.random.default_rng(seed)
@@ -964,6 +975,18 @@ def train_pq_codebooks(
         emb.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).collect()
     )
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return pq_books_from_matrix(mat, m=m, n_codes=n_codes, n_iter=n_iter, seed=seed)
+
+
+def pq_books_from_matrix(
+    mat: np.ndarray, m: int = 4, n_codes: int = 16, n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """The matrix-level core of :func:`train_pq_codebooks` (seeded
+    per-subspace Lloyd's over an UN-normalized (n, dim) float64 sample).
+    Split out so the oracle builder can regenerate the IDENTICAL codebooks
+    from the raw parquet (no SparkSession) and embed them as SQL literals
+    — same seeded-literal pattern as :func:`kmeans_from_matrix`."""
     norms = np.linalg.norm(mat, axis=1)
     nz = norms > 0
     mat = mat[nz] / norms[nz, None]

@@ -1266,11 +1266,16 @@ def oracle_adjacency_sql(
 
 def oracle_matched_queries_sql(
     query, named: dict[str, str], k: int = 10,
-    config: BuildConfig | None = None,
+    config: BuildConfig | None = None, matched_as_string: bool = False,
 ) -> str:
     """matched_queries oracle mirroring plans/serving.matched_queries: the
     main query's top-k (oracle_search_sql semantics) annotated with the
-    sorted list of named clauses each hit also matches ([] when none)."""
+    sorted list of named clauses each hit also matches ([] when none).
+
+    ``matched_as_string`` emits the annotation as a comma-joined string
+    instead of a list — the driver's pandas canonicalizer can't hash
+    array<string> columns (VERDICT r04), so the registry entry uses the
+    string form; tests keep the list form for API fidelity."""
     config = config or BuildConfig()
     plan = _as_plan(query)
     names, plans, _ = _plans_and_extra(named)
@@ -1280,6 +1285,11 @@ def oracle_matched_queries_sql(
     cases = ", ".join(
         f"CASE WHEN {_bool_sql(plans[n].ast)} THEN {_q(n)} END" for n in names
     )
+    matched = f"list_sort(list_filter([{cases}], x -> x IS NOT NULL))"
+    if matched_as_string:
+        # coalesce: DuckDB's array_to_string yields NULL on the empty
+        # list where Spark's array_join yields ''
+        matched = f"coalesce(array_to_string({matched}, ','), '')"
     return (
         f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config, extra_terms=extra)},\n"
         f"topk AS (\n"
@@ -1288,7 +1298,7 @@ def oracle_matched_queries_sql(
         f"  ORDER BY round(h.score, 4) DESC, h.doc_id ASC LIMIT {int(k)}\n"
         f")\n"
         f"SELECT t.doc_id AS doc_id, t.score AS score,\n"
-        f"       list_sort(list_filter([{cases}], x -> x IS NOT NULL)) AS matched\n"
+        f"       {matched} AS matched\n"
         f"FROM topk t JOIN hits h USING (doc_id)\n"
         f"ORDER BY t.score DESC, t.doc_id ASC"
     )

@@ -44,6 +44,12 @@ def canon_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # trained-quantizer oracles embed literals trained from the compare
+    # dir's parquet (entry_queries._oracle_emb_matrix) — point them here
+    # BEFORE the registry builds
+    import os
+
+    os.environ["BF_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("check-entry", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -17,13 +17,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cumulative_term_counts(postings: DataFrame, every: int = 1) -> DataFrame:
+def cumulative_term_counts(
+    postings: DataFrame, every: int = 1, n_buckets: int = 256
+) -> DataFrame:
     """(ingest_order, cum_unique_terms): after ingesting docs 0..doc_id, how
     many distinct BODY terms exist. Exact formulation: each term 'appears' at
     its minimum doc_id; the curve is the running count of first appearances.
 
-    One groupBy + one tiny window over distinct first-appearance points —
-    no per-doc window over the corpus (that would never scale).
+    Two-pass DISTRIBUTED cumulative sum (VERDICT r04 item 4): an
+    unpartitioned ``Window.orderBy`` would funnel one row per distinct
+    first-appearance doc — ~n_docs rows — through a single task at 100×
+    scale (Spark's own `WindowExec: No Partition Defined` warning). Instead:
+
+    1. range-bucket the per-doc new-term counts into ``n_buckets`` ordered
+       doc-id ranges;
+    2. collect the per-bucket PARTIAL sums (≤ n_buckets rows — tiny by
+       construction, the same driver-side-bounds shape the shard planner
+       uses) and turn them into exclusive prefix offsets;
+    3. cumsum WITHIN each bucket via a window partitioned by bucket, and
+       broadcast-join the bucket offset back on.
+
+    Every task handles ~n_docs/n_buckets rows; no stage sees the whole
+    curve. Values are identical to the single-window formulation
+    (ft_cum_term_counts stays hash-green against the DuckDB oracle).
     """
     first_seen = (
         postings.filter(F.col("stream") == "body")
@@ -31,11 +47,41 @@ def cumulative_term_counts(postings: DataFrame, every: int = 1) -> DataFrame:
         .agg(F.min("doc_id").alias("first_doc"))
     )
     per_doc = first_seen.groupBy("first_doc").agg(F.count("*").alias("new_terms"))
-    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
-    out = per_doc.withColumn("cum_unique_terms", F.sum("new_terms").over(w))
+    bounds = per_doc.agg(
+        F.min("first_doc").alias("lo"), F.max("first_doc").alias("hi")
+    ).first()
+    spark = postings.sparkSession
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "ingest_order long, cum_unique_terms long"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // int(n_buckets) + 1)
+    bucketed = per_doc.withColumn(
+        "bucket", F.expr(f"CAST((first_doc - {lo}) DIV {width} AS BIGINT)")
+    )
+    partials = {
+        int(r["bucket"]): int(r["s"])
+        for r in bucketed.groupBy("bucket").agg(F.sum("new_terms").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(partials):
+        offsets.append((b, acc))
+        acc += partials[b]
+    off_df = spark.createDataFrame(offsets, "bucket long, bucket_offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("first_doc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = bucketed.withColumn("cum_in_bucket", F.sum("new_terms").over(w)).join(
+        F.broadcast(off_df), "bucket"
+    )
     return out.select(
         F.col("first_doc").alias("ingest_order"),
-        F.col("cum_unique_terms").cast("long").alias("cum_unique_terms"),
+        (F.col("bucket_offset") + F.col("cum_in_bucket"))
+        .cast("long")
+        .alias("cum_unique_terms"),
     )
 
 

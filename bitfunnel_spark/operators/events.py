@@ -11,10 +11,10 @@ canonical shapes, each a single-shuffle declarative plan:
   (event_type, bucket).
 - sessionize: gaps-and-islands sessionization — one exchange on user_id,
   a lag window, and a groupBy. The known 100 TB hazard is a skewed user
-  (bot) whose per-user window serializes; mitigations: pre-split the
-  window key by (user_id, day) when sessions cannot cross days, or move
-  to Structured Streaming's applyInPandasWithState where state is keyed
-  and incremental.
+  (bot) whose per-user window serializes; ``split_days=True`` implements
+  the mitigation (the hot window keys by (user_id, day); a tiny per-day
+  offset window restores global ids), and streaming/sessions.py is the
+  keyed-state alternative for unbounded logs.
 """
 
 from __future__ import annotations
@@ -34,20 +34,72 @@ def date_histogram(events: DataFrame, interval: str = "hour") -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """(user_id, session_id, n_events, session_start, session_end):
-    per-user sessions split where the inter-event gap exceeds
-    ``gap_seconds``. session_id is 1-based in time order within the user
-    (deterministic: ties ordered by event_id)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap, matching DuckDB's epoch(ts - lag(ts));
+def _micros(c):
+    # microsecond-exact gap basis, matching DuckDB's epoch(ts - lag(ts));
     # unix_timestamp() floors to whole seconds and can split sessions
     # differently cross-engine when a gap lands within ~1s of gap_seconds.
     # The NTZ->TIMESTAMP cast is safe: the session timezone is pinned to
     # UTC (session.py), so unix_micros differences are pure wall-clock.
-    def _micros(c):
-        return F.unix_micros(c.cast("timestamp"))
+    return F.unix_micros(c.cast("timestamp"))
 
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, split_days: bool = False
+) -> DataFrame:
+    """(user_id, session_id, n_events, session_start, session_end):
+    per-user sessions split where the inter-event gap exceeds
+    ``gap_seconds``. session_id is 1-based in time order within the user
+    (deterministic: ties ordered by event_id).
+
+    ``split_days=True`` is the bot-user skew mitigation (VERDICT r04 item
+    5): the hot window is keyed by (user_id, day) — a bot emitting a year
+    of events spreads over ~365 tasks instead of serializing one — at the
+    documented semantic cost that sessions also cut at day boundaries
+    (the usual product constraint when this option is wanted). Global
+    per-user session ids are restored by a second, TINY window over the
+    per-(user, day) session counts (≤ days-per-user rows, never event
+    rows) whose exclusive prefix sum offsets the within-day ids, joined
+    back on the co-partitioned (user_id, day) key. The streaming twin
+    (streaming/sessions.py) keys state per user and is the other
+    mitigation for unbounded logs."""
+    if split_days:
+        ev = events.withColumn("day", F.to_date("ts"))
+        w_day = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        gap = (_micros(F.col("ts")) - _micros(F.lag("ts").over(w_day))) / F.lit(
+            1_000_000.0
+        )
+        new_session = (gap.isNull() | (gap > gap_seconds)).cast("int")
+        tagged = ev.withColumn(
+            "sid_in_day",
+            F.sum(new_session).over(
+                w_day.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        per_day = tagged.groupBy("user_id", "day").agg(
+            F.max("sid_in_day").alias("n_sess")
+        )
+        w_days = (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = per_day.select(
+            "user_id",
+            "day",
+            F.coalesce(F.sum("n_sess").over(w_days), F.lit(0)).alias("day_offset"),
+        )
+        return (
+            tagged.join(offsets, ["user_id", "day"])
+            .withColumn("session_id", F.col("day_offset") + F.col("sid_in_day"))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+        )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (_micros(F.col("ts")) - _micros(F.lag("ts").over(w))) / F.lit(1_000_000.0)
     new_session = (gap.isNull() | (gap > gap_seconds)).cast("int")
     sid = F.sum(new_session).over(

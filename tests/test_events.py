@@ -82,6 +82,60 @@ def test_sessionize_planted(spark):
     assert stats["max_session_events"] == 3
 
 
+def test_sessionize_split_days_bot_user(spark):
+    """The split_days skew mitigation: a planted bot emitting events across
+    several days must flow through a (user_id, day)-keyed window — no
+    single task holds the whole user — while session ids stay global,
+    1-based, in time order per user."""
+    t0 = dt.datetime(2026, 1, 1, 23, 0, 0)
+    rows = []
+    eid = 0
+    # bot user 9: an event every 10 minutes for 3 days straight
+    for i in range(3 * 24 * 6):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=10 * i), 9, "q", 0.0, ""))
+    # normal user 1: two sessions inside one day (31-min gap), no midnight
+    t1 = dt.datetime(2026, 1, 2, 9, 0, 0)
+    for delta in (0, 5, 10, 41.02):
+        eid += 1
+        rows.append((eid, t1 + dt.timedelta(minutes=delta), 1, "q", 0.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = sessionize(df, 1800, split_days=True)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"])
+        for r in out.collect()
+    }
+    # bot: continuous 10-min cadence => exactly one session per calendar
+    # day (cut at midnight by design), ids 1..4 in day order (Jan 1 23:00
+    # through Jan 4 22:50 spans 4 calendar days)
+    bot = sorted((sid, v) for (u, sid), v in got.items() if u == 9)
+    assert [sid for sid, _ in bot] == [1, 2, 3, 4]
+    assert bot[0][1][0] == 6  # Jan 1: 23:00-23:50 -> 6 events
+    assert sum(v[0] for _, v in bot) == 3 * 24 * 6
+    # starts strictly increasing in time => global ordering preserved
+    starts = [v[1] for _, v in bot]
+    assert starts == sorted(starts)
+    # normal user unaffected by the day key (no midnight crossing): same
+    # result as the default path
+    base = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df.filter("user_id = 1"), 1800).collect()
+    }
+    assert {(u, s): v[0] for (u, s), v in got.items() if u == 1} == base
+    # plan shape: the EVENT-level window is keyed by (user_id, day) — the
+    # only user-only window runs over the tiny per-(user, day) frame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    event_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "event_id" in line
+    ]
+    assert event_windows and all("day" in line for line in event_windows), plan
+
+
 def test_gap_boundary_exclusive(spark):
     t0 = dt.datetime(2026, 1, 1)
     rows = [

@@ -132,6 +132,29 @@ def test_cumulative_term_counts(spark):
     assert out == {0: 2, 1: 3, 4: 4}
 
 
+def test_cumulative_term_counts_multi_bucket(spark):
+    """The two-pass distributed cumsum must agree with the naive running
+    sum when the curve genuinely spans many range buckets (including empty
+    buckets between sparse doc ids)."""
+    from bitfunnel_spark.operators.analytics import cumulative_term_counts
+
+    # term t{i} first appears at doc 7*i (sparse, 100 first-appearance
+    # points); a second posting of an old term never adds a count
+    rows = [(f"t{i}", "body", 7 * i) for i in range(100)]
+    rows += [("t0", "body", 7 * i + 1) for i in range(1, 50)]
+    p = spark.createDataFrame(rows, "term string, stream string, doc_id long")
+    out = {
+        r["ingest_order"]: r["cum_unique_terms"]
+        for r in cumulative_term_counts(p, n_buckets=8).collect()
+    }
+    assert out == {7 * i: i + 1 for i in range(100)}
+    # plan shape: the only window is partitioned (no single-task funnel)
+    plan = cumulative_term_counts(p, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "bucket" in line, line
+
+
 def test_posting_density(spark):
     from bitfunnel_spark.operators.analytics import posting_density
 

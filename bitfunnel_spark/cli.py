@@ -273,7 +273,8 @@ def cmd_repl(args) -> None:
         " | !mlt <doc_id> | !suggest <prefix> | !dym <term> | !explain <q>"
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
-        " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json> | !quit"
+        " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
+        " | !show <term> | !script <file> | !quit"
     )
 
     def _emb_df():
@@ -290,15 +291,13 @@ def cmd_repl(args) -> None:
         if row is None:
             raise ValueError(f"vec_id {vec_id} not in {args.emb}")
         return [float(x) for x in row.embedding]
-    while True:
-        try:
-            line = input("bf> ").strip()
-        except EOFError:
-            break
+    def handle(line: str) -> bool:
+        """Dispatch one REPL line (shared by interactive input and !script
+        command files); returns False when the session should end."""
         if not line:
-            continue
+            return True
         if line in ("!quit", "!exit"):
-            break
+            return False
         try:
             if line.startswith("!match "):
                 docs = sorted(r["doc_id"] for r in idx.match(line[7:]).collect())
@@ -475,6 +474,53 @@ def cmd_repl(args) -> None:
                         f"kernel {r['kernel_ms_sum']} ms, parse {timings['parse_ms']} ms, "
                         f"plan {timings['plan_ms']} ms"
                     )
+            elif line.startswith("!show "):
+                # dictionary/postings introspection (the reference REPL's
+                # `show rows <term>` — tools/BitFunnel/src/ShowCommand.cpp
+                # prints a term's row configuration; the segment-store
+                # analogue is df/idf/treatment plus the term's physical
+                # block/posting/shard footprint from segment METADATA —
+                # postings are never decoded)
+                from pyspark.sql import functions as F
+
+                from bitfunnel_spark.operators.segments import _term_key_py
+
+                term = line[6:].strip().lower()
+                ts_rows = idx.term_stats.filter(F.col("term") == term).collect()
+                if not ts_rows:
+                    print(f"'{term}' not in dictionary")
+                for r in ts_rows:
+                    tk = _term_key_py(r["stream"], term)
+                    seg = (
+                        idx.segments.filter(F.col("term_key") == tk)
+                        .agg(
+                            F.count("*").alias("blocks"),
+                            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+                            F.countDistinct("shard").alias("shards"),
+                            F.countDistinct("slice").alias("slices"),
+                        )
+                        .collect()[0]
+                    )
+                    print(
+                        f"{r['stream']}:{term}\tdf={r['df']}\tidf_x10={r['idf_x10']}"
+                        f"\ttreatment={r['treatment']}\tblocks={seg['blocks']}"
+                        f"\tpostings={seg['postings']}\tshards={seg['shards']}"
+                        f"\tslices={seg['slices']}"
+                    )
+            elif line.startswith("!script "):
+                # batch command file (the reference REPL's `script` verb —
+                # tools/BitFunnel/src/ScriptCommand.cpp): one repl line per
+                # file line, '#' comments skipped, !quit inside ends the
+                # session
+                path = line[8:].strip()
+                with open(path) as fh:
+                    for cmd in fh:
+                        cmd = cmd.strip()
+                        if not cmd or cmd.startswith("#"):
+                            continue
+                        print(f"bf> {cmd}")
+                        if not handle(cmd):
+                            return False
             else:
                 t0 = time.time()
                 for r in idx.search(line, k=args.k, mode=args.mode).collect():
@@ -482,6 +528,15 @@ def cmd_repl(args) -> None:
                 print(f"({time.time() - t0:.3f}s)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — REPL: report, keep looping
             print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return True
+
+    while True:
+        try:
+            line = input("bf> ").strip()
+        except EOFError:
+            break
+        if not handle(line):
+            break
 
 
 def cmd_compact(args) -> None:

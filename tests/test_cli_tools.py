@@ -166,3 +166,49 @@ def test_cli_repl_dsl_and_count(spark, corpus, tmp_path, capsys, monkeypatch):
     # counts: "data" matches and the match_all total (59 or 60 docs)
     tail_nums = [l for l in out.splitlines() if l.strip().isdigit()]
     assert len(tail_nums) == 2 and int(tail_nums[-1]) >= 59
+
+
+def test_cli_repl_show_and_script(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!show prints dictionary + segment footprint for a term (ShowCommand
+    analogue); !script replays a command file (ScriptCommand analogue) and
+    a !quit inside it ends the session (later stdin never consumed)."""
+    cpath = str(tmp_path / "shcorpus")
+    ipath = str(tmp_path / "shindex")
+    corpus.filter("doc_id < 60").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    script = tmp_path / "cmds.bf"
+    script.write_text(
+        "# comment lines are skipped\n"
+        "\n"
+        "!show data\n"
+        "!show zzzznotaterm\n"
+        "!quit\n"
+    )
+    consumed = []
+    lines = iter([f"!script {script}", "!show data"])
+
+    def fake_input(prompt=""):
+        try:
+            v = next(lines)
+            consumed.append(v)
+            return v
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath, "--k", "3"])
+    out = capsys.readouterr().out
+    # script lines echoed with the prompt
+    assert "bf> !show data" in out and "bf> !quit" in out
+    # !show output: stream-qualified term with df/treatment and the
+    # physical footprint from segment metadata
+    show = [l for l in out.splitlines() if l.startswith("body:data")]
+    assert show, out
+    assert "df=" in show[0] and "treatment=" in show[0]
+    assert "blocks=" in show[0] and "postings=" in show[0]
+    assert "'zzzznotaterm' not in dictionary" in out
+    # !quit inside the script ended the session: the trailing interactive
+    # "!show data" was never read
+    assert consumed == [f"!script {script}"]

@@ -2387,8 +2387,11 @@ DRIVER_WINDOW = [
     "ft_bm25_and", "ft_bm25_or", "ft_bm25_not", "ft_bm25_batch",
     "ft_bm25_page2", "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
     "ft_regex_grep", "ft_regex_grep_many", "dedup_substring",
-    "dedup_minhash_lsh", "events_histogram", "ft_dsl_bool", "ft_dsl_aggs",
-    "ft_percolate_log", "chunk_roundtrip", "ft_snippets",
+    "dedup_minhash_lsh", "events_histogram", "ft_dsl_aggs",
+    "ft_percolate_log",
+    # (e) brand-new r05 entries: sampler/diversified_sampler buckets and
+    # the boxplot metric (plans/serving.py, run_aggs routing)
+    "ft_sampler", "ft_diversified_sampler", "ft_boxplot",
 ]
 
 
@@ -3520,6 +3523,61 @@ ORDER BY doc_id, stream, term"""
     queries["ft_multi_terms"] = q_ft_multi_terms
     oracles["ft_multi_terms"] = oracle_multi_terms_sql(
         FACETS_QUERY, by=("lang", "repo"), size=10, config=ENTRY_CONFIG
+    )
+
+    # ES sampler / diversified_sampler: bound an expensive sub-agg to the
+    # best shard_size matches per shard (deterministic: rounded-score desc,
+    # doc_id asc). The whole point at 100 TB: downstream agg cost becomes
+    # n_shards·shard_size, not the match set.
+    def q_ft_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": "data | the"}},
+             "aggs": {"s": {"sampler": {"shard_size": 16},
+                            "aggs": {"b": {"terms": {"field": "lang"}}}}}},
+        )
+
+    from bitfunnel_spark.plans.oracle import oracle_boxplot_sql, oracle_sampler_sql
+
+    queries["ft_sampler"] = q_ft_sampler
+    oracles["ft_sampler"] = oracle_sampler_sql(
+        "data | the", by="lang", shard_size=16, config=ENTRY_CONFIG
+    )
+
+    def q_ft_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": "data | the"}},
+             "aggs": {"s": {"diversified_sampler": {
+                 "shard_size": 16, "field": "repo", "max_docs_per_value": 2},
+                 "aggs": {"b": {"terms": {"field": "lang"}}}}}},
+        )
+
+    queries["ft_diversified_sampler"] = q_ft_diversified_sampler
+    oracles["ft_diversified_sampler"] = oracle_sampler_sql(
+        "data | the", by="lang", shard_size=16, diversify=("repo", 2),
+        config=ENTRY_CONFIG,
+    )
+
+    # ES boxplot metric under a terms bucket: exact five-number doclen
+    # summary per facet (quantile_cont parity with Spark's percentile)
+    def q_ft_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"b": {"terms": {"field": "lang"},
+                            "aggs": {"box": {"boxplot": {"field": "doclen"}}}}}},
+        )
+
+    queries["ft_boxplot"] = q_ft_boxplot
+    oracles["ft_boxplot"] = oracle_boxplot_sql(
+        FACETS_QUERY, by="lang", config=ENTRY_CONFIG
     )
 
     # ANN recall harness (MatchVerifier.cpp analogue): per-query

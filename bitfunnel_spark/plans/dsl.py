@@ -1022,6 +1022,11 @@ def run_aggs(index, body: dict, k: int = 10):
       rare_terms(field, max_doc_count)     -> rare_terms (long-tail buckets)
       multi_terms(terms, size)             -> multi_terms (composite keys)
       filters(query_string filters)        -> filters_agg
+      adjacency_matrix(filters)            -> adjacency_matrix (pair counts)
+      composite(sources, size, after)      -> composite_agg (paginated buckets)
+      sampler(shard_size) + terms          -> sampler_agg (per-shard best-docs)
+      diversified_sampler(...) + terms     -> diversified_sampler_agg
+      terms + boxplot(doclen)              -> facet_boxplot (5-number summary)
     """
     from bitfunnel_spark.plans import serving
 
@@ -1046,7 +1051,67 @@ def run_aggs(index, body: dict, k: int = 10):
             qs[name] = node
         return serving.filters_agg(index, qs)
 
+    if kind == "adjacency_matrix":
+        _require(q is None, "adjacency_matrix counts over the whole corpus (no query)")
+        named = conf.get("filters")
+        _require(isinstance(named, dict) and named, "adjacency_matrix.filters must be non-empty")
+        _require(sub is None, "adjacency_matrix takes no sub-aggs")
+        qs = {name: compile_dsl(sub_q) for name, sub_q in named.items()}
+        return serving.adjacency_matrix(index, qs)
+
     _require(q is not None, f"{kind} agg requires a query")
+
+    if kind == "composite":
+        sources = conf.get("sources")
+        _require(isinstance(sources, list) and sources, "composite.sources must be non-empty")
+        fields, labels = [], []
+        for s in sources:
+            _require(isinstance(s, dict) and len(s) == 1,
+                     "each composite source is {label: {'terms': {'field': ...}}}")
+            (label, sspec), = s.items()
+            _require(isinstance(sspec, dict) and set(sspec) == {"terms"},
+                     "composite sources support terms only")
+            f = sspec["terms"].get("field")
+            _require(f in BUCKET_FIELDS, f"composite fields must be among {BUCKET_FIELDS}")
+            fields.append(f)
+            labels.append(label)
+        _require(len(set(fields)) == len(fields), "composite fields must be distinct")
+        after = conf.get("after")
+        after_t = None
+        if after is not None:
+            _require(isinstance(after, dict) and set(after) == set(labels),
+                     "composite.after keys must match the source labels")
+            after_t = tuple(after[lbl] for lbl in labels)
+        unknown = set(conf) - {"sources", "size", "after"}
+        _require(not unknown, f"unsupported composite options: {sorted(unknown)}")
+        _require(sub is None, "composite sub-aggs are not supported")
+        return serving.composite_agg(
+            index, q, by=tuple(fields), size=int(conf.get("size", 10)),
+            after=after_t,
+        )
+
+    if kind in ("sampler", "diversified_sampler"):
+        _require(isinstance(sub, dict) and len(sub) == 1,
+                 f"{kind} needs exactly one terms sub-agg")
+        (_, sspec), = sub.items()
+        _require(isinstance(sspec, dict) and set(sspec) == {"terms"},
+                 f"{kind} sub-agg must be a terms agg")
+        by = sspec["terms"].get("field")
+        _require(by in BUCKET_FIELDS, f"terms field must be one of {BUCKET_FIELDS}")
+        shard_size = int(conf.get("shard_size", 64))
+        if kind == "sampler":
+            unknown = set(conf) - {"shard_size"}
+            _require(not unknown, f"unsupported sampler options: {sorted(unknown)}")
+            return serving.sampler_agg(index, q, by=by, shard_size=shard_size)
+        dfield = conf.get("field")
+        _require(dfield in BUCKET_FIELDS,
+                 f"diversified_sampler field must be one of {BUCKET_FIELDS}")
+        unknown = set(conf) - {"shard_size", "field", "max_docs_per_value"}
+        _require(not unknown, f"unsupported diversified_sampler options: {sorted(unknown)}")
+        return serving.diversified_sampler_agg(
+            index, q, by=by, field=dfield, shard_size=shard_size,
+            max_docs_per_value=int(conf.get("max_docs_per_value", 1)),
+        )
 
     if kind == "histogram":
         _require(conf.get("field") in NUMERIC_FIELDS, "histogram field must be doclen")
@@ -1150,6 +1215,9 @@ def run_aggs(index, body: dict, k: int = 10):
             _require(sconf.get("field") in NUMERIC_FIELDS, "percentiles field must be doclen")
             pcts = tuple(float(p) for p in sconf.get("percents", (25.0, 50.0, 75.0, 95.0)))
             return serving.facet_percentiles(index, q, by=field, percents=pcts)
+        if skind == "boxplot":
+            _require(sconf.get("field") in NUMERIC_FIELDS, "boxplot field must be doclen")
+            return serving.facet_boxplot(index, q, by=field)
         if skind == "median_absolute_deviation":
             _require(sconf.get("field") in NUMERIC_FIELDS,
                      "median_absolute_deviation field must be doclen")

@@ -1486,3 +1486,86 @@ SELECT nrel.n_rel::BIGINT AS n_rel,
 FROM acc, nrel, idcg
 )""")
     return "\nUNION ALL\n".join(selects) + "\nORDER BY query_id"
+
+
+def _shard_expr_sql() -> str:
+    from bitfunnel_spark.operators.sharding import (
+        DEFAULT_SHARD_BOUNDARIES,
+        shard_case_sql,
+    )
+
+    return shard_case_sql("coalesce(dl.doclen, 0)", DEFAULT_SHARD_BOUNDARIES)
+
+
+def oracle_sampler_sql(
+    query, by: str = "lang", shard_size: int = 64,
+    diversify: tuple[str, int] | None = None,
+    config: BuildConfig | None = None,
+) -> str:
+    """sampler / diversified_sampler oracle mirroring
+    plans/serving.sampler_agg / diversified_sampler_agg: per-shard top
+    ``shard_size`` of the scored match set in (rounded score desc,
+    doc_id asc) order — after an optional per-(shard, field-value)
+    ``max_docs_per_value`` dedup when ``diversify=(field, max)`` — then
+    terms counts of ``by`` over the sample."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col_of = {"lang": "lang", "repo": "source"}
+    shard = _shard_expr_sql()
+    dedup = ""
+    src = "s"
+    if diversify is not None:
+        dfield, dmax = diversify
+        dedup = f""",
+dd AS (
+  SELECT doc_id, score, shard FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY s.shard, d.{col_of[dfield]}
+      ORDER BY s.score DESC, s.doc_id ASC) AS dn
+    FROM s JOIN documents d USING (doc_id))
+  WHERE dn <= {int(dmax)}
+)"""
+        src = "dd"
+    return (
+        f"WITH {corpus_cte(config.analyzer)},\n"
+        f"{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id, round(h.score, 4) AS score FROM hits h "
+        f"WHERE {_bool_sql(plan.ast)}),\n"
+        f"s AS (SELECT m.doc_id, m.score, ({shard})::INT AS shard\n"
+        f"      FROM m LEFT JOIN dl USING (doc_id)){dedup},\n"
+        f"samp AS (\n"
+        f"  SELECT doc_id FROM (\n"
+        f"    SELECT doc_id, row_number() OVER (\n"
+        f"      PARTITION BY shard ORDER BY score DESC, doc_id ASC) AS rn\n"
+        f"    FROM {src})\n"
+        f"  WHERE rn <= {int(shard_size)}\n"
+        f")\n"
+        f"SELECT d.{col_of[by]} AS value, count(*)::BIGINT AS n_docs\n"
+        f"FROM samp JOIN documents d USING (doc_id)\n"
+        f"GROUP BY d.{col_of[by]}\n"
+        f"ORDER BY n_docs DESC, value ASC"
+    )
+
+
+def oracle_boxplot_sql(
+    query, by: str = "lang", config: BuildConfig | None = None
+) -> str:
+    """boxplot-under-terms oracle mirroring plans/serving.facet_boxplot:
+    per facet value the exact five-number doclen summary (quantile_cont
+    matches Spark's exact interpolated percentile)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col_of = {"lang": "lang", "repo": "source"}
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT d.{col_of[by]} AS {by}, count(*)::BIGINT AS n_docs,\n"
+        f"       min(coalesce(dl.doclen, 0))::DOUBLE AS min,\n"
+        f"       round(quantile_cont(coalesce(dl.doclen, 0), 0.25), 4) AS q1,\n"
+        f"       round(quantile_cont(coalesce(dl.doclen, 0), 0.50), 4) AS q2,\n"
+        f"       round(quantile_cont(coalesce(dl.doclen, 0), 0.75), 4) AS q3,\n"
+        f"       max(coalesce(dl.doclen, 0))::DOUBLE AS max\n"
+        f"FROM m JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id)\n"
+        f"GROUP BY d.{col_of[by]}\n"
+        f"ORDER BY {by} ASC"
+    )

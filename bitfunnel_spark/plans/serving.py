@@ -1849,3 +1849,136 @@ def rank_eval(
         )
         .orderBy("query_id")
     )
+
+
+def sampler_agg(
+    index, query: str, by: str = "lang", shard_size: int = 64,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``sampler`` aggregation: sub-aggregate over only the best
+    ``shard_size`` matches PER SHARD instead of the full match set — the
+    standard way to bound the cost of an expensive sub-agg on a huge
+    match set. The sample is deterministic: the top ``shard_size`` rows
+    of each shard in the total (score desc, doc_id asc) order (ES's
+    "best matching" collection, made reproducible). Returns the terms
+    sub-agg over the sample: DataFrame[(value, n_docs)] ordered
+    (n_docs desc, value asc); counts sum to ≤ n_shards · shard_size.
+
+    Scale shape: the scored match set joins the narrow (doc_id, shard)
+    projection, the per-shard cut is a rank window PARTITIONED BY shard
+    (each partition's sort is local to that shard's matches — never one
+    global task), and everything downstream of the window sees at most
+    n_shards · shard_size rows, which is the whole point of the
+    operator: the sub-agg's cost is bounded by the sample budget, not
+    the corpus.
+    """
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    scored = scored_matches(index, query, facts)
+    rows = scored.join(index.doc_stats.select("doc_id", "shard"), "doc_id")
+    w = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc("doc_id"))
+    sample = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+        .select("doc_id")
+    )
+    grp = index.corpus.select("doc_id", F.col(by).alias("value"))
+    return (
+        sample.join(grp, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
+def diversified_sampler_agg(
+    index, query: str, by: str = "lang", field: str = "repo",
+    shard_size: int = 64, max_docs_per_value: int = 1,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``diversified_sampler``: like ``sampler_agg`` but the sample
+    first keeps at most ``max_docs_per_value`` docs per distinct value of
+    ``field`` within each shard (best-scoring first), THEN takes the best
+    ``shard_size`` per shard — so one dominant repo/author can't flood
+    the sample. Deterministic: both cuts rank by (score desc, doc_id
+    asc). Returns DataFrame[(value, n_docs)] ordered (n_docs desc,
+    value asc).
+
+    Scale shape: two stacked rank windows — the dedup window partitions
+    by (shard, field value), strictly finer than the sampler window's
+    shard partitioning, so no partition ever exceeds one shard's matches
+    for one field value; the second window sees only the deduped
+    survivors. Downstream cost is bounded by n_shards · shard_size
+    exactly as in ``sampler_agg``.
+    """
+    from bitfunnel_spark.plans.executor import scored_matches
+
+    if shard_size < 1 or max_docs_per_value < 1:
+        raise ValueError("shard_size and max_docs_per_value must be >= 1")
+    scored = scored_matches(index, query, facts)
+    div = index.corpus.select("doc_id", F.col(field).alias("dval"))
+    rows = scored.join(index.doc_stats.select("doc_id", "shard"), "doc_id").join(
+        div, "doc_id"
+    )
+    wd = Window.partitionBy("shard", "dval").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    deduped = (
+        rows.withColumn("dn", F.row_number().over(wd))
+        .filter(F.col("dn") <= max_docs_per_value)
+        .drop("dn", "dval")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc("doc_id"))
+    sample = (
+        deduped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+        .select("doc_id")
+    )
+    grp = index.corpus.select("doc_id", F.col(by).alias("value"))
+    return (
+        sample.join(grp, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
+def facet_boxplot(
+    index, query: str, by: str = "lang",
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``boxplot`` metric aggregation under a terms bucket: per facet
+    value the five-number summary of body doclen over the match set —
+    min, q1, q2 (median), q3, max. Quartiles use the exact continuous
+    (interpolated) percentile, the same definition as facet_percentiles
+    (DuckDB quantile_cont mirrors it bit-for-bit). Returns
+    DataFrame[(<by>, n_docs, min, q1, q2, q3, max)] ordered by facet
+    value, quartiles rounded 4 dp.
+
+    Scale shape: identical to facet_stats — match set → two narrow
+    doc_id equi-joins → ONE map-side-combined groupBy computing all five
+    summaries as sibling aggregate expressions (never one scan per
+    metric). ES computes boxplot with a TDigest sketch; the documented
+    100 TB swap is percentile_approx exactly as in facet_percentiles.
+    """
+    matches = index.match(query, facts).select("doc_id")
+    grp = index.corpus.select("doc_id", by)
+    dl = index.doc_stats.select("doc_id", "doclen")
+    rows = matches.join(grp, "doc_id").join(dl, "doc_id")
+    q = lambda p: F.round(  # noqa: E731
+        F.percentile("doclen", F.lit(p)).cast("double"), 4
+    )
+    return (
+        rows.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doclen").cast("double").alias("min"),
+            q(0.25).alias("q1"),
+            q(0.50).alias("q2"),
+            q(0.75).alias("q3"),
+            F.max("doclen").cast("double").alias("max"),
+        )
+        .orderBy(by)
+    )

@@ -946,3 +946,107 @@ def test_msearch_rejects_from_and_exists_extras(index):
         msearch(index, [{"query": {"query_string": "data"}, "from": 3}])
     with pytest.raises(DslError):
         search_dsl(index, {"query": {"exists": {"field": "lang", "boost": 2}}})
+
+
+def test_aggs_adjacency_matrix(index):
+    body = {
+        "aggs": {"grid": {"adjacency_matrix": {"filters": {
+            "k": {"match": {"content": "key"}},
+            "s": {"match": {"content": "scan"}},
+        }}}},
+    }
+    named = {"k": Term("key"), "s": Term("scan")}
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.adjacency_matrix(index, named)
+    )
+
+
+def test_aggs_composite(index):
+    body = {
+        "query": _Q,
+        "aggs": {"page": {"composite": {
+            "size": 4,
+            "sources": [
+                {"lang": {"terms": {"field": "lang"}}},
+                {"repo": {"terms": {"field": "repo"}}},
+            ],
+        }}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.composite_agg(index, Term("data"), by=("lang", "repo"), size=4)
+    )
+    page1 = run_aggs(index, body).collect()
+    body_after = {
+        "query": _Q,
+        "aggs": {"page": {"composite": {
+            "size": 4,
+            "sources": body["aggs"]["page"]["composite"]["sources"],
+            "after": {"lang": page1[-1]["lang"], "repo": page1[-1]["repo"]},
+        }}},
+    }
+    assert _rows(run_aggs(index, body_after)) == _rows(
+        serving.composite_agg(
+            index, Term("data"), by=("lang", "repo"), size=4,
+            after=(page1[-1]["lang"], page1[-1]["repo"]),
+        )
+    )
+
+
+def test_aggs_sampler_and_diversified(index):
+    body = {
+        "query": _Q,
+        "aggs": {"s": {"sampler": {"shard_size": 3},
+                       "aggs": {"b": {"terms": {"field": "lang"}}}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.sampler_agg(index, Term("data"), by="lang", shard_size=3)
+    )
+    body = {
+        "query": _Q,
+        "aggs": {"s": {"diversified_sampler":
+                           {"shard_size": 3, "field": "repo",
+                            "max_docs_per_value": 2},
+                       "aggs": {"b": {"terms": {"field": "lang"}}}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.diversified_sampler_agg(
+            index, Term("data"), by="lang", field="repo",
+            shard_size=3, max_docs_per_value=2,
+        )
+    )
+
+
+def test_aggs_boxplot(index):
+    body = {
+        "query": _Q,
+        "aggs": {"b": {"terms": {"field": "lang"},
+                       "aggs": {"box": {"boxplot": {"field": "doclen"}}}}},
+    }
+    assert _rows(run_aggs(index, body)) == _rows(
+        serving.facet_boxplot(index, Term("data"), by="lang")
+    )
+
+
+def test_aggs_new_kinds_validate(index):
+    from bitfunnel_spark.plans.dsl import DslError
+
+    bads = [
+        # composite with a non-terms source
+        {"query": _Q, "aggs": {"p": {"composite": {
+            "sources": [{"x": {"histogram": {"field": "doclen"}}}]}}}},
+        # sampler without a sub-agg
+        {"query": _Q, "aggs": {"s": {"sampler": {"shard_size": 3}}}},
+        # diversified_sampler without a diversity field
+        {"query": _Q, "aggs": {"s": {"diversified_sampler": {"shard_size": 3},
+                                     "aggs": {"b": {"terms": {"field": "lang"}}}}}},
+        # adjacency_matrix with a query
+        {"query": _Q, "aggs": {"a": {"adjacency_matrix": {"filters": {
+            "k": {"match": {"content": "key"}}}}}}},
+        # composite after-key labels mismatch
+        {"query": _Q, "aggs": {"p": {"composite": {
+            "sources": [{"lang": {"terms": {"field": "lang"}}}],
+            "after": {"wrong": "en"}}}}},
+    ]
+    for bad in bads:
+        with pytest.raises(DslError):
+            run_aggs(index, bad)

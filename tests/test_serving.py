@@ -1036,3 +1036,99 @@ def test_facet_metrics_cardinality_of_bucket_field(index):
             "u": {"cardinality": {"field": "lang"}}}}},
     }).collect()
     assert rows and all(r["u"] == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sampler / diversified_sampler / boxplot
+
+
+@pytest.mark.parametrize("q,shard_size", [("data | the", 3), ("data", 10)])
+def test_sampler_agg_vs_oracle(index, duck, q, shard_size):
+    from bitfunnel_spark.plans.oracle import oracle_sampler_sql
+
+    got = [
+        (r["value"], r["n_docs"])
+        for r in serving.sampler_agg(index, q, by="lang", shard_size=shard_size).collect()
+    ]
+    exp = duck.execute(oracle_sampler_sql(q, by="lang", shard_size=shard_size)).fetchall()
+    assert got == [(v, int(c)) for v, c in exp]
+    # sample budget: counts sum to <= n_shards * shard_size, and to the
+    # full match size when the budget covers it
+    n_shards = index.doc_stats.select("shard").distinct().count()
+    total = sum(c for _, c in got)
+    assert total <= n_shards * shard_size
+    assert total <= index.match(q).count()
+
+
+def test_sampler_agg_budget_covers_all(index):
+    # a huge budget degenerates to plain facet counts
+    q = "data"
+    full = {
+        (r["value"], r["n_docs"])
+        for r in serving.facet_counts(index, q, facets=("lang",))
+        .select("value", "n_docs")
+        .collect()
+    }
+    samp = {
+        (r["value"], r["n_docs"])
+        for r in serving.sampler_agg(index, q, by="lang", shard_size=10**6).collect()
+    }
+    assert samp == full
+
+
+def test_diversified_sampler_vs_oracle(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_sampler_sql
+
+    q = "data | the"
+    got = [
+        (r["value"], r["n_docs"])
+        for r in serving.diversified_sampler_agg(
+            index, q, by="lang", field="repo", shard_size=5, max_docs_per_value=2
+        ).collect()
+    ]
+    exp = duck.execute(
+        oracle_sampler_sql(q, by="lang", shard_size=5, diversify=("repo", 2))
+    ).fetchall()
+    assert got == [(v, int(c)) for v, c in exp]
+
+
+def test_diversified_sampler_caps_per_value(index):
+    # with max_docs_per_value=1 the sample holds at most one doc per
+    # (shard, repo); aggregate over repo to observe the cap directly
+    q = "data | the"
+    rows = serving.diversified_sampler_agg(
+        index, q, by="repo", field="repo", shard_size=10**6, max_docs_per_value=1
+    ).collect()
+    n_shards = index.doc_stats.select("shard").distinct().count()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] <= n_shards
+
+
+def test_sampler_agg_validates(index):
+    with pytest.raises(ValueError):
+        serving.sampler_agg(index, "data", shard_size=0).collect()
+    with pytest.raises(ValueError):
+        serving.diversified_sampler_agg(index, "data", max_docs_per_value=0).collect()
+
+
+@pytest.mark.parametrize("q", ["data | the", "lang:en data"])
+def test_facet_boxplot_vs_oracle(index, duck, q):
+    from bitfunnel_spark.plans.oracle import oracle_boxplot_sql
+
+    got = [
+        (r["lang"], r["n_docs"], r["min"], r["q1"], r["q2"], r["q3"], r["max"])
+        for r in serving.facet_boxplot(index, q, by="lang").collect()
+    ]
+    exp = [
+        (
+            lang, int(n), mn,
+            pytest.approx(q1, abs=2e-4), pytest.approx(q2, abs=2e-4),
+            pytest.approx(q3, abs=2e-4), mx,
+        )
+        for lang, n, mn, q1, q2, q3, mx in duck.execute(oracle_boxplot_sql(q, by="lang")).fetchall()
+    ]
+    assert exp == got
+    # five-number ordering invariant
+    for _, _, mn, q1, q2, q3, mx in got:
+        assert mn <= q1 <= q2 <= q3 <= mx

@@ -2387,11 +2387,11 @@ DRIVER_WINDOW = [
     "ft_bm25_and", "ft_bm25_or", "ft_bm25_not", "ft_bm25_batch",
     "ft_bm25_page2", "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
     "ft_regex_grep", "ft_regex_grep_many", "dedup_substring",
-    "dedup_minhash_lsh", "events_histogram", "ft_dsl_aggs",
-    "ft_percolate_log",
-    # (e) brand-new r05 entries: sampler/diversified_sampler buckets and
-    # the boxplot metric (plans/serving.py, run_aggs routing)
+    "ft_dsl_aggs", "ft_percolate_log",
+    # (e) brand-new r05 entries: sampler/diversified_sampler buckets, the
+    # boxplot metric, the _analyze tokenizer inspector, and min_score
     "ft_sampler", "ft_diversified_sampler", "ft_boxplot",
+    "ft_analyze", "ft_min_score",
 ]
 
 
@@ -3578,6 +3578,40 @@ ORDER BY doc_id, stream, term"""
     queries["ft_boxplot"] = q_ft_boxplot
     oracles["ft_boxplot"] = oracle_boxplot_sql(
         FACETS_QUERY, by="lang", config=ENTRY_CONFIG
+    )
+
+    # ES _analyze API: the token stream the index would emit for a text
+    # under an analyzer — the public tokenizer-contract inspector. The
+    # entry analyzes one document's content under the CODE analyzer, so
+    # the oracle exercises the full camelCase/snake_case split chain.
+    _ANALYZE_DOC = 42
+
+    def q_ft_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.functions.tokenizer import analyze_text
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        text = docs.filter(F.col("doc_id") == _ANALYZE_DOC).select("text").head()[0]
+        return analyze_text(spark, text, analyzer="code")
+
+    from bitfunnel_spark.plans.oracle import oracle_analyze_sql
+
+    queries["ft_analyze"] = q_ft_analyze
+    oracles["ft_analyze"] = oracle_analyze_sql(_ANALYZE_DOC, analyzer="code")
+
+    # ES min_score: hits below the score floor drop out of the ranking
+    def q_ft_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(
+            get_index(spark, sf_dir),
+            {"query": {"match": {"content": "data fast"}},
+             "size": 10, "min_score": 0.87},
+        )
+
+    queries["ft_min_score"] = q_ft_min_score
+    oracles["ft_min_score"] = oracle_search_sql(
+        "data fast", k=10, config=ENTRY_CONFIG,
+        extra_where="round(h.score, 4) >= 0.87",
     )
 
     # ANN recall harness (MatchVerifier.cpp analogue): per-query

@@ -209,3 +209,21 @@ def py_tokenize(text: str, analyzer: str = "standard") -> list[str]:
     if analyzer != "standard":
         raise ValueError(f"unknown analyzer: {analyzer!r}")
     return _PY_TOKEN_RE.findall(_py_lower(text))
+
+
+def analyze_text(spark, text: str, analyzer: str = "standard"):
+    """ES ``_analyze`` API analogue: the token stream the index would emit
+    for ``text`` under ``analyzer``, as DataFrame[(position, token)] with
+    ES's 0-based token positions, ordered by position. The one public way
+    to inspect the tokenizer contract (reference analogue: the chunk
+    pipeline's Document::AddTerm stream, src/Chunks/src/Document.cpp)
+    without building an index.
+
+    Driver cost is one single-row DataFrame; tokenization is the same JVM
+    regex expression the build uses, so what _analyze shows is exactly
+    what the index stores."""
+    df = spark.createDataFrame([(text,)], "text string")
+    return (
+        df.select(F.posexplode(tokenize("text", analyzer)).alias("position", "token"))
+        .orderBy("position")
+    )

@@ -415,13 +415,20 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         _require("query" not in body,
                  "suggest-only bodies supported (no query alongside)")
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
-    source = sort_spec = highlight = None
+    source = sort_spec = highlight = min_score = None
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
         source = body.get("_source")
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
+        # ES min_score: drop hits scoring below the floor. Scores order
+        # the ranking descending, so filtering the fetched top page equals
+        # filtering the full result then paging — no extra fetch needed.
+        # Compared on the engine's rounded (4 dp) scores, the same values
+        # the ranking itself uses.
+        if "min_score" in body:
+            min_score = float(body["min_score"])
         # ES from+size shallow paging: fetch from+size rows, skip `from`.
         # Cost grows with the page start — ES caps the same pattern at
         # max_result_window (10,000); deep pagination belongs to
@@ -434,6 +441,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         query = body["query"]
     else:
         query = body
+    if min_score is not None:
+        from pyspark.sql import functions as F  # noqa: N812
     is_comb = (
         isinstance(query, dict)
         and len(query) == 1
@@ -452,11 +461,15 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     if is_filter_only:
         _require(sort_spec is None and highlight is None,
                  "sort/highlight need an AST query, not a filter-only kind")
+        _require(min_score is None,
+                 "min_score needs a scored query, not a filter-only kind")
         hits = _filter_only_hits(index, *next(iter(query.items())), k=fetch_k)
         return _fetch_source(index, _page(hits), source)
     if sort_spec is not None or highlight is not None:
         _require(not is_comb,
                  "sort/highlight need an AST query, not a combinator kind")
+        _require(min_score is None or sort_spec is None,
+                 "min_score needs _score ranking; sort omits it")
         _require(not (sort_spec is not None and highlight is not None),
                  "sort omits _score; highlight ranks by it — pick one")
         node = compile_dsl(query)
@@ -473,6 +486,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         from bitfunnel_spark.plans import serving
 
         hits = serving.snippets(index, node, k=fetch_k, mode=mode)
+        if min_score is not None:
+            hits = hits.filter(F.col("score") >= min_score)
         return _fetch_source(index, _page(hits), source, extra_cols=("snippet",))
     if is_comb:
         # kinds whose executor is a serving-layer combinator rather than a
@@ -480,6 +495,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         hits = _serving_query(index, *next(iter(query.items())), k=fetch_k)
     else:
         hits = index.search(compile_dsl(query), k=fetch_k, mode=mode)
+    if min_score is not None:
+        hits = hits.filter(F.col("score") >= min_score)
     return _fetch_source(index, _page(hits), source)
 
 

@@ -1569,3 +1569,19 @@ def oracle_boxplot_sql(
         f"GROUP BY d.{col_of[by]}\n"
         f"ORDER BY {by} ASC"
     )
+
+
+def oracle_analyze_sql(doc_id: int, analyzer: str = "standard") -> str:
+    """_analyze oracle mirroring functions/tokenizer.analyze_text over one
+    document's text: the analyzed token stream with ES's 0-based
+    positions (DuckDB's parallel unnest pairs each token with its
+    ordinal)."""
+    analyzed = _analyzed("text", analyzer)
+    toks = f"regexp_extract_all({analyzed}, '{_PAT}')"
+    return (
+        f"SELECT ord::INT AS position, tok AS token FROM (\n"
+        f"  SELECT unnest({toks}) AS tok,\n"
+        f"         unnest(range(0, len({toks}))) AS ord\n"
+        f"  FROM documents WHERE doc_id = {int(doc_id)})\n"
+        f"ORDER BY position"
+    )

@@ -1050,3 +1050,51 @@ def test_aggs_new_kinds_validate(index):
     for bad in bads:
         with pytest.raises(DslError):
             run_aggs(index, bad)
+
+
+def test_min_score_filters_ranking(index):
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    base = search_dsl(index, {"query": _Q, "size": 10}).collect()
+    assert base
+    floor = base[len(base) // 2]["score"]
+    got = search_dsl(index, {"query": _Q, "size": 10, "min_score": floor}).collect()
+    assert got == [r for r in base if r["score"] >= floor]
+    # a floor above every score empties the page
+    assert search_dsl(
+        index, {"query": _Q, "size": 10, "min_score": base[0]["score"] + 1}
+    ).count() == 0
+
+
+def test_min_score_validates(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"match_all": {}}, "min_score": 1.0})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": _Q, "min_score": 1.0,
+                           "sort": [{"doclen": "asc"}]})
+
+
+def test_analyze_text_vs_oracle(spark, duck):
+    from bitfunnel_spark.functions.tokenizer import analyze_text
+    from bitfunnel_spark.plans.oracle import oracle_analyze_sql
+
+    doc = duck.execute("SELECT text FROM documents WHERE doc_id = 7").fetchone()[0]
+    for analyzer in ("standard", "code"):
+        got = [
+            (r["position"], r["token"])
+            for r in analyze_text(spark, doc, analyzer=analyzer).collect()
+        ]
+        exp = duck.execute(oracle_analyze_sql(7, analyzer=analyzer)).fetchall()
+        assert got == [(int(p), t) for p, t in exp]
+        assert got == sorted(got)  # positions are the 0..n-1 stream order
+
+
+def test_analyze_text_code_splits_identifiers(spark):
+    from bitfunnel_spark.functions.tokenizer import analyze_text
+
+    toks = [r["token"] for r in analyze_text(spark, "HTTPServer fooBar_baz", analyzer="code").collect()]
+    assert "server" in toks and "foo" in toks and "baz" in toks
+    std = [r["token"] for r in analyze_text(spark, "HTTPServer fooBar_baz").collect()]
+    assert "httpserver" in std

@@ -274,7 +274,7 @@ def cmd_repl(args) -> None:
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
         " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
-        " | !show <term> | !script <file> | !quit"
+        " | !show <term> | !analyze <text> | !script <file> | !quit"
     )
 
     def _emb_df():
@@ -507,6 +507,14 @@ def cmd_repl(args) -> None:
                         f"\tpostings={seg['postings']}\tshards={seg['shards']}"
                         f"\tslices={seg['slices']}"
                     )
+            elif line.startswith("!analyze "):
+                # ES _analyze: the exact token stream the build would store
+                # for this text under the index's analyzer
+                from bitfunnel_spark.functions.tokenizer import analyze_text
+
+                analyzer = getattr(idx.config, "analyzer", "standard")
+                for r in analyze_text(spark, line[9:], analyzer=analyzer).collect():
+                    print(f"{r['position']}\t{r['token']}")
             elif line.startswith("!script "):
                 # batch command file (the reference REPL's `script` verb —
                 # tools/BitFunnel/src/ScriptCommand.cpp): one repl line per

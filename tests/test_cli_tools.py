@@ -212,3 +212,28 @@ def test_cli_repl_show_and_script(spark, corpus, tmp_path, capsys, monkeypatch):
     # !quit inside the script ended the session: the trailing interactive
     # "!show data" was never read
     assert consumed == [f"!script {script}"]
+
+
+def test_cli_repl_analyze(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!analyze prints the (position, token) stream under the index's own
+    analyzer — the ES _analyze inspector."""
+    cpath = str(tmp_path / "ancorpus")
+    ipath = str(tmp_path / "anindex")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter(["!analyze Fast KeyValue scan"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath])
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines() if "\t" in l and l.split("\t")[0].isdigit()]
+    got = [tuple(l.split("\t")) for l in rows]
+    assert got == [("0", "fast"), ("1", "keyvalue"), ("2", "scan")]

@@ -826,8 +826,16 @@ def rescore(
         "min": F.least(qp, rs),
     }[score_mode]
     combined = F.when(F.col("s").isNotNull(), matched).otherwise(qp)
+    # Spark can't build the PRESERVED side of an outer hash join, so
+    # `broadcast(win).join(sec, "left")` would silently fall back to
+    # shuffling the full rescore match set. Two broadcast joins instead:
+    # the inner join prunes `sec` to the window's doc_ids with `win` as
+    # the (legal) inner build side — the big arm streams, never shuffles —
+    # and the ≤window-row survivor frame broadcasts back as the (legal)
+    # right side of the outer join.
+    sec_win = sec.join(broadcast(win.select("doc_id")), "doc_id")
     return (
-        broadcast(win).join(sec, "doc_id", "left")
+        win.join(broadcast(sec_win), "doc_id", "left")
         .select("doc_id", F.round(combined, 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -1132,3 +1132,14 @@ def test_facet_boxplot_vs_oracle(index, duck, q):
     # five-number ordering invariant
     for _, _, mn, q1, q2, q3, mx in got:
         assert mn <= q1 <= q2 <= q3 <= mx
+
+
+def test_rescore_plan_broadcasts_both_joins(index):
+    # the window must never be the build side of the outer join (Spark
+    # drops that hint and shuffles the full rescore arm); the shipped
+    # shape is inner-prune (build: window) + outer enrich (build: the
+    # <=window-row survivor frame) — two broadcasts, no sort-merge join
+    df = serving.rescore(index, "data", "fast | key", window_size=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

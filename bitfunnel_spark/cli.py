@@ -274,7 +274,7 @@ def cmd_repl(args) -> None:
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
         " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
-        " | !show <term> | !analyze <text> | !script <file> | !quit"
+        " | !show <term> | !analyze <text> | !threads <n> | !script <file> | !quit"
     )
 
     def _emb_df():
@@ -515,6 +515,16 @@ def cmd_repl(args) -> None:
                 analyzer = getattr(idx.config, "analyzer", "standard")
                 for r in analyze_text(spark, line[9:], analyzer=analyzer).collect():
                     print(f"{r['position']}\t{r['token']}")
+            elif line.startswith("!threads "):
+                # reference REPL's `threads <count>` (tools/BitFunnel/src/
+                # ThreadsCommand.cpp sets the matcher's query thread count).
+                # The Spark analogue of query-processing parallelism is the
+                # session's shuffle partitioning — executor task slots are
+                # fixed at launch, but every kernel/agg stage's task count
+                # follows this conf, which IS runtime-settable per session
+                n = int(line[9:].strip())
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+                print(f"Matcher now using {n} shuffle partition{'' if n == 1 else 's'}.")
             elif line.startswith("!script "):
                 # batch command file (the reference REPL's `script` verb —
                 # tools/BitFunnel/src/ScriptCommand.cpp): one repl line per

@@ -68,7 +68,14 @@ def main() -> None:
     r32 = max(hi_runs, key=lambda r: r["files_per_sec"])
     ratio = n_hi / n_lo
     build_eff = (r32["files_per_sec"] / r8["files_per_sec"]) / ratio
-    qps_eff = (r32["qps_batched"] / r8["qps_batched"]) / ratio
+    # each metric is best-of-attempts INDEPENDENTLY: a co-tenant burst that
+    # lands during one attempt's build phase doesn't necessarily hit its
+    # query phase, so tying qps to the build-best attempt couples the two
+    # phases' noise windows (all attempts stay printed for the audit trail)
+    qps_eff = (
+        max(r["qps_batched"] for r in hi_runs)
+        / max(r["qps_batched"] for r in lo_runs)
+    ) / ratio
     # delivered-hardware scaling at measurement time: pure-CPU probes at 2
     # and 8 procs bracket every repetition; their best ratio is what the
     # noisy-neighbor VM actually offers between the two parallelism levels
@@ -79,10 +86,10 @@ def main() -> None:
     md = f"""
 ## Scaling run {stamp} (n_docs={n_docs}, same input, local[{n_lo}] vs local[{n_hi}], JIT-warmed)
 
-| cores | build_sec | files/sec | batch qps | query p50 (s) |
+| cores | build_sec | files/sec | batch qps (best) | query p50 (s) |
 |---|---|---|---|---|
-| {n_lo}  | {r8['build_sec']} | {r8['files_per_sec']} | {r8['qps_batched']} | {r8['query_p50_sec']} |
-| {n_hi} | {r32['build_sec']} | {r32['files_per_sec']} | {r32['qps_batched']} | {r32['query_p50_sec']} |
+| {n_lo}  | {r8['build_sec']} | {r8['files_per_sec']} | {max(r['qps_batched'] for r in lo_runs)} | {r8['query_p50_sec']} |
+| {n_hi} | {r32['build_sec']} | {r32['files_per_sec']} | {max(r['qps_batched'] for r in hi_runs)} | {r32['query_p50_sec']} |
 
 **Build (indexing) scaling efficiency {n_lo}->{n_hi} cores: {build_eff:.3f}** (target >= 0.8)
 **Query-batch throughput scaling efficiency {n_lo}->{n_hi} cores: {qps_eff:.3f}**
@@ -94,9 +101,9 @@ Per-stage seconds at {n_lo}: {r8['stats_sec']}/{r8['segments_sec']}/{r8['term_st
 at {n_hi}: {r32['stats_sec']}/{r32['segments_sec']}/{r32['term_stats_sec']}.
 CPU-noise calibration (8-proc sha256 Mhash/s; quiet machine ~18.9): \
 best low-run {r8.get('calib_mhash8')}, best high-run {r32.get('calib_mhash8')}; \
-all attempts (files/sec @ calib): \
-low {[(r['files_per_sec'], _calib_min(r)) for r in lo_runs]}, \
-high {[(r['files_per_sec'], _calib_min(r)) for r in hi_runs]}.
+all attempts (files/sec, batch qps @ calib): \
+low {[(r['files_per_sec'], r['qps_batched'], _calib_min(r)) for r in lo_runs]}, \
+high {[(r['files_per_sec'], r['qps_batched'], _calib_min(r)) for r in hi_runs]}.
 """
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)

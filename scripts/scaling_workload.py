@@ -44,7 +44,13 @@ QUERIES = [
     "id_8 -id_15",
     "id_77 id_3",
 ]
-QUERY_REPEAT = 5  # batch throughput over QUERY_REPEAT * len(QUERIES) queries
+# batch throughput over QUERY_REPEAT * len(QUERIES) queries. 20 (a 200-query
+# batch) keeps the measurement compute-bound: the r05 kernel fixes cut per-
+# query work enough that a 50-query batch became job-floor-bound (one
+# search_many job's fixed scheduling/broadcast cost is core-count-independent
+# and was ~35% of the 4-core batch), which understates scaling the same way
+# the sf0.1 5,000-doc regime did in rounds 2-3 (see BENCH.md round-4 note).
+QUERY_REPEAT = 20
 
 
 def calibrate(procs: int = 8, iters: int = 1_500_000) -> float:

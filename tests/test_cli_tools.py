@@ -237,3 +237,34 @@ def test_cli_repl_analyze(spark, corpus, tmp_path, capsys, monkeypatch):
     rows = [l for l in out.splitlines() if "\t" in l and l.split("\t")[0].isdigit()]
     got = [tuple(l.split("\t")) for l in rows]
     assert got == [("0", "fast"), ("1", "keyvalue"), ("2", "scan")]
+
+
+def test_cli_repl_threads(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!threads <n> retargets query-processing parallelism (ThreadsCommand
+    analogue — tools/BitFunnel/src/ThreadsCommand.cpp): the session's
+    shuffle-partition conf moves, and a query still runs after the change."""
+    cpath = str(tmp_path / "thcorpus")
+    ipath = str(tmp_path / "thindex")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    lines = iter(["!threads 7", "data"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    try:
+        cli.main(["repl", "--corpus", cpath, "--index", ipath, "--k", "3"])
+        out = capsys.readouterr().out
+        assert "Matcher now using 7 shuffle partitions." in out
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # the post-change query still produced scored hits
+        assert any("\t" in l and l.split("\t")[0].isdigit() for l in out.splitlines())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

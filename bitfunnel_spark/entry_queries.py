@@ -3755,6 +3755,84 @@ f AS (
   FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id)
 SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
 
+    # --- r05 metric-agg tail: percentile_ranks / t_test / string_stats /
+    # global — each routed through the ES DSL so the entry exercises the
+    # run_aggs dispatch as well as the executor
+    from bitfunnel_spark.plans.oracle import (
+        oracle_global_stats_sql,
+        oracle_percentile_ranks_sql,
+        oracle_string_stats_sql,
+        oracle_t_test_sql,
+    )
+
+    def q_ft_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES percentile_ranks: exact empirical CDF of doclen at the
+        # requested cut points (sibling conditional sums, one agg pass)
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"p": {"percentile_ranks": {
+                 "field": "doclen", "values": [32, 64, 96, 128]}}}},
+        )
+
+    queries["ft_percentile_ranks"] = q_ft_percentile_ranks
+    oracles["ft_percentile_ranks"] = oracle_percentile_ranks_sql(
+        FACETS_QUERY, values=[32, 64, 96, 128], config=ENTRY_CONFIG
+    )
+
+    def q_ft_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES t_test (Welch): does doclen differ between two filters'
+        # match sets — exact int64 moments, fixed float64 derivation
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"aggs": {"t": {"t_test": {
+                "a": {"field": "doclen",
+                      "filter": {"query_string": {"query": "data fast"}}},
+                "b": {"field": "doclen",
+                      "filter": {"query_string": {"query": "dup | vector"}}},
+                "type": "heteroscedastic"}}}},
+        )
+
+    queries["ft_t_test"] = q_ft_t_test
+    oracles["ft_t_test"] = oracle_t_test_sql(
+        "data fast", "dup | vector", config=ENTRY_CONFIG
+    )
+
+    def q_ft_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES string_stats over the match set's repo keyword: lengths +
+        # base-2 character entropy (log2(total) − Σ c·log2 c / total)
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"s": {"string_stats": {"field": "repo"}}}},
+        )
+
+    queries["ft_string_stats"] = q_ft_string_stats
+    oracles["ft_string_stats"] = oracle_string_stats_sql(
+        FACETS_QUERY, field="repo", config=ENTRY_CONFIG
+    )
+
+    def q_ft_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES global bucket + stats(doclen): corpus-wide stats that escape
+        # the query context — one agg over the persisted doc_stats table
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"g": {"global": {},
+                            "aggs": {"s": {"stats": {"field": "doclen"}}}}}},
+        )
+
+    queries["ft_global_stats"] = q_ft_global_stats
+    oracles["ft_global_stats"] = oracle_global_stats_sql()
+
     # emit in driver-window order: the first 50 registered entries are the
     # ones the driver hash-checks this round (see DRIVER_WINDOW)
     missing = [n for n in DRIVER_WINDOW if n not in queries]

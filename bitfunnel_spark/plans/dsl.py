@@ -1044,6 +1044,10 @@ def run_aggs(index, body: dict, k: int = 10):
       sampler(shard_size) + terms          -> sampler_agg (per-shard best-docs)
       diversified_sampler(...) + terms     -> diversified_sampler_agg
       terms + boxplot(doclen)              -> facet_boxplot (5-number summary)
+      percentile_ranks(doclen, values)     -> percentile_ranks (exact CDF)
+      t_test(a, b, heteroscedastic)        -> t_test (Welch's two-sample)
+      string_stats(lang|repo)              -> string_stats (lengths + entropy)
+      global {} + stats(doclen)            -> global_stats (query-escaping)
     """
     from bitfunnel_spark.plans import serving
 
@@ -1076,7 +1080,55 @@ def run_aggs(index, body: dict, k: int = 10):
         qs = {name: compile_dsl(sub_q) for name, sub_q in named.items()}
         return serving.adjacency_matrix(index, qs)
 
+    if kind == "global":
+        # ES global bucket: ESCAPES the query context by definition — stats
+        # over the whole corpus for filtered-vs-unfiltered comparison
+        _require(conf == {}, "global takes no options")
+        _require(isinstance(sub, dict) and len(sub) == 1,
+                 "global needs exactly one stats sub-agg")
+        (_, sspec), = sub.items()
+        _require(isinstance(sspec, dict) and set(sspec) == {"stats"},
+                 "global sub-agg must be stats")
+        _require(sspec["stats"].get("field") in NUMERIC_FIELDS,
+                 "global stats field must be doclen")
+        return serving.global_stats(index)
+
+    if kind == "t_test":
+        _require(q is None, "t_test's sides carry their own filters (no query)")
+        _require(sub is None, "t_test takes no sub-aggs")
+        unknown = set(conf) - {"a", "b", "type"}
+        _require(not unknown, f"unsupported t_test options: {sorted(unknown)}")
+        _require(conf.get("type", "heteroscedastic") == "heteroscedastic",
+                 "t_test supports type=heteroscedastic (Welch) only")
+        sides = []
+        for s in ("a", "b"):
+            sconf = conf.get(s)
+            _require(isinstance(sconf, dict) and set(sconf) == {"field", "filter"},
+                     f"t_test.{s} needs field + filter")
+            _require(sconf["field"] in NUMERIC_FIELDS,
+                     f"t_test.{s}.field must be doclen")
+            sides.append(compile_dsl(sconf["filter"]))
+        return serving.t_test(index, sides[0], sides[1])
+
     _require(q is not None, f"{kind} agg requires a query")
+
+    if kind == "percentile_ranks":
+        _require(conf.get("field") in NUMERIC_FIELDS,
+                 "percentile_ranks field must be doclen")
+        values = conf.get("values")
+        _require(isinstance(values, list) and values,
+                 "percentile_ranks.values must be non-empty")
+        _require(sub is None, "percentile_ranks takes no sub-aggs")
+        return serving.percentile_ranks(index, q, values=values)
+
+    if kind == "string_stats":
+        field = conf.get("field")
+        _require(field in BUCKET_FIELDS,
+                 f"string_stats field must be one of {BUCKET_FIELDS}")
+        unknown = set(conf) - {"field", "show_distribution"}
+        _require(not unknown, f"unsupported string_stats options: {sorted(unknown)}")
+        _require(sub is None, "string_stats takes no sub-aggs")
+        return serving.string_stats(index, q, field=field)
 
     if kind == "composite":
         sources = conf.get("sources")

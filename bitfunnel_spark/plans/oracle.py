@@ -1585,3 +1585,136 @@ def oracle_analyze_sql(doc_id: int, analyzer: str = "standard") -> str:
         f"  FROM documents WHERE doc_id = {int(doc_id)})\n"
         f"ORDER BY position"
     )
+
+
+def oracle_percentile_ranks_sql(
+    query, values, config: BuildConfig | None = None,
+) -> str:
+    """percentile_ranks oracle mirroring plans/serving.percentile_ranks:
+    per requested value the exact empirical CDF percentage of the match
+    set's doclen, derived c/n*100 in the same float64 op order."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    vals = sorted(float(v) for v in values)
+    conds = ",\n".join(
+        f"         sum(CASE WHEN coalesce(dl.doclen, 0) <= {v!r} THEN 1 ELSE 0 END)::BIGINT AS c{i}"
+        for i, v in enumerate(vals)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {v!r}::DOUBLE AS value,"
+        f" round(CAST(c{i} AS DOUBLE) / CAST(n AS DOUBLE) * 100.0, 4) AS pct FROM a"
+        for i, v in enumerate(vals)
+    )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"a AS (\n"
+        f"  SELECT count(*)::BIGINT AS n,\n{conds}\n"
+        f"  FROM m LEFT JOIN dl USING (doc_id)\n"
+        f")\n{rows}"
+    )
+
+
+def oracle_t_test_sql(
+    query_a, query_b, config: BuildConfig | None = None,
+) -> str:
+    """t_test oracle mirroring plans/serving.t_test: Welch's unpaired
+    two-sample t over doclen, exact int64 n/sum/sumsq per side then
+    mean/var/t in the engine's float64 op order (sample variance, n-1)."""
+    config = config or BuildConfig()
+    pa = _as_plan(query_a)
+    pb = _as_plan(query_b)
+
+    def _m(s):
+        return (
+            f"CAST(sum_{s} AS DOUBLE) / CAST(n_{s} AS DOUBLE)"
+        )
+
+    def _v(s):
+        return (
+            f"((CAST(sq_{s} AS DOUBLE) - CAST(n_{s} AS DOUBLE) * ({_m(s)}) * ({_m(s)}))"
+            f" / (CAST(n_{s} AS DOUBLE) - 1.0))"
+        )
+
+    t = (
+        f"(({_m('a')}) - ({_m('b')})) / sqrt(({_v('a')}) / CAST(n_a AS DOUBLE)"
+        f" + ({_v('b')}) / CAST(n_b AS DOUBLE))"
+    )
+    sides = []
+    for s, plan in (("a", pa), ("b", pb)):
+        sides.append(
+            f"m_{s} AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+            f"g_{s} AS (\n"
+            f"  SELECT count(*)::BIGINT AS n_{s},\n"
+            f"         sum(coalesce(dl.doclen, 0))::BIGINT AS sum_{s},\n"
+            f"         sum(coalesce(dl.doclen, 0) * coalesce(dl.doclen, 0))::BIGINT AS sq_{s}\n"
+            f"  FROM m_{s} LEFT JOIN dl USING (doc_id)\n"
+            f")"
+        )
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(pa, config, extra_terms=pb.terms)},\n"
+        + ",\n".join(sides) + "\n"
+        f"SELECT n_a, n_b,\n"
+        f"       round({_m('a')}, 4) AS mean_a,\n"
+        f"       round({_m('b')}, 4) AS mean_b,\n"
+        f"       round({t}, 4) AS t_stat\n"
+        f"FROM g_a CROSS JOIN g_b"
+    )
+
+
+def oracle_string_stats_sql(
+    query, field: str = "repo", config: BuildConfig | None = None,
+) -> str:
+    """string_stats oracle mirroring plans/serving.string_stats: value
+    count + min/max/avg length over the match set's keyword field, and
+    base-2 Shannon entropy of the character distribution refactored as
+    log2(total) − Σ c·log2(c)/total — the engine's exact op order."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    col = {"lang": "lang_text", "repo": "repo_text"}[field]
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"v AS (SELECT c.{col} AS v FROM m JOIN corpus c USING (doc_id)),\n"
+        f"lens AS (\n"
+        f"  SELECT count(*)::BIGINT AS count,\n"
+        f"         min(length(v))::INT AS min_length,\n"
+        f"         max(length(v))::INT AS max_length,\n"
+        f"         sum(length(v))::BIGINT AS len_sum\n"
+        f"  FROM v\n"
+        f"),\n"
+        f"chars AS (\n"
+        f"  SELECT ch, count(*)::BIGINT AS c\n"
+        f"  FROM (SELECT unnest(string_split(v, '')) AS ch FROM v)\n"
+        f"  WHERE ch <> '' GROUP BY ch\n"
+        f"),\n"
+        f"ent AS (\n"
+        f"  SELECT log2(CAST(sum(c) AS DOUBLE))\n"
+        f"         - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))\n"
+        f"           / CAST(sum(c) AS DOUBLE) AS entropy_raw\n"
+        f"  FROM chars\n"
+        f")\n"
+        f"SELECT count, min_length, max_length,\n"
+        f"       round(CAST(len_sum AS DOUBLE) / CAST(count AS DOUBLE), 4) AS avg_length,\n"
+        f"       round(entropy_raw, 4) AS entropy\n"
+        f"FROM lens CROSS JOIN ent"
+    )
+
+
+def oracle_global_stats_sql(config: BuildConfig | None = None) -> str:
+    """global_stats oracle mirroring plans/serving.global_stats: corpus-wide
+    doclen stats over every document (docs with zero body tokens count with
+    doclen 0, exactly like the engine's doc_stats side table)."""
+    return (
+        f"WITH {CORPUS_CTE},\n"
+        f"a AS (\n"
+        f"  SELECT count(*)::BIGINT AS n_docs,\n"
+        f"         sum(coalesce(dl.doclen, 0))::BIGINT AS sum_doclen,\n"
+        f"         min(coalesce(dl.doclen, 0))::BIGINT AS min_doclen,\n"
+        f"         max(coalesce(dl.doclen, 0))::BIGINT AS max_doclen\n"
+        f"  FROM corpus LEFT JOIN dl USING (doc_id)\n"
+        f")\n"
+        f"SELECT n_docs, sum_doclen, min_doclen, max_doclen,\n"
+        f"       round(CAST(sum_doclen AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS avg_doclen\n"
+        f"FROM a"
+    )

@@ -1990,3 +1990,159 @@ def facet_boxplot(
         )
         .orderBy(by)
     )
+
+
+def percentile_ranks(
+    index, query: str, values, facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` metric aggregation on body doclen: for each
+    requested value, the percentage of matching documents whose doclen is
+    <= that value (the exact empirical CDF — ES interpolates the rank from
+    a TDigest sketch; the exact definition is deterministic and
+    SQL-mirrorable, and the documented 100 TB swap is the same
+    percentile_approx sketch as facet_percentiles). Returns
+    DataFrame[(value, pct)] ordered by value, pct rounded 4 dp.
+
+    Scale shape: one doc_id equi-join then ONE global aggregate computing
+    every requested rank as sibling conditional sums (map-side partials;
+    never one scan per value)."""
+    vals = sorted(float(v) for v in values)
+    if not vals:
+        raise ValueError("percentile_ranks needs at least one value")
+    matches = index.match(query, facts).select("doc_id")
+    dl = index.doc_stats.select("doc_id", "doclen")
+    row = matches.join(dl, "doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(F.col("doclen") <= v, 1).otherwise(0)).alias(f"c{i}")
+            for i, v in enumerate(vals)
+        ],
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(v).cast("double").alias("value"),
+            F.round(
+                F.col(f"c{i}").cast("double") / F.col("n").cast("double") * 100.0, 4
+            ).alias("pct"),
+        )
+        for i, v in enumerate(vals)
+    ])
+    return row.select(F.explode(pairs).alias("e")).select("e.value", "e.pct")
+
+
+def t_test(
+    index, query_a: str, query_b: str, facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``t_test`` metric aggregation (type=heteroscedastic — Welch's
+    unpaired two-sample test) comparing body doclen between two queries'
+    match sets. Sample variance (n-1 denominator), as ES computes it.
+
+    Determinism: both sides aggregate exact int64 (n, sum, sum of squares),
+    then mean/variance/t derive with a FIXED float64 op order —
+    var = (sumsq − n·mean·mean)/(n−1), t = (mean_a − mean_b) /
+    sqrt(var_a/n_a + var_b/n_b) — the same expressions the SQL oracle uses,
+    so results agree exactly despite distributed partial aggregation.
+    Returns one row (n_a, n_b, mean_a, mean_b, t_stat), floats 4 dp.
+
+    Scale shape: the two match sets union with a literal side label, ONE
+    doc_id equi-join against the doclen side table, ONE global aggregate of
+    conditional sums — two index probes but a single data pass, no windows."""
+    dl = index.doc_stats.select("doc_id", "doclen")
+    both = (
+        index.match(query_a, facts).select("doc_id", F.lit("a").alias("side"))
+        .unionByName(
+            index.match(query_b, facts).select("doc_id", F.lit("b").alias("side"))
+        )
+    )
+    def _side(s):
+        on = F.col("side") == s
+        return [
+            F.sum(F.when(on, 1).otherwise(0)).alias(f"n_{s}"),
+            F.sum(F.when(on, F.col("doclen")).otherwise(0)).alias(f"sum_{s}"),
+            F.sum(F.when(on, F.col("doclen") * F.col("doclen")).otherwise(0)).alias(f"sq_{s}"),
+        ]
+    agg = both.join(dl, "doc_id").agg(*_side("a"), *_side("b"))
+    def _stats(s):
+        n = F.col(f"n_{s}").cast("double")
+        mean = F.col(f"sum_{s}").cast("double") / n
+        var = (F.col(f"sq_{s}").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+        return n, mean, var
+    na, ma, va = _stats("a")
+    nb, mb, vb = _stats("b")
+    t = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return agg.select(
+        F.col("n_a"), F.col("n_b"),
+        F.round(ma, 4).alias("mean_a"), F.round(mb, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+    )
+
+
+def string_stats(
+    index, query: str, field: str = "repo", facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` metric aggregation over a keyword field of the
+    match set: value count, min/max/avg value length, and Shannon entropy
+    (base 2) of the CHARACTER distribution across all values — exactly the
+    ES definition (show_distribution's underlying statistic). Returns one
+    row (count, min_length, max_length, avg_length, entropy), floats 4 dp.
+
+    Scale shape: match set → one narrow doc_id equi-join; lengths reduce in
+    ONE global aggregate; entropy reduces matched values → per-character
+    counts (a two-level agg with map-side combine — the character alphabet
+    is tiny, so the second stage is a handful of rows) → one log2 fold.
+    Python never sees a row; chars explode JVM-side via split()."""
+    matches = index.match(query, facts).select("doc_id")
+    vals = (
+        matches.join(index.corpus.select("doc_id", field), "doc_id")
+        .select(F.col(field).cast("string").alias("v"))
+    )
+    lens = vals.agg(
+        F.count("*").alias("count"),
+        F.min(F.length("v")).alias("min_length"),
+        F.max(F.length("v")).alias("max_length"),
+        F.sum(F.length("v")).alias("len_sum"),
+    )
+    chars = (
+        vals.select(F.explode(F.split("v", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch").agg(F.count("*").alias("c"))
+    )
+    ent = chars.agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("clog"),
+    ).select(
+        # -Σ p·log2 p refactored as log2(total) − Σ c·log2(c)/total: one
+        # pass, and the SAME op order the SQL oracle uses
+        (
+            F.log2(F.col("total").cast("double"))
+            - F.col("clog") / F.col("total").cast("double")
+        ).alias("entropy_raw")
+    )
+    return lens.crossJoin(ent).select(
+        "count", "min_length", "max_length",
+        F.round(F.col("len_sum").cast("double") / F.col("count").cast("double"), 4)
+          .alias("avg_length"),
+        F.round("entropy_raw", 4).alias("entropy"),
+    )
+
+
+def global_stats(index) -> DataFrame:
+    """ES ``global`` aggregation with a stats(doclen) sub-agg: corpus-wide
+    doclen statistics that IGNORE the query context (the ES global bucket's
+    purpose — comparing a filtered agg against the unfiltered corpus).
+    Returns one row (n_docs, sum_doclen, min_doclen, max_doclen,
+    avg_doclen 4 dp).
+
+    Scale shape: one aggregate over the persisted doc_stats side table —
+    no corpus scan, no match, no shuffle beyond the single-row reduce."""
+    return index.doc_stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("sum_doclen"),
+        F.min("doclen").alias("min_doclen"),
+        F.max("doclen").alias("max_doclen"),
+    ).select(
+        "n_docs", "sum_doclen", "min_doclen", "max_doclen",
+        F.round(
+            F.col("sum_doclen").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("avg_doclen"),
+    )

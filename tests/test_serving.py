@@ -1143,3 +1143,154 @@ def test_rescore_plan_broadcasts_both_joins(index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+# --- r05 metric-agg tail: percentile_ranks / t_test / string_stats / global
+
+
+def test_percentile_ranks_cdf_properties(index):
+    from bitfunnel_spark.plans.serving import percentile_ranks
+
+    hi = index.doc_stats.agg({"doclen": "max"}).collect()[0][0]
+    rows = percentile_ranks(index, "data", values=[1, hi // 2, hi]).collect()
+    assert [r["value"] for r in rows] == sorted(r["value"] for r in rows)
+    pcts = [r["pct"] for r in rows]
+    assert pcts == sorted(pcts), "CDF must be monotone non-decreasing"
+    assert pcts[-1] == 100.0, "rank at max doclen covers every match"
+    assert all(0.0 <= p <= 100.0 for p in pcts)
+
+
+def test_percentile_ranks_vs_independent_sql(index, duck):
+    from bitfunnel_spark.plans.serving import percentile_ranks
+
+    rows = percentile_ranks(index, "data", values=[48, 80]).collect()
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'data')
+        SELECT round(100.0 * avg(CASE WHEN doclen <= 48 THEN 1.0 ELSE 0.0 END), 4),
+               round(100.0 * avg(CASE WHEN doclen <= 80 THEN 1.0 ELSE 0.0 END), 4)
+        FROM m JOIN dl USING (doc_id)
+    """).fetchall()[0]
+    import math
+    assert math.isclose(rows[0]["pct"], want[0], abs_tol=1e-3)
+    assert math.isclose(rows[1]["pct"], want[1], abs_tol=1e-3)
+
+
+def test_t_test_vs_var_samp(index, duck):
+    # independent check: DuckDB's built-in var_samp, not the engine's
+    # hand-derived moment formula
+    import math
+
+    from bitfunnel_spark.plans.serving import t_test
+
+    r = t_test(index, "data", "fast").collect()[0]
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        a AS (SELECT dl.doclen FROM (SELECT DISTINCT doc_id FROM tok WHERE t = 'data') m
+              JOIN dl USING (doc_id)),
+        b AS (SELECT dl.doclen FROM (SELECT DISTINCT doc_id FROM tok WHERE t = 'fast') m
+              JOIN dl USING (doc_id)),
+        sa AS (SELECT count(*) AS n, avg(doclen) AS m, var_samp(doclen) AS v FROM a),
+        sb AS (SELECT count(*) AS n, avg(doclen) AS m, var_samp(doclen) AS v FROM b)
+        SELECT sa.n, sb.n,
+               (sa.m - sb.m) / sqrt(sa.v / sa.n + sb.v / sb.n)
+        FROM sa CROSS JOIN sb
+    """).fetchall()[0]
+    assert (r["n_a"], r["n_b"]) == (want[0], want[1])
+    assert math.isclose(r["t_stat"], round(want[2], 4), abs_tol=2e-4), (r, want)
+
+
+def test_t_test_same_query_is_zero(index):
+    from bitfunnel_spark.plans.serving import t_test
+
+    r = t_test(index, "data", "data").collect()[0]
+    assert r["t_stat"] == 0.0 and r["n_a"] == r["n_b"]
+
+
+def test_string_stats_vs_builtin_entropy(index, duck):
+    # independent check: DuckDB's entropy() aggregate over the exploded
+    # character stream (base-2 Shannon), not the engine's log-fold
+    import math
+
+    from bitfunnel_spark.plans.serving import string_stats
+
+    r = string_stats(index, "data", field="repo").collect()[0]
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'data'),
+        v AS (SELECT lower(source) AS v FROM m JOIN documents USING (doc_id)),
+        ch AS (SELECT unnest(string_split(v, '')) AS c FROM v)
+        SELECT (SELECT count(*) FROM v),
+               (SELECT min(length(v)) FROM v),
+               (SELECT max(length(v)) FROM v),
+               (SELECT round(avg(length(v)), 4) FROM v),
+               (SELECT entropy(c) FROM ch WHERE c <> '')
+    """).fetchall()[0]
+    assert (r["count"], r["min_length"], r["max_length"]) == (want[0], want[1], want[2])
+    assert math.isclose(r["avg_length"], want[3], abs_tol=1e-3)
+    assert math.isclose(r["entropy"], want[4], abs_tol=2e-4), (r, want)
+
+
+def test_global_stats_ignores_query(index):
+    from bitfunnel_spark.plans.serving import global_stats
+
+    r = global_stats(index).collect()[0]
+    n = index.doc_stats.count()
+    assert r["n_docs"] == n
+    assert r["min_doclen"] <= r["max_doclen"]
+    assert abs(r["avg_doclen"] * n - r["sum_doclen"]) < n  # 4 dp rounding slack
+
+
+def test_new_metric_aggs_dsl_routing_and_validation(index):
+    import pytest as _pytest
+
+    from bitfunnel_spark.plans.dsl import DslError, run_aggs
+
+    out = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"p": {"percentile_ranks": {"field": "doclen",
+                                            "values": [16, 64]}}}})
+    assert out.columns == ["value", "pct"] and out.count() == 2
+
+    out = run_aggs(index, {"aggs": {"t": {"t_test": {
+        "a": {"field": "doclen", "filter": {"match": {"content": "data"}}},
+        "b": {"field": "doclen", "filter": {"match": {"content": "fast"}}}}}}})
+    assert out.columns == ["n_a", "n_b", "mean_a", "mean_b", "t_stat"]
+
+    out = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"s": {"string_stats": {"field": "lang"}}}})
+    assert out.columns == ["count", "min_length", "max_length",
+                           "avg_length", "entropy"]
+
+    out = run_aggs(index, {
+        "query": {"match": {"content": "data"}},
+        "aggs": {"g": {"global": {},
+                       "aggs": {"s": {"stats": {"field": "doclen"}}}}}})
+    assert out.columns == ["n_docs", "sum_doclen", "min_doclen",
+                           "max_doclen", "avg_doclen"]
+
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": {"match": {"content": "x"}},
+                         "aggs": {"p": {"percentile_ranks": {
+                             "field": "doclen", "values": []}}}})
+    with _pytest.raises(DslError):
+        run_aggs(index, {"aggs": {"t": {"t_test": {
+            "a": {"field": "doclen", "filter": {"match": {"content": "x"}}},
+            "b": {"field": "doclen", "filter": {"match": {"content": "y"}}},
+            "type": "paired"}}}})
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": {"match": {"content": "x"}},
+                         "aggs": {"s": {"string_stats": {"field": "doclen"}}}})
+    with _pytest.raises(DslError):
+        run_aggs(index, {"query": {"match": {"content": "x"}},
+                         "aggs": {"g": {"global": {},
+                                        "aggs": {"s": {"terms": {"field": "lang"}}}}}})

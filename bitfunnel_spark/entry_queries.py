@@ -2379,19 +2379,24 @@ DRIVER_WINDOW = [
     # counters shared with the new pinned oracle, similarity.py's trainer
     # refactor (shared exprs live-checked via ivfpq/rh), and the serving
     # machinery the new REPL !show verb reads
-    "ft_cum_term_counts", "ft_query_profile", "ann_ivfpq_topk",
-    "ann_rh_buckets", "ft_index_stats",
+    "ft_cum_term_counts", "ft_query_profile", "ft_index_stats",
     # (d) high-traffic representatives re-checked each round: kernel
     # AND/OR/NOT, batch, paging, vector/sparse serving, trigram grep,
     # dedup, DSL, percolation, chunk roundtrip, snippets, events
     "ft_bm25_and", "ft_bm25_or", "ft_bm25_not", "ft_bm25_batch",
-    "ft_bm25_page2", "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
-    "ft_regex_grep", "ft_regex_grep_many", "dedup_substring",
+    "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
+    "ft_regex_grep_many", "dedup_substring",
     "ft_dsl_aggs", "ft_percolate_log",
     # (e) brand-new r05 entries: sampler/diversified_sampler buckets, the
-    # boxplot metric, the _analyze tokenizer inspector, and min_score
+    # boxplot metric, the _analyze tokenizer inspector, min_score, and the
+    # metric-agg tail (percentile_ranks / t_test / string_stats / global).
+    # To fit these, four r04-green re-checks with unchanged code paths
+    # rotated out (ann_ivfpq_topk / ann_rh_buckets / ft_regex_grep /
+    # ft_bm25_page2 — their r04 rows stand).
     "ft_sampler", "ft_diversified_sampler", "ft_boxplot",
     "ft_analyze", "ft_min_score",
+    "ft_percentile_ranks", "ft_t_test", "ft_string_stats",
+    "ft_global_stats",
 ]
 
 

@@ -2381,22 +2381,26 @@ DRIVER_WINDOW = [
     # machinery the new REPL !show verb reads
     "ft_cum_term_counts", "ft_query_profile", "ft_index_stats",
     # (d) high-traffic representatives re-checked each round: kernel
-    # AND/OR/NOT, batch, paging, vector/sparse serving, trigram grep,
-    # dedup, DSL, percolation, chunk roundtrip, snippets, events
-    "ft_bm25_and", "ft_bm25_or", "ft_bm25_not", "ft_bm25_batch",
-    "ft_dsl_knn", "ft_hybrid_rrf", "ft_sparse_vector",
+    # batch (which exercises AND/OR/NOT/phrase in one job), rrf fusion,
+    # trigram grep, dedup, DSL agg routing, percolation
+    "ft_bm25_batch", "ft_hybrid_rrf",
     "ft_regex_grep_many", "dedup_substring",
     "ft_dsl_aggs", "ft_percolate_log",
     # (e) brand-new r05 entries: sampler/diversified_sampler buckets, the
-    # boxplot metric, the _analyze tokenizer inspector, min_score, and the
-    # metric-agg tail (percentile_ranks / t_test / string_stats / global).
-    # To fit these, four r04-green re-checks with unchanged code paths
-    # rotated out (ann_ivfpq_topk / ann_rh_buckets / ft_regex_grep /
-    # ft_bm25_page2 — their r04 rows stand).
+    # boxplot metric, the _analyze tokenizer inspector, min_score, the
+    # metric-agg tail (percentile_ranks / t_test / string_stats / global),
+    # simple_query_string / distance_feature / weighted_avg / search
+    # templates / events date_range. To fit these, re-checks with
+    # standing r02/r04 green rows and unchanged code paths rotated out
+    # (ann_ivfpq_topk, ann_rh_buckets, ft_regex_grep, ft_bm25_page2,
+    # ft_bm25_and/or/not — AND re-evidences via ft_search_template's
+    # rendered body and the batch entry — ft_dsl_knn, ft_sparse_vector).
     "ft_sampler", "ft_diversified_sampler", "ft_boxplot",
     "ft_analyze", "ft_min_score",
     "ft_percentile_ranks", "ft_t_test", "ft_string_stats",
     "ft_global_stats",
+    "ft_simple_query_string", "ft_distance_feature", "ft_weighted_avg",
+    "ft_search_template", "events_date_range",
 ]
 
 
@@ -3837,6 +3841,134 @@ SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
 
     queries["ft_global_stats"] = q_ft_global_stats
     oracles["ft_global_stats"] = oracle_global_stats_sql()
+
+    # --- r05 surface tail: simple_query_string / distance_feature /
+    # weighted_avg / search templates / events date_range
+    from bitfunnel_spark.plans.oracle import oracle_weighted_avg_sql
+
+    def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES simple_query_string (Lucene SimpleQueryParser): tolerant
+        # end-user syntax — +/| infix ops fold left-associatively, -term
+        # lifts to a must_not, trailing * is a prefix. This text parses as
+        # ((data AND fast) OR dup) AND NOT slow; the oracle runs the
+        # equivalent engine-grammar query through the standard BM25 SQL.
+        # (prefix units are covered by ft_bm25_prefix + unit tests; the
+        # composed-query oracle builder takes plain terms)
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"simple_query_string": {
+                "query": "data + fast | dup -slow",
+                "default_operator": "or"}},
+            "size": 10,
+        })
+
+    queries["ft_simple_query_string"] = q_ft_simple_query_string
+    oracles["ft_simple_query_string"] = oracle_search_sql(
+        "((data & fast) | dup) -slow", k=10, config=ENTRY_CONFIG
+    )
+
+    def q_ft_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES distance_feature (standalone): proximity of doclen to an
+        # origin through boost·pivot/(pivot+|v−origin|) — the hyperbolic
+        # decay ES applies to numeric/date distances
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(get_index(spark, sf_dir), {
+            "query": {"distance_feature": {
+                "field": "doclen", "origin": 64, "pivot": 8.0,
+                "boost": 2.0}},
+            "size": 10,
+        })
+
+    queries["ft_distance_feature"] = q_ft_distance_feature
+    oracles["ft_distance_feature"] = f"""WITH {CORPUS_CTE}
+SELECT doc_id, round(2.0 * 8.0 / (8.0 + abs(doclen - 64.0)), 4) AS score
+FROM dl ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    def q_ft_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES weighted_avg: character length weighted by token count over
+        # the match set — exact int64 sums, one float64 divide
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"w": {"weighted_avg": {
+                 "value": {"field": "chars"},
+                 "weight": {"field": "doclen"}}}}},
+        )
+
+    queries["ft_weighted_avg"] = q_ft_weighted_avg
+    oracles["ft_weighted_avg"] = oracle_weighted_avg_sql(
+        FACETS_QUERY, value_field="chars", weight_field="doclen",
+        config=ENTRY_CONFIG,
+    )
+
+    def q_ft_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES _search/template: mustache-source string rendered with params
+        # then run as a normal body — {{q}} substitutes raw, {{k}} renders
+        # bare (mustache number semantics). Renders to query_string
+        # "spark & join", size 10 — the engine's AND kernel path, so this
+        # entry also re-evidences AND under the template route.
+        from bitfunnel_spark.plans.templates import search_template
+
+        return search_template(get_index(spark, sf_dir), {
+            "source": '{"query": {"query_string": {"query": "{{q}}"}}, '
+                      '"size": {{k}}}',
+            "params": {"q": "spark & join", "k": 10},
+        })
+
+    queries["ft_search_template"] = q_ft_search_template
+    oracles["ft_search_template"] = oracle_search_sql(
+        "spark & join", k=10, config=ENTRY_CONFIG
+    )
+
+    def q_events_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ES date_range agg: declared [from, to) weekly buckets over the
+        # view stream — every bucket a sibling conditional sum in ONE scan
+        from bitfunnel_spark.plans.dsl import run_date_aggs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return run_date_aggs(ev, {
+            "query": {"term": {"event_type": "view"}},
+            "aggs": {"weeks": {"date_range": {
+                "field": "ts",
+                "ranges": [
+                    {"to": "2024-01-08 00:00:00"},
+                    {"from": "2024-01-08 00:00:00", "to": "2024-01-15 00:00:00"},
+                    {"from": "2024-01-15 00:00:00", "to": "2024-01-22 00:00:00"},
+                    {"from": "2024-01-22 00:00:00"},
+                ]}}},
+        })
+
+    _DR_ROWS = [
+        ("*-2024-01-08 00:00:00", None, "2024-01-08 00:00:00"),
+        ("2024-01-08 00:00:00-2024-01-15 00:00:00",
+         "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        ("2024-01-15 00:00:00-2024-01-22 00:00:00",
+         "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        ("2024-01-22 00:00:00-*", "2024-01-22 00:00:00", None),
+    ]
+
+    def _dr_select(key, frm, to):
+        conds = ["event_type = 'view'"]
+        if frm is not None:
+            conds.append(f"ts >= TIMESTAMP '{frm}'")
+        if to is not None:
+            conds.append(f"ts < TIMESTAMP '{to}'")
+        f_lit = f"'{frm}'" if frm is not None else "CAST(NULL AS VARCHAR)"
+        t_lit = f"'{to}'" if to is not None else "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT '{key}' AS key, {f_lit} AS from_ts, {t_lit} AS to_ts,\n"
+            f"  (SELECT count(*) FROM events WHERE {' AND '.join(conds)})"
+            f"::BIGINT AS doc_count"
+        )
+
+    queries["events_date_range"] = q_events_date_range
+    oracles["events_date_range"] = "\nUNION ALL\n".join(
+        _dr_select(*row) for row in _DR_ROWS
+    )
 
     # emit in driver-window order: the first 50 registered entries are the
     # ones the driver hash-checks this round (see DRIVER_WINDOW)

@@ -103,6 +103,118 @@ def _reject_extra(opts: dict, clause: str) -> None:
         raise DslError(f"unsupported {clause} options: {sorted(opts)}")
 
 
+def _simple_query_string(body) -> Node:
+    """ES ``simple_query_string``: the tolerant end-user syntax (Lucene
+    SimpleQueryParser). Documented subset — ``+`` (AND), ``|`` (OR),
+    leading ``-`` (NOT), ``"..."`` (phrase), trailing ``*`` (prefix);
+    whitespace joins with ``default_operator``. Like Lucene, the parser
+    NEVER raises on the query text itself: unbalanced quotes, dangling
+    operators, and units that analyze to zero tokens are silently dropped
+    (a dropped unit takes its pending operator/negation with it). ``+``
+    and ``|`` fold left-associatively with equal precedence (Lucene's
+    behavior); negated units become top-level must_nots (SimpleQueryParser
+    adds MUST_NOT clauses regardless of position). A unit whose text
+    analyzes to several tokens (``foo-bar``) joins them with the default
+    operator. Not in the subset: ``(`` grouping, ``~N`` fuzzy/slop flags,
+    and the ``flags`` feature mask (only ALL) — each is documented in ES
+    as optional parser features. A query reducing to ONLY negations
+    raises DslError (the engine refuses pure-NOT plans rather than
+    scanning the corpus complement)."""
+    if isinstance(body, str):
+        body = {"query": body}
+    opts = dict(body or {})
+    text = opts.pop("query", None)
+    _require(isinstance(text, str) and text.strip(),
+             "simple_query_string needs a non-empty query string")
+    fields = opts.pop("fields", ["content"])
+    default_op = str(opts.pop("default_operator", "or")).lower()
+    _require(default_op in ("or", "and"),
+             f"default_operator must be and/or, got {default_op!r}")
+    flags = opts.pop("flags", "ALL")
+    _require(flags == "ALL",
+             "simple_query_string supports flags=ALL only (feature "
+             "masking is a parser-config knob, not a semantics change)")
+    _reject_extra(opts, "simple_query_string")
+    _require(isinstance(fields, (list, tuple)) and fields,
+             "fields must be a non-empty list")
+    streams = {_stream(str(f).split("^", 1)[0]) for f in fields}
+    _require(len(streams) == 1,
+             "simple_query_string fields must map to one stream "
+             "(use multi_match for cross-field scoring)")
+    stream = streams.pop()
+
+    units: list[tuple[str | None, bool, Node]] = []
+    pend_op: str | None = None
+    pend_neg = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "|":
+            pend_op = "or"
+            i += 1
+            continue
+        if ch == "+":
+            pend_op = "and"
+            i += 1
+            continue
+        if ch == "-":
+            pend_neg = True
+            i += 1
+            continue
+        node: Node | None = None
+        if ch == '"':
+            j = text.find('"', i + 1)
+            if j == -1:  # unbalanced quote: take the rest (tolerant)
+                raw, i = text[i + 1:], n
+            else:
+                raw, i = text[i + 1:j], j + 1
+            toks = _analyze(raw)
+            if len(toks) == 1:
+                node = Term(toks[0], stream)
+            elif len(toks) > 1:
+                node = Phrase(tuple(toks), stream)
+        else:
+            j = i
+            while j < n and not text[j].isspace() and text[j] not in '|+"':
+                j += 1
+            word, i = text[i:j], j
+            is_prefix = word.endswith("*")
+            toks = _analyze(word.rstrip("*"))
+            if is_prefix and len(toks) == 1:
+                node = Prefix(toks[0], stream)
+            elif len(toks) == 1:
+                node = Term(toks[0], stream)
+            elif len(toks) > 1:
+                sub = tuple(Term(t, stream) for t in toks)
+                node = And(sub) if default_op == "and" else Or(sub)
+        if node is None:
+            pend_op = None
+            pend_neg = False
+            continue
+        units.append((pend_op, pend_neg, node))
+        pend_op, pend_neg = None, False
+
+    acc: Node | None = None
+    negs: list[Node] = []
+    for op, neg, node in units:
+        if neg:
+            negs.append(node)
+            continue
+        if acc is None:
+            acc = node
+            continue
+        use = op or default_op
+        acc = And((acc, node)) if use == "and" else Or((acc, node))
+    _require(acc is not None,
+             "simple_query_string needs at least one positive clause")
+    if negs:
+        return And((acc, *[Not(x) for x in negs]))
+    return acc
+
+
 def compile_dsl(query: dict) -> Node:
     """Compile one DSL query object (the value of a `"query"` key) to an
     AST node."""
@@ -113,6 +225,9 @@ def compile_dsl(query: dict) -> Node:
     if kind == "query_string":
         q = body["query"] if isinstance(body, dict) else body
         return parse_query(str(q))
+
+    if kind == "simple_query_string":
+        return _simple_query_string(body)
 
     if kind == "match":
         field, raw = _one_field(body, "match")
@@ -322,6 +437,7 @@ _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
     "span_near", "span_first", "span_not", "more_like_this",
     "sparse_vector", "rank_feature", "pinned", "intervals", "script_score",
+    "distance_feature",
 )
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
@@ -789,6 +905,30 @@ def _serving_query(index, kind: str, body, k: int = 10):
             )
         except ValueError as e:
             raise DslError(str(e)) from e
+    if kind == "distance_feature":
+        # ES distance_feature: boost by proximity of a per-doc numeric to
+        # an origin — boost · pivot / (pivot + |v − origin|). Dates reduce
+        # to the same arithmetic on epoch values; this engine's per-doc
+        # numerics are doclen / numeric corpus metadata, so origin and
+        # pivot are numbers (date-math strings are out of the subset).
+        field = opts.pop("field", None)
+        _require(isinstance(field, str) and field,
+                 "distance_feature needs a field")
+        origin = opts.pop("origin", None)
+        pivot = opts.pop("pivot", None)
+        boost = float(opts.pop("boost", 1.0))
+        _reject_extra(opts, "distance_feature")
+        _require(isinstance(origin, (int, float)) and not isinstance(origin, bool),
+                 "distance_feature needs a numeric origin")
+        _require(isinstance(pivot, (int, float)) and float(pivot) > 0,
+                 "distance_feature needs a positive numeric pivot")
+        try:
+            return serving.distance_feature(
+                index, None, field=field, origin=float(origin),
+                pivot=float(pivot), boost=boost, k=k,
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
     if kind == "pinned":
         # ES pinned query (search promotions): the given ids first, in the
         # given order, then organic results excluding them. Pinned rows
@@ -1121,6 +1261,25 @@ def run_aggs(index, body: dict, k: int = 10):
         _require(sub is None, "percentile_ranks takes no sub-aggs")
         return serving.percentile_ranks(index, q, values=values)
 
+    if kind == "weighted_avg":
+        # ES weighted_avg: Σ(value·weight)/Σ(weight) over the match set.
+        # Per-doc numerics: doclen (token count) and chars (content
+        # character length) — serving.weighted_avg validates.
+        vspec, wspec = conf.get("value"), conf.get("weight")
+        _require(isinstance(vspec, dict) and set(vspec) == {"field"},
+                 "weighted_avg.value needs exactly {'field': ...}")
+        _require(isinstance(wspec, dict) and set(wspec) == {"field"},
+                 "weighted_avg.weight needs exactly {'field': ...}")
+        unknown = set(conf) - {"value", "weight"}
+        _require(not unknown, f"unsupported weighted_avg options: {sorted(unknown)}")
+        _require(sub is None, "weighted_avg takes no sub-aggs")
+        try:
+            return serving.weighted_avg(
+                index, q, value_field=vspec["field"], weight_field=wspec["field"]
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from e
+
     if kind == "string_stats":
         field = conf.get("field")
         _require(field in BUCKET_FIELDS,
@@ -1436,6 +1595,55 @@ def run_date_aggs(events, body: dict):
 
     items = list(aggs.items())
     parent_name, spec = items[0]
+    if isinstance(spec, dict) and "date_range" in spec:
+        # ES date_range: explicitly declared (possibly overlapping)
+        # [from, to) buckets — from inclusive, to exclusive, either bound
+        # optional. Declaration-order rows (key, from_ts, to_ts,
+        # doc_count); bounds echo back as the given strings (ES also
+        # echoes the input representation).
+        #
+        # Scale shape: ONE scan with every bucket as a sibling conditional
+        # sum (map-side partials; never one scan or one filter-job per
+        # range), then a 1-row explode to bucket rows — the
+        # percentile_ranks pattern on the time axis.
+        _require(len(items) == 1, "date_range takes no sibling aggs")
+        _require(not (spec.get("aggs") or spec.get("aggregations")),
+                 "date_range takes no sub-aggs")
+        conf = dict(spec["date_range"])
+        field = conf.pop("field", None)
+        _require(field in events.columns, f"unknown date field {field!r}")
+        ranges = conf.pop("ranges", None)
+        _require(not conf, f"unsupported date_range options: {sorted(conf)}")
+        _require(isinstance(ranges, list) and ranges,
+                 "date_range.ranges must be non-empty")
+        buckets = []
+        for r in ranges:
+            _require(isinstance(r, dict) and r and not set(r) - {"from", "to"},
+                     f"each range is {{from?, to?}}, got {r!r}")
+            frm, to = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (F.col(field) >= F.lit(str(frm)).cast("timestamp"))
+            if to is not None:
+                cond = cond & (F.col(field) < F.lit(str(to)).cast("timestamp"))
+            key = f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
+            buckets.append((key, frm, to, cond))
+        row = events.agg(*[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"c{i}")
+            for i, (_, _, _, c) in enumerate(buckets)
+        ])
+        pairs = F.array(*[
+            F.struct(
+                F.lit(key).alias("key"),
+                F.lit(frm).cast("string").alias("from_ts"),
+                F.lit(to).cast("string").alias("to_ts"),
+                F.col(f"c{i}").alias("doc_count"),
+            )
+            for i, (key, frm, to, _) in enumerate(buckets)
+        ])
+        return row.select(F.explode(pairs).alias("b")).select(
+            "b.key", "b.from_ts", "b.to_ts", "b.doc_count"
+        )
     series = None
     if isinstance(spec, dict) and "terms" in spec:
         # multi-series form (the Kibana multi-series chart):

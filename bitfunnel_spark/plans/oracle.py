@@ -1718,3 +1718,40 @@ def oracle_global_stats_sql(config: BuildConfig | None = None) -> str:
         f"       round(CAST(sum_doclen AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS avg_doclen\n"
         f"FROM a"
     )
+
+
+def oracle_weighted_avg_sql(
+    query, value_field: str = "chars", weight_field: str = "doclen",
+    config: BuildConfig | None = None,
+) -> str:
+    """weighted_avg oracle mirroring plans/serving.weighted_avg:
+    Σ(value·weight)/Σ(weight) over the match set with exact integer sums
+    (cast ::BIGINT out of DuckDB's HUGEINT — the driver-canon rule) and
+    ONE float64 divide at the end, the engine's op order. `doclen` is the
+    body token count (dl CTE); `chars` is length(text) on the raw
+    documents row — the same expression as the engine's
+    length(content)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+
+    def _col(f: str) -> str:
+        if f == "doclen":
+            return "dl.doclen"
+        if f == "chars":
+            return "length(d.text)"
+        raise ValueError(f"weighted_avg fields must be doclen or chars, got {f!r}")
+
+    v, w = _col(value_field), _col(weight_field)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"j AS (\n"
+        f"  SELECT {v}::BIGINT AS v, {w}::BIGINT AS w\n"
+        f"  FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)\n"
+        f")\n"
+        f"SELECT count(*)::BIGINT AS n,\n"
+        f"       sum(w)::BIGINT AS weight_sum,\n"
+        f"       round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4)\n"
+        f"         AS weighted_avg\n"
+        f"FROM j"
+    )

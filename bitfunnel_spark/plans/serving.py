@@ -2146,3 +2146,99 @@ def global_stats(index) -> DataFrame:
             F.col("sum_doclen").cast("double") / F.col("n_docs").cast("double"), 4
         ).alias("avg_doclen"),
     )
+
+
+def distance_feature(
+    index, query, field: str = "doclen", origin: float = 0.0,
+    pivot: float = 1.0, boost: float = 1.0, k: int = 10,
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query on a per-document numeric feature:
+    score = boost · pivot / (pivot + |value − origin|) — 1·boost at the
+    origin, decaying hyperbolically with distance, exactly ES's formula
+    for numeric/date fields (dates reduce to the same arithmetic on epoch
+    millis). ``field`` is ``doclen`` or a numeric corpus metadata column;
+    ``query`` restricts to a match set, None scores the whole corpus (the
+    standalone form — ES's distance_feature matches all docs carrying the
+    field). Returns DataFrame[(doc_id, score)] (4 dp, score desc,
+    doc_id asc, ≤k).
+
+    Scale shape: identical to rank_feature — one narrow feature-column
+    join (or a bare doc-stats scan for query=None) + a column expression +
+    TakeOrderedAndProject; nothing is recomputed per query."""
+    if float(pivot) <= 0:
+        raise ValueError("distance_feature needs a positive pivot")
+    if field == "doclen":
+        feats = index.doc_stats.select(
+            "doc_id", F.col("doclen").cast("double").alias("fv")
+        )
+    else:
+        feats = index.corpus.select(
+            "doc_id", F.col(field).cast("double").alias("fv")
+        )
+    if query is not None:
+        matches = index.match(query, facts).select("doc_id")
+        feats = matches.join(feats, "doc_id", "left").fillna(0.0, subset=["fv"])
+    else:
+        tomb = getattr(index, "tombstones", frozenset())
+        if tomb:
+            feats = feats.filter(
+                ~F.col("doc_id").isin([int(d) for d in tomb])
+            )
+    dist = F.abs(F.col("fv") - F.lit(float(origin)))
+    expr = F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    return (
+        feats.select(
+            "doc_id", F.round(F.lit(float(boost)) * expr, 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def weighted_avg(
+    index, query: str, value_field: str = "chars",
+    weight_field: str = "doclen", facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` metric aggregation over the match set:
+    Σ(value·weight) / Σ(weight). Supported per-doc numerics: ``doclen``
+    (body token count, from doc stats) and ``chars`` (character length of
+    the document content — length(text), the same expression the SQL
+    oracle uses). Returns one row (n, weight_sum, weighted_avg 4 dp).
+
+    Determinism: both numerators aggregate exact int64 (value and weight
+    are integers), the single float64 divide happens once at the end — so
+    distributed partial aggregation cannot reorder float folds.
+
+    Scale shape: match set → ONE narrow doc_id equi-join against the
+    feature columns → ONE global aggregate with map-side partials; the
+    content column is touched only if ``chars`` is requested, and then
+    only as length() inside the scan projection."""
+    cols = {}
+    for role, f in (("v", value_field), ("w", weight_field)):
+        if f == "doclen":
+            cols[role] = index.doc_stats.select(
+                "doc_id", F.col("doclen").cast("long").alias(role)
+            )
+        elif f == "chars":
+            cols[role] = index.corpus.select(
+                "doc_id", F.length("content").cast("long").alias(role)
+            )
+        else:
+            raise ValueError(
+                f"weighted_avg fields must be doclen or chars, got {f!r}"
+            )
+    if value_field == weight_field:
+        raise ValueError("weighted_avg value and weight must differ")
+    matches = index.match(query, facts).select("doc_id")
+    joined = matches.join(cols["v"], "doc_id").join(cols["w"], "doc_id")
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("weight_sum"),
+        F.sum(F.col("v") * F.col("w")).alias("vw_sum"),
+    ).select(
+        "n", "weight_sum",
+        F.round(
+            F.col("vw_sum").cast("double") / F.col("weight_sum").cast("double"), 4
+        ).alias("weighted_avg"),
+    )

@@ -1,0 +1,272 @@
+"""Round-5 surface tail: simple_query_string, distance_feature,
+weighted_avg, date_range, and search templates — compile shapes, tolerant
+parsing, and execution against independent DuckDB checks."""
+
+import math
+
+import pytest
+
+from bitfunnel_spark.plans.ast import And, Not, Or, Phrase, Prefix, Term
+from bitfunnel_spark.plans.dsl import DslError, compile_dsl, run_aggs, search_dsl
+from bitfunnel_spark.plans.templates import (
+    TemplateError,
+    render_template,
+    search_template,
+)
+
+
+# --- simple_query_string: compile shapes -----------------------------------
+
+def sqs(q, **opts):
+    return compile_dsl({"simple_query_string": {"query": q, **opts}})
+
+
+def test_sqs_basic_shapes():
+    assert sqs("data") == Term("data")
+    # whitespace joins with default_operator (or)
+    assert sqs("dup vector") == Or((Term("dup"), Term("vector")))
+    assert sqs("dup vector", default_operator="and") == And(
+        (Term("dup"), Term("vector"))
+    )
+    # explicit infix ops
+    assert sqs("data + fast") == And((Term("data"), Term("fast")))
+    assert sqs("dup | vector") == Or((Term("dup"), Term("vector")))
+    # left-associative equal precedence (Lucene SimpleQueryParser)
+    assert sqs("data + fast | dup") == Or(
+        (And((Term("data"), Term("fast"))), Term("dup"))
+    )
+    assert sqs("data | fast + dup") == And(
+        (Or((Term("data"), Term("fast"))), Term("dup"))
+    )
+
+
+def test_sqs_negation_phrase_prefix():
+    # -term lifts to a top-level must_not regardless of position
+    assert sqs("data -slow") == And((Term("data"), Not(Term("slow"))))
+    assert sqs("-slow data") == And((Term("data"), Not(Term("slow"))))
+    assert sqs('"fast key order"') == Phrase(("fast", "key", "order"))
+    assert sqs("dup*") == Prefix("dup")
+    assert sqs('data -"slow path"') == And(
+        (Term("data"), Not(Phrase(("slow", "path"))))
+    )
+
+
+def test_sqs_multi_token_unit_joins_with_default_op():
+    assert sqs("foo-bar") == Or((Term("foo"), Term("bar")))
+    assert sqs("foo-bar", default_operator="and") == And(
+        (Term("foo"), Term("bar"))
+    )
+
+
+def test_sqs_tolerant_parsing():
+    # dangling operators and empty units are dropped, never raised
+    assert sqs("data |") == Term("data")
+    assert sqs("| data") == Term("data")
+    assert sqs("data + ") == Term("data")
+    assert sqs('data ""') == Term("data")
+    # unbalanced quote: the rest of the string becomes the phrase
+    assert sqs('data "fast key') == Or((Term("data"), Phrase(("fast", "key"))))
+    # punctuation-only unit analyzes to zero tokens and is dropped,
+    # taking its operator with it
+    assert sqs("data + !!!") == Term("data")
+
+
+def test_sqs_errors():
+    with pytest.raises(DslError):
+        sqs("-slow")  # only negations
+    with pytest.raises(DslError):
+        sqs("   ")
+    with pytest.raises(DslError):
+        sqs("data", flags="OR|AND")
+    with pytest.raises(DslError):
+        sqs("data", fields=["content", "lang"])  # two streams
+    # same stream through several aliases is fine
+    assert sqs("data", fields=["content", "body"]) == Term("data")
+
+
+def test_sqs_executes_like_query_string(index):
+    got = search_dsl(index, {
+        "query": {"simple_query_string": {"query": "data + fast | dup -slow"}},
+        "size": 10,
+    }).collect()
+    want = search_dsl(index, {
+        "query": {"query_string": {"query": "((data & fast) | dup) -slow"}},
+        "size": 10,
+    }).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+# --- distance_feature -------------------------------------------------------
+
+def test_distance_feature_vs_duck(index, duck):
+    rows = search_dsl(index, {
+        "query": {"distance_feature": {
+            "field": "doclen", "origin": 64, "pivot": 8.0, "boost": 2.0}},
+        "size": 10,
+    }).collect()
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id)
+        SELECT doc_id, round(2.0 * 8.0 / (8.0 + abs(doclen - 64.0)), 4)
+        FROM dl ORDER BY 2 DESC, doc_id ASC LIMIT 10
+    """).fetchall()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (d, s) for d, s in want
+    ]
+
+
+def test_distance_feature_validates(index):
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"distance_feature": {
+            "field": "doclen", "origin": 0, "pivot": 0}}})
+    with pytest.raises(DslError):
+        search_dsl(index, {"query": {"distance_feature": {
+            "field": "doclen", "origin": "now-7d", "pivot": 8}}})
+
+
+# --- weighted_avg ------------------------------------------------------------
+
+def test_weighted_avg_vs_duck(index, duck):
+    r = run_aggs(index, {
+        "query": {"query_string": {"query": "data"}},
+        "aggs": {"w": {"weighted_avg": {
+            "value": {"field": "chars"}, "weight": {"field": "doclen"}}}},
+    }).collect()[0]
+    want = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS t FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'data')
+        SELECT count(*),
+               sum(dl.doclen)::BIGINT,
+               round(CAST(sum(length(d.text) * dl.doclen) AS DOUBLE)
+                     / CAST(sum(dl.doclen) AS DOUBLE), 4)
+        FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+    """).fetchall()[0]
+    assert (r["n"], r["weight_sum"]) == (want[0], want[1])
+    assert math.isclose(r["weighted_avg"], want[2], abs_tol=1e-9)
+
+
+def test_weighted_avg_validates(index):
+    with pytest.raises(DslError):
+        run_aggs(index, {
+            "query": {"query_string": {"query": "data"}},
+            "aggs": {"w": {"weighted_avg": {
+                "value": {"field": "doclen"}, "weight": {"field": "doclen"}}}},
+        })
+    with pytest.raises(DslError):
+        run_aggs(index, {
+            "query": {"query_string": {"query": "data"}},
+            "aggs": {"w": {"weighted_avg": {
+                "value": {"field": "nope"}, "weight": {"field": "doclen"}}}},
+        })
+
+
+# --- date_range --------------------------------------------------------------
+
+def test_date_range_vs_duck(spark, duck):
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(f"{duck_events_path()}")
+    rows = run_date_aggs(ev, {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"r": {"date_range": {
+            "field": "ts",
+            "ranges": [
+                {"to": "2024-01-10 00:00:00"},
+                {"from": "2024-01-10 00:00:00", "to": "2024-01-20 00:00:00"},
+                {"from": "2024-01-20 00:00:00"},
+            ]}}},
+    }).collect()
+    counts = {r["key"]: r["doc_count"] for r in rows}
+    for key, cond in [
+        ("*-2024-01-10 00:00:00", "ts < TIMESTAMP '2024-01-10'"),
+        ("2024-01-10 00:00:00-2024-01-20 00:00:00",
+         "ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'"),
+        ("2024-01-20 00:00:00-*", "ts >= TIMESTAMP '2024-01-20'"),
+    ]:
+        want = duck.execute(
+            f"SELECT count(*) FROM events WHERE event_type = 'click' AND {cond}"
+        ).fetchall()[0][0]
+        assert counts[key] == want, key
+    # overlapping ranges are legal (each bucket is an independent sum)
+    total = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'click'"
+    ).fetchall()[0][0]
+    assert sum(counts.values()) == total
+
+
+def duck_events_path():
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    return f"{base}/events.parquet"
+
+
+def test_date_range_validates(spark):
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(duck_events_path())
+    with pytest.raises(DslError):
+        run_date_aggs(ev, {"aggs": {"r": {"date_range": {
+            "field": "ts", "ranges": []}}}})
+    with pytest.raises(DslError):
+        run_date_aggs(ev, {"aggs": {"r": {"date_range": {
+            "field": "nope", "ranges": [{"from": "2024-01-01"}]}}}})
+    with pytest.raises(DslError):
+        run_date_aggs(ev, {"aggs": {"r": {"date_range": {
+            "field": "ts", "ranges": [{"banana": 1}]}}}})
+
+
+# --- search templates ---------------------------------------------------------
+
+def test_render_template_string_source():
+    body = render_template(
+        '{"query": {"query_string": {"query": "{{q}}"}}, "size": {{k}}}',
+        {"q": "data -slow", "k": 5},
+    )
+    assert body == {"query": {"query_string": {"query": "data -slow"}}, "size": 5}
+
+
+def test_render_template_dict_source_typed_leaves():
+    body = render_template(
+        {"query": {"terms": {"content": "{{#toJson}}words{{/toJson}}"}},
+         "size": "{{k}}", "note": "q={{q}}"},
+        {"words": ["dup", "vector"], "k": 3, "q": "x"},
+    )
+    # whole-leaf placeholders keep the param's type
+    assert body["query"]["terms"]["content"] == ["dup", "vector"]
+    assert body["size"] == 3
+    assert body["note"] == "q=x"
+
+
+def test_render_template_missing_param_refuses():
+    with pytest.raises(TemplateError):
+        render_template('{"size": {{k}}}', {})
+    with pytest.raises(TemplateError):
+        render_template({"size": "{{k}}"}, {})
+
+
+def test_search_template_equals_rendered_body(index):
+    got = search_template(index, {
+        "source": '{"query": {"query_string": {"query": "{{q}}"}}, "size": 5}',
+        "params": {"q": "dup | vector"},
+    }).collect()
+    want = search_dsl(index, {
+        "query": {"query_string": {"query": "dup | vector"}}, "size": 5,
+    }).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_search_template_validates():
+    with pytest.raises(TemplateError):
+        search_template(None, {"params": {}})
+    with pytest.raises(TemplateError):
+        search_template(None, {"source": "{not json", "params": {}})

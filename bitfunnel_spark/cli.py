@@ -274,7 +274,8 @@ def cmd_repl(args) -> None:
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
         " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
-        " | !show <term> | !analyze <text> | !threads <n> | !script <file> | !quit"
+        " | !show <term> | !analyze <text> | !validate <json>"
+        " | !threads <n> | !script <file> | !quit"
     )
 
     def _emb_df():
@@ -515,6 +516,16 @@ def cmd_repl(args) -> None:
                 analyzer = getattr(idx.config, "analyzer", "standard")
                 for r in analyze_text(spark, line[9:], analyzer=analyzer).collect():
                     print(f"{r['position']}\t{r['token']}")
+            elif line.startswith("!validate "):
+                # ES _validate/query?explain=true: compile the DSL body
+                # (never execute) and echo the rewritten engine query —
+                # invalid bodies report instead of raising
+                import json as _json
+
+                from bitfunnel_spark.plans.dsl import validate_query
+
+                ok, explanation = validate_query(_json.loads(line[10:]))
+                print(f"valid: {str(ok).lower()}\texplanation: {explanation}")
             elif line.startswith("!threads "):
                 # reference REPL's `threads <count>` (tools/BitFunnel/src/
                 # ThreadsCommand.cpp sets the matcher's query thread count).

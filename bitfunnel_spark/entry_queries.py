@@ -2380,10 +2380,11 @@ DRIVER_WINDOW = [
     # refactor (shared exprs live-checked via ivfpq/rh), and the serving
     # machinery the new REPL !show verb reads
     "ft_cum_term_counts", "ft_query_profile", "ft_index_stats",
-    # (d) high-traffic representatives re-checked each round: kernel
-    # batch (which exercises AND/OR/NOT/phrase in one job), rrf fusion,
-    # trigram grep, dedup, DSL agg routing, percolation
-    "ft_bm25_batch", "ft_hybrid_rrf",
+    # (d) high-traffic representatives re-checked each round: rrf fusion,
+    # trigram grep, dedup, DSL agg routing, percolation (the batch kernel
+    # re-evidences live through the new ft_msearch, which rides
+    # _batched_groups; ft_bm25_batch's r04 row stands)
+    "ft_hybrid_rrf",
     "ft_regex_grep_many", "dedup_substring",
     "ft_dsl_aggs", "ft_percolate_log",
     # (e) brand-new r05 entries: sampler/diversified_sampler buckets, the
@@ -2400,7 +2401,7 @@ DRIVER_WINDOW = [
     "ft_percentile_ranks", "ft_t_test", "ft_string_stats",
     "ft_global_stats",
     "ft_simple_query_string", "ft_distance_feature", "ft_weighted_avg",
-    "ft_search_template", "events_date_range",
+    "ft_search_template", "events_date_range", "ft_msearch",
 ]
 
 
@@ -3968,6 +3969,33 @@ FROM dl ORDER BY score DESC, doc_id ASC LIMIT 10"""
     queries["events_date_range"] = q_events_date_range
     oracles["events_date_range"] = "\nUNION ALL\n".join(
         _dr_select(*row) for row in _DR_ROWS
+    )
+
+    # _msearch: heterogeneous DSL bodies with per-body sizes, ONE batched
+    # kernel job. The oracle unions the per-body single-query SQL at each
+    # body's own size — (body_i, size_i) must match the Spark list.
+    _MSEARCH = [
+        ({"query": {"match": {"content": "data"}}, "size": 5},
+         "data", 5),
+        ({"query": {"bool": {"must": [{"match": {"content": "dup"}}],
+                             "must_not": [{"match": {"content": "slow"}}]}},
+          "size": 10},
+         "dup -slow", 10),
+        ({"query": {"simple_query_string": {
+            "query": "spark + join"}}, "size": 7},
+         "spark & join", 7),
+    ]
+
+    def q_ft_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bitfunnel_spark.plans.dsl import msearch
+
+        return msearch(get_index(spark, sf_dir), [b for b, _, _ in _MSEARCH])
+
+    queries["ft_msearch"] = q_ft_msearch
+    oracles["ft_msearch"] = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id, score FROM "
+        f"({oracle_search_sql(q, k=size, config=ENTRY_CONFIG)})"
+        for qid, (_, q, size) in enumerate(_MSEARCH)
     )
 
     # emit in driver-window order: the first 50 registered entries are the

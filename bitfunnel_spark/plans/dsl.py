@@ -647,6 +647,23 @@ def count_dsl(index, body: dict):
     return ids.agg(F.count("*").alias("count"))
 
 
+def validate_query(body) -> tuple[bool, str]:
+    """ES ``_validate/query?explain=true`` analogue: compile (never
+    execute) a DSL body and report (valid, explanation) — the explanation
+    is the compiled AST in the engine's printable form (ast.fmt), the
+    analogue of ES echoing the rewritten Lucene query. Invalid bodies
+    return (False, the DslError text) instead of raising — the point of
+    the API is asking without failing."""
+    from bitfunnel_spark.plans.ast import fmt
+
+    try:
+        query = body.get("query", body) if isinstance(body, dict) else body
+        node = compile_dsl(query)
+        return True, fmt(node)
+    except Exception as e:  # DslError, parser/planner ValueErrors
+        return False, f"{type(e).__name__}: {e}"
+
+
 def run_suggest(index, suggest: dict, k: int = 10):
     """ES `suggest` body (one named suggester): the `term` suggester maps
     to did_you_mean (spell correction: edit-distance dictionary scan), the
@@ -763,16 +780,41 @@ def msearch(index, bodies: list, k: int = 10):
     """ES `_msearch`: a log of DSL bodies evaluated in ONE batched kernel
     job — DataFrame[(query_id int, doc_id long, score double)], query_id =
     the body's position. Bodies must be plain AST queries (compile_bodies
-    contract); one shared ``k`` (a per-body `size` raises rather than
-    silently truncating differently than asked)."""
+    contract). Sizes may differ per body (ES allows it): the batch fetches
+    max(size) per (shard, slice) group and the ONE global rank window the
+    batch path already pays trims each query to its own size — per-body
+    limits ride it for free, still a single job for N queries."""
+    _require(isinstance(bodies, (list, tuple)) and bodies,
+             "msearch needs a non-empty list of bodies")
+    sizes = []
     for b in bodies:
-        if isinstance(b, dict) and "size" in b:
-            _require(int(b["size"]) == k,
-                     "msearch uses one shared k; per-body size must equal it")
         for mod in ("sort", "highlight", "suggest", "_source", "from"):
             if isinstance(b, dict) and mod in b:
                 raise DslError(f"msearch bodies don't support {mod!r}")
-    return index.search_many(compile_bodies(bodies), k=k)
+        size = int(b.get("size", k)) if isinstance(b, dict) else k
+        _require(size >= 1, "msearch size must be >= 1")
+        sizes.append(size)
+    nodes = compile_bodies(bodies)
+    if len(set(sizes)) == 1:
+        return index.search_many(nodes, k=sizes[0])
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark.plans.batch import _batched_groups
+
+    groups = _batched_groups(index, nodes, max(sizes), None)
+    res = groups.select(
+        "query_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    size_expr = F.element_at(
+        F.array(*[F.lit(s) for s in sizes]), F.col("query_id") + 1
+    )
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size_expr)
+        .drop("_rn")
+    )
 
 
 def _serving_query(index, kind: str, body, k: int = 10):

@@ -268,3 +268,36 @@ def test_cli_repl_threads(spark, corpus, tmp_path, capsys, monkeypatch):
         assert any("\t" in l and l.split("\t")[0].isdigit() for l in out.splitlines())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_cli_repl_validate(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!validate compiles a DSL body without executing it (the ES
+    _validate/query?explain=true shape): valid bodies echo the rewritten
+    engine query, invalid bodies report instead of raising and the loop
+    stays alive."""
+    cpath = str(tmp_path / "vcorpus")
+    ipath = str(tmp_path / "vindex")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter([
+        '!validate {"query": {"bool": {"must": [{"match": {"content": '
+        '"data"}}], "must_not": [{"match": {"content": "slow"}}]}}}',
+        '!validate {"query": {"match": {}}}',
+        '!validate {"query": {"banana": {"content": "x"}}}',
+    ])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath, "--k", "3"])
+    out = capsys.readouterr().out
+    good = [l for l in out.splitlines() if l.startswith("valid: true")]
+    bad = [l for l in out.splitlines() if l.startswith("valid: false")]
+    assert len(good) == 1 and "data" in good[0] and "slow" in good[0]
+    assert len(bad) == 2 and any("DslError" in l for l in bad)

@@ -637,8 +637,26 @@ def test_dsl_msearch_one_job_parity(index):
             for r in index.search(q, k=10).collect()}
     # body 0 is match-or: data | fast
     assert got == want and got
-    with pytest.raises(DslError, match="shared k"):
-        msearch(index, [{"query": {"match": {"content": "x"}}, "size": 3}], k=10)
+    with pytest.raises(DslError, match="non-empty"):
+        msearch(index, [])
+
+
+def test_dsl_msearch_per_body_sizes(index):
+    from bitfunnel_spark.plans.dsl import msearch
+
+    bodies = [
+        {"query": {"match": {"content": "data"}}, "size": 3},
+        {"query": {"match": {"content": "dup"}}, "size": 7},
+    ]
+    rows = msearch(index, bodies, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    # each body trimmed to ITS size, values identical to single-query search
+    assert len(by_q[0]) == 3 and len(by_q[1]) == 7
+    for qid, q, size in [(0, "data", 3), (1, "dup", 7)]:
+        want = [(r["doc_id"], r["score"]) for r in index.search(q, k=size).collect()]
+        assert sorted(by_q[qid]) == sorted(want), qid
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,22 @@ def test_search_template_validates():
         search_template(None, {"params": {}})
     with pytest.raises(TemplateError):
         search_template(None, {"source": "{not json", "params": {}})
+
+
+# --- _validate/query ------------------------------------------------------------
+
+def test_validate_query_explains_or_reports():
+    from bitfunnel_spark.plans.dsl import validate_query
+
+    ok, expl = validate_query({"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "must_not": [{"match": {"content": "slow"}}]}}})
+    assert ok and "data" in expl and "slow" in expl
+    # bare query object works too
+    ok, _ = validate_query({"match": {"content": "data"}})
+    assert ok
+    # invalid bodies REPORT, never raise — the point of the API
+    ok, expl = validate_query({"query": {"match": {}}})
+    assert not ok and "DslError" in expl
+    ok, expl = validate_query({"query": {"banana": {"content": "x"}}})
+    assert not ok

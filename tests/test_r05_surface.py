@@ -289,3 +289,80 @@ def test_validate_query_explains_or_reports():
     assert not ok and "DslError" in expl
     ok, expl = validate_query({"query": {"banana": {"content": "x"}}})
     assert not ok
+
+
+# --- simple_query_string: property fuzz -----------------------------------------
+
+def test_sqs_never_crashes_on_arbitrary_text():
+    """The tolerant-parser contract, fuzzed: ANY text either compiles to a
+    Node or raises DslError (pure-negation / zero-clause inputs) — never
+    any other exception. Hypothesis drives the hand-rolled scanner over
+    printable garbage, operator soup, and quote imbalance."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitfunnel_spark.plans.ast import Node
+
+    alphabet = st.sampled_from(
+        list("abc dz|+-*\"()~^:/\\{}[]!@#$%&=;,.<>?0129_\t")
+    )
+    texts = st.text(alphabet, min_size=1, max_size=40)
+
+    @given(texts)
+    @settings(max_examples=300, deadline=None)
+    def run(text):
+        try:
+            node = sqs(text)
+        except DslError:
+            return
+        assert isinstance(node, Node)
+
+    run()
+
+
+def test_sqs_structured_equivalence_fuzz():
+    """Structured fuzz: random well-formed unit/operator sequences must
+    fold exactly like an independently-written reference fold."""
+    import random
+
+    from bitfunnel_spark.plans.ast import And, Not, Or, Term
+
+    rng = random.Random(77)
+    vocab = ["data", "fast", "dup", "vector", "spark", "join"]
+    for _ in range(200):
+        n_units = rng.randint(1, 5)
+        units = []
+        for _ in range(n_units):
+            units.append((rng.choice([None, "or", "and"]),  # op before
+                          rng.random() < 0.25,              # negated
+                          rng.choice(vocab)))
+        default_op = rng.choice(["or", "and"])
+        # render the text
+        parts = []
+        for op, neg, w in units:
+            if op == "or":
+                parts.append("|")
+            elif op == "and":
+                parts.append("+")
+            parts.append(("-" if neg else "") + w)
+        text = " ".join(parts)
+        # independent reference fold
+        acc, negs = None, []
+        for i, (op, neg, w) in enumerate(units):
+            t = Term(w)
+            if neg:
+                negs.append(t)
+                continue
+            if acc is None:
+                acc = t
+                continue
+            use = op or default_op
+            acc = And((acc, t)) if use == "and" else Or((acc, t))
+        if acc is None:
+            with pytest.raises(DslError):
+                sqs(text, default_operator=default_op)
+            continue
+        want = And((acc, *[Not(x) for x in negs])) if negs else acc
+        # a leading operator before the FIRST unit is a dangling op the
+        # tolerant scanner drops — the reference fold ignores it too
+        assert sqs(text, default_operator=default_op) == want, text

@@ -137,7 +137,10 @@ def _simple_query_string(body) -> Node:
     _reject_extra(opts, "simple_query_string")
     _require(isinstance(fields, (list, tuple)) and fields,
              "fields must be a non-empty list")
-    streams = {_stream(str(f).split("^", 1)[0]) for f in fields}
+    _require(not any("^" in str(f) for f in fields),
+             "per-field boosts (field^n) are not in the subset — "
+             "use multi_match for cross-field weighted scoring")
+    streams = {_stream(str(f)) for f in fields}
     _require(len(streams) == 1,
              "simple_query_string fields must map to one stream "
              "(use multi_match for cross-field scoring)")

@@ -366,3 +366,8 @@ def test_sqs_structured_equivalence_fuzz():
         # a leading operator before the FIRST unit is a dangling op the
         # tolerant scanner drops — the reference fold ignores it too
         assert sqs(text, default_operator=default_op) == want, text
+
+
+def test_sqs_rejects_field_boosts_loudly():
+    with pytest.raises(DslError, match="multi_match"):
+        sqs("data", fields=["content^2"])

@@ -1661,6 +1661,16 @@ def run_date_aggs(events, body: dict):
         _require(not conf, f"unsupported date_range options: {sorted(conf)}")
         _require(isinstance(ranges, list) and ranges,
                  "date_range.ranges must be non-empty")
+        import datetime as _dt
+
+        def _check_ts(v):
+            # a bad bound would cast to NULL and silently zero the bucket;
+            # validate driver-side instead (loud-subset rule)
+            try:
+                _dt.datetime.fromisoformat(str(v))
+            except ValueError:
+                raise DslError(f"unparseable date_range bound: {v!r}")
+
         buckets = []
         for r in ranges:
             _require(isinstance(r, dict) and r and not set(r) - {"from", "to"},
@@ -1668,8 +1678,10 @@ def run_date_aggs(events, body: dict):
             frm, to = r.get("from"), r.get("to")
             cond = F.lit(True)
             if frm is not None:
+                _check_ts(frm)
                 cond = cond & (F.col(field) >= F.lit(str(frm)).cast("timestamp"))
             if to is not None:
+                _check_ts(to)
                 cond = cond & (F.col(field) < F.lit(str(to)).cast("timestamp"))
             key = f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
             buckets.append((key, frm, to, cond))

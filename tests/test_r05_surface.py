@@ -371,3 +371,12 @@ def test_sqs_structured_equivalence_fuzz():
 def test_sqs_rejects_field_boosts_loudly():
     with pytest.raises(DslError, match="multi_match"):
         sqs("data", fields=["content^2"])
+
+
+def test_date_range_rejects_unparseable_bounds(spark):
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(duck_events_path())
+    with pytest.raises(DslError, match="unparseable"):
+        run_date_aggs(ev, {"aggs": {"r": {"date_range": {
+            "field": "ts", "ranges": [{"from": "not-a-date"}]}}}})

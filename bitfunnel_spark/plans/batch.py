@@ -203,18 +203,32 @@ def _batched_groups(
     )
 
 
-def search_many(index, queries: list[str], k: int = 10, facts: list[str] | None = None) -> DataFrame:
+def search_many(index, queries: list[str], k=10, facts: list[str] | None = None) -> DataFrame:
     """Evaluate a list of query strings in ONE job.
 
     Returns DataFrame[(query_id int, doc_id long, score double)] — per query
     the BM25 top-k under the same determinism contract as single-query
     search (score rounded 4 dp; order score desc, doc_id asc).
+
+    ``k`` is one int for every query, or a per-query list (the _msearch
+    shape): the batch fetches max(k) per (shard, slice) group and the ONE
+    global rank window trims each query to its own limit — per-query
+    limits ride the window the batch path already pays.
     """
-    groups = _batched_groups(index, queries, k, facts)
+    ks = [int(x) for x in k] if isinstance(k, (list, tuple)) else [int(k)] * len(queries)
+    if len(ks) != len(queries):
+        raise ValueError("per-query k list must match the query count")
+    if not ks or min(ks) < 1:
+        raise ValueError("k must be >= 1")
+    groups = _batched_groups(index, queries, max(ks), facts)
     res = groups.select("query_id", "doc_id", F.round(F.col("score"), 4).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    k_expr = (
+        F.lit(ks[0]) if len(set(ks)) == 1
+        else F.element_at(F.array(*[F.lit(x) for x in ks]), F.col("query_id") + 1)
+    )
     return (
-        res.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+        res.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k_expr).drop("_rn")
     )
 
 

@@ -191,7 +191,12 @@ def _simple_query_string(body) -> Node:
             elif len(toks) == 1:
                 node = Term(toks[0], stream)
             elif len(toks) > 1:
-                sub = tuple(Term(t, stream) for t in toks)
+                # Lucene applies a trailing * to the LAST analyzed token
+                # of the unit ("foo-bar*" → foo + bar-prefix)
+                sub = tuple(Term(t, stream) for t in toks[:-1]) + (
+                    Prefix(toks[-1], stream) if is_prefix
+                    else Term(toks[-1], stream),
+                )
                 node = And(sub) if default_op == "and" else Or(sub)
         if node is None:
             pend_op = None
@@ -652,15 +657,24 @@ def count_dsl(index, body: dict):
 
 def validate_query(body) -> tuple[bool, str]:
     """ES ``_validate/query?explain=true`` analogue: compile (never
-    execute) a DSL body and report (valid, explanation) — the explanation
-    is the compiled AST in the engine's printable form (ast.fmt), the
-    analogue of ES echoing the rewritten Lucene query. Invalid bodies
-    return (False, the DslError text) instead of raising — the point of
-    the API is asking without failing."""
+    execute) a DSL body and report (valid, explanation) — for AST kinds
+    the explanation is the compiled query in the engine's printable form
+    (ast.fmt), the analogue of ES echoing the rewritten Lucene query.
+    Combinator kinds (dis_max, multi_match, distance_feature, ...) and
+    filter-only kinds (match_all, ids, ...) don't compile to one AST
+    node — they validate by kind and report their executor class.
+    Invalid bodies return (False, the error text) instead of raising —
+    the point of the API is asking without failing."""
     from bitfunnel_spark.plans.ast import fmt
 
     try:
         query = body.get("query", body) if isinstance(body, dict) else body
+        if isinstance(query, dict) and len(query) == 1:
+            kind = next(iter(query))
+            if kind in _COMBINATOR_KINDS:
+                return True, f"{kind} (serving combinator)"
+            if kind in _FILTER_ONLY_KINDS:
+                return True, f"{kind} (filter-only, constant score)"
         node = compile_dsl(query)
         return True, fmt(node)
     except Exception as e:  # DslError, parser/planner ValueErrors
@@ -783,41 +797,25 @@ def msearch(index, bodies: list, k: int = 10):
     """ES `_msearch`: a log of DSL bodies evaluated in ONE batched kernel
     job — DataFrame[(query_id int, doc_id long, score double)], query_id =
     the body's position. Bodies must be plain AST queries (compile_bodies
-    contract). Sizes may differ per body (ES allows it): the batch fetches
-    max(size) per (shard, slice) group and the ONE global rank window the
-    batch path already pays trims each query to its own size — per-body
-    limits ride it for free, still a single job for N queries."""
+    contract). Sizes may differ per body (ES allows it); per-body limits
+    ride batch.search_many's single rank window — one job for N bodies.
+    Body modifiers that would silently change semantics if ignored
+    (sort/highlight/suggest/_source/from/min_score/aggs/knn) are rejected
+    loudly: run those bodies through search_dsl individually."""
     _require(isinstance(bodies, (list, tuple)) and bodies,
              "msearch needs a non-empty list of bodies")
     sizes = []
     for b in bodies:
-        for mod in ("sort", "highlight", "suggest", "_source", "from"):
+        for mod in ("sort", "highlight", "suggest", "_source", "from",
+                    "min_score", "aggs", "aggregations", "knn"):
             if isinstance(b, dict) and mod in b:
                 raise DslError(f"msearch bodies don't support {mod!r}")
         size = int(b.get("size", k)) if isinstance(b, dict) else k
         _require(size >= 1, "msearch size must be >= 1")
         sizes.append(size)
-    nodes = compile_bodies(bodies)
-    if len(set(sizes)) == 1:
-        return index.search_many(nodes, k=sizes[0])
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from bitfunnel_spark.plans.batch import search_many
 
-    from bitfunnel_spark.plans.batch import _batched_groups
-
-    groups = _batched_groups(index, nodes, max(sizes), None)
-    res = groups.select(
-        "query_id", "doc_id", F.round(F.col("score"), 4).alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    size_expr = F.element_at(
-        F.array(*[F.lit(s) for s in sizes]), F.col("query_id") + 1
-    )
-    return (
-        res.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= size_expr)
-        .drop("_rn")
-    )
+    return search_many(index, compile_bodies(bodies), k=sizes)
 
 
 def _serving_query(index, kind: str, body, k: int = 10):
@@ -957,8 +955,11 @@ def _serving_query(index, kind: str, body, k: int = 10):
         # numerics are doclen / numeric corpus metadata, so origin and
         # pivot are numbers (date-math strings are out of the subset).
         field = opts.pop("field", None)
-        _require(isinstance(field, str) and field,
-                 "distance_feature needs a field")
+        # restrict to the engine's per-doc numerics: anything else would
+        # either raise a raw AnalysisException (unknown column) or cast
+        # strings to NULL and rank garbage — loud subset instead
+        _require(field in ("doclen", "doc_id"),
+                 "distance_feature field must be doclen or doc_id")
         origin = opts.pop("origin", None)
         pivot = opts.pop("pivot", None)
         boost = float(opts.pop("boost", 1.0))
@@ -1661,15 +1662,29 @@ def run_date_aggs(events, body: dict):
         _require(not conf, f"unsupported date_range options: {sorted(conf)}")
         _require(isinstance(ranges, list) and ranges,
                  "date_range.ranges must be non-empty")
+        # a bad bound would cast to NULL and silently zero the bucket;
+        # validate driver-side against an EXPLICIT grammar both engines
+        # parse identically (loud-subset rule). fromisoformat alone is
+        # wrong here: it accepts '20240108', which Spark's timestamp cast
+        # turns into NULL.
+        _ts_re = re.compile(
+            r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$"
+        )
+
         import datetime as _dt
 
         def _check_ts(v):
-            # a bad bound would cast to NULL and silently zero the bucket;
-            # validate driver-side instead (loud-subset rule)
-            try:
-                _dt.datetime.fromisoformat(str(v))
-            except ValueError:
-                raise DslError(f"unparseable date_range bound: {v!r}")
+            ok = bool(_ts_re.fullmatch(str(v)))
+            if ok:
+                try:  # shape is right; now reject month 13 / day 99 etc.
+                    _dt.datetime.fromisoformat(str(v))
+                except ValueError:
+                    ok = False
+            if not ok:
+                raise DslError(
+                    f"unparseable date_range bound: {v!r} (use "
+                    f"YYYY-MM-DD or YYYY-MM-DD HH:MM:SS[.ffffff])"
+                )
 
         buckets = []
         for r in ranges:

@@ -35,6 +35,10 @@ from bitfunnel_spark.plans.dsl import DslError, search_dsl
 
 _VAR_RE = re.compile(r"\{\{([A-Za-z0-9_.]+)\}\}")
 _TOJSON_RE = re.compile(r"\{\{#toJson\}\}\s*([A-Za-z0-9_.]+)\s*\{\{/toJson\}\}")
+# one combined scan: substituted text is NEVER rescanned, so a param VALUE
+# containing "{{...}}" comes through literally instead of re-expanding
+# (mustache's no-reinterpolation rule)
+_ANY_RE = re.compile(f"{_TOJSON_RE.pattern}|{_VAR_RE.pattern}")
 
 
 class TemplateError(DslError):
@@ -48,13 +52,14 @@ def _lookup(params: dict, name: str):
 
 
 def _render_str(s: str, params: dict) -> str:
-    s = _TOJSON_RE.sub(lambda m: json.dumps(_lookup(params, m.group(1))), s)
-
     def sub(m: re.Match) -> str:
-        v = _lookup(params, m.group(1))
+        tojson_name, var_name = m.group(1), m.group(2)
+        if tojson_name is not None:
+            return json.dumps(_lookup(params, tojson_name))
+        v = _lookup(params, var_name)
         return v if isinstance(v, str) else json.dumps(v)
 
-    return _VAR_RE.sub(sub, s)
+    return _ANY_RE.sub(sub, s)
 
 
 def render_template(source, params: dict | None = None):

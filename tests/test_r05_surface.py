@@ -380,3 +380,86 @@ def test_date_range_rejects_unparseable_bounds(spark):
     with pytest.raises(DslError, match="unparseable"):
         run_date_aggs(ev, {"aggs": {"r": {"date_range": {
             "field": "ts", "ranges": [{"from": "not-a-date"}]}}}})
+
+
+# --- review-pass regressions ----------------------------------------------------
+
+def test_validate_query_accepts_combinator_and_filter_kinds():
+    from bitfunnel_spark.plans.dsl import validate_query
+
+    for q, frag in [
+        ({"query": {"multi_match": {"query": "x", "fields": ["content"]}}},
+         "combinator"),
+        ({"query": {"distance_feature": {
+            "field": "doclen", "origin": 64, "pivot": 8.0}}}, "combinator"),
+        ({"query": {"match_all": {}}}, "filter-only"),
+        ({"query": {"ids": {"values": [1]}}}, "filter-only"),
+    ]:
+        ok, expl = validate_query(q)
+        assert ok and frag in expl, (q, ok, expl)
+
+
+def test_render_template_no_reinterpolation():
+    # a param VALUE containing {{...}} must come through literally —
+    # substituted text is never rescanned (mustache's rule)
+    body = render_template(
+        '{"query": {"match": {"content": {{#toJson}}q{{/toJson}}}}}',
+        {"q": "find {{k}}"},
+    )
+    assert body["query"]["match"]["content"] == "find {{k}}"
+    body = render_template('{"note": "{{a}}"}', {"a": "x {{b}} y"})
+    assert body["note"] == "x {{b}} y"
+
+
+def test_date_range_rejects_spark_null_castable_bounds(spark):
+    from bitfunnel_spark.plans.dsl import run_date_aggs
+
+    ev = spark.read.parquet(duck_events_path())
+    # fromisoformat accepts '20240108' but Spark's cast yields NULL —
+    # must reject; same for shape-valid but impossible dates
+    for bad in ["20240108", "2024-13-01", "2024-01-99", "2024-1-8"]:
+        with pytest.raises(DslError, match="unparseable"):
+            run_date_aggs(ev, {"aggs": {"r": {"date_range": {
+                "field": "ts", "ranges": [{"from": bad}]}}}})
+
+
+def test_distance_feature_rejects_unknown_and_string_fields(index):
+    for bad in ("nope", "content", "lang"):
+        with pytest.raises(DslError, match="doclen or doc_id"):
+            search_dsl(index, {"query": {"distance_feature": {
+                "field": bad, "origin": 1, "pivot": 1}}})
+    # doc_id is a legal per-doc numeric
+    rows = search_dsl(index, {"query": {"distance_feature": {
+        "field": "doc_id", "origin": 10, "pivot": 5.0}}, "size": 3}).collect()
+    assert rows and rows[0]["doc_id"] == 10  # the origin doc scores 1.0
+
+
+def test_sqs_multi_token_prefix_keeps_last_token_prefix():
+    assert sqs("foo-bar*") == Or((Term("foo"), Prefix("bar")))
+    assert sqs("foo-bar*", default_operator="and") == And(
+        (Term("foo"), Prefix("bar"))
+    )
+
+
+def test_msearch_rejects_min_score_and_aggs(index):
+    from bitfunnel_spark.plans.dsl import msearch
+
+    with pytest.raises(DslError, match="min_score"):
+        msearch(index, [{"query": {"query_string": "data"},
+                         "min_score": 2.0}])
+    with pytest.raises(DslError, match="aggs"):
+        msearch(index, [{"query": {"query_string": "data"},
+                         "aggs": {"a": {"terms": {"field": "lang"}}}}])
+
+
+def test_search_many_per_query_k_list(index):
+    # the per-query-k contract now lives in batch.search_many itself
+    from bitfunnel_spark.plans.batch import search_many
+
+    rows = search_many(index, ["data", "dup"], k=[3, 7]).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q[0]) == 3 and len(by_q[1]) == 7
+    with pytest.raises(ValueError, match="match the query count"):
+        search_many(index, ["data"], k=[1, 2])

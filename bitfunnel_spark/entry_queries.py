@@ -2060,6 +2060,28 @@ def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_dsl_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `collapse` through the _search body router (plans/dsl.search_dsl
+    → serving.collapse_topk): best hit per lang over the full scored
+    match set, global top page."""
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    return search_dsl(
+        get_index(spark, sf_dir),
+        {"query": {"query_string": {"query": FACETS_QUERY}},
+         "collapse": {"field": "lang"}, "size": 10},
+    )
+
+
+def q_ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum analogue (plans/serving.terms_enum): dictionary
+    terms with prefix 's', ascending, limit 5 — exercises the limit (the
+    corpus has 6 s-terms)."""
+    from bitfunnel_spark.plans import serving
+
+    return serving.terms_enum(get_index(spark, sf_dir), "s", size=5)
+
+
 def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfunnel_spark.plans import serving
 
@@ -2379,14 +2401,18 @@ DRIVER_WINDOW = [
     # counters shared with the new pinned oracle, similarity.py's trainer
     # refactor (shared exprs live-checked via ivfpq/rh), and the serving
     # machinery the new REPL !show verb reads
-    "ft_cum_term_counts", "ft_query_profile", "ft_index_stats",
+    "ft_cum_term_counts", "ft_query_profile",
     # (d) high-traffic representatives re-checked each round: rrf fusion,
     # trigram grep, dedup, DSL agg routing, percolation (the batch kernel
     # re-evidences live through the new ft_msearch, which rides
     # _batched_groups; ft_bm25_batch's r04 row stands)
     "ft_hybrid_rrf",
     "ft_regex_grep_many", "dedup_substring",
-    "ft_dsl_aggs", "ft_percolate_log",
+    "ft_percolate_log",
+    # (f) late-r05 additions, swapped in for re-checks with standing green
+    # rows and unchanged code paths (ft_index_stats r04, ft_dsl_aggs r04):
+    # the _terms_enum API and the collapse body routing
+    "ft_terms_enum", "ft_dsl_collapse",
     # (e) brand-new r05 entries: sampler/diversified_sampler buckets, the
     # boxplot metric, the _analyze tokenizer inspector, min_score, the
     # metric-agg tail (percentile_ranks / t_test / string_stats / global),
@@ -3024,6 +3050,14 @@ ORDER BY event_type, metric_rank"""
     oracles["ft_collapse"] = oracle_collapse_sql(
         FACETS_QUERY, by="repo", k=10, config=ENTRY_CONFIG
     )
+    queries["ft_dsl_collapse"] = q_ft_dsl_collapse
+    oracles["ft_dsl_collapse"] = oracle_collapse_sql(
+        FACETS_QUERY, by="lang", k=10, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_terms_enum_sql
+
+    queries["ft_terms_enum"] = q_ft_terms_enum
+    oracles["ft_terms_enum"] = oracle_terms_enum_sql("s", size=5)
     from bitfunnel_spark.plans.oracle import oracle_cardinality_sql, oracle_top_hits_sql
 
     queries["ft_top_hits"] = q_ft_top_hits

@@ -539,13 +539,14 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         _require("query" not in body,
                  "suggest-only bodies supported (no query alongside)")
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
-    source = sort_spec = highlight = min_score = None
+    source = sort_spec = highlight = min_score = collapse = None
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
         source = body.get("_source")
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
+        collapse = body.get("collapse")
         # ES min_score: drop hits scoring below the floor. Scores order
         # the ranking descending, so filtering the fetched top page equals
         # filtering the full result then paging — no extra fetch needed.
@@ -582,6 +583,31 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     def _page(hits):
         return hits.offset(frm) if frm else hits
 
+    if collapse is not None:
+        # ES field collapsing: best hit per distinct value of a keyword
+        # field over the FULL scored match set, then the global top page —
+        # plans/serving.collapse_topk (groupBy.max_by, so a mega-group
+        # combines map-side). Subset rules, rejected loudly: one collapse
+        # field; no inner_hits (per-group hit lists are collapse_topk's
+        # per_group knob, not a search_dsl mode); AST queries only; no
+        # sort/highlight/min_score alongside (ES composes some of these —
+        # this engine keeps the collapsed page score-ranked).
+        _require(isinstance(collapse, dict) and isinstance(collapse.get("field"), str),
+                 "collapse needs {'field': <keyword field>}")
+        _require(not (set(collapse) - {"field"}),
+                 f"unsupported collapse options: {sorted(set(collapse) - {'field'})}")
+        _require(collapse["field"] in ("repo", "lang", "path", "commit"),
+                 "collapse field must be corpus metadata (repo/lang/path/commit)")
+        _require(not is_comb and not is_filter_only,
+                 "collapse needs an AST query, not a combinator/filter-only kind")
+        _require(sort_spec is None and highlight is None and min_score is None,
+                 "collapse composes with query/size/from/_source only")
+        from bitfunnel_spark.plans import serving
+
+        hits = serving.collapse_topk(
+            index, compile_dsl(query), by=collapse["field"], k=fetch_k
+        )
+        return _fetch_source(index, _page(hits), source)
     if is_filter_only:
         _require(sort_spec is None and highlight is None,
                  "sort/highlight need an AST query, not a filter-only kind")

@@ -1587,6 +1587,25 @@ def oracle_analyze_sql(doc_id: int, analyzer: str = "standard") -> str:
     )
 
 
+def oracle_terms_enum_sql(
+    string: str, size: int = 10, field: str = "body",
+    case_insensitive: bool = False,
+) -> str:
+    """_terms_enum oracle mirroring plans/serving.terms_enum: the distinct
+    dictionary terms of one indexed stream with the given prefix,
+    ascending lexicographic, limit ``size`` — over the same corpus
+    tokenization CTE the dictionary entries (SQL_DF_TABLE) use."""
+    if case_insensitive:
+        pred = f"starts_with(lower(term), {_q(string.lower())})"
+    else:
+        pred = f"starts_with(term, {_q(string)})"
+    return (
+        f"WITH {CORPUS_CTE}\n"
+        f"SELECT term FROM dfreq WHERE stream = {_q(field)} AND {pred}\n"
+        f"ORDER BY term ASC LIMIT {int(size)}"
+    )
+
+
 def oracle_percentile_ranks_sql(
     query, values, config: BuildConfig | None = None,
 ) -> str:

@@ -1172,6 +1172,38 @@ def mterm_vectors(index, doc_ids: list[int]) -> DataFrame:
     )
 
 
+def terms_enum(
+    index, string: str, size: int = 10, field: str = "body",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES ``_terms_enum`` API analogue: up to ``size`` dictionary terms in
+    ``field`` (an indexed stream: body/path/lang/repo) starting with
+    ``string``, in index (ascending lexicographic) order — the typeahead /
+    keyword-discovery endpoint. Like ES, this enumerates the INDEX
+    dictionary, so terms contributed solely by soft-deleted documents may
+    appear (ES documents the same caveat for deleted-but-unmerged docs).
+
+    Returns DataFrame[(term,)] ordered term asc, at most ``size`` rows.
+
+    Scale shape: one dictionary scan; the prefix predicate compiles to
+    ``StartsWith``, which parquet pushes as a min/max range filter over
+    the term column (dictionary row groups are term-sorted on the
+    persisted layout), then TakeOrdered for the limit. Case-insensitive
+    mode wraps the column in lower() — a full dictionary scan, still one
+    narrow column, no shuffle beyond the top-k. The dictionary is
+    ~vocabulary-sized, orders of magnitude smaller than postings, so even
+    the unpruned scan is cheap at 10^12-doc scale.
+    """
+    if field not in ("body", "path", "lang", "repo"):
+        raise ValueError(f"terms_enum field must be an indexed stream, got {field!r}")
+    ts = index.term_stats.filter(F.col("stream") == field)
+    if case_insensitive:
+        pred = F.lower(F.col("term")).startswith(string.lower())
+    else:
+        pred = F.col("term").startswith(string)
+    return ts.filter(pred).select("term").orderBy(F.asc("term")).limit(int(size))
+
+
 def explain(
     index, query: str, k: int = 10, mode: str = "kernel",
     facts: list[str] | None = None,

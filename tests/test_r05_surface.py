@@ -463,3 +463,75 @@ def test_search_many_per_query_k_list(index):
     assert len(by_q[0]) == 3 and len(by_q[1]) == 7
     with pytest.raises(ValueError, match="match the query count"):
         search_many(index, ["data"], k=[1, 2])
+
+
+# --- _terms_enum + collapse body routing (late r05) -------------------------
+
+def test_terms_enum_vs_duck(index, duck):
+    from bitfunnel_spark.plans.oracle import oracle_terms_enum_sql
+    from bitfunnel_spark.plans.serving import terms_enum
+
+    got = [r[0] for r in terms_enum(index, "s", size=5).collect()]
+    want = [r[0] for r in duck.execute(oracle_terms_enum_sql("s", size=5)).fetchall()]
+    assert got == want and got == sorted(got)
+    assert all(t.startswith("s") for t in got)
+    # the limit binds: corpus has more s-terms than the page
+    unlimited = [r[0] for r in terms_enum(index, "s", size=100).collect()]
+    assert len(unlimited) > len(got) and unlimited[:5] == got
+
+
+def test_terms_enum_fields_and_case(index):
+    from bitfunnel_spark.plans.serving import terms_enum
+
+    langs = [r[0] for r in terms_enum(index, "", size=100, field="lang").collect()]
+    assert langs == sorted(langs) and len(langs) >= 1
+    # dictionary terms are lowercased at index time, so a cased prefix
+    # only matches in case-insensitive mode
+    assert terms_enum(index, "S", size=5).count() == 0
+    ci = [r[0] for r in terms_enum(index, "S", size=5, case_insensitive=True).collect()]
+    assert ci and all(t.startswith("s") for t in ci)
+    with pytest.raises(ValueError):
+        terms_enum(index, "s", field="content")
+
+
+def test_dsl_collapse_routes_to_collapse_topk(index):
+    from bitfunnel_spark.plans.serving import collapse_topk
+
+    body = {"query": {"query_string": {"query": "data | vector"}},
+            "collapse": {"field": "lang"}, "size": 10}
+    got = [tuple(r) for r in search_dsl(index, body).collect()]
+    want = [tuple(r) for r in
+            collapse_topk(index, "data | vector", by="lang", k=10).collect()]
+    assert got == want
+    # collapsed: one hit per distinct field value, score-ranked
+    langs = [r[2] for r in got]
+    assert len(langs) == len(set(langs))
+    scores = [r[1] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsl_collapse_composes_with_from_and_source(index):
+    body = {"query": {"query_string": {"query": "data | vector"}},
+            "collapse": {"field": "lang"}, "size": 2, "from": 1,
+            "_source": ["repo"]}
+    full = search_dsl(index, {"query": {"query_string": {"query": "data | vector"}},
+                              "collapse": {"field": "lang"}, "size": 3}).collect()
+    page = search_dsl(index, body).collect()
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[1:3]]
+    assert "repo" in page[0].asDict()
+
+
+def test_dsl_collapse_rejections(index):
+    base = {"query": {"query_string": {"query": "data"}}}
+    for bad in [
+        {**base, "collapse": {"field": "lang", "inner_hits": {"size": 2}}},
+        {**base, "collapse": {"field": "content"}},
+        {**base, "collapse": "lang"},
+        {**base, "collapse": {"field": "lang"}, "sort": [{"doclen": "desc"}]},
+        {**base, "collapse": {"field": "lang"}, "min_score": 0.5},
+        {"query": {"match_all": {}}, "collapse": {"field": "lang"}},
+        {"query": {"dis_max": {"queries": [{"match": {"body": "data"}}]}},
+         "collapse": {"field": "lang"}},
+    ]:
+        with pytest.raises(DslError):
+            search_dsl(index, bad)

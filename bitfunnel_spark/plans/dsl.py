@@ -6,7 +6,8 @@ existing AST (ast.py), so matching, scoring, expansion, and both
 executors come for free. Documented subset (everything else raises
 DslError, never silently mis-executes):
 
-  query_string, match (or/and operator), match_phrase (slop),
+  query_string, match (or/and operator, integer minimum_should_match),
+  match_phrase (slop),
   match_phrase_prefix, match_bool_prefix, term, terms, terms_set
   (minimum_should_match / params.num_terms script), prefix, wildcard,
   regexp, fuzzy (int or AUTO fuzziness), bool {must, filter, must_not,
@@ -241,10 +242,29 @@ def compile_dsl(query: dict) -> Node:
         field, raw = _one_field(body, "match")
         text, opts = _opts(raw)
         op = str(opts.pop("operator", "or")).lower()
+        msm = opts.pop("minimum_should_match", None)
         toks = _analyze(text)
         if not toks:
             raise DslError(f"match value analyzes to zero tokens: {text!r}")
         terms = [Term(t, _stream(field)) for t in toks]
+        if msm is not None:
+            # ES match minimum_should_match: at least N of the analyzed
+            # terms (OR semantics with a count floor) — rides Or.min_match,
+            # the same executor terms_set uses. Integer counts only;
+            # percentage/combination grammars reject loudly (subset rule).
+            if op == "and":
+                raise DslError("minimum_should_match needs operator 'or' "
+                               "(operator 'and' already requires all terms)")
+            if not isinstance(msm, int) or isinstance(msm, bool):
+                raise DslError(f"match minimum_should_match must be an "
+                               f"integer count, got {msm!r}")
+            if not 1 <= msm <= len(terms):
+                raise DslError(f"match minimum_should_match {msm} out of "
+                               f"range for {len(terms)} analyzed terms")
+            _reject_extra(opts, "match")
+            if len(terms) == 1 or msm == len(terms):
+                return terms[0] if len(terms) == 1 else And(tuple(terms))
+            return Or(tuple(terms), min_match=msm) if msm > 1 else Or(tuple(terms))
         if len(terms) == 1:
             node = _maybe_boost(terms[0], opts)
             _reject_extra(opts, "match")

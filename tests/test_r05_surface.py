@@ -535,3 +535,26 @@ def test_dsl_collapse_rejections(index):
     ]:
         with pytest.raises(DslError):
             search_dsl(index, bad)
+
+
+def test_match_minimum_should_match(index):
+    from bitfunnel_spark.plans.ast import And as A, Or as O, Term as T
+
+    mk = lambda **o: compile_dsl({"match": {"body": {"query": "data fast dup", **o}}})
+    assert mk(minimum_should_match=2) == O((T("data"), T("fast"), T("dup")), min_match=2)
+    assert mk(minimum_should_match=1) == O((T("data"), T("fast"), T("dup")))
+    assert mk(minimum_should_match=3) == A((T("data"), T("fast"), T("dup")))
+    assert compile_dsl({"match": {"body": {"query": "data", "minimum_should_match": 1}}}) == T("data")
+    # execution ≡ the terms_set the same floor compiles to
+    got = [tuple(r) for r in search_dsl(
+        index, {"query": {"match": {"body": {"query": "data fast dup",
+                                             "minimum_should_match": 2}}}}).collect()]
+    want = [tuple(r) for r in search_dsl(
+        index, {"query": {"terms_set": {"body": {"terms": ["data", "fast", "dup"],
+                                                 "minimum_should_match": 2}}}}).collect()]
+    assert got == want and got
+    for bad in [dict(minimum_should_match=0), dict(minimum_should_match=4),
+                dict(minimum_should_match="75%"), dict(minimum_should_match=True),
+                dict(operator="and", minimum_should_match=2)]:
+        with pytest.raises(DslError):
+            mk(**bad)

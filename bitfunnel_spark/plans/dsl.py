@@ -553,8 +553,11 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     broadcasts into the corpus scan, so field fetching never reorders or
     re-shuffles the match set. `"sort"` (one field clause) routes to
     sort_hits (score omitted, ES field-sort semantics); `"highlight"`
-    (content field) routes to snippets. Both are AST-query-only — the
-    serving-combinator kinds have no single match node to sort/highlight."""
+    (content field) routes to snippets; `"collapse"` routes to
+    collapse_topk (best hit per field value); `"search_after"`
+    ([last_score, last_doc_id]) routes to index.search_after (k-row deep
+    paging). All four are AST-query-only — the serving-combinator kinds
+    have no single match node to re-rank or page."""
     if "suggest" in body:
         _require("query" not in body,
                  "suggest-only bodies supported (no query alongside)")
@@ -603,6 +606,27 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     def _page(hits):
         return hits.offset(frm) if frm else hits
 
+    search_after = body.get("search_after") if isinstance(body, dict) else None
+    if search_after is not None:
+        # ES search_after: the next page strictly after a cursor in the
+        # total order. This engine's ranking order is (score desc, doc_id
+        # asc), so the cursor is [last_score, last_doc_id] — the ES
+        # idiom of sorting [_score, tiebreak-field]. Rides
+        # index.search_after (k-row at any depth, block-max aware — never
+        # the from+size over-fetch). ES itself rejects `from` with
+        # search_after; sort/collapse/min_score/combinators reject loudly
+        # per the subset rule (the cursor is defined by score order).
+        _require(isinstance(search_after, (list, tuple)) and len(search_after) == 2,
+                 "search_after takes [last_score, last_doc_id]")
+        _require(frm == 0, "search_after and from are mutually exclusive (ES rule)")
+        _require(sort_spec is None and highlight is None and collapse is None
+                 and min_score is None,
+                 "search_after composes with query/size/_source only")
+        _require(not is_comb and not is_filter_only,
+                 "search_after needs an AST query, not a combinator/filter-only kind")
+        cursor = (float(search_after[0]), int(search_after[1]))
+        hits = index.search_after(compile_dsl(query), cursor, k=k, mode=mode)
+        return _fetch_source(index, hits, source)
     if collapse is not None:
         # ES field collapsing: best hit per distinct value of a keyword
         # field over the FULL scored match set, then the global top page —

@@ -558,3 +558,27 @@ def test_match_minimum_should_match(index):
                 dict(operator="and", minimum_should_match=2)]:
         with pytest.raises(DslError):
             mk(**bad)
+
+
+def test_dsl_search_after_pages_partition_ranking(index):
+    q = {"query_string": {"query": "data | vector"}}
+    p1 = search_dsl(index, {"query": q, "size": 5}).collect()
+    cursor = [p1[-1]["score"], p1[-1]["doc_id"]]
+    p2 = search_dsl(index, {"query": q, "size": 5, "search_after": cursor}).collect()
+    full = search_dsl(index, {"query": q, "size": 10}).collect()
+    assert [tuple(r) for r in p1 + p2] == [tuple(r) for r in full]
+    # _source composes
+    src = search_dsl(index, {"query": q, "size": 3, "search_after": cursor,
+                             "_source": ["lang"]}).collect()
+    assert [r["doc_id"] for r in src] == [r["doc_id"] for r in p2[:3]]
+    assert "lang" in src[0].asDict()
+    for bad in [
+        {"query": q, "search_after": [1.0]},
+        {"query": q, "search_after": cursor, "from": 2},
+        {"query": q, "search_after": cursor, "sort": [{"doclen": "desc"}]},
+        {"query": q, "search_after": cursor, "min_score": 0.1},
+        {"query": q, "search_after": cursor, "collapse": {"field": "lang"}},
+        {"query": {"match_all": {}}, "search_after": cursor},
+    ]:
+        with pytest.raises(DslError):
+            search_dsl(index, bad)

@@ -274,7 +274,8 @@ def cmd_repl(args) -> None:
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
         " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
-        " | !show <term> | !analyze <text> | !validate <json>"
+        " | !show <term> | !terms <prefix> [stream] | !fields"
+        " | !analyze <text> | !validate <json>"
         " | !threads <n> | !script <file> | !quit"
     )
 
@@ -508,6 +509,31 @@ def cmd_repl(args) -> None:
                         f"\tpostings={seg['postings']}\tshards={seg['shards']}"
                         f"\tslices={seg['slices']}"
                     )
+            elif line.startswith("!terms "):
+                # ES _terms_enum: dictionary terms with a prefix, index
+                # order (typeahead / keyword discovery)
+                from bitfunnel_spark.plans.serving import terms_enum
+
+                parts = line[7:].split()
+                prefix = parts[0] if parts else ""
+                field = parts[1] if len(parts) > 1 else "body"
+                for r in terms_enum(idx, prefix, size=args.k, field=field).collect():
+                    print(r["term"])
+            elif line.strip() == "!fields":
+                # ES _field_caps/_mapping analogue: the searchable streams
+                # with their vocabulary sizes, then the stored corpus
+                # columns with Spark types
+                from pyspark.sql import functions as F
+
+                for r in (
+                    idx.term_stats.groupBy("stream")
+                    .agg(F.count("*").alias("terms"))
+                    .orderBy("stream")
+                    .collect()
+                ):
+                    print(f"{r['stream']}\tsearchable stream\tterms={r['terms']}")
+                for f_ in idx.corpus.schema.fields:
+                    print(f"{f_.name}\tstored column\t{f_.dataType.simpleString()}")
             elif line.startswith("!analyze "):
                 # ES _analyze: the exact token stream the build would store
                 # for this text under the index's analyzer

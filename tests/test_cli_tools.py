@@ -301,3 +301,31 @@ def test_cli_repl_validate(spark, corpus, tmp_path, capsys, monkeypatch):
     bad = [l for l in out.splitlines() if l.startswith("valid: false")]
     assert len(good) == 1 and "data" in good[0] and "slow" in good[0]
     assert len(bad) == 2 and any("DslError" in l for l in bad)
+
+
+def test_cli_repl_terms_and_fields(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!terms <prefix> [stream] enumerates dictionary terms in index order
+    (_terms_enum); !fields lists searchable streams + stored columns
+    (_field_caps/_mapping analogue)."""
+    cpath = str(tmp_path / "tecorpus")
+    ipath = str(tmp_path / "teindex")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter(["!terms s", "!fields"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath])
+    out = capsys.readouterr().out
+    terms = [l for l in out.splitlines()
+             if l and "\t" not in l and l.startswith("s") and " " not in l]
+    assert terms and terms == sorted(terms)
+    assert "body\tsearchable stream" in out
+    assert "content\tstored column\tstring" in out

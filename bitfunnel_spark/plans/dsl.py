@@ -624,6 +624,12 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  "search_after composes with query/size/_source only")
         _require(not is_comb and not is_filter_only,
                  "search_after needs an AST query, not a combinator/filter-only kind")
+        _require(isinstance(search_after[1], int)
+                 or (isinstance(search_after[1], float)
+                     and float(search_after[1]).is_integer()),
+                 "search_after cursor is [last_score, last_doc_id] — the "
+                 "second element must be an integral doc_id (a fractional "
+                 "value usually means the cursor is swapped)")
         cursor = (float(search_after[0]), int(search_after[1]))
         hits = index.search_after(compile_dsl(query), cursor, k=k, mode=mode)
         return _fetch_source(index, hits, source)

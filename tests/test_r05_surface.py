@@ -579,6 +579,9 @@ def test_dsl_search_after_pages_partition_ranking(index):
         {"query": q, "search_after": cursor, "min_score": 0.1},
         {"query": q, "search_after": cursor, "collapse": {"field": "lang"}},
         {"query": {"match_all": {}}, "search_after": cursor},
+        # swapped cursor ([doc_id, score]): the fractional doc_id must
+        # reject loudly, never int()-truncate to a valid-looking cursor
+        {"query": q, "search_after": [cursor[1], cursor[0]]},
     ]:
         with pytest.raises(DslError):
             search_dsl(index, bad)

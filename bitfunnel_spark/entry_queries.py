@@ -2282,6 +2282,53 @@ FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i)
 ORDER BY media_id, feat_idx"""
 
 
+def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip: synthesize an actual RIFF/WAVE container per
+    audio doc (stdlib `wave` writes it), decode it back with the same
+    codec, and emit per-clip signal features. The PCM stream is pure
+    integer arithmetic, so the oracle regenerates the SAMPLES in SQL and
+    mirrors the features — a hash match certifies the container round-trip
+    returned every sample bit-exactly."""
+    media = multimodal.synthesize_audio(_docs(spark, sf_dir))
+    return (
+        multimodal.audio_features(media)
+        .select(
+            "media_id", "sample_rate", "n_samples",
+            F.round("duration_sec", 4).alias("duration_sec"),
+            F.round("rms", 4).alias("rms"),
+            "peak",
+            F.round("zcr", 4).alias("zcr"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_AUDIO_DECODE = """WITH au AS (
+  SELECT doc_id AS media_id, 1024 + (doc_id % 4) * 512 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT media_id, n,
+         ((media_id * 2654435761 + t * 40503 + 12345) % 65536) - 32768 AS v,
+         t
+  FROM au, unnest(range(0, n)) AS r(t)
+),
+x AS (
+  SELECT media_id, n, v, t,
+         lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+  FROM s
+)
+SELECT media_id,
+       8000::INT AS sample_rate,
+       max(n)::BIGINT AS n_samples,
+       round(max(n) / 8000.0, 4) AS duration_sec,
+       round(sqrt(avg(v * v)), 4) AS rms,
+       max(abs(v))::BIGINT AS peak,
+       round(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                      THEN 1 ELSE 0 END) / (max(n) - 1.0), 4) AS zcr
+FROM x GROUP BY media_id ORDER BY media_id"""
+
+
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.frame_sample_plan(media, every_n=10).orderBy("media_id", "frame_idx")
@@ -2407,7 +2454,10 @@ DRIVER_WINDOW = [
     # re-evidences live through the new ft_msearch, which rides
     # _batched_groups; ft_bm25_batch's r04 row stands)
     "ft_hybrid_rrf",
-    "ft_regex_grep_many", "dedup_substring",
+    "ft_regex_grep_many",
+    # real WAV codec round-trip (new in late r05) — takes dedup_substring's
+    # slot (r04 hash-green, dedup code unchanged this round)
+    "media_audio_decode",
     "ft_percolate_log",
     # (f) late-r05 additions, swapped in for re-checks with standing green
     # rows and unchanged code paths (ft_index_stats r04, ft_dsl_aggs r04):
@@ -3464,6 +3514,8 @@ ORDER BY doc_id, stream, term"""
     oracles["media_features"] = SQL_MEDIA_FEATURES
     queries["media_frame_plan"] = q_media_frame_plan
     oracles["media_frame_plan"] = SQL_MEDIA_FRAME_PLAN
+    queries["media_audio_decode"] = q_media_audio_decode
+    oracles["media_audio_decode"] = SQL_MEDIA_AUDIO_DECODE
 
     queries["ann_ivf_kmeans"] = q_ann_ivf_kmeans
     oracles["ann_ivf_kmeans"] = _sql_ann_ivf_trained()

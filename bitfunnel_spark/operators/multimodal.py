@@ -1,9 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
-The decode step is STUBBED (no image/audio libs in this container): real
-Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
-partition sizing) with a deterministic fake feature extractor, and a
-clearly-marked NotImplementedError where a real codec would plug in.
+AUDIO decode is REAL: WAV (RIFF/WAVE, 16-bit PCM) payloads are parsed with
+the stdlib `wave` module — container header, frame count, and PCM samples —
+so the audio leg exercises an actual codec round-trip with zero external
+dependencies. Image/video decode remains STUBBED (no pillow/pyav in this
+container): real Spark-side plumbing (schemas, Arrow batch shapes,
+mapInPandas signatures, partition sizing) with a deterministic fake feature
+extractor, and a clearly-marked NotImplementedError where the codec would
+plug in.
 
 Design for 100 TB of media: binary payloads are large and skew row sizes —
 `spark.sql.files.maxPartitionBytes` (not row counts) governs scan
@@ -13,6 +17,8 @@ small (drop the payload as early as possible; never shuffle binaries).
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -42,14 +48,64 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """REAL-CODEC STUB: would decode image/audio/video to pixels/samples.
+AUDIO_SAMPLE_RATE = 8000
 
-    Requires pillow/libav etc. — not in this container by design.
-    """
+
+def audio_n_samples(media_id: int) -> int:
+    """Deterministic per-id clip length (1024..2560 samples) — variable
+    durations exercise the variable-row-size paths."""
+    return 1024 + (int(media_id) % 4) * 512
+
+
+def pcm_samples(media_id: int, n: int) -> np.ndarray:
+    """The synthetic waveform: an integer-PRNG (LCG-style) int16 sample
+    stream, pure int64 arithmetic so ANY engine (numpy here, DuckDB in the
+    driver oracle) reproduces it bit-exactly — no libm trig whose last-ULP
+    differences could flip a sample across a sign or floor boundary."""
+    t = np.arange(n, dtype=np.int64)
+    v = (int(media_id) * 2654435761 + t * 40503 + 12345) % 65536 - 32768
+    return v.astype(np.int16)
+
+
+def synthesize_wav(media_id: int, sample_rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """A REAL RIFF/WAVE container (mono, 16-bit PCM) around the
+    deterministic waveform — stdlib `wave` writes the actual header +
+    frames, so decoding exercises a genuine codec path."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm_samples(media_id, audio_n_samples(media_id)).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a WAV payload with the stdlib codec: (sample_rate, int16
+    samples). Mono 16-bit PCM only — the synthesizer's format; anything
+    else raises (wave validates the container itself)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"expected mono 16-bit PCM, got {w.getnchannels()}ch "
+                f"{8 * w.getsampwidth()}-bit"
+            )
+        frames = w.readframes(w.getnframes())
+        return w.getframerate(), np.frombuffer(frames, dtype=np.int16)
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Decode media to samples/pixels. AUDIO (WAV) is decoded for real via
+    the stdlib `wave` codec, returning float64 samples in [-1, 1). Image
+    and video require pillow/pyav — not in this container by design — and
+    raise until a codec is wired in."""
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, samples = decode_wav(payload)
+        return samples.astype(np.float64) / 32768.0
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; wire pillow/torchaudio/pyav here in production"
+        "image/video decoding requires codec libraries not present in this "
+        "environment; wire pillow/pyav here in production (audio WAV "
+        "decodes for real via the stdlib wave module)"
     )
 
 
@@ -82,8 +138,11 @@ def extract_features(
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
                 if use_real_codec:
-                    decoded = decode_media(raw, kind)  # pragma: no cover (stub)
-                    feats.append(decoded[:n_features].astype(np.float64))
+                    decoded = decode_media(raw, kind)  # real for WAV audio
+                    vec = np.zeros(n_features, dtype=np.float64)
+                    head = decoded[:n_features].astype(np.float64)
+                    vec[: head.size] = head
+                    feats.append(vec)
                 else:
                     feats.append(fake_features(raw, n_features))
             yield pd.DataFrame(
@@ -95,6 +154,67 @@ def extract_features(
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(fn, schema)
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """(media_id, payload) — a REAL WAV container per audio document
+    (doc_id % 3 == 1, media_from_documents' kind rule), synthesized in a
+    mapInPandas pass from doc_id alone. Deterministic end-to-end: the PCM
+    stream is pure integer arithmetic (pcm_samples), so an oracle can
+    regenerate it without touching the bytes."""
+    schema = "media_id long, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [synthesize_wav(int(i)) for i in ids]}
+            )
+
+    return docs.filter(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(fn, schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads (stdlib codec) and emit per-clip signal
+    features: (media_id, sample_rate, n_samples, duration_sec, rms, peak,
+    zcr). One mapInPandas pass; the payload is consumed and dropped in the
+    same stage it was synthesized/scanned in — binaries never shuffle.
+    Doubles are emitted unrounded; callers round for presentation.
+
+    zcr counts strict sign alternations ((s<0) flips between neighbors)
+    over n-1 adjacent pairs; peak is max |sample| (int32 math — |−32768|
+    overflows int16)."""
+    schema = (
+        "media_id long, sample_rate int, n_samples long, duration_sec double, "
+        "rms double, peak long, zcr double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, s = decode_wav(bytes(payload))
+                w = s.astype(np.int32)
+                n = int(w.size)
+                cross = int(np.count_nonzero((w[1:] < 0) != (w[:-1] < 0)))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_sec": n / sr,
+                        "rms": float(np.sqrt(np.mean(w.astype(np.float64) ** 2))),
+                        "peak": int(np.max(np.abs(w))),
+                        "zcr": cross / (n - 1) if n > 1 else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(fn, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

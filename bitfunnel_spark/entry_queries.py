@@ -2309,7 +2309,7 @@ SQL_MEDIA_AUDIO_DECODE = """WITH au AS (
 ),
 s AS (
   SELECT media_id, n,
-         ((media_id * 2654435761 + t * 40503 + 12345) % 65536) - 32768 AS v,
+         (((media_id % 65536) * 2654435761 + t * 40503 + 12345) % 65536) - 32768 AS v,
          t
   FROM au, unnest(range(0, n)) AS r(t)
 ),

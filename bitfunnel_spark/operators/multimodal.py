@@ -61,9 +61,15 @@ def pcm_samples(media_id: int, n: int) -> np.ndarray:
     """The synthetic waveform: an integer-PRNG (LCG-style) int16 sample
     stream, pure int64 arithmetic so ANY engine (numpy here, DuckDB in the
     driver oracle) reproduces it bit-exactly — no libm trig whose last-ULP
-    differences could flip a sample across a sign or floor boundary."""
+    differences could flip a sample across a sign or floor boundary.
+
+    media_id is pre-reduced mod 65536 before the multiply: only the
+    residue mod 65536 survives the outer %, so this changes no sample
+    value while keeping the product < 2^48 — int64-safe (and BIGINT-safe
+    in the SQL mirror) at any doc-id scale."""
     t = np.arange(n, dtype=np.int64)
-    v = (int(media_id) * 2654435761 + t * 40503 + 12345) % 65536 - 32768
+    seed = int(media_id) % 65536
+    v = (seed * 2654435761 + t * 40503 + 12345) % 65536 - 32768
     return v.astype(np.int16)
 
 
@@ -207,8 +213,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                         "sample_rate": sr,
                         "n_samples": n,
                         "duration_sec": n / sr,
-                        "rms": float(np.sqrt(np.mean(w.astype(np.float64) ** 2))),
-                        "peak": int(np.max(np.abs(w))),
+                        # a zero-frame WAV is a valid container: all-zero
+                        # features, never a reduction over an empty array
+                        "rms": float(np.sqrt(np.mean(w.astype(np.float64) ** 2))) if n else 0.0,
+                        "peak": int(np.max(np.abs(w))) if n else 0,
                         "zcr": cross / (n - 1) if n > 1 else 0.0,
                     }
                 )

@@ -242,6 +242,8 @@ def compile_dsl(query: dict) -> Node:
         field, raw = _one_field(body, "match")
         text, opts = _opts(raw)
         op = str(opts.pop("operator", "or")).lower()
+        if op not in ("and", "or"):
+            raise DslError(f"match operator must be and/or, got {op!r}")
         msm = opts.pop("minimum_should_match", None)
         toks = _analyze(text)
         if not toks:
@@ -261,20 +263,21 @@ def compile_dsl(query: dict) -> Node:
             if not 1 <= msm <= len(terms):
                 raise DslError(f"match minimum_should_match {msm} out of "
                                f"range for {len(terms)} analyzed terms")
+            if len(terms) == 1:
+                # same boost support as the single-term non-msm path
+                node = _maybe_boost(terms[0], opts)
+                _reject_extra(opts, "match")
+                return node
             _reject_extra(opts, "match")
-            if len(terms) == 1 or msm == len(terms):
-                return terms[0] if len(terms) == 1 else And(tuple(terms))
+            if msm == len(terms):
+                return And(tuple(terms))
             return Or(tuple(terms), min_match=msm) if msm > 1 else Or(tuple(terms))
         if len(terms) == 1:
             node = _maybe_boost(terms[0], opts)
             _reject_extra(opts, "match")
             return node
         _reject_extra(opts, "match")
-        if op == "and":
-            return And(tuple(terms))
-        if op == "or":
-            return Or(tuple(terms))
-        raise DslError(f"match operator must be and/or, got {op!r}")
+        return And(tuple(terms)) if op == "and" else Or(tuple(terms))
 
     if kind == "match_phrase":
         field, raw = _one_field(body, "match_phrase")
@@ -624,7 +627,12 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  "search_after composes with query/size/_source only")
         _require(not is_comb and not is_filter_only,
                  "search_after needs an AST query, not a combinator/filter-only kind")
-        _require(isinstance(search_after[1], int)
+        _require(isinstance(search_after[0], (int, float))
+                 and not isinstance(search_after[0], bool),
+                 "search_after cursor is [last_score, last_doc_id] — the "
+                 "first element must be a number (the last page's score)")
+        _require((isinstance(search_after[1], int)
+                  and not isinstance(search_after[1], bool))
                  or (isinstance(search_after[1], float)
                      and float(search_after[1]).is_integer()),
                  "search_after cursor is [last_score, last_doc_id] — the "

@@ -58,6 +58,28 @@ def test_decode_wav_rejects_non_mono_pcm():
         decode_wav(buf.getvalue())
 
 
+def test_pcm_samples_int64_safe_at_any_doc_id():
+    # only the residue mod 65536 drives the waveform, so the pre-reduced
+    # formula is value-identical AND overflow-free at 10^12-doc ids
+    huge = 10**12 + 7
+    assert np.array_equal(pcm_samples(huge, 64), pcm_samples(huge % 65536, 64))
+    assert pcm_samples(huge, 64).dtype == np.int16
+
+
+def test_audio_features_zero_frame_wav(spark):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    media = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                  "media_id long, payload binary")
+    [r] = audio_features(media).collect()
+    assert (r["n_samples"], r["rms"], r["peak"], r["zcr"], r["duration_sec"]) == (
+        0, 0.0, 0, 0.0, 0.0)
+
+
 def test_audio_features_match_numpy(spark, corpus):
     docs = corpus.select("doc_id").filter("doc_id < 30")
     media = synthesize_audio(docs.withColumnRenamed("doc_id", "doc_id"))

@@ -555,9 +555,18 @@ def test_match_minimum_should_match(index):
     assert got == want and got
     for bad in [dict(minimum_should_match=0), dict(minimum_should_match=4),
                 dict(minimum_should_match="75%"), dict(minimum_should_match=True),
-                dict(operator="and", minimum_should_match=2)]:
+                dict(operator="and", minimum_should_match=2),
+                # an invalid operator must raise with OR without the floor,
+                # never silently execute as 'or'
+                dict(operator="xor", minimum_should_match=2),
+                dict(operator="xor")]:
         with pytest.raises(DslError):
             mk(**bad)
+    # boost composes on the single-term msm path exactly like non-msm
+    from bitfunnel_spark.plans.ast import Boost
+    assert compile_dsl({"match": {"body": {
+        "query": "data", "boost": 2.0, "minimum_should_match": 1,
+    }}}) == Boost(T("data"), 2.0)
 
 
 def test_dsl_search_after_pages_partition_ranking(index):
@@ -582,6 +591,12 @@ def test_dsl_search_after_pages_partition_ranking(index):
         # swapped cursor ([doc_id, score]): the fractional doc_id must
         # reject loudly, never int()-truncate to a valid-looking cursor
         {"query": q, "search_after": [cursor[1], cursor[0]]},
+        # malformed cursor elements surface as DslError, never the raw
+        # TypeError/ValueError of float()/int(), and bools don't pass as ids
+        {"query": q, "search_after": [None, 5]},
+        {"query": q, "search_after": ["abc", 5]},
+        {"query": q, "search_after": [True, 5]},
+        {"query": q, "search_after": [0.5, True]},
     ]:
         with pytest.raises(DslError):
             search_dsl(index, bad)

@@ -2329,6 +2329,53 @@ SELECT media_id,
 FROM x GROUP BY media_id ORDER BY media_id"""
 
 
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round-trip: synthesize an actual 24-bit BI_RGB BMP
+    container per image doc (from-scratch struct writer — bottom-up BGR
+    rows, 4-byte stride padding), parse it back with the from-scratch
+    decoder, and emit per-image pixel statistics. The pixel array is pure
+    integer arithmetic, so the oracle regenerates every BYTE in SQL and
+    mirrors the stats — px_sum is an exact int64 over all RGB bytes, so a
+    hash match certifies the container round-trip bit-exactly."""
+    media = multimodal.synthesize_image(_docs(spark, sf_dir))
+    return (
+        multimodal.image_features(media)
+        .select(
+            "media_id", "width", "height", "n_pixels",
+            "px_sum", "px_min", "px_max",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MEDIA_IMAGE_DECODE = """WITH im AS (
+  SELECT doc_id AS media_id,
+         15 + (doc_id % 4) * 7 AS w,
+         11 + (doc_id % 5) * 4 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, w, h,
+         (((media_id % 65536) * 2654435761 + t * 40503 + 12345) % 256) AS v,
+         t % 3 AS c
+  FROM im, unnest(range(0, w * h * 3)) AS r(t)
+)
+SELECT media_id,
+       max(w)::INT AS width,
+       max(h)::INT AS height,
+       (max(w) * max(h))::BIGINT AS n_pixels,
+       sum(v)::BIGINT AS px_sum,
+       min(v)::BIGINT AS px_min,
+       max(v)::BIGINT AS px_max,
+       round(sum(CASE WHEN c = 0 THEN v ELSE 0 END) / (max(w) * max(h) * 1.0), 4) AS mean_r,
+       round(sum(CASE WHEN c = 1 THEN v ELSE 0 END) / (max(w) * max(h) * 1.0), 4) AS mean_g,
+       round(sum(CASE WHEN c = 2 THEN v ELSE 0 END) / (max(w) * max(h) * 1.0), 4) AS mean_b
+FROM px GROUP BY media_id ORDER BY media_id"""
+
+
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.frame_sample_plan(media, every_n=10).orderBy("media_id", "frame_idx")
@@ -2455,10 +2502,12 @@ DRIVER_WINDOW = [
     # _batched_groups; ft_bm25_batch's r04 row stands)
     "ft_hybrid_rrf",
     "ft_regex_grep_many",
-    # real WAV codec round-trip (new in late r05) — takes dedup_substring's
-    # slot (r04 hash-green, dedup code unchanged this round)
+    # real WAV + BMP codec round-trips (new in late r05) — take
+    # dedup_substring's and ft_percolate_log's slots (both r04 hash-green
+    # with unchanged code paths; percolation keeps live coverage via
+    # ft_percolate_dsl above)
     "media_audio_decode",
-    "ft_percolate_log",
+    "media_image_decode",
     # (f) late-r05 additions, swapped in for re-checks with standing green
     # rows and unchanged code paths (ft_index_stats r04, ft_dsl_aggs r04):
     # the _terms_enum API and the collapse body routing
@@ -3516,6 +3565,8 @@ ORDER BY doc_id, stream, term"""
     oracles["media_frame_plan"] = SQL_MEDIA_FRAME_PLAN
     queries["media_audio_decode"] = q_media_audio_decode
     oracles["media_audio_decode"] = SQL_MEDIA_AUDIO_DECODE
+    queries["media_image_decode"] = q_media_image_decode
+    oracles["media_image_decode"] = SQL_MEDIA_IMAGE_DECODE
 
     queries["ann_ivf_kmeans"] = q_ann_ivf_kmeans
     oracles["ann_ivf_kmeans"] = _sql_ann_ivf_trained()

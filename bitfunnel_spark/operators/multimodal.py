@@ -3,11 +3,14 @@
 AUDIO decode is REAL: WAV (RIFF/WAVE, 16-bit PCM) payloads are parsed with
 the stdlib `wave` module — container header, frame count, and PCM samples —
 so the audio leg exercises an actual codec round-trip with zero external
-dependencies. Image/video decode remains STUBBED (no pillow/pyav in this
-container): real Spark-side plumbing (schemas, Arrow batch shapes,
-mapInPandas signatures, partition sizing) with a deterministic fake feature
-extractor, and a clearly-marked NotImplementedError where the codec would
-plug in.
+dependencies. IMAGE decode is REAL too: 24-bit uncompressed BI_RGB BMP
+containers are written and parsed from scratch (struct + numpy — the format
+is fully public and needs no codec library), including the format's
+bottom-up row order, BGR channel order, and 4-byte row-stride padding.
+Only VIDEO decode remains STUBBED (no pyav in this container): real
+Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
+partition sizing) with a deterministic fake feature extractor, and a
+clearly-marked NotImplementedError where the codec would plug in.
 
 Design for 100 TB of media: binary payloads are large and skew row sizes —
 `spark.sql.files.maxPartitionBytes` (not row counts) governs scan
@@ -18,6 +21,7 @@ small (drop the payload as early as possible; never shuffle binaries).
 from __future__ import annotations
 
 import io
+import struct
 import wave
 from typing import Iterator
 
@@ -100,18 +104,95 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         return w.getframerate(), np.frombuffer(frames, dtype=np.int16)
 
 
+def image_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic per-id (width, height). The width residues (15, 22,
+    29, 36) are chosen so 3·width mod 4 hits every value — each BMP
+    row-padding amount (3, 2, 1, 0 bytes) is exercised; heights vary
+    11..27 so the variable-row-size paths see both axes."""
+    mid = int(media_id)
+    return 15 + (mid % 4) * 7, 11 + (mid % 5) * 4
+
+
+def pixel_bytes(media_id: int, width: int, height: int) -> np.ndarray:
+    """The synthetic picture: an integer-PRNG (LCG-style) uint8 RGB array
+    of shape (height, width, 3), row-major top-down, channel index fastest.
+    Same pure-int64 recipe as pcm_samples (media_id pre-reduced mod 65536
+    keeps the product < 2^48 — int64/BIGINT-safe at any doc-id scale), so
+    ANY engine regenerates every byte bit-exactly."""
+    t = np.arange(int(height) * int(width) * 3, dtype=np.int64)
+    seed = int(media_id) % 65536
+    v = (seed * 2654435761 + t * 40503 + 12345) % 256
+    return v.astype(np.uint8).reshape(int(height), int(width), 3)
+
+
+def _bmp_stride(width: int) -> int:
+    """BMP rows pad to a 4-byte boundary."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def synthesize_bmp(media_id: int) -> bytes:
+    """A REAL 24-bit uncompressed (BI_RGB) BMP container around the
+    deterministic picture — BITMAPFILEHEADER + BITMAPINFOHEADER written
+    from scratch with struct (the format is public; no library needed),
+    pixel rows stored bottom-up in BGR order with zero-padded stride."""
+    w, h = image_dims(media_id)
+    stride = _bmp_stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # flip rows (bottom-up) and channels (RGB → BGR) into the padded grid
+    rows[:, : w * 3] = pixel_bytes(media_id, w, h)[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a BMP payload from scratch: (width, height, uint8 RGB array
+    of shape (height, width, 3), top-down). Strict to the synthesizer's
+    format — 24-bit uncompressed BI_RGB, bottom-up rows, BITMAPINFOHEADER
+    — anything else raises rather than guessing."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP container")
+    file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if file_size != len(payload) or offset != 54 or hdr_size != 40:
+        raise ValueError("malformed BMP header")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"expected 24-bit uncompressed BI_RGB, got planes={planes} "
+            f"bpp={bpp} compression={compression}"
+        )
+    if h <= 0 or w <= 0:
+        raise ValueError("expected positive bottom-up dimensions")
+    stride = _bmp_stride(w)
+    if len(payload) != offset + stride * h:
+        raise ValueError("pixel array size does not match dimensions")
+    rows = np.frombuffer(payload, dtype=np.uint8, offset=offset).reshape(h, stride)
+    # undo bottom-up row order and BGR channel order
+    return w, h, rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+
+
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Decode media to samples/pixels. AUDIO (WAV) is decoded for real via
-    the stdlib `wave` codec, returning float64 samples in [-1, 1). Image
-    and video require pillow/pyav — not in this container by design — and
-    raise until a codec is wired in."""
+    """Decode media to samples/pixels. AUDIO (WAV) decodes for real via
+    the stdlib `wave` codec → float64 samples in [-1, 1); IMAGE (BMP)
+    decodes for real via the from-scratch BMP parser → flat float64
+    pixels in [0, 1]. Video requires pyav — not in this container by
+    design — and raises until a codec is wired in."""
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _, samples = decode_wav(payload)
         return samples.astype(np.float64) / 32768.0
+    if kind == "image" and payload[:2] == b"BM":
+        _, _, px = decode_bmp(payload)
+        return px.reshape(-1).astype(np.float64) / 255.0
     raise NotImplementedError(
-        "image/video decoding requires codec libraries not present in this "
-        "environment; wire pillow/pyav here in production (audio WAV "
-        "decodes for real via the stdlib wave module)"
+        "video decoding (and non-WAV/non-BMP payloads) requires codec "
+        "libraries not present in this environment; wire pyav here in "
+        "production (audio WAV and image BMP decode for real)"
     )
 
 
@@ -218,6 +299,68 @@ def audio_features(media: DataFrame) -> DataFrame:
                         "rms": float(np.sqrt(np.mean(w.astype(np.float64) ** 2))) if n else 0.0,
                         "peak": int(np.max(np.abs(w))) if n else 0,
                         "zcr": cross / (n - 1) if n > 1 else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(fn, schema)
+
+
+def synthesize_image(docs: DataFrame) -> DataFrame:
+    """(media_id, payload) — a REAL BMP container per image document
+    (doc_id % 3 == 0, media_from_documents' kind rule), synthesized in a
+    mapInPandas pass from doc_id alone. Deterministic end-to-end: the
+    pixel array is pure integer arithmetic (pixel_bytes), so an oracle can
+    regenerate every byte without touching the container."""
+    schema = "media_id long, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [synthesize_bmp(int(i)) for i in ids]}
+            )
+
+    return docs.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(fn, schema)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode BMP payloads (from-scratch parser) and emit per-image pixel
+    statistics: (media_id, width, height, n_pixels, px_sum, px_min,
+    px_max, mean_r, mean_g, mean_b). One mapInPandas pass; the payload is
+    consumed and dropped in the stage that made/scanned it — binaries
+    never shuffle. px_sum is an exact int64 over every RGB byte, so a
+    match certifies the container round-trip returned each byte intact;
+    means are emitted unrounded (callers round for presentation)."""
+    schema = (
+        "media_id long, width int, height int, n_pixels long, px_sum long, "
+        "px_min long, px_max long, mean_r double, mean_g double, mean_b double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": w * h,
+                        "px_sum": int(flat.sum()),
+                        "px_min": int(flat.min()),
+                        "px_max": int(flat.max()),
+                        # single float64 divide over exact int sums — the
+                        # derivation order any engine reproduces bit-exactly
+                        "mean_r": int(px[:, :, 0].astype(np.int64).sum()) / (w * h),
+                        "mean_g": int(px[:, :, 1].astype(np.int64).sum()) / (w * h),
+                        "mean_b": int(px[:, :, 2].astype(np.int64).sum()) / (w * h),
                     }
                 )
             yield pd.DataFrame(rows)

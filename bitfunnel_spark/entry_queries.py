@@ -2073,6 +2073,42 @@ def q_ft_dsl_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `range` filter in bool.filter (plans/dsl._pop_bool_ranges →
+    executor `restrict`): the text query scores as usual (epoch-frozen
+    df/avgdl); the doclen range restricts the match set via a semi-join on
+    the NARROW doc_stats scan before top-k — no driver-resident doc array,
+    no size cap, Catalyst broadcasts the narrow side. The oracle mirrors
+    the restriction as a predicate over its `dl` CTE (the same per-doc
+    body-token counts the BM25 oracles already certify)."""
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    return search_dsl(
+        get_index(spark, sf_dir),
+        {"query": {"bool": {
+            "must": [{"match": {"body": "data join"}}],
+            "filter": [{"range": {"doclen": {"gte": 30, "lte": 70}}}]}},
+         "size": 10},
+    )
+
+
+def q_ft_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `collapse` with `inner_hits` through the _search body router
+    (plans/dsl.search_dsl → serving.collapse_topk(per_group=2)): each
+    repo's best TWO hits over the full scored match set — a window
+    PARTITIONED by the collapse field (one shuffle, no unpartitioned
+    window), then the global top page; the flattened rendering of ES's
+    per-hit inner-hit lists."""
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    return search_dsl(
+        get_index(spark, sf_dir),
+        {"query": {"query_string": {"query": FACETS_QUERY}},
+         "collapse": {"field": "repo", "inner_hits": {"size": 2}},
+         "size": 10},
+    )
+
+
 def q_ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _terms_enum analogue (plans/serving.terms_enum): dictionary
     terms with prefix 's', ascending, limit 5 — exercises the limit (the
@@ -2496,12 +2532,15 @@ DRIVER_WINDOW = [
     # refactor (shared exprs live-checked via ivfpq/rh), and the serving
     # machinery the new REPL !show verb reads
     "ft_cum_term_counts", "ft_query_profile",
-    # (d) high-traffic representatives re-checked each round: rrf fusion,
-    # trigram grep, dedup, DSL agg routing, percolation (the batch kernel
-    # re-evidences live through the new ft_msearch, which rides
-    # _batched_groups; ft_bm25_batch's r04 row stands)
-    "ft_hybrid_rrf",
-    "ft_regex_grep_many",
+    # (d) the round-5 tail additions: the ES range filter (bool.filter →
+    # executor restrict semi-join) and collapse inner_hits (per_group
+    # window routing). These take the two re-check slots previously held
+    # by ft_hybrid_rrf and ft_regex_grep_many — both of which have
+    # standing r04 hash-green driver rows and UNCHANGED code paths this
+    # round (vector_dsl fusion and trigram grep are untouched), so the
+    # registry still closes with a cross-round green row per entry
+    "ft_range_filter",
+    "ft_collapse_inner",
     # real WAV + BMP codec round-trips (new in late r05) — take
     # dedup_substring's and ft_percolate_log's slots (both r04 hash-green
     # with unchanged code paths; percolation keeps live coverage via
@@ -3152,6 +3191,16 @@ ORDER BY event_type, metric_rank"""
     queries["ft_dsl_collapse"] = q_ft_dsl_collapse
     oracles["ft_dsl_collapse"] = oracle_collapse_sql(
         FACETS_QUERY, by="lang", k=10, config=ENTRY_CONFIG
+    )
+    queries["ft_collapse_inner"] = q_ft_collapse_inner
+    oracles["ft_collapse_inner"] = oracle_collapse_sql(
+        FACETS_QUERY, by="repo", k=10, per_group=2, config=ENTRY_CONFIG
+    )
+    queries["ft_range_filter"] = q_ft_range_filter
+    oracles["ft_range_filter"] = oracle_search_sql(
+        "data | join", k=10, config=ENTRY_CONFIG,
+        extra_where="h.doc_id IN (SELECT doc_id FROM dl "
+                    "WHERE doclen >= 30 AND doclen <= 70)",
     )
     from bitfunnel_spark.plans.oracle import oracle_terms_enum_sql
 

@@ -423,6 +423,13 @@ def compile_dsl(query: dict) -> Node:
             raise DslError("combined_fields needs query and fields")
         return combined_fields(q, weights)
 
+    if kind == "range":
+        raise DslError(
+            "range is filter-context: put it in bool.filter (or use a "
+            "standalone range query / post_filter) — _search and _count "
+            "route it to the doc-metadata restriction plan"
+        )
+
     if kind == "bool":
         if not isinstance(body, dict):
             raise DslError("bool expects an object")
@@ -473,7 +480,56 @@ _COMBINATOR_KINDS = (
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
 # ordered by doc_id — ES's constant-score semantics
-_FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all")
+_FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all", "range")
+
+# ES range query fields -> engine doc-metadata columns. Both live on the
+# NARROW doc_stats frame (doc_id, doclen, shard, slice) — a range filter is
+# a pushed-down scan of that table, never a content scan. Text fields have
+# no meaningful order under an inverted index (ES likewise ranges only over
+# numeric/date-mapped fields).
+_RANGE_FIELDS = {"doclen": "doclen", "length": "doclen",
+                 "doc_id": "doc_id", "_id": "doc_id"}
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _parse_range(conf) -> tuple[str, list[tuple[str, float]]]:
+    """Validate a range body: {field: {gte/gt/lte/lt: number, ...}} ->
+    (doc_stats column, [(op, value), ...])."""
+    _require(isinstance(conf, dict) and len(conf) == 1,
+             "range needs exactly one field")
+    (field, bounds), = conf.items()
+    col = _RANGE_FIELDS.get(str(field))
+    _require(col is not None,
+             f"range field must be one of {sorted(set(_RANGE_FIELDS))} "
+             f"(numeric doc metadata), got {field!r}")
+    _require(isinstance(bounds, dict) and bounds,
+             "range bounds must be a non-empty object of gte/gt/lte/lt")
+    unknown = set(bounds) - set(_RANGE_OPS)
+    _require(not unknown, f"unsupported range options: {sorted(unknown)}")
+    _require(not ({"gte", "gt"} <= set(bounds)) and not ({"lte", "lt"} <= set(bounds)),
+             "range takes at most one lower (gte|gt) and one upper (lte|lt) bound")
+    out = []
+    for op in _RANGE_OPS:
+        if op in bounds:
+            v = bounds[op]
+            _require(isinstance(v, (int, float)) and not isinstance(v, bool),
+                     f"range bound {op} must be a number, got {v!r}")
+            out.append((op, v))
+    return col, out
+
+
+def _range_doc_ids(index, conf):
+    """DataFrame[doc_id] of docs whose metadata satisfies the range — one
+    scan of the narrow doc_stats table, predicate pushed to the source."""
+    from pyspark.sql import functions as F
+
+    col, bounds = _parse_range(conf)
+    c = F.col(col)
+    pred = None
+    for op, v in bounds:
+        p = {"gte": c >= v, "gt": c > v, "lte": c <= v, "lt": c < v}[op]
+        pred = p if pred is None else (pred & p)
+    return index.doc_stats.filter(pred).select("doc_id")
 
 _CORPUS_FIELD_COLS = {
     "content": "content", "body": "content", "text": "content",
@@ -514,11 +570,55 @@ def _filter_doc_ids(index, query: dict):
         out = index.corpus.filter(
             F.col(col).isNotNull() & (F.col(col) != "")
         ).select("doc_id")
+    elif kind == "range":
+        out = _range_doc_ids(index, conf)
     else:
         return index.match(compile_dsl(query))
     tomb = getattr(index, "tombstones", frozenset())
     if tomb:
         out = out.filter(~F.col("doc_id").isin([int(d) for d in tomb]))
+    return out
+
+
+def _pop_bool_ranges(body: dict) -> tuple[dict, list]:
+    """(residual bool body, [range confs]): pop `{"range": ...}` clauses out
+    of a bool's `filter` list. Range predicates are doc-metadata scans, not
+    posting intersections — the router executes them as a semi-join
+    restriction on the scored match set (executor `restrict`) instead of
+    compiling them into the AST. Ranges in must/should/must_not reject
+    loudly (filter is the ES-idiomatic home; the subset rule keeps the
+    scoring story simple — a range never contributes relevance)."""
+    _require(isinstance(body, dict), "bool expects an object")
+    for key in ("must", "should", "must_not"):
+        v = body.get(key, [])
+        for c in (v if isinstance(v, list) else [v]):
+            if isinstance(c, dict) and set(c) == {"range"}:
+                raise DslError(
+                    f"range belongs in bool.filter, not bool.{key} "
+                    "(it is filter-context: no relevance contribution)"
+                )
+    v = body.get("filter", [])
+    clauses = v if isinstance(v, list) else [v]
+    ranges = [c["range"] for c in clauses
+              if isinstance(c, dict) and set(c) == {"range"}]
+    if not ranges:
+        return body, []
+    rest = [c for c in clauses
+            if not (isinstance(c, dict) and set(c) == {"range"})]
+    residual = {k2: v2 for k2, v2 in body.items() if k2 != "filter"}
+    if rest:
+        residual["filter"] = rest
+    return residual, ranges
+
+
+def _range_restrict(index, ranges: list, extra=None):
+    """Intersection of the ranges' doc sets (+ an optional extra
+    DataFrame[doc_id]) as one DataFrame[doc_id] — chained semi-joins over
+    the narrow doc_stats scans; Catalyst broadcasts the narrow sides."""
+    out = extra
+    for conf in ranges:
+        ids = _range_doc_ids(index, conf)
+        out = ids if out is None else out.join(ids, "doc_id", "left_semi")
     return out
 
 
@@ -565,7 +665,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         _require("query" not in body,
                  "suggest-only bodies supported (no query alongside)")
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
-    source = sort_spec = highlight = min_score = collapse = None
+    source = sort_spec = highlight = min_score = collapse = post_filter = None
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         k = int(body.get("size", k))
@@ -573,6 +673,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
         collapse = body.get("collapse")
+        post_filter = body.get("post_filter")
         # ES min_score: drop hits scoring below the floor. Scores order
         # the ranking descending, so filtering the fetched top page equals
         # filtering the full result then paging — no extra fetch needed.
@@ -610,6 +711,57 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         return hits.offset(frm) if frm else hits
 
     search_after = body.get("search_after") if isinstance(body, dict) else None
+    ranges: list = []
+    residual: dict = {}
+    if isinstance(query, dict) and set(query) == {"bool"}:
+        residual, ranges = _pop_bool_ranges(query["bool"])
+    if ranges or post_filter is not None:
+        # Doc-metadata restriction plan (ES range filters in bool.filter;
+        # post_filter): the text query compiles and scores as usual; the
+        # restriction ANDs in as a semi-join on the scored match set BEFORE
+        # top-k (executor `restrict` — Catalyst broadcasts narrow doc sets,
+        # shuffle-joins broad ones; no driver-resident array, no size cap).
+        # Runs on the declarative executor — both executors are
+        # rank-identical by contract, and a metadata predicate is a column
+        # predicate only where postings are columnar rows. Subset rule:
+        # composes with query/size/from/_source/min_score only.
+        _require(search_after is None and sort_spec is None
+                 and highlight is None and collapse is None,
+                 "range filters / post_filter compose with "
+                 "query/size/from/_source/min_score only")
+        if ranges and not residual:
+            raise DslError(
+                "a bool of only range filters has no scoring query: use a "
+                "standalone {'range': ...} query (constant-score "
+                "semantics) instead"
+            )
+        node_query = {"bool": residual} if ranges else query
+        _require(
+            not (isinstance(node_query, dict) and len(node_query) == 1
+                 and next(iter(node_query)) in
+                 _COMBINATOR_KINDS + _FILTER_ONLY_KINDS),
+            "post_filter needs an AST query, not a combinator/filter-only "
+            "kind",
+        )
+        restrict = _range_restrict(index, ranges)
+        if post_filter is not None:
+            _require(isinstance(post_filter, dict) and len(post_filter) == 1,
+                     "post_filter must be a single-kind query object")
+            pf = _filter_doc_ids(index, post_filter)
+            restrict = pf if restrict is None else restrict.join(
+                pf, "doc_id", "left_semi"
+            )
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from bitfunnel_spark.plans.executor import search_dataframe
+
+        hits = search_dataframe(
+            index, index.prepare_query(compile_dsl(node_query)),
+            k=fetch_k, restrict=restrict,
+        )
+        if min_score is not None:
+            hits = hits.filter(F.col("score") >= min_score)
+        return _fetch_source(index, _page(hits), source)
     if search_after is not None:
         # ES search_after: the next page strictly after a cursor in the
         # total order. This engine's ranking order is (score desc, doc_id
@@ -645,15 +797,29 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         # ES field collapsing: best hit per distinct value of a keyword
         # field over the FULL scored match set, then the global top page —
         # plans/serving.collapse_topk (groupBy.max_by, so a mega-group
-        # combines map-side). Subset rules, rejected loudly: one collapse
-        # field; no inner_hits (per-group hit lists are collapse_topk's
-        # per_group knob, not a search_dsl mode); AST queries only; no
-        # sort/highlight/min_score alongside (ES composes some of these —
-        # this engine keeps the collapsed page score-ranked).
+        # combines map-side). `inner_hits: {size: n}` widens each group to
+        # its best n docs (collapse_topk's per_group knob — a window
+        # PARTITIONED by the collapse field, one shuffle; the flattened
+        # rendering of ES's per-hit inner hit lists). Subset rules,
+        # rejected loudly: one collapse field; inner_hits takes only size;
+        # AST queries only; no sort/highlight/min_score alongside (ES
+        # composes some of these — this engine keeps the collapsed page
+        # score-ranked).
         _require(isinstance(collapse, dict) and isinstance(collapse.get("field"), str),
                  "collapse needs {'field': <keyword field>}")
-        _require(not (set(collapse) - {"field"}),
-                 f"unsupported collapse options: {sorted(set(collapse) - {'field'})}")
+        _require(not (set(collapse) - {"field", "inner_hits"}),
+                 f"unsupported collapse options: "
+                 f"{sorted(set(collapse) - {'field', 'inner_hits'})}")
+        per_group = 1
+        if "inner_hits" in collapse:
+            ih = collapse["inner_hits"]
+            _require(isinstance(ih, dict) and set(ih) == {"size"},
+                     "collapse.inner_hits takes exactly {'size': n}")
+            _require(isinstance(ih["size"], int)
+                     and not isinstance(ih["size"], bool)
+                     and 1 <= ih["size"] <= 100,
+                     "inner_hits.size must be an int in [1, 100]")
+            per_group = int(ih["size"])
         _require(collapse["field"] in ("repo", "lang", "path", "commit"),
                  "collapse field must be corpus metadata (repo/lang/path/commit)")
         _require(not is_comb and not is_filter_only,
@@ -663,7 +829,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         from bitfunnel_spark.plans import serving
 
         hits = serving.collapse_topk(
-            index, compile_dsl(query), by=collapse["field"], k=fetch_k
+            index, compile_dsl(query), by=collapse["field"], k=fetch_k,
+            per_group=per_group,
         )
         return _fetch_source(index, _page(hits), source)
     if is_filter_only:
@@ -734,6 +901,30 @@ def count_dsl(index, body: dict):
             if kind == "match_all" and isinstance(conf, dict):
                 conf = {key: v for key, v in conf.items() if key != "boost"}
             ids = _filter_doc_ids(index, {kind: conf})
+    elif kind == "bool":
+        residual, ranges = _pop_bool_ranges(query["bool"])
+        if ranges:
+            restrict = _range_restrict(index, ranges)
+            if not residual:
+                # counting needs no scoring query — the range restriction
+                # alone is the match set; mask tombstones (the residual
+                # branch gets this from match_dataframe)
+                ids = restrict
+                tomb = getattr(index, "tombstones", frozenset())
+                if tomb:
+                    ids = ids.filter(
+                        ~F.col("doc_id").isin([int(d) for d in tomb])
+                    )
+            else:
+                from bitfunnel_spark.plans.executor import match_dataframe
+
+                ids = match_dataframe(
+                    index,
+                    index.prepare_query(compile_dsl({"bool": residual})),
+                    restrict=restrict,
+                )
+        else:
+            ids = index.match(compile_dsl(query))
     else:
         ids = index.match(compile_dsl(query))
     return ids.agg(F.count("*").alias("count"))

@@ -287,13 +287,23 @@ def _hits(index, plan: QueryPlan, similarity: str = "bm25") -> DataFrame:
 
 def _matched(
     index, plan: QueryPlan, facts: list[str] | None = None,
-    similarity: str = "bm25",
+    similarity: str = "bm25", restrict: DataFrame | None = None,
 ) -> DataFrame:
     if similarity != "bm25":
         from bitfunnel_spark.plans.scoring import check_similarity
 
         check_similarity(similarity, plan, index.config.bm25.b)
     hits = _hits(index, plan, similarity)
+    if restrict is not None:
+        # doc-level restriction (ES range filters / post_filter — the
+        # metadata-predicate channel, plans/dsl.py): a semi-join Catalyst
+        # sizes (broadcast when the restriction is narrow, shuffle join
+        # otherwise — no driver-resident doc array, no size cap). Applied
+        # before phrase verification so positional work only touches
+        # surviving candidates. Scores stay epoch-frozen: df/idf/avgdl are
+        # full-index statistics, the restriction only filters the match
+        # set — the same contract facts and tombstones follow.
+        hits = hits.join(restrict.select("doc_id"), "doc_id", "left_semi")
     phrase_cols: dict[Phrase, str] = {}
     for i, (ph, _neg) in enumerate(plan.phrases):
         if ph in phrase_cols:
@@ -326,10 +336,16 @@ def _as_plan(query) -> QueryPlan:
     return plan_query(query)  # an AST Node
 
 
-def match_dataframe(index, query, facts: list[str] | None = None) -> DataFrame:
+def match_dataframe(
+    index, query, facts: list[str] | None = None,
+    restrict: DataFrame | None = None,
+) -> DataFrame:
     """Unscored boolean match set (the reference's semantics —
-    ResultsBuffer.h:38-88 holds matches only)."""
-    return _matched(index, _as_plan(query), facts).select("doc_id")
+    ResultsBuffer.h:38-88 holds matches only). ``restrict`` ANDs a
+    DataFrame[doc_id] restriction in as a semi-join (see _matched)."""
+    return _matched(index, _as_plan(query), facts, restrict=restrict).select(
+        "doc_id"
+    )
 
 
 def scored_matches(
@@ -349,13 +365,16 @@ def scored_matches(
 def search_dataframe(
     index, query, k: int = 10, facts: list[str] | None = None,
     after: tuple[float, int] | None = None, similarity: str = "bm25",
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k as DataFrame[(doc_id, score)]; see module docstring for the
     determinism contract. ``after=(score, doc_id)`` pages past the cursor
     (search_after semantics — the filter keeps the job k-row at any depth).
-    ``similarity`` swaps the scoring flavor (plans/scoring.py)."""
+    ``similarity`` swaps the scoring flavor (plans/scoring.py). ``restrict``
+    ANDs a DataFrame[doc_id] restriction in as a semi-join BEFORE top-k
+    (ES filter semantics — the page is the top of the filtered set)."""
     plan = _as_plan(query)
-    res = _matched(index, plan, facts, similarity).select(
+    res = _matched(index, plan, facts, similarity, restrict=restrict).select(
         "doc_id", F.round(F.col("score"), 4).alias("score")
     )
     if after is not None:

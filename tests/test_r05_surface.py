@@ -524,7 +524,11 @@ def test_dsl_collapse_composes_with_from_and_source(index):
 def test_dsl_collapse_rejections(index):
     base = {"query": {"query_string": {"query": "data"}}}
     for bad in [
-        {**base, "collapse": {"field": "lang", "inner_hits": {"size": 2}}},
+        # inner_hits is now routed (per_group — tests/test_range_filter.py);
+        # malformed inner_hits still rejects
+        {**base, "collapse": {"field": "lang", "inner_hits": {"size": 2},
+                              "max_concurrent_group_searches": 4}},
+        {**base, "collapse": {"field": "lang", "inner_hits": {"size": "2"}}},
         {**base, "collapse": {"field": "content"}},
         {**base, "collapse": "lang"},
         {**base, "collapse": {"field": "lang"}, "sort": [{"doclen": "desc"}]},

@@ -1,0 +1,231 @@
+"""ES `range` filters, `post_filter`, and collapse `inner_hits` — the
+doc-metadata restriction plan (plans/dsl._pop_bool_ranges / _range_doc_ids →
+executor `restrict` semi-join) and the per_group collapse routing.
+
+Reference parity anchor: the reference restricts match sets with fact rows
+ANDed into the plan (inc/BitFunnel/IFactSet.h); a metadata range is the
+declarative analogue — a predicate over the narrow doc_stats frame joined
+into the scored match set, never a content scan, never a driver-resident
+doc array."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfunnel_spark.plans.dsl import DslError, count_dsl, search_dsl
+
+
+def _range_ids(index, lo=None, hi=None, col="doclen"):
+    c = F.col(col)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c >= lo)
+    if hi is not None:
+        pred = pred & (c <= hi)
+    return {r[0] for r in index.doc_stats.filter(pred).select("doc_id").collect()}
+
+
+def _full_ranking(index, q):
+    return [
+        (r.doc_id, r.score)
+        for r in index.search(q, k=10**6, mode="dataframe").collect()
+    ]
+
+
+def test_range_in_bool_filter_equals_manual_restriction(index):
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}},
+        "size": 10}
+    got = [(r.doc_id, r.score) for r in search_dsl(index, body).collect()]
+    ok = _range_ids(index, 40, 200)
+    expect = [(d, s) for d, s in _full_ranking(index, "data") if d in ok][:10]
+    assert got == expect
+    assert got  # the bounds must actually select something at this SF
+
+
+def test_range_restricts_before_topk(index):
+    # the page is the top of the FILTERED set — docs outside the range
+    # never crowd the page (filter-then-rank, not rank-then-filter)
+    base = _full_ranking(index, "data")
+    ok = _range_ids(index, 40, 200)
+    excluded_top = [d for d, _ in base[:10] if d not in ok]
+    if not excluded_top:
+        pytest.skip("top page all inside range at this SF")
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}},
+        "size": 10}
+    got_ids = [r.doc_id for r in search_dsl(index, body).collect()]
+    assert not set(excluded_top) & set(got_ids)
+    assert len(got_ids) == min(10, len([d for d, _ in base if d in ok]))
+
+
+def test_range_open_bounds_and_doc_id_field(index):
+    # one-sided bounds; doc_id/_id field alias; gt/lt strictness
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"_id": {"lt": 100}}}]}}, "size": 100}
+    got = {r.doc_id for r in search_dsl(index, body).collect()}
+    assert got == {d for d, _ in _full_ranking(index, "data") if d < 100}
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doc_id": {"gte": 100}}}]}}, "size": 10_000}
+    got2 = {r.doc_id for r in search_dsl(index, body2).collect()}
+    assert got2 == {d for d, _ in _full_ranking(index, "data") if d >= 100}
+
+
+def test_multiple_ranges_intersect(index):
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 30}}},
+                   {"range": {"doc_id": {"lt": 250}}}]}}, "size": 10**4}
+    got = {r.doc_id for r in search_dsl(index, body).collect()}
+    ok = _range_ids(index, lo=30) & {d for d in range(250)}
+    assert got == {d for d, _ in _full_ranking(index, "data") if d in ok}
+
+
+def test_range_composes_with_other_filters_and_from(index):
+    # a range alongside a term filter in the same filter list; from+size
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 20}}},
+                   {"term": {"lang": "en"}}]}}, "size": 5, "from": 2}
+    got = [(r.doc_id, r.score) for r in search_dsl(index, body).collect()]
+    ok = _range_ids(index, lo=20)
+    en = {r[0] for r in index.corpus.filter(F.col("lang") == "en")
+          .select("doc_id").collect()}
+    expect = [(d, s) for d, s in _full_ranking(index, "data #lang:en")
+              if d in ok and d in en][2:7]
+    assert got == expect
+
+
+def test_standalone_range_constant_score(index):
+    out = search_dsl(
+        index, {"query": {"range": {"doclen": {"gte": 40, "lte": 200}}},
+                "size": 7}
+    ).collect()
+    ok = sorted(_range_ids(index, 40, 200))
+    assert [r.doc_id for r in out] == ok[:7]
+    assert all(r.score == 1.0 for r in out)
+
+
+def test_count_with_range(index):
+    q = {"bool": {"must": [{"match": {"body": "data"}}],
+                  "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}}
+    n = count_dsl(index, {"query": q}).collect()[0][0]
+    ok = _range_ids(index, 40, 200)
+    assert n == len([d for d, _ in _full_ranking(index, "data") if d in ok])
+    # all-range bool: the restriction alone is the match set
+    n2 = count_dsl(
+        index, {"query": {"bool": {"filter": [
+            {"range": {"doclen": {"gte": 40, "lte": 200}}}]}}}
+    ).collect()[0][0]
+    assert n2 == len(ok)
+
+
+def test_post_filter_restricts_hits(index):
+    body = {"query": {"match": {"body": "data"}},
+            "post_filter": {"range": {"doc_id": {"lt": 120}}}, "size": 8}
+    got = [(r.doc_id, r.score) for r in search_dsl(index, body).collect()]
+    expect = [(d, s) for d, s in _full_ranking(index, "data") if d < 120][:8]
+    assert got == expect
+    # post_filter accepts the other filter kinds too (exists/term routes)
+    body2 = {"query": {"match": {"body": "data"}},
+             "post_filter": {"term": {"lang": "en"}}, "size": 5}
+    en = {r[0] for r in index.corpus.filter(F.col("lang") == "en")
+          .select("doc_id").collect()}
+    got2 = [r.doc_id for r in search_dsl(index, body2).collect()]
+    assert got2 == [d for d, _ in _full_ranking(index, "data") if d in en][:5]
+
+
+def test_post_filter_composes_with_range(index):
+    body = {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 20}}}]}},
+        "post_filter": {"range": {"doc_id": {"lt": 300}}}, "size": 6}
+    got = [r.doc_id for r in search_dsl(index, body).collect()]
+    ok = _range_ids(index, lo=20)
+    expect = [d for d, _ in _full_ranking(index, "data")
+              if d in ok and d < 300][:6]
+    assert got == expect
+
+
+def test_collapse_inner_hits_per_group(index):
+    body = {"query": {"match": {"body": "data"}},
+            "collapse": {"field": "repo", "inner_hits": {"size": 2}},
+            "size": 50}
+    rows = search_dsl(index, body).collect()
+    from collections import Counter
+
+    per = Counter(r.repo for r in rows)
+    assert per and max(per.values()) <= 2
+    # best-2-per-group over the full match set: each group's rows are its
+    # two best by (score desc, doc_id asc)
+    meta = {r[0]: r[1] for r in index.corpus.select("doc_id", "repo").collect()}
+    full = _full_ranking(index, "data")
+    best2: dict = {}
+    for d, s in full:
+        best2.setdefault(meta[d], []).append((d, s))
+    for r in rows:
+        top2 = [d for d, _ in best2[r.repo][:2]]
+        assert r.doc_id in top2
+
+
+def test_range_rejections(index):
+    bads = [
+        # range outside filter context
+        ({"query": {"bool": {"must": [{"range": {"doclen": {"gte": 1}}}]}}},
+         "bool.filter"),
+        ({"query": {"bool": {"must_not": [{"range": {"doclen": {"gte": 1}}}],
+                             "must": [{"match": {"body": "data"}}]}}},
+         "bool.filter"),
+        # bad fields / bounds
+        ({"query": {"range": {"content": {"gte": 1}}}}, "range field"),
+        ({"query": {"range": {"doclen": {}}}}, "non-empty"),
+        ({"query": {"range": {"doclen": {"gte": 1, "gt": 2}}}}, "at most one"),
+        ({"query": {"range": {"doclen": {"between": 5}}}},
+         "unsupported range options"),
+        ({"query": {"range": {"doclen": {"gte": True}}}}, "must be a number"),
+        ({"query": {"range": {"doclen": "x"}}}, "non-empty"),
+        # all-range bool in _search (counting allows it; ranking needs a query)
+        ({"query": {"bool": {"filter": [{"range": {"doclen": {"gte": 1}}}]}}},
+         "standalone"),
+        # subset rule: no sort/collapse/search_after/highlight alongside
+        ({"query": {"bool": {"must": [{"match": {"body": "data"}}],
+                             "filter": [{"range": {"doclen": {"gte": 1}}}]}},
+          "sort": [{"doc_id": "asc"}]}, "compose"),
+        ({"query": {"match": {"body": "data"}}, "post_filter":
+          {"range": {"doc_id": {"lt": 5}}}, "collapse": {"field": "repo"}},
+         "compose"),
+        # post_filter needs an AST main query
+        ({"query": {"match_all": {}},
+          "post_filter": {"range": {"doc_id": {"lt": 5}}}}, "AST query"),
+        # inner_hits validation
+        ({"query": {"match": {"body": "data"}},
+          "collapse": {"field": "repo", "inner_hits": {"size": 0}}},
+         "inner_hits.size"),
+        ({"query": {"match": {"body": "data"}},
+          "collapse": {"field": "repo", "inner_hits": {"from": 1}}},
+         "inner_hits takes exactly"),
+    ]
+    for body, frag in bads:
+        with pytest.raises(DslError, match=".*"):
+            try:
+                search_dsl(index, body)
+            except DslError as e:
+                assert frag in str(e), (frag, str(e))
+                raise
+
+
+def test_range_tombstones_masked(index, spark, corpus):
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+
+    idx2 = FullTextIndex.build(spark, corpus, BuildConfig(n_slices=4))
+    victims = sorted(_range_ids(idx2, 40, 200))[:2]
+    if not victims:
+        pytest.skip("no docs in range at this SF")
+    idx2.delete_docs(victims)
+    out = {r.doc_id for r in search_dsl(
+        idx2, {"query": {"range": {"doclen": {"gte": 40, "lte": 200}}},
+               "size": 10_000}).collect()}
+    assert not set(victims) & out

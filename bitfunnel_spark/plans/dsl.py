@@ -875,19 +875,19 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     return _fetch_source(index, _page(hits), source)
 
 
-def count_dsl(index, body: dict):
-    """ES ``_count`` API: the number of documents matching a query — no
-    scoring, no ranking, so the plan is the unscored match set (or a
-    pushed-down corpus-metadata scan for the filter-only kinds) feeding
-    one count aggregate. Returns DataFrame[(count,)] (one row, long).
-    Combinator kinds are rejected (their executors produce rankings;
-    their match semantics, where needed, are expressible as bool/AST)."""
-    query = body.get("query", body) if isinstance(body, dict) else body
+def _match_ids(index, query: dict, api: str = "_count"):
+    """DataFrame[doc_id] of the query's unscored match set — the shared
+    plan behind ``_count`` and ``_delete_by_query``: a pushed-down
+    doc-metadata scan for the filter-only kinds, the engine match set for
+    AST kinds, and the restriction semi-join for range-bearing bools.
+    Tombstoned docs are always excluded. Combinator kinds reject (their
+    executors produce rankings; their match semantics, where needed, are
+    expressible as bool/AST)."""
     _require(isinstance(query, dict) and len(query) == 1,
-             "_count needs a single-kind query object")
+             f"{api} needs a single-kind query object")
     kind = next(iter(query))
     _require(kind not in _COMBINATOR_KINDS,
-             f"_count takes AST or filter-only queries, not {kind!r}")
+             f"{api} takes AST or filter-only queries, not {kind!r}")
     from pyspark.sql import functions as F
 
     if kind in _FILTER_ONLY_KINDS:
@@ -927,7 +927,53 @@ def count_dsl(index, body: dict):
             ids = index.match(compile_dsl(query))
     else:
         ids = index.match(compile_dsl(query))
-    return ids.agg(F.count("*").alias("count"))
+    return ids
+
+
+def count_dsl(index, body: dict):
+    """ES ``_count`` API: the number of documents matching a query — no
+    scoring, no ranking, so the plan is the unscored match set (or a
+    pushed-down corpus-metadata scan for the filter-only kinds) feeding
+    one count aggregate. Returns DataFrame[(count,)] (one row, long)."""
+    from pyspark.sql import functions as F
+
+    query = body.get("query", body) if isinstance(body, dict) else body
+    return _match_ids(index, query, api="_count").agg(
+        F.count("*").alias("count")
+    )
+
+
+#: _delete_by_query collects matched ids to the driver (tombstones are a
+#: driver-resident set by design — the reference's "document active" row is
+#: likewise an in-memory row, Row.h:34-35), so it carries the same ceiling
+#: fact_doc_ids enforces. A mass deletion past the cap is a physical-layout
+#: operation, not a tombstone update: run a filtered rebuild / compaction
+#: (streaming/ingest.compact drops tombstoned docs; FullTextIndex.build
+#: over corpus.join(match, "left_anti") rewrites without them).
+MAX_DELETE_DOCS = 5_000_000
+
+
+def delete_by_query(index, body: dict) -> int:
+    """ES ``_delete_by_query``: soft-delete every document matching the
+    query; returns the number deleted (ES's ``deleted`` field). Deletion
+    is the engine's standing tombstone semantics (index.delete_docs):
+    matching stops immediately in both executors; epoch stats (df/idf/
+    avgdl) stay frozen until compaction. Already-deleted docs never match,
+    so repeating a delete reports 0 — ES's own idempotence behavior."""
+    query = body.get("query", body) if isinstance(body, dict) else body
+    ids_df = _match_ids(index, query, api="_delete_by_query")
+    rows = ids_df.limit(MAX_DELETE_DOCS + 1).collect()
+    if len(rows) > MAX_DELETE_DOCS:
+        raise DslError(
+            f"_delete_by_query matched more than {MAX_DELETE_DOCS} docs; "
+            "a deletion that size is a physical rewrite, not a tombstone "
+            "update — compact (streaming/ingest.compact) or rebuild over "
+            "an anti-joined corpus instead"
+        )
+    ids = [int(r[0]) for r in rows]
+    if ids:
+        index.delete_docs(ids)
+    return len(ids)
 
 
 def validate_query(body) -> tuple[bool, str]:

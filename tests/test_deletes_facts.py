@@ -209,3 +209,52 @@ def test_filter_only_and_rank_feature_mask_tombstones(index):
     assert rows.count() == 0
     ma = search_dsl(deleted, {"query": {"match_all": {}}, "size": 5}).collect()
     assert victim not in [r.doc_id for r in ma]
+
+
+def test_delete_by_query_ast(index):
+    from bitfunnel_spark.plans.dsl import count_dsl, delete_by_query, search_dsl
+
+    idx = dataclasses.replace(index)  # shallow copy: tombstone set is local
+    before = count_dsl(idx, {"query": {"match": {"body": "data"}}}).collect()[0][0]
+    assert before > 0
+    n = delete_by_query(idx, {"query": {"match": {"body": "data"}}})
+    assert n == before
+    assert count_dsl(idx, {"query": {"match": {"body": "data"}}}).collect()[0][0] == 0
+    # idempotent: already-deleted docs never re-match (ES behavior)
+    assert delete_by_query(idx, {"query": {"match": {"body": "data"}}}) == 0
+    # unrelated queries still serve, minus the overlap
+    assert search_dsl(idx, {"query": {"match": {"body": "fast"}}}).count() >= 0
+    # the shared fixture index is untouched
+    assert count_dsl(index, {"query": {"match": {"body": "data"}}}).collect()[0][0] == before
+
+
+def test_delete_by_query_range_and_filter_only(index):
+    from bitfunnel_spark.plans.dsl import count_dsl, delete_by_query
+
+    idx = dataclasses.replace(index)
+    n_range = count_dsl(
+        idx, {"query": {"range": {"doc_id": {"lt": 50}}}}
+    ).collect()[0][0]
+    n = delete_by_query(idx, {"query": {"range": {"doc_id": {"lt": 50}}}})
+    assert n == n_range == 50
+    # range-bearing bool composes
+    n2 = delete_by_query(
+        idx, {"query": {"bool": {"must": [{"match": {"body": "data"}}],
+                                 "filter": [{"range": {"doc_id": {"lt": 100}}}]}}}
+    )
+    got = {r.doc_id for r in idx.match("data").collect()}
+    assert not {d for d in got if d < 100}
+    assert n2 >= 0
+
+
+def test_delete_by_query_rejects_combinators_and_caps(index, monkeypatch):
+    from bitfunnel_spark.plans import dsl as dslmod
+
+    idx = dataclasses.replace(index)
+    with pytest.raises(dslmod.DslError, match="AST or filter-only"):
+        dslmod.delete_by_query(
+            idx, {"query": {"dis_max": {"queries": [{"match": {"body": "x"}}]}}}
+        )
+    monkeypatch.setattr(dslmod, "MAX_DELETE_DOCS", 3)
+    with pytest.raises(dslmod.DslError, match="physical rewrite"):
+        dslmod.delete_by_query(idx, {"query": {"range": {"doc_id": {"lt": 50}}}})

@@ -480,7 +480,8 @@ _COMBINATOR_KINDS = (
 
 # kinds that are pure filters (no relevance signal): hits score a constant,
 # ordered by doc_id — ES's constant-score semantics
-_FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all", "range")
+_FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all", "range",
+                      "match_none")
 
 # ES range query fields -> engine doc-metadata columns. Both live on the
 # NARROW doc_stats frame (doc_id, doclen, shard, slice) — a range filter is
@@ -572,6 +573,10 @@ def _filter_doc_ids(index, query: dict):
         ).select("doc_id")
     elif kind == "range":
         out = _range_doc_ids(index, conf)
+    elif kind == "match_none":
+        _require(isinstance(conf, dict) and not conf,
+                 "match_none takes no options")
+        out = index.corpus.select("doc_id").filter(F.lit(False))
     else:
         return index.match(compile_dsl(query))
     tomb = getattr(index, "tombstones", frozenset())
@@ -668,6 +673,25 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     source = sort_spec = highlight = min_score = collapse = post_filter = None
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
+        # unknown body keys reject LOUDLY — silently dropping a clause the
+        # caller sent (aggs, knn, rescore windows, ...) is the worst
+        # failure mode for a search API; pointed errors route the
+        # supported separate executors
+        unknown = set(body) - {"query", "size", "from", "_source", "sort",
+                               "highlight", "collapse", "post_filter",
+                               "min_score", "search_after"}
+        if unknown & {"aggs", "aggregations"}:
+            raise DslError(
+                "aggregation bodies run via run_aggs(index, body) — "
+                "_search hits and aggs are separate executors here"
+            )
+        if unknown & {"knn", "retriever", "rank"}:
+            raise DslError(
+                "vector/hybrid bodies run via plans.vector_dsl "
+                "(knn_search / rrf_search / rerank_search)"
+            )
+        _require(not unknown,
+                 f"unsupported _search body keys: {sorted(unknown)}")
         k = int(body.get("size", k))
         source = body.get("_source")
         sort_spec = body.get("sort")

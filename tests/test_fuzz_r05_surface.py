@@ -138,3 +138,83 @@ def test_terms_enum_case_insensitive_covers_cased_terms(index, body_vocab):
                       case_insensitive=True).collect()]
     want = sorted(t for t in path_vocab if t.lower().startswith(p.lower()))[:50]
     assert got == want
+
+
+def test_range_filter_is_manual_restriction_fuzz(index):
+    """Property: a range filter in bool.filter over randomized
+    (query, bounds) is EXACTLY the plain ranking restricted to the docs
+    whose metadata satisfies the bounds (filter changes candidacy, never
+    scores), for every bound shape (two-sided/one-sided, strict/inclusive)
+    and both fields."""
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark.plans.generator import generate_queries
+
+    stats = {r["doc_id"]: r["doclen"]
+             for r in index.doc_stats.select("doc_id", "doclen").collect()}
+    dls = sorted(stats.values())
+    n = len(dls)
+    cases = 0
+    for seed in (5, 23):
+        for qi, q in enumerate(generate_queries(index.term_stats, 3, 2, seed=seed)):
+            terms = q.split()
+            if not all(t.isalnum() for t in terms):
+                continue
+            # DSL match defaults to OR — the query-string parser's space
+            # is AND, so the unfiltered base must be the OR ranking
+            base = _rows(index.search(" | ".join(terms), k=10_000,
+                                      mode="dataframe"))
+            # deterministic bound menu spanning empty/partial/full selections
+            menu = [
+                ("doclen", {"gte": dls[n // 4], "lte": dls[3 * n // 4]}),
+                ("doclen", {"gt": dls[n // 2]}),
+                ("doclen", {"lt": dls[n // 4]}),
+                ("doclen", {"gte": dls[-1] + 1}),          # empty
+                ("doc_id", {"gte": 100 + 37 * qi, "lt": 400}),
+            ]
+            field, bounds = menu[(seed + qi) % len(menu)]
+
+            def keep(d):
+                v = stats[d] if field == "doclen" else d
+                return (("gte" not in bounds or v >= bounds["gte"])
+                        and ("gt" not in bounds or v > bounds["gt"])
+                        and ("lte" not in bounds or v <= bounds["lte"])
+                        and ("lt" not in bounds or v < bounds["lt"]))
+
+            body = {"query": {"bool": {
+                "must": [{"match": {"body": " ".join(terms)}}],
+                "filter": [{"range": {field: bounds}}]}},
+                "size": 10_000}
+            got = _rows(search_dsl(index, body))
+            expect = [(d, s) for d, s in base if keep(d)]
+            assert got == expect, (terms, field, bounds)
+            # _count agrees with the ranking's cardinality
+            from bitfunnel_spark.plans.dsl import count_dsl
+
+            assert count_dsl(index, {"query": body["query"]}).collect()[0][0] \
+                == len(expect)
+            cases += 1
+    assert cases >= 4
+
+
+def test_post_filter_equals_filter_for_hits_fuzz(index):
+    """Property: for the hits list, post_filter(range) is row-identical to
+    the same range in bool.filter (the distinction — aggs visibility —
+    lives in run_aggs, which never sees either)."""
+    from bitfunnel_spark.plans.generator import generate_queries
+
+    for seed in (11,):
+        for q in generate_queries(index.term_stats, 3, 2, seed=seed):
+            terms = q.split()
+            if not all(t.isalnum() for t in terms):
+                continue
+            bounds = {"gte": 20, "lte": 90}
+            a = _rows(search_dsl(index, {
+                "query": {"bool": {"must": [{"match": {"body": " ".join(terms)}}],
+                                   "filter": [{"range": {"doclen": bounds}}]}},
+                "size": 50}))
+            b = _rows(search_dsl(index, {
+                "query": {"match": {"body": " ".join(terms)}},
+                "post_filter": {"range": {"doclen": bounds}},
+                "size": 50}))
+            assert a == b, terms

@@ -229,3 +229,21 @@ def test_range_tombstones_masked(index, spark, corpus):
         idx2, {"query": {"range": {"doclen": {"gte": 40, "lte": 200}}},
                "size": 10_000}).collect()}
     assert not set(victims) & out
+
+
+def test_match_none_and_strict_body_keys(index):
+    # match_none: matches nothing, everywhere it can appear
+    assert search_dsl(index, {"query": {"match_none": {}}}).count() == 0
+    assert count_dsl(index, {"query": {"match_none": {}}}).collect()[0][0] == 0
+    with pytest.raises(DslError, match="no options"):
+        search_dsl(index, {"query": {"match_none": {"boost": 2}}})
+    # unknown _search body keys reject loudly with pointed routing
+    with pytest.raises(DslError, match="run_aggs"):
+        search_dsl(index, {"query": {"match": {"body": "data"}},
+                           "aggs": {"a": {"terms": {"field": "lang"}}}})
+    with pytest.raises(DslError, match="vector_dsl"):
+        search_dsl(index, {"query": {"match": {"body": "data"}},
+                           "knn": {"field": "embedding"}})
+    with pytest.raises(DslError, match="unsupported _search body keys"):
+        search_dsl(index, {"query": {"match": {"body": "data"}},
+                           "track_total_hits": True})

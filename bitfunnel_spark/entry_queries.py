@@ -2109,6 +2109,17 @@ def q_ft_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over (doclen, chars) of the match set
+    (plans/serving.matrix_stats): per-field moments + cross covariance/
+    correlation, flattened one row per ordered field pair. Exact int64
+    power sums, fixed float64 derivations shared VERBATIM with the DuckDB
+    oracle (plans/oracle.matrix_stats_exprs)."""
+    from bitfunnel_spark.plans import serving
+
+    return serving.matrix_stats(get_index(spark, sf_dir), FACETS_QUERY)
+
+
 def q_ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _terms_enum analogue (plans/serving.terms_enum): dictionary
     terms with prefix 's', ascending, limit 5 — exercises the limit (the
@@ -3195,6 +3206,12 @@ ORDER BY event_type, metric_rank"""
     queries["ft_collapse_inner"] = q_ft_collapse_inner
     oracles["ft_collapse_inner"] = oracle_collapse_sql(
         FACETS_QUERY, by="repo", k=10, per_group=2, config=ENTRY_CONFIG
+    )
+    from bitfunnel_spark.plans.oracle import oracle_matrix_stats_sql
+
+    queries["ft_matrix_stats"] = q_ft_matrix_stats
+    oracles["ft_matrix_stats"] = oracle_matrix_stats_sql(
+        FACETS_QUERY, config=ENTRY_CONFIG
     )
     queries["ft_range_filter"] = q_ft_range_filter
     oracles["ft_range_filter"] = oracle_search_sql(

@@ -733,6 +733,86 @@ def oracle_facet_percentiles_sql(
     )
 
 
+def matrix_stats_exprs(pa: str, pb: str) -> dict[str, str]:
+    """The matrix_stats derivation formulas as SQL-expression STRINGS over
+    an aggregate row (n, sx, sx2, sx3, sx4, sy, ..., sxy) — shared verbatim
+    by the Spark engine (F.expr) and the DuckDB oracle, so both sides
+    evaluate the literally-same float64 trees over the same exact int64
+    sums. sqrt-based throughout (no pow — pow's rounding is not uniform
+    across engines); float literals spelled x.0 so both engines promote
+    identically. ``pa``/``pb`` are the sum-column prefixes ('x'/'y');
+    pa == pb yields the self row (covariance = variance, correlation = 1)."""
+    nd = "CAST(n AS DOUBLE)"
+
+    def s(p, k=""):
+        return f"CAST(s{p}{k} AS DOUBLE)"
+
+    m = f"({s(pa)} / {nd})"
+    m2c = f"({s(pa, '2')} - {s(pa)} * {s(pa)} / {nd})"
+    m3c = (f"({s(pa, '3')} - 3.0 * {m} * {s(pa, '2')} "
+           f"+ 2.0 * {nd} * {m} * {m} * {m})")
+    m4c = (f"({s(pa, '4')} - 4.0 * {m} * {s(pa, '3')} "
+           f"+ 6.0 * {m} * {m} * {s(pa, '2')} "
+           f"- 3.0 * {nd} * {m} * {m} * {m} * {m})")
+    variance = f"({m2c} / ({nd} - 1.0))"
+    if pa == pb:
+        covariance = variance
+        correlation = "CAST(1.0 AS DOUBLE)"
+    else:
+        m2cb = f"({s(pb, '2')} - {s(pb)} * {s(pb)} / {nd})"
+        cxy = f"(CAST(sxy AS DOUBLE) - {s(pa)} * {s(pb)} / {nd})"
+        covariance = f"({cxy} / ({nd} - 1.0))"
+        correlation = f"({cxy} / sqrt({m2c} * {m2cb}))"
+    return {
+        "mean": m,
+        "variance": variance,
+        "skewness": f"(({m3c} / {nd}) / (({m2c} / {nd}) * sqrt({m2c} / {nd})))",
+        "kurtosis": f"(({m4c} / {nd}) / (({m2c} / {nd}) * ({m2c} / {nd})))",
+        "covariance": covariance,
+        "correlation": correlation,
+    }
+
+
+def oracle_matrix_stats_sql(
+    query, fields: tuple[str, str] = ("doclen", "chars"),
+    config: BuildConfig | None = None,
+) -> str:
+    """matrix_stats oracle (plans/serving.matrix_stats): exact int64 power
+    sums over the match set's (doclen, chars), then the SAME derivation
+    strings matrix_stats_exprs hands the engine. doclen comes from the dl
+    CTE (the certified body-token counts); chars is length(text)."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    a, b = fields
+    assert a == "doclen" and b == "chars", fields
+    rows = []
+    for fa, fb, pa, pb in ((a, a, "x", "x"), (a, b, "x", "y"), (b, b, "y", "y")):
+        e = matrix_stats_exprs(pa, pb)
+        rows.append(
+            f"SELECT '{fa}' AS field_a, '{fb}' AS field_b, n,\n"
+            f"  round({e['mean']}, 4) AS mean_a,\n"
+            f"  round({e['variance']}, 4) AS variance_a,\n"
+            f"  round({e['skewness']}, 4) AS skewness_a,\n"
+            f"  round({e['kurtosis']}, 4) AS kurtosis_a,\n"
+            f"  round({e['covariance']}, 4) AS covariance,\n"
+            f"  round({e['correlation']}, 4) AS correlation FROM s"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)}),\n"
+        f"feat AS (SELECT m.doc_id, dl.doclen AS x, length(d.text) AS y\n"
+        f"         FROM m JOIN dl USING (doc_id) JOIN documents d USING (doc_id)),\n"
+        f"s AS (SELECT count(*) AS n,\n"
+        f"  sum(x) AS sx, sum(x*x) AS sx2, sum(x*x*x) AS sx3,\n"
+        f"  sum(x*x*x*x) AS sx4,\n"
+        f"  sum(y) AS sy, sum(y*y) AS sy2, sum(y*y*y) AS sy3,\n"
+        f"  sum(y*y*y*y) AS sy4, sum(x*y) AS sxy\n"
+        f"  FROM feat HAVING count(*) >= 2)\n"
+        f"SELECT * FROM ({union})\nORDER BY field_a, field_b"
+    )
+
+
 def oracle_collapse_sql(
     query, by: str = "repo", k: int = 10, per_group: int = 1,
     config: BuildConfig | None = None,

@@ -2274,3 +2274,80 @@ def weighted_avg(
             F.col("vw_sum").cast("double") / F.col("weight_sum").cast("double"), 4
         ).alias("weighted_avg"),
     )
+
+
+def matrix_stats(
+    index, query: str, fields: tuple[str, str] = ("doclen", "chars"),
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation over two per-doc numerics of the
+    match set: per-field moments (count, mean, sample variance, skewness,
+    kurtosis) and the cross-field sample covariance and Pearson
+    correlation. Flattened rendering: one row per ordered (field_a,
+    field_b) with field_a <= field_b — self rows carry the field's
+    moments with covariance = variance and correlation = 1; the cross row
+    carries field_a's moments plus the pair covariance/correlation.
+    Fields: ``doclen`` (body token count, doc stats) and ``chars``
+    (length(content) inside the scan projection).
+
+    Determinism (the t_test/extended_stats discipline): raw power sums
+    Σx..Σx⁴ and Σxy aggregate as EXACT int64, every float64 derivation is
+    one fixed expression over those integers (sqrt-based, no pow), so
+    distributed partial aggregation cannot reorder float folds and the
+    DuckDB oracle evaluates the literally-same formulas. Int64 bound:
+    n·max(x)⁴ < 2^63 — holds through every test SF (doclen/chars ≤ ~10⁴);
+    at 100 TB with long documents, shift each field by its min (moments
+    are shift-equivariant) or raise to per-partition centered partials —
+    the documented seam, same as the reference's own overflow notes.
+
+    Scale shape: match set → two narrow doc_id equi-joins → ONE global
+    aggregate (map-side partials, a one-row shuffle); the three output
+    rows derive from that single row. Skewness/kurtosis are the
+    population moment ratios (m3/m2^1.5, m4/m2²) — ES's own definitions;
+    variance/covariance are the unbiased n−1 forms, also ES's."""
+    a, b = fields
+    if a == b or {a, b} - {"doclen", "chars"}:
+        raise ValueError(
+            f"matrix_stats takes two distinct fields from doclen/chars, got {fields!r}"
+        )
+
+    def _col(f, role):
+        if f == "doclen":
+            return index.doc_stats.select(
+                "doc_id", F.col("doclen").cast("long").alias(role)
+            )
+        return index.corpus.select(
+            "doc_id", F.length("content").cast("long").alias(role)
+        )
+
+    matches = index.match(query, facts).select("doc_id")
+    j = matches.join(_col(a, "x"), "doc_id").join(_col(b, "y"), "doc_id")
+    x, y = F.col("x"), F.col("y")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(x * x).alias("sx2"),
+        F.sum(x * x * x).alias("sx3"), F.sum(x * x * x * x).alias("sx4"),
+        F.sum(y).alias("sy"), F.sum(y * y).alias("sy2"),
+        F.sum(y * y * y).alias("sy3"), F.sum(y * y * y * y).alias("sy4"),
+        F.sum(x * y).alias("sxy"),
+    ).filter(F.col("n") >= 2)
+
+    # identical formula text on both sides of the oracle compare —
+    # see plans/oracle.oracle_matrix_stats_sql (MATRIX_STATS_EXPRS)
+    from bitfunnel_spark.plans.oracle import matrix_stats_exprs
+
+    rows = []
+    for fa, fb, pa, pb in ((a, a, "x", "x"), (a, b, "x", "y"), (b, b, "y", "y")):
+        e = matrix_stats_exprs(pa, pb)
+        rows.append(agg.select(
+            F.lit(fa).alias("field_a"), F.lit(fb).alias("field_b"),
+            F.col("n"),
+            F.round(F.expr(e["mean"]), 4).alias("mean_a"),
+            F.round(F.expr(e["variance"]), 4).alias("variance_a"),
+            F.round(F.expr(e["skewness"]), 4).alias("skewness_a"),
+            F.round(F.expr(e["kurtosis"]), 4).alias("kurtosis_a"),
+            F.round(F.expr(e["covariance"]), 4).alias("covariance"),
+            F.round(F.expr(e["correlation"]), 4).alias("correlation"),
+        ))
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("field_a", "field_b")

@@ -1294,3 +1294,54 @@ def test_new_metric_aggs_dsl_routing_and_validation(index):
         run_aggs(index, {"query": {"match": {"content": "x"}},
                          "aggs": {"g": {"global": {},
                                         "aggs": {"s": {"terms": {"field": "lang"}}}}}})
+
+
+def test_matrix_stats_numpy_parity(index):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark.plans import serving
+
+    q = "data"
+    rows = serving.matrix_stats(index, q).collect()
+    assert [(r.field_a, r.field_b) for r in rows] == [
+        ("chars", "chars"), ("doclen", "chars"), ("doclen", "doclen")]
+    ids = sorted(r[0] for r in index.match(q).collect())
+    dl = {r[0]: r[1] for r in index.doc_stats.select("doc_id", "doclen").collect()}
+    ch = {r[0]: r[1] for r in index.corpus.select(
+        "doc_id", F.length("content")).collect()}
+    x = np.array([dl[d] for d in ids], dtype=np.float64)   # doclen
+    y = np.array([ch[d] for d in ids], dtype=np.float64)   # chars
+    n = len(ids)
+    by_pair = {(r.field_a, r.field_b): r for r in rows}
+
+    def check_self(r, v):
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        assert r.n == n
+        assert abs(r.mean_a - m) < 1e-3
+        assert abs(r.variance_a - v.var(ddof=1)) < 1e-2 * max(1, abs(v.var(ddof=1)))
+        assert abs(r.skewness_a - ((v - m) ** 3).mean() / m2 ** 1.5) < 1e-3
+        assert abs(r.kurtosis_a - ((v - m) ** 4).mean() / m2 ** 2) < 1e-3
+        assert r.covariance == r.variance_a and r.correlation == 1.0
+
+    check_self(by_pair[("doclen", "doclen")], x)
+    check_self(by_pair[("chars", "chars")], y)
+    cross = by_pair[("doclen", "chars")]
+    cov = np.cov(x, y, ddof=1)[0, 1]
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(cross.covariance - cov) < 1e-2 * max(1, abs(cov))
+    assert abs(cross.correlation - corr) < 1e-3
+    # text length and token count had better correlate strongly
+    assert cross.correlation > 0.5
+
+
+def test_matrix_stats_rejects_bad_fields(index):
+    import pytest as _pytest
+
+    from bitfunnel_spark.plans import serving
+
+    with _pytest.raises(ValueError, match="distinct fields"):
+        serving.matrix_stats(index, "data", fields=("doclen", "doclen"))
+    with _pytest.raises(ValueError, match="distinct fields"):
+        serving.matrix_stats(index, "data", fields=("doclen", "lang"))

@@ -2109,6 +2109,23 @@ def q_ft_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_aggs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggregations composed with a range filter (plans/dsl.run_aggs →
+    `_restrict_docs` index copy → executor semi-join): a terms facet over
+    the match set of `data OR join` restricted to doclen ∈ [30, 70]. The
+    oracle mirrors the restriction as a `dl` predicate ANDed into its
+    match CTE."""
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    return run_aggs(
+        get_index(spark, sf_dir),
+        {"query": {"bool": {
+            "must": [{"match": {"body": "data join"}}],
+            "filter": [{"range": {"doclen": {"gte": 30, "lte": 70}}}]}},
+         "aggs": {"by": {"terms": {"field": "lang"}}}},
+    )
+
+
 def q_ft_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES matrix_stats over (doclen, chars) of the match set
     (plans/serving.matrix_stats): per-field moments + cross covariance/
@@ -3189,6 +3206,12 @@ ORDER BY event_type, metric_rank"""
 
     queries["ft_facets"] = q_ft_facets
     oracles["ft_facets"] = oracle_facets_sql(FACETS_QUERY, config=ENTRY_CONFIG)
+    queries["ft_aggs_range"] = q_ft_aggs_range
+    oracles["ft_aggs_range"] = oracle_facets_sql(
+        "data | join", facets=("lang",), config=ENTRY_CONFIG,
+        extra_where="h.doc_id IN (SELECT doc_id FROM dl "
+                    "WHERE doclen >= 30 AND doclen <= 70)",
+    )
     queries["ft_snippets"] = q_ft_snippets
     oracles["ft_snippets"] = oracle_snippets_sql(
         SNIPPETS_QUERY, k=10, window=4, config=ENTRY_CONFIG

@@ -1584,7 +1584,31 @@ def run_aggs(index, body: dict, k: int = 10):
 
     aggs = body.get("aggs") or body.get("aggregations")
     _require(isinstance(aggs, dict) and len(aggs) == 1, "exactly one top-level agg")
-    q = compile_dsl(body["query"]) if "query" in body else None
+    q = None
+    if "query" in body:
+        query = body["query"]
+        if isinstance(query, dict) and set(query) == {"bool"}:
+            # ES range filters compose with every aggregation: pop them
+            # out of bool.filter and attach the doc-metadata restriction
+            # to an index COPY as `_restrict_docs` — executor._matched
+            # (the one dataframe match surface every serving agg rides)
+            # semi-joins it in; the kernel path refuses such copies
+            # loudly. The `global` agg still escapes the FULL query
+            # context including these filters (ES semantics) because it
+            # never touches the match set.
+            residual, ranges = _pop_bool_ranges(query["bool"])
+            if ranges:
+                _require(bool(residual),
+                         "aggs over a pure range filter need a match "
+                         "query alongside (a bool of only range filters "
+                         "has no scoring/match clause)")
+                import dataclasses as _dc
+
+                restrict = _range_restrict(index, ranges)
+                index = _dc.replace(index)
+                index._restrict_docs = restrict
+                query = {"bool": residual}
+        q = compile_dsl(query)
     (_, spec), = aggs.items()
     _require(isinstance(spec, dict), "agg spec must be an object")
     sub = spec.get("aggs") or spec.get("aggregations")

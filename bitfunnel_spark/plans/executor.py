@@ -294,6 +294,16 @@ def _matched(
 
         check_similarity(similarity, plan, index.config.bm25.b)
     hits = _hits(index, plan, similarity)
+    # ambient doc restriction: run_aggs attaches `_restrict_docs` to an
+    # index COPY so every serving aggregation composes with ES range
+    # filters without threading a parameter through each op; _matched is
+    # the one dataframe match surface, so applying it here covers
+    # index.match, scored_matches, and search_dataframe alike. The kernel
+    # executor refuses such copies loudly (kernel._descriptor) rather
+    # than silently ignoring the filter.
+    amb = getattr(index, "_restrict_docs", None)
+    if amb is not None:
+        hits = hits.join(amb.select("doc_id"), "doc_id", "left_semi")
     if restrict is not None:
         # doc-level restriction (ES range filters / post_filter — the
         # metadata-predicate channel, plans/dsl.py): a semi-join Catalyst

@@ -718,6 +718,15 @@ def _descriptor(
     index, plan: QueryPlan, facts: list[str] | None = None,
     similarity: str = "bm25",
 ) -> dict:
+    if getattr(index, "_restrict_docs", None) is not None:
+        # a doc-metadata restriction (ES range filter) is a column
+        # predicate only where postings are columnar rows — the
+        # declarative executor serves it; silently ignoring it here would
+        # return unfiltered results
+        raise ValueError(
+            "_restrict_docs is served by the declarative executor "
+            "(plans/executor); route range-filtered queries there"
+        )
     # driver-resident hash dictionary (TermTable analogue) when it fits,
     # else one filtered collect — index.idf_for_terms; query-time boosts
     # fold into idf here so every downstream scorer/bound sees (idf·boost).

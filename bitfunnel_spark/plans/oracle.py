@@ -405,12 +405,15 @@ def oracle_match_sql(query, config: BuildConfig | None = None) -> str:
 # serving-layer oracles (plans/serving.py)
 
 def oracle_facets_sql(
-    query, facets: tuple[str, ...] = ("lang", "repo"), config: BuildConfig | None = None
+    query, facets: tuple[str, ...] = ("lang", "repo"),
+    config: BuildConfig | None = None, extra_where: str | None = None,
 ) -> str:
     """Facet-count oracle: SELECT facet, value, n_docs over the match set.
 
     Facet names map to documents columns (lang -> lang, repo -> source),
-    mirroring sources/corpus.corpus_from_documents."""
+    mirroring sources/corpus.corpus_from_documents. ``extra_where`` ANDs a
+    doc-level predicate into the match — the mirror of engine-side range
+    filters (run_aggs' `_restrict_docs` semi-join)."""
     config = config or BuildConfig()
     plan = _as_plan(query)
     col_of = {"lang": "lang", "repo": "source"}
@@ -420,9 +423,10 @@ def oracle_facets_sql(
         for f in facets
     ]
     union = "\n  UNION ALL\n".join(parts)
+    extra = f" AND ({extra_where})" if extra_where else ""
     return (
         f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
-        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE ({_bool_sql(plan.ast)}){extra})\n"
         f"SELECT * FROM (\n{union}\n)\n"
         f"ORDER BY facet ASC, n_docs DESC, value ASC"
     )

@@ -247,3 +247,46 @@ def test_match_none_and_strict_body_keys(index):
     with pytest.raises(DslError, match="unsupported _search body keys"):
         search_dsl(index, {"query": {"match": {"body": "data"}},
                            "track_total_hits": True})
+
+
+def test_aggs_compose_with_range_filter(index):
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    Q = {"bool": {"must": [{"match": {"body": "data"}}],
+                  "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}}
+    ok = _range_ids(index, 40, 200)
+    matched = {r[0] for r in index.match("data").collect()} & ok
+
+    out = run_aggs(index, {"query": Q, "aggs":
+                           {"by_lang": {"terms": {"field": "lang"}}}}).collect()
+    assert sum(r.n_docs for r in out if r.facet == "lang") == len(matched)
+
+    es = run_aggs(index, {"query": Q, "aggs":
+                          {"s": {"extended_stats": {"field": "doclen"}}}}
+                  ).collect()[0]
+    assert es.n_docs == len(matched)
+
+    th = run_aggs(index, {"query": Q, "aggs": {"g": {"terms": {"field": "lang"},
+                  "aggs": {"h": {"top_hits": {"size": 2}}}}}}).collect()
+    assert th and all(r.doc_id in matched for r in th)
+
+    # global escapes the FULL query context including range filters (ES)
+    g = run_aggs(index, {"query": Q, "aggs": {"all": {"global": {}, "aggs":
+                 {"s": {"stats": {"field": "doclen"}}}}}}).collect()[0]
+    assert g.n_docs == index.corpus.count()
+
+
+def test_restricted_copy_refuses_kernel(index):
+    import dataclasses
+
+    from bitfunnel_spark.plans.dsl import run_aggs
+
+    idx2 = dataclasses.replace(index)
+    idx2._restrict_docs = index.doc_stats.select("doc_id").limit(5)
+    with pytest.raises(ValueError, match="declarative executor"):
+        idx2.search("data", k=3, mode="kernel").collect()
+    # and run_aggs rejects a pure-range query (no match clause)
+    with pytest.raises(DslError, match="match\\s+query alongside|match query"):
+        run_aggs(index, {"query": {"bool": {"filter":
+                 [{"range": {"doclen": {"gte": 1}}}]}},
+                 "aggs": {"t": {"terms": {"field": "lang"}}}})

@@ -251,6 +251,36 @@ def main() -> None:
         grep_trials.append(time.time() - tg1)
     grep_sec = min(grep_trials)  # best-of-3: first trial pays one-time codegen
 
+    # restriction battery (r05): the doc-metadata restriction plan — an ES
+    # range filter in bool.filter (executor semi-join over the narrow
+    # doc_stats scan), post_filter, and aggs×range through run_aggs.
+    # Deterministic hit/doc counts recorded so result drift is visible;
+    # the timing shows the restriction costs one narrow scan + semi-join
+    # on top of the base query.
+    from bitfunnel_spark.plans.dsl import count_dsl as _count_dsl
+    from bitfunnel_spark.plans.dsl import run_aggs as _run_aggs
+    from bitfunnel_spark.plans.dsl import search_dsl as _sdsl
+
+    RESTRICT_BODY = {
+        "query": {"bool": {
+            "must": [{"match": {"body": "data"}}],
+            "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}},
+        "size": 10,
+    }
+    rb_trials = []
+    rb_top = rb_count = rb_agg_docs = None
+    for rep in range(2):
+        tr0 = time.time()
+        rows_rb = _sdsl(idx, RESTRICT_BODY).collect()
+        cnt_rb = _count_dsl(idx, {"query": RESTRICT_BODY["query"]}).collect()[0][0]
+        agg_rb = _run_aggs(idx, {"query": RESTRICT_BODY["query"], "aggs": {
+            "by": {"terms": {"field": "lang"}}}}).collect()
+        rb_trials.append(time.time() - tr0)
+        if rep == 0:
+            rb_top = rows_rb[0].doc_id if rows_rb else -1
+            rb_count = int(cnt_rb)
+            rb_agg_docs = int(sum(r.n_docs for r in agg_rb))
+
     # vector battery: the ES-8-shaped vector surface over the embeddings
     # table — exact knn body (pre-filtered), hybrid BM25+knn RRF fusion,
     # and the sparse_vector/dot_tf query. Deterministic top-1 ids are
@@ -390,6 +420,13 @@ def main() -> None:
                 "blocks_decoded": sparse_bd,
                 "skip_ratio": round(1.0 - sparse_bd / max(sparse_bt, 1), 4),
             },
+        },
+        "restrict_battery": {
+            "query": "data AND doclen in [40, 200]",
+            "top1": rb_top,
+            "count": rb_count,
+            "agg_docs": rb_agg_docs,
+            "sec": round(min(rb_trials), 3),
         },
         "grep_battery": {
             "n_queries": len(GREP_SET),

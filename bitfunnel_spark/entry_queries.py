@@ -3309,6 +3309,29 @@ ORDER BY event_type, metric_rank"""
         ["key", "table", "value"], slop=1, k=10, config=ENTRY_CONFIG
     )
 
+    def q_ft_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """span_or inside span_near through the body router (plans/dsl →
+        serving.span_near slot alternation): a window where ONE slot is
+        filled by `key` OR `row`, the other by `value` — per slot the
+        positional stream is the union of the alternatives' postings; the
+        oracle joins that slot on `t IN (...)` and scores the AND of
+        per-slot OR groups."""
+        from bitfunnel_spark.plans.dsl import search_dsl
+
+        return search_dsl(
+            get_index(spark, sf_dir),
+            {"query": {"span_near": {"clauses": [
+                {"span_or": {"clauses": [{"span_term": {"body": "key"}},
+                                         {"span_term": {"body": "row"}}]}},
+                {"span_term": {"body": "value"}}],
+                "slop": 2, "in_order": False}}, "size": 10},
+        )
+
+    queries["ft_span_or"] = q_ft_span_or
+    oracles["ft_span_or"] = oracle_span_near_sql(
+        [["key", "row"], "value"], slop=2, k=10, config=ENTRY_CONFIG
+    )
+
     def q_ft_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ES intervals query: unordered bounded-gap rule — routed onto the
         # span_near executor via the DSL (plans/dsl.py intervals kind)

@@ -473,7 +473,7 @@ _SOURCE_FIELDS = ("repo", "path", "commit", "lang", "content", "content_sha256")
 
 _COMBINATOR_KINDS = (
     "multi_match", "dis_max", "boosting", "function_score",
-    "span_near", "span_first", "span_not", "more_like_this",
+    "span_near", "span_first", "span_not", "span_or", "more_like_this",
     "sparse_vector", "rank_feature", "pinned", "intervals", "script_score",
     "distance_feature",
 )
@@ -1442,19 +1442,34 @@ def _serving_query(index, kind: str, body, k: int = 10):
             "more_like_this supports like: [{'_id': <doc_id>}]",
         )
         return serving.more_like_this(index, int(like[0]["_id"]), k=k, m=mqt)
+    if kind == "span_or":
+        # standalone span_or: any occurrence of any clause term is a span,
+        # so the match set is the plain OR of the terms — scored with the
+        # engine's BM25 convention (the span family's standing contract;
+        # ES's span scoring differs, documented deviation)
+        cl = opts.pop("clauses", None)
+        _reject_extra(opts, kind)
+        _require(isinstance(cl, list) and cl, "span_or needs clauses")
+        toks2 = [_span_term(c) for c in cl]
+        _require(len(set(toks2)) == len(toks2), "span_or clauses must be distinct")
+        node = (Term(toks2[0], "body") if len(toks2) == 1
+                else Or(tuple(Term(t, "body") for t in toks2)))
+        return index.search(node, k=k)
     if kind == "span_near":
         clauses = opts.pop("clauses", None)
         _require(isinstance(clauses, list) and clauses, "span_near needs clauses")
         slop = int(opts.pop("slop", 0))
         in_order = bool(opts.pop("in_order", False))
         _reject_extra(opts, kind)
-        toks = [_span_term(c) for c in clauses]
+        slots = [_span_slot(c) for c in clauses]
         if in_order:
             # ordered near ≡ the engine's sloppy phrase (order preserved,
             # up to `slop` interleaved tokens); Phrase is the module-level
-            # ast import
-            return index.search(Phrase(tuple(toks), slop=slop), k=k)
-        return serving.span_near(index, toks, slop=slop, k=k)
+            # ast import. Alternation needs the unordered evaluator.
+            _require(all(isinstance(s, str) for s in slots),
+                     "span_or inside span_near needs in_order=false")
+            return index.search(Phrase(tuple(slots), slop=slop), k=k)
+        return serving.span_near(index, slots, slop=slop, k=k)
     if kind == "span_first":
         m = opts.pop("match", None)
         end = opts.pop("end", None)
@@ -1475,6 +1490,23 @@ def _serving_query(index, kind: str, body, k: int = 10):
     return serving.span_not(
         index, _span_tokens(inc), _span_term(exc), pre=pre, post=post, k=k
     )
+
+
+def _span_slot(q):
+    """A span_near clause as a slot: span_term -> one token; span_or of
+    span_terms -> the slot's alternative tokens (Lucene span_or inside
+    SpanNearQuery — the slot is filled by an occurrence of ANY
+    alternative)."""
+    if isinstance(q, dict) and len(q) == 1 and next(iter(q)) == "span_or":
+        conf = q["span_or"]
+        _require(isinstance(conf, dict) and set(conf) == {"clauses"},
+                 "span_or needs {clauses: [...]}")
+        cl = conf["clauses"]
+        _require(isinstance(cl, list) and cl, "span_or clauses must be non-empty")
+        toks = [_span_term(c) for c in cl]
+        _require(len(set(toks)) == len(toks), "span_or clauses must be distinct")
+        return toks[0] if len(toks) == 1 else toks
+    return _span_term(q)
 
 
 def _span_term(q) -> str:

@@ -1438,27 +1438,39 @@ def oracle_random_score_sql(
 
 
 def oracle_span_near_sql(
-    terms: list[str], slop: int = 0, k: int = 10,
+    terms: list, slop: int = 0, k: int = 10,
     config: BuildConfig | None = None,
 ) -> str:
     """span_near (unordered) oracle mirroring plans/serving.span_near:
-    the all-terms AND query's top-k (oracle_search_sql scoring) restricted
-    to docs with one occurrence of each term at distinct positions with
-    max(p)-min(p) <= (n-1)+slop, any order."""
+    the all-slots AND query's top-k (oracle_search_sql scoring) restricted
+    to docs with one occurrence filling each slot at distinct positions
+    with max(p)-min(p) <= (n-1)+slop, any order. A slot may be a list of
+    alternative tokens (span_or inside the near): its position joins on
+    `t IN (...)` and its scoring group is the OR of the alternatives."""
     config = config or BuildConfig()
-    toks = [t.lower() for t in terms]
-    n = len(toks)
-    plan = _as_plan(" & ".join(toks))
+    slots = [[x.lower() for x in t] if isinstance(t, (list, tuple))
+             else [t.lower()] for t in terms]
+    n = len(slots)
+    plan = _as_plan(" & ".join(
+        s[0] if len(s) == 1 else "(" + " | ".join(s) + ")" for s in slots
+    ))
     ptok = (
         f"(SELECT doc_id, unnest(regexp_extract_all(body_text, '{_PAT}')) AS t, "
         f"unnest(range(1, len(regexp_extract_all(body_text, '{_PAT}')) + 1)) AS p "
         f"FROM corpus)"
     )
+
+    def _tcond(i: int) -> str:
+        s = slots[i - 1]
+        if len(s) == 1:
+            return f"p{i}.t = {_q(s[0])}"
+        return f"p{i}.t IN ({', '.join(_q(x) for x in s)})"
+
     joins = [f"{ptok} p1"]
-    conds = [f"p1.t = {_q(toks[0])}"]
+    conds = [_tcond(1)]
     for i in range(2, n + 1):
         joins.append(f"JOIN {ptok} p{i} ON p{i}.doc_id = p1.doc_id")
-        conds.append(f"p{i}.t = {_q(toks[i - 1])}")
+        conds.append(_tcond(i))
     # distinct positions (terms are distinct so this is implied, but the
     # engine's packed-key patterns enforce it; keep the mirror exact)
     for i in range(1, n + 1):

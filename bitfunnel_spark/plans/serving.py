@@ -1550,15 +1550,23 @@ def span_near(
     of the ordered ``"a b"~slop`` sloppy phrase). Returns
     DataFrame[(doc_id, score)] (4 dp, score desc, doc_id asc, ≤k).
 
+    Each ``terms`` slot may be a single token or a LIST of alternatives
+    (Lucene ``span_or`` inside the near — a slot is filled by an
+    occurrence of ANY of its alternatives): per slot the occurrence
+    stream is the union of its alternatives' positional postings, and
+    the scoring query becomes the AND of per-slot OR groups. Tokens must
+    be distinct across all slots.
+
     Scale shape: scoring is the normal AND-query path; the span
     constraint decodes the terms' positional postings per (shard, slice)
     group — the same two-IN-list pushdown scan every query term uses —
     and evaluates as packed (doc << POS_BITS | start)-key intersections
     per allowed offset vector (the sloppy-phrase kernel generalized to
     unordered assignments; positions decode ONCE per term and are reused
-    across patterns). Indexes without usable positions fall back to an
-    exact distributed smallest-window check over the tokenized corpus
-    (Arrow-batched; same fallback policy as phrases).
+    across patterns — slot alternation adds alternatives' postings to a
+    slot's stream, never more patterns). Indexes without usable positions
+    fall back to an exact distributed smallest-window check over the
+    tokenized corpus (Arrow-batched; same fallback policy as phrases).
     """
     from bitfunnel_spark.plans.executor import scored_matches
     from bitfunnel_spark.plans.kernel import (
@@ -1567,14 +1575,23 @@ def span_near(
         use_positional_phrases,
     )
 
-    toks = [t.lower() for t in terms]
-    n = len(toks)
+    slots = [[x.lower() for x in t] if isinstance(t, (list, tuple))
+             else [t.lower()] for t in terms]
+    if any(not s for s in slots):
+        raise ValueError("span_near slot with no alternatives")
+    toks = [t for s in slots for t in s]
+    n = len(slots)
     if n < 2:
-        raise ValueError("span_near needs at least two terms")
-    if len(set(toks)) != n:
-        raise ValueError("span_near terms must be distinct")
+        raise ValueError("span_near needs at least two slots")
+    if len(set(toks)) != len(toks):
+        raise ValueError("span_near tokens must be distinct across slots")
     patterns = _near_offset_vectors(n, int(slop))
-    scored = scored_matches(index, " & ".join(toks), facts)
+    scored = scored_matches(
+        index,
+        " & ".join(s[0] if len(s) == 1 else "(" + " | ".join(s) + ")"
+                   for s in slots),
+        facts,
+    )
     import numpy as np
     import pandas as pd
 
@@ -1584,7 +1601,9 @@ def span_near(
             decode_group_positions,
         )
 
-        key_to_idx = {_term_key_py("body", t): i for i, t in enumerate(toks)}
+        key_to_idx = {
+            _term_key_py("body", t): i for i, s in enumerate(slots) for t in s
+        }
         off = max(16, n + int(slop))
         lim = np.int64(1) << np.int64(POS_BITS)
         seg = index.segments.filter(
@@ -1595,16 +1614,25 @@ def span_near(
             empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
             if not len(pdf):
                 return empty
-            occ: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            acc: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
             for key, rows in pdf.groupby("term_key"):
                 i = key_to_idx.get(int(key))
                 if i is None:
                     continue
                 d, t, p = decode_group_positions(rows)
                 if d.size:
-                    occ[i] = (np.repeat(d, t).astype(np.int64), p.astype(np.int64))
-            if len(occ) != n:
+                    acc.setdefault(i, []).append(
+                        (np.repeat(d, t).astype(np.int64), p.astype(np.int64))
+                    )
+            if len(acc) != n:
                 return empty
+            # a slot's occurrence stream is the UNION of its alternatives'
+            # postings (span_or-in-near); single-token slots concatenate one
+            occ = {
+                i: (np.concatenate([d for d, _ in parts]),
+                    np.concatenate([p for _, p in parts]))
+                for i, parts in acc.items()
+            }
             packed = []
             for offsets in patterns:
                 keys = None
@@ -1628,7 +1656,7 @@ def span_near(
         docs = seg.groupBy("shard", "slice").applyInPandas(near_docs, "doc_id long")
     else:
         span = n - 1 + int(slop)
-        tok_to_idx = {t: i for i, t in enumerate(toks)}
+        tok_to_idx = {t: i for i, s in enumerate(slots) for t in s}
         tk = index.corpus.select("doc_id", tokenize("content", _idx_analyzer(index)).alias("tk"))
 
         def check(batches):

@@ -12,6 +12,10 @@ CASES = [
     (["row", "scan"], 2),
     (["key", "table", "value"], 1),
     (["data", "fast"], 3),
+    # span_or inside the near: a slot filled by ANY of its alternatives
+    ([["row", "key"], "scan"], 1),
+    ([["data", "fast"], ["key", "value"]], 2),
+    (["table", ["row", "scan", "value"]], 1),
 ]
 
 
@@ -70,3 +74,49 @@ def test_span_near_errors(index):
         serving.span_near(index, ["data", "data"], slop=1)
     with pytest.raises(ValueError):
         serving.span_near(index, ["a", "b", "c", "d"], slop=50)
+
+
+def test_span_or_slot_is_union_of_plain_nears(pos_index):
+    # match-set semantics: a doc fills ([a|b], c) iff it matches (a, c)
+    # or (b, c) as plain span_nears with the same slop
+    alt = {r["doc_id"] for r in serving.span_near(
+        pos_index, [["row", "key"], "scan"], slop=1, k=10**6).collect()}
+    a = {r["doc_id"] for r in serving.span_near(
+        pos_index, ["row", "scan"], slop=1, k=10**6).collect()}
+    b = {r["doc_id"] for r in serving.span_near(
+        pos_index, ["key", "scan"], slop=1, k=10**6).collect()}
+    assert alt == a | b
+
+
+def test_span_or_dsl_routing_and_standalone(pos_index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    body = {"query": {"span_near": {"clauses": [
+        {"span_or": {"clauses": [{"span_term": {"body": "row"}},
+                                 {"span_term": {"body": "key"}}]}},
+        {"span_term": {"body": "scan"}}], "slop": 1, "in_order": False}},
+        "size": 12}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(pos_index, body).collect()]
+    assert got == _run(pos_index, [["row", "key"], "scan"], 1)
+    # standalone span_or == the plain OR ranking (every occurrence is a span)
+    so = [(r["doc_id"], r["score"]) for r in search_dsl(
+        pos_index, {"query": {"span_or": {"clauses": [
+            {"span_term": {"body": "row"}},
+            {"span_term": {"body": "scan"}}]}}, "size": 8}).collect()]
+    assert so == [(r["doc_id"], r["score"]) for r in
+                  pos_index.search("row | scan", k=8).collect()]
+    with pytest.raises(DslError, match="distinct"):
+        search_dsl(pos_index, {"query": {"span_near": {"clauses": [
+            {"span_or": {"clauses": [{"span_term": {"body": "row"}},
+                                     {"span_term": {"body": "row"}}]}},
+            {"span_term": {"body": "scan"}}], "slop": 1}}})
+    with pytest.raises(DslError, match="in_order=false"):
+        search_dsl(pos_index, {"query": {"span_near": {"clauses": [
+            {"span_or": {"clauses": [{"span_term": {"body": "row"}},
+                                     {"span_term": {"body": "key"}}]}},
+            {"span_term": {"body": "scan"}}], "slop": 1, "in_order": True}}})
+
+
+def test_span_or_cross_slot_distinctness(index):
+    with pytest.raises(ValueError, match="distinct across slots"):
+        serving.span_near(index, [["row", "scan"], "scan"], slop=1)

@@ -3236,6 +3236,26 @@ ORDER BY event_type, metric_rank"""
     oracles["ft_matrix_stats"] = oracle_matrix_stats_sql(
         FACETS_QUERY, config=ENTRY_CONFIG
     )
+
+    def q_ft_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-level leaf metric agg — the most common ES aggregation
+        shape (plans/dsl.run_aggs → serving.metric_agg): `stats` over
+        chars of the match set, no bucket. Exact int64 sums; one float64
+        divide for avg."""
+        from bitfunnel_spark.plans.dsl import run_aggs
+
+        return run_aggs(
+            get_index(spark, sf_dir),
+            {"query": {"query_string": {"query": FACETS_QUERY}},
+             "aggs": {"x": {"stats": {"field": "chars"}}}},
+        )
+
+    from bitfunnel_spark.plans.oracle import oracle_metric_agg_sql
+
+    queries["ft_metric_agg"] = q_ft_metric_agg
+    oracles["ft_metric_agg"] = oracle_metric_agg_sql(
+        FACETS_QUERY, kind="stats", field="chars", config=ENTRY_CONFIG
+    )
     queries["ft_range_filter"] = q_ft_range_filter
     oracles["ft_range_filter"] = oracle_search_sql(
         "data | join", k=10, config=ENTRY_CONFIG,

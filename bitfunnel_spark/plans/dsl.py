@@ -1577,6 +1577,10 @@ def _clause_string(q) -> str:
 
 BUCKET_FIELDS = ("lang", "repo")  # corpus metadata columns
 NUMERIC_FIELDS = ("doclen",)  # the engine's per-doc numeric
+# top-level leaf metrics (serving.metric_agg) — legal WITHOUT a query
+# (ES's no-query metric covers the whole live corpus)
+LEAF_METRIC_KINDS = ("stats", "avg", "sum", "min", "max", "value_count",
+                     "cardinality", "percentiles")
 
 
 def _require(cond: bool, msg: str) -> None:
@@ -1697,7 +1701,8 @@ def run_aggs(index, body: dict, k: int = 10):
             sides.append(compile_dsl(sconf["filter"]))
         return serving.t_test(index, sides[0], sides[1])
 
-    _require(q is not None, f"{kind} agg requires a query")
+    _require(q is not None or kind in LEAF_METRIC_KINDS,
+             f"{kind} agg requires a query")
 
     if kind == "percentile_ranks":
         _require(conf.get("field") in NUMERIC_FIELDS,
@@ -1904,6 +1909,25 @@ def run_aggs(index, body: dict, k: int = 10):
         if skind == "top_hits":
             return serving.top_hits(index, q, by=field, per_group=int(sconf.get("size", 3)))
         raise DslError(f"unsupported sub-agg kind: {skind!r}")
+    if kind in LEAF_METRIC_KINDS:
+        # TOP-LEVEL leaf metrics — the most common ES aggregation shape
+        # (no bucket): one narrow join + one global agg
+        # (plans/serving.metric_agg). Without a query the metric covers
+        # the whole live corpus, ES's own no-query behavior.
+        _require(sub is None, f"{kind} is a leaf metric (no sub-aggs)")
+        mconf = dict(conf or {})
+        mfield = mconf.pop("field", "doclen")
+        pcts = mconf.pop("percents", None) if kind == "percentiles" else None
+        _reject_extra(mconf, kind)
+        try:
+            if pcts is not None:
+                return serving.metric_agg(
+                    index, q, kind, field=mfield,
+                    percents=tuple(float(p) for p in pcts),
+                )
+            return serving.metric_agg(index, q, kind, field=mfield)
+        except ValueError as e:
+            raise DslError(str(e)) from e
     raise DslError(f"unsupported agg kind: {kind!r}")
 
 

@@ -817,6 +817,40 @@ def oracle_matrix_stats_sql(
     )
 
 
+def oracle_metric_agg_sql(
+    query, kind: str = "stats", field: str = "doclen",
+    config: BuildConfig | None = None,
+) -> str:
+    """Top-level leaf-metric oracle (plans/serving.metric_agg): one global
+    aggregate over the match set's doclen (dl CTE) or chars
+    (length(text)). Sums cast ::BIGINT (DuckDB HUGEINT -> engine int64);
+    avg derives from the exact integer sums with one float64 divide."""
+    config = config or BuildConfig()
+    plan = _as_plan(query)
+    v = "dl.doclen" if field == "doclen" else "length(d.text)"
+    join = ("m JOIN dl USING (doc_id)" if field == "doclen"
+            else "m JOIN documents d USING (doc_id)")
+    avg = (f"round(CAST(sum({v}) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)")
+    if kind == "stats":
+        sel = (f"count(*) AS n_docs, min({v}) AS min_val, max({v}) AS max_val,\n"
+               f"  CAST(sum({v}) AS BIGINT) AS sum_val, {avg} AS avg_val")
+    elif kind == "avg":
+        sel = f"count(*) AS n_docs, {avg} AS value"
+    elif kind == "sum":
+        sel = f"count(*) AS n_docs, CAST(sum({v}) AS BIGINT) AS value"
+    elif kind in ("min", "max"):
+        sel = f"count(*) AS n_docs, {kind}({v}) AS value"
+    elif kind == "value_count":
+        sel = f"count(*) AS n_docs, count({v}) AS value"
+    else:
+        raise ValueError(f"no oracle for metric kind {kind!r}")
+    return (
+        f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)},\n"
+        f"m AS (SELECT h.doc_id FROM hits h WHERE {_bool_sql(plan.ast)})\n"
+        f"SELECT {sel}\nFROM {join}"
+    )
+
+
 def oracle_collapse_sql(
     query, by: str = "repo", k: int = 10, per_group: int = 1,
     config: BuildConfig | None = None,

@@ -2379,3 +2379,83 @@ def matrix_stats(
         ))
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return out.orderBy("field_a", "field_b")
+
+
+def metric_agg(
+    index, query: str, kind: str, field: str = "doclen",
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    facts: list[str] | None = None,
+) -> DataFrame:
+    """A TOP-LEVEL leaf metric aggregation over the match set — the most
+    common ES aggregation shape (`{"aggs": {"x": {"avg": {"field": f}}}}`
+    with no bucket): ``stats`` (n_docs, min, max, sum, avg),
+    ``avg``/``sum``/``min``/``max``/``value_count`` (one (n_docs, value)
+    row), ``cardinality`` (distinct values of a keyword or numeric
+    field), ``percentiles`` (one row of exact interpolated percentiles —
+    DuckDB quantile_cont's continuous definition). Numeric fields:
+    doclen (doc stats) / chars (length(content) in the scan projection);
+    cardinality also takes keyword corpus fields.
+
+    Determinism: integer sums exact int64; avg is ONE float64 divide
+    (extended_stats' discipline). Scale shape: match set → one narrow
+    doc_id equi-join → ONE global aggregate with map-side partials (the
+    shuffle carries one partial row per partition); exact percentiles
+    buffer the matched values in the single reducer — fine for a one-row
+    global answer; the documented 100 TB path is percentile_approx
+    (facet_percentiles' exact/approx split)."""
+    numeric = {"doclen", "chars"}
+    keyword = {"lang", "repo", "path", "commit"}
+    if kind == "cardinality":
+        if field not in numeric | keyword:
+            raise ValueError(f"cardinality field must be one of "
+                             f"{sorted(numeric | keyword)}, got {field!r}")
+    elif field not in numeric:
+        raise ValueError(f"{kind} field must be doclen or chars, got {field!r}")
+    if field == "doclen":
+        vals = index.doc_stats.select("doc_id", F.col("doclen").cast("long").alias("v"))
+    elif field == "chars":
+        vals = index.corpus.select("doc_id", F.length("content").cast("long").alias("v"))
+    else:
+        vals = index.corpus.select("doc_id", F.col(field).alias("v"))
+    if query is None:
+        # no query = the whole live corpus (ES metrics without a query);
+        # tombstones still mask
+        j = vals
+        tomb = getattr(index, "tombstones", frozenset())
+        if tomb:
+            j = j.filter(~F.col("doc_id").isin([int(d) for d in tomb]))
+    else:
+        matches = index.match(query, facts).select("doc_id")
+        j = matches.join(vals, "doc_id")
+    if kind == "stats":
+        agg = j.agg(
+            F.count("*").alias("n_docs"),
+            F.min("v").alias("min_val"), F.max("v").alias("max_val"),
+            F.sum("v").alias("sum_val"),
+        )
+        return agg.select(
+            "n_docs", "min_val", "max_val", "sum_val",
+            F.round(
+                F.col("sum_val").cast("double") / F.col("n_docs").cast("double"), 4
+            ).alias("avg_val"),
+        )
+    if kind == "percentiles":
+        aggs = [F.count("*").alias("n_docs")] + [
+            F.round(F.percentile("v", F.lit(p / 100.0)), 4).alias(f"p{p:g}")
+            for p in percents
+        ]
+        return j.agg(*aggs)
+    if kind == "cardinality":
+        return j.agg(F.count_distinct("v").alias("value"))
+    fns = {
+        "avg": lambda: F.round(
+            F.sum("v").cast("double") / F.count("*").cast("double"), 4
+        ),
+        "sum": lambda: F.sum("v"),
+        "min": lambda: F.min("v"),
+        "max": lambda: F.max("v"),
+        "value_count": lambda: F.count("v"),
+    }
+    if kind not in fns:
+        raise ValueError(f"unknown metric kind {kind!r}")
+    return j.agg(F.count("*").alias("n_docs"), fns[kind]().alias("value"))

@@ -1345,3 +1345,56 @@ def test_matrix_stats_rejects_bad_fields(index):
         serving.matrix_stats(index, "data", fields=("doclen", "doclen"))
     with _pytest.raises(ValueError, match="distinct fields"):
         serving.matrix_stats(index, "data", fields=("doclen", "lang"))
+
+
+def test_top_level_metric_aggs(index, duck):
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark.plans.dsl import run_aggs
+    from bitfunnel_spark.plans import serving
+
+    q = {"query": {"match": {"body": "data"}}}
+    ids = {r[0] for r in index.match("data").collect()}
+    dl = {r[0]: r[1] for r in index.doc_stats.select("doc_id", "doclen").collect()}
+    vals = [dl[d] for d in ids]
+
+    st = run_aggs(index, {**q, "aggs": {"x": {"stats": {"field": "doclen"}}}}).collect()[0]
+    assert (st.n_docs, st.min_val, st.max_val, st.sum_val) == (
+        len(vals), min(vals), max(vals), sum(vals))
+    assert st.avg_val == round(sum(vals) / len(vals), 4)
+
+    for kind, expect in [("avg", round(sum(vals) / len(vals), 4)),
+                         ("sum", sum(vals)), ("min", min(vals)),
+                         ("max", max(vals)), ("value_count", len(vals))]:
+        row = run_aggs(index, {**q, "aggs": {"x": {kind: {"field": "doclen"}}}}).collect()[0]
+        assert (row.n_docs, row.value) == (len(vals), expect), kind
+
+    # cardinality over a keyword field
+    langs = {r[1] for r in index.corpus.select("doc_id", "lang").collect()
+             if r[0] in ids}
+    card = run_aggs(index, {**q, "aggs": {"x": {"cardinality": {"field": "lang"}}}}).collect()[0]
+    assert card.value == len(langs)
+
+    # percentiles: exact interpolated == numpy linear
+    import numpy as np
+
+    pr = run_aggs(index, {**q, "aggs": {"x": {"percentiles": {
+        "field": "doclen", "percents": [50, 95]}}}}).collect()[0]
+    assert pr.p50 == round(float(np.percentile(vals, 50)), 4)
+    assert pr.p95 == round(float(np.percentile(vals, 95)), 4)
+
+    # no query = whole live corpus (ES's no-query metric)
+    alldl = list(dl.values())
+    row = run_aggs(index, {"aggs": {"x": {"avg": {"field": "doclen"}}}}).collect()[0]
+    assert (row.n_docs, row.value) == (len(alldl), round(sum(alldl) / len(alldl), 4))
+
+    # leaf rule + field validation
+    import pytest as _pytest
+
+    from bitfunnel_spark.plans.dsl import DslError
+
+    with _pytest.raises(DslError, match="leaf metric"):
+        run_aggs(index, {**q, "aggs": {"x": {"avg": {"field": "doclen"},
+                 "aggs": {"y": {"stats": {"field": "doclen"}}}}}})
+    with _pytest.raises(DslError, match="doclen or chars"):
+        run_aggs(index, {**q, "aggs": {"x": {"sum": {"field": "lang"}}}})

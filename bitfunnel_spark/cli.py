@@ -334,6 +334,23 @@ def cmd_repl(args) -> None:
 
                 body = json.loads(line[7:])
                 print(count_dsl(idx, body).collect()[0]["count"])
+            elif line.startswith("!aggs "):
+                # any ES aggs body (JSON) through run_aggs — terms facets,
+                # metric leaves, pipelines, range-filtered queries
+                from bitfunnel_spark.plans.dsl import run_aggs
+
+                body = json.loads(line[6:])
+                rows = run_aggs(idx, body).collect()
+                cols = list(rows[0].asDict()) if rows else []
+                for r in rows:
+                    print("\t".join(str(r[c]) for c in cols))
+                print(f"({len(rows)} rows{': ' + ', '.join(cols) if cols else ''})")
+            elif line.startswith("!dbq "):
+                # ES _delete_by_query: tombstone every match, report count
+                from bitfunnel_spark.plans.dsl import delete_by_query
+
+                body = json.loads(line[5:])
+                print(f"deleted: {delete_by_query(idx, body)}")
             elif line.startswith("!dym "):
                 from bitfunnel_spark.plans.expand import did_you_mean
 

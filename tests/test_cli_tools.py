@@ -329,3 +329,41 @@ def test_cli_repl_terms_and_fields(spark, corpus, tmp_path, capsys, monkeypatch)
     assert terms and terms == sorted(terms)
     assert "body\tsearchable stream" in out
     assert "content\tstored column\tstring" in out
+
+
+def test_cli_repl_aggs_and_dbq_verbs(spark, corpus, tmp_path, capsys, monkeypatch):
+    """REPL !aggs (generic run_aggs body) and !dbq (_delete_by_query):
+    the agg answers arrive as rows; a delete reports its count and the
+    next query sees the shrunken corpus."""
+    cpath = str(tmp_path / "acorpus")
+    ipath = str(tmp_path / "aindex")
+    corpus.filter("doc_id < 80").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter([
+        '!aggs {"query": {"match": {"body": "data"}}, '
+        '"aggs": {"x": {"avg": {"field": "doclen"}}}}',
+        '!aggs {"query": {"bool": {"must": [{"match": {"body": "data"}}], '
+        '"filter": [{"range": {"doclen": {"gte": 10}}}]}}, '
+        '"aggs": {"t": {"terms": {"field": "lang"}}}}',
+        '!count {"query": {"match": {"body": "data"}}}',
+        '!dbq {"query": {"range": {"doc_id": {"lt": 10}}}}',
+        '!count {"query": {"match": {"body": "data"}}}',
+    ])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath, "--k", "5"])
+    out = capsys.readouterr().out
+    assert "deleted: " in out
+    # the avg-metric row printed (n_docs \t value)
+    assert any("\t" in l for l in out.splitlines())
+    # counts before/after the delete: after <= before
+    counts = [int(l) for l in out.splitlines() if l.strip().isdigit()]
+    assert len(counts) == 2 and counts[1] <= counts[0]

@@ -585,45 +585,68 @@ def _filter_doc_ids(index, query: dict):
     return out
 
 
-def _pop_bool_ranges(body: dict) -> tuple[dict, list]:
-    """(residual bool body, [range confs]): pop `{"range": ...}` clauses out
-    of a bool's `filter` list. Range predicates are doc-metadata scans, not
-    posting intersections — the router executes them as a semi-join
-    restriction on the scored match set (executor `restrict`) instead of
-    compiling them into the AST. Ranges in must/should/must_not reject
-    loudly (filter is the ES-idiomatic home; the subset rule keeps the
-    scoring story simple — a range never contributes relevance)."""
+_META_FILTER_KINDS = ("range", "ids", "exists", "match_all", "match_none")
+
+
+def _is_meta(c) -> bool:
+    return (isinstance(c, dict) and len(c) == 1
+            and next(iter(c)) in _META_FILTER_KINDS)
+
+
+def _pop_bool_ranges(body: dict) -> tuple[dict, list, list]:
+    """(residual bool body, positive clauses, negated clauses): pop the
+    doc-metadata filter kinds (range / ids / exists / match_all /
+    match_none) out of a bool's `filter` AND `must_not` lists. These are
+    metadata scans, not posting intersections — the router executes them
+    as semi-join (filter) / anti-join (must_not — the ES "field is
+    missing" idiom) restrictions on the scored match set (executor
+    `restrict`) instead of compiling them into the AST. In must/should
+    they reject loudly (filter context only; a metadata predicate never
+    contributes relevance — the subset rule keeps the scoring story
+    simple)."""
     _require(isinstance(body, dict), "bool expects an object")
-    for key in ("must", "should", "must_not"):
+    for key in ("must", "should"):
         v = body.get(key, [])
         for c in (v if isinstance(v, list) else [v]):
-            if isinstance(c, dict) and set(c) == {"range"}:
+            if _is_meta(c):
                 raise DslError(
-                    f"range belongs in bool.filter, not bool.{key} "
-                    "(it is filter-context: no relevance contribution)"
+                    f"{next(iter(c))} belongs in bool.filter (or "
+                    f"bool.must_not), not bool.{key} — it is "
+                    "filter-context: no relevance contribution"
                 )
     v = body.get("filter", [])
     clauses = v if isinstance(v, list) else [v]
-    ranges = [c["range"] for c in clauses
-              if isinstance(c, dict) and set(c) == {"range"}]
-    if not ranges:
-        return body, []
-    rest = [c for c in clauses
-            if not (isinstance(c, dict) and set(c) == {"range"})]
-    residual = {k2: v2 for k2, v2 in body.items() if k2 != "filter"}
-    if rest:
-        residual["filter"] = rest
-    return residual, ranges
+    pos = [c for c in clauses if _is_meta(c)]
+    v = body.get("must_not", [])
+    nots = v if isinstance(v, list) else [v]
+    neg = [c for c in nots if _is_meta(c)]
+    if not pos and not neg:
+        return body, [], []
+    residual = {k2: v2 for k2, v2 in body.items()
+                if k2 not in ("filter", "must_not")}
+    rest_f = [c for c in clauses if not _is_meta(c)]
+    rest_n = [c for c in nots if not _is_meta(c)]
+    if rest_f:
+        residual["filter"] = rest_f
+    if rest_n:
+        residual["must_not"] = rest_n
+    return residual, pos, neg
 
 
-def _range_restrict(index, ranges: list, extra=None):
-    """Intersection of the ranges' doc sets (+ an optional extra
-    DataFrame[doc_id]) as one DataFrame[doc_id] — chained semi-joins over
-    the narrow doc_stats scans; Catalyst broadcasts the narrow sides."""
+def _range_restrict(index, pos: list, neg: list = (), extra=None):
+    """One DataFrame[doc_id]: the intersection of the positive metadata
+    clauses' doc sets (chained semi-joins; Catalyst broadcasts narrow
+    sides), minus the negated clauses' sets (anti-joins). With only
+    negations, the base is the narrow doc_stats id scan."""
     out = extra
-    for conf in ranges:
-        ids = _range_doc_ids(index, conf)
+    for conf in pos:
+        ids = _filter_doc_ids(index, conf)
         out = ids if out is None else out.join(ids, "doc_id", "left_semi")
+    if neg:
+        if out is None:
+            out = index.doc_stats.select("doc_id")
+        for conf in neg:
+            out = out.join(_filter_doc_ids(index, conf), "doc_id", "left_anti")
     return out
 
 
@@ -736,10 +759,11 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
 
     search_after = body.get("search_after") if isinstance(body, dict) else None
     ranges: list = []
+    negs: list = []
     residual: dict = {}
     if isinstance(query, dict) and set(query) == {"bool"}:
-        residual, ranges = _pop_bool_ranges(query["bool"])
-    if ranges or post_filter is not None:
+        residual, ranges, negs = _pop_bool_ranges(query["bool"])
+    if ranges or negs or post_filter is not None:
         # Doc-metadata restriction plan (ES range filters in bool.filter;
         # post_filter): the text query compiles and scores as usual; the
         # restriction ANDs in as a semi-join on the scored match set BEFORE
@@ -753,13 +777,13 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  and highlight is None and collapse is None,
                  "range filters / post_filter compose with "
                  "query/size/from/_source/min_score only")
-        if ranges and not residual:
+        if (ranges or negs) and not residual:
             raise DslError(
-                "a bool of only range filters has no scoring query: use a "
-                "standalone {'range': ...} query (constant-score "
-                "semantics) instead"
+                "a bool of only metadata filters has no scoring query: use "
+                "a standalone filter-only query (constant-score semantics) "
+                "or _count instead"
             )
-        node_query = {"bool": residual} if ranges else query
+        node_query = {"bool": residual} if (ranges or negs) else query
         _require(
             not (isinstance(node_query, dict) and len(node_query) == 1
                  and next(iter(node_query)) in
@@ -767,7 +791,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             "post_filter needs an AST query, not a combinator/filter-only "
             "kind",
         )
-        restrict = _range_restrict(index, ranges)
+        restrict = _range_restrict(index, ranges, negs)
         if post_filter is not None:
             _require(isinstance(post_filter, dict) and len(post_filter) == 1,
                      "post_filter must be a single-kind query object")
@@ -926,13 +950,13 @@ def _match_ids(index, query: dict, api: str = "_count"):
                 conf = {key: v for key, v in conf.items() if key != "boost"}
             ids = _filter_doc_ids(index, {kind: conf})
     elif kind == "bool":
-        residual, ranges = _pop_bool_ranges(query["bool"])
-        if ranges:
-            restrict = _range_restrict(index, ranges)
+        residual, ranges, negs = _pop_bool_ranges(query["bool"])
+        if ranges or negs:
+            restrict = _range_restrict(index, ranges, negs)
             if not residual:
-                # counting needs no scoring query — the range restriction
-                # alone is the match set; mask tombstones (the residual
-                # branch gets this from match_dataframe)
+                # counting needs no scoring query — the metadata
+                # restriction alone is the match set; mask tombstones (the
+                # residual branch gets this from match_dataframe)
                 ids = restrict
                 tomb = getattr(index, "tombstones", frozenset())
                 if tomb:
@@ -1632,15 +1656,15 @@ def run_aggs(index, body: dict, k: int = 10):
             # loudly. The `global` agg still escapes the FULL query
             # context including these filters (ES semantics) because it
             # never touches the match set.
-            residual, ranges = _pop_bool_ranges(query["bool"])
-            if ranges:
+            residual, ranges, negs = _pop_bool_ranges(query["bool"])
+            if ranges or negs:
                 _require(bool(residual),
-                         "aggs over a pure range filter need a match "
-                         "query alongside (a bool of only range filters "
-                         "has no scoring/match clause)")
+                         "aggs over a pure metadata filter need a match "
+                         "query alongside (a bool of only metadata "
+                         "filters has no scoring/match clause)")
                 import dataclasses as _dc
 
-                restrict = _range_restrict(index, ranges)
+                restrict = _range_restrict(index, ranges, negs)
                 index = _dc.replace(index)
                 index._restrict_docs = restrict
                 query = {"bool": residual}

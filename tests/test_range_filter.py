@@ -173,11 +173,13 @@ def test_collapse_inner_hits_per_group(index):
 
 def test_range_rejections(index):
     bads = [
-        # range outside filter context
+        # range outside filter context (must_not is now the supported
+        # negation home — see test_metadata_filters_in_bool)
         ({"query": {"bool": {"must": [{"range": {"doclen": {"gte": 1}}}]}}},
          "bool.filter"),
-        ({"query": {"bool": {"must_not": [{"range": {"doclen": {"gte": 1}}}],
-                             "must": [{"match": {"body": "data"}}]}}},
+        ({"query": {"bool": {"should": [{"range": {"doclen": {"gte": 1}}}],
+                             "must": [{"match": {"body": "data"}}],
+                             "minimum_should_match": 1}}},
          "bool.filter"),
         # bad fields / bounds
         ({"query": {"range": {"content": {"gte": 1}}}}, "range field"),
@@ -290,3 +292,48 @@ def test_restricted_copy_refuses_kernel(index):
         run_aggs(index, {"query": {"bool": {"filter":
                  [{"range": {"doclen": {"gte": 1}}}]}},
                  "aggs": {"t": {"terms": {"field": "lang"}}}})
+
+
+def test_metadata_filters_in_bool(index):
+    # ids / exists in bool.filter; range in must_not (anti-join)
+    full = [d for d, _ in _full_ranking(index, "data")]
+    got = {r.doc_id for r in search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"ids": {"values": [int(d) for d in full[:7]]}}]}},
+        "size": 100}).collect()}
+    assert got == set(full[:7])
+
+    n_all = len(full)
+    got2 = {r.doc_id for r in search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"exists": {"field": "lang"}}]}}, "size": 10_000}).collect()}
+    assert len(got2) == n_all  # lang always present in this corpus
+
+    got3 = {r.doc_id for r in search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "must_not": [{"range": {"doc_id": {"lt": 200}}}]}},
+        "size": 10_000}).collect()}
+    assert got3 == {d for d in full if d >= 200}
+
+    # mixed: positive range + negated ids
+    ban = [int(d) for d in full[:3]]
+    got4 = [r.doc_id for r in search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 20}}}],
+        "must_not": [{"ids": {"values": ban}}]}}, "size": 10_000}).collect()]
+    ok = _range_ids(index, lo=20)
+    assert got4 == [d for d in full if d in ok and d not in ban]
+
+    # must_not text clause still compiles through the AST alongside
+    got5 = {r.doc_id for r in search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "must_not": [{"term": {"body": "slow"}}],
+        "filter": [{"range": {"doc_id": {"lt": 300}}}]}},
+        "size": 10_000}).collect()}
+    slow = {r[0] for r in index.match("slow").collect()}
+    assert got5 == {d for d in full if d < 300 and d not in slow}
+
+    # _count with only a must_not metadata clause (doc_stats base)
+    n = count_dsl(index, {"query": {"bool": {
+        "must_not": [{"range": {"doc_id": {"gte": 100}}}]}}}).collect()[0][0]
+    assert n == 100

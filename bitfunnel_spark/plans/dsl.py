@@ -1933,6 +1933,18 @@ def run_aggs(index, body: dict, k: int = 10):
         if skind == "top_hits":
             return serving.top_hits(index, q, by=field, per_group=int(sconf.get("size", 3)))
         raise DslError(f"unsupported sub-agg kind: {skind!r}")
+    if kind == "matrix_stats":
+        _require(sub is None, "matrix_stats is a leaf metric (no sub-aggs)")
+        _require(q is not None, "matrix_stats agg requires a query")
+        mconf = dict(conf or {})
+        mfields = mconf.pop("fields", ["doclen", "chars"])
+        _reject_extra(mconf, kind)
+        _require(isinstance(mfields, list) and len(mfields) == 2,
+                 "matrix_stats needs exactly two fields")
+        try:
+            return serving.matrix_stats(index, q, fields=tuple(mfields))
+        except ValueError as e:
+            raise DslError(str(e)) from e
     if kind in LEAF_METRIC_KINDS:
         # TOP-LEVEL leaf metrics — the most common ES aggregation shape
         # (no bucket): one narrow join + one global agg

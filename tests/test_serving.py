@@ -1398,3 +1398,26 @@ def test_top_level_metric_aggs(index, duck):
                  "aggs": {"y": {"stats": {"field": "doclen"}}}}}})
     with _pytest.raises(DslError, match="doclen or chars"):
         run_aggs(index, {**q, "aggs": {"x": {"sum": {"field": "lang"}}}})
+
+
+def test_matrix_stats_via_run_aggs(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, run_aggs
+
+    direct = serving.matrix_stats(index, "data").collect()
+    routed = run_aggs(index, {"query": {"match": {"body": "data"}},
+                              "aggs": {"m": {"matrix_stats": {
+                                  "fields": ["doclen", "chars"]}}}}).collect()
+    assert [tuple(r) for r in routed] == [tuple(r) for r in direct]
+    # composes with a range filter through the restriction plan
+    restricted = run_aggs(index, {"query": {"bool": {
+        "must": [{"match": {"body": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 40}}}]}},
+        "aggs": {"m": {"matrix_stats": {"fields": ["doclen", "chars"]}}}}
+    ).collect()
+    assert restricted[0].n <= direct[0].n
+    import pytest as _pytest
+
+    with _pytest.raises(DslError, match="two fields"):
+        run_aggs(index, {"query": {"match": {"body": "data"}},
+                         "aggs": {"m": {"matrix_stats": {"fields": ["doclen"]}}}})

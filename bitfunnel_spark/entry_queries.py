@@ -2554,12 +2554,17 @@ DRIVER_WINDOW = [
     "ft_script_score", "ft_intervals", "ft_multi_metrics", "ft_mad",
     "ft_percolate_dsl", "ft_rare_terms", "ft_multi_terms",
     "ann_recall_eval", "ft_rerank",
-    # (c) entries whose code paths change this round: the distributed
-    # cumulative-counts rewrite (VERDICT r4 item 4), the profile/kernel
-    # counters shared with the new pinned oracle, similarity.py's trainer
-    # refactor (shared exprs live-checked via ivfpq/rh), and the serving
-    # machinery the new REPL !show verb reads
-    "ft_cum_term_counts", "ft_query_profile",
+    # (c) final-curation swap: with 52 never-checked entries and 50 slots,
+    # every slot goes to a first-time check. The two re-check slots this
+    # section previously held (ft_cum_term_counts — analytics.py rewrite,
+    # r02 green row stands and the local gate re-proves the rewrite;
+    # ft_query_profile — r04 green row, wand.py untouched since) rotate
+    # out for the two most distinct late-r05 entries. Still out (the two
+    # that don't fit, local-gate green, family-covered in-window):
+    # ft_metric_agg (leaf metrics ride ft_global_stats/ft_multi_metrics/
+    # ft_string_stats) and ft_aggs_range (composition of the in-window
+    # ft_range_filter with the r04-green ft_dsl_aggs machinery).
+    "ft_matrix_stats", "ft_span_or",
     # (d) the round-5 tail additions: the ES range filter (bool.filter →
     # executor restrict semi-join) and collapse inner_hits (per_group
     # window routing). These take the two re-check slots previously held

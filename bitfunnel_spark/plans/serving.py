@@ -115,7 +115,7 @@ def _ranked_scoring_terms(index, plan) -> list[str]:
 
 def snippets(
     index, query: str, k: int = 10, window: int = 4, mode: str = "kernel",
-    facts: list[str] | None = None,
+    facts: list[str] | None = None, tags: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Top-k search results with a token-window snippet.
 
@@ -124,6 +124,12 @@ def snippets(
     (rarest = max idf, ties by term asc); documents matched only through
     non-body streams (lang:/repo:/path:) get an empty snippet. Returns
     DataFrame[(doc_id, score, snippet)] ordered (score desc, doc_id asc).
+
+    ``tags=(pre, post)`` wraps every scoring-term token inside the
+    fragment (the ES highlighter's pre_tags/post_tags) — a column
+    expression over the token slice, so tagging adds no join and no
+    Python. Default None keeps the plain fragment (the oracle-verified
+    shape); ES's implicit ``<em>`` default is opt-in here.
     """
     res = index.search(query, k=k, mode=mode, facts=facts)
     # prepare (don't just parse): expansion/synonym queries must rank their
@@ -146,8 +152,19 @@ def snippets(
         first = F.element_at(F.filter(cands, lambda s: s["pos"] > 0), 1)
         start = F.greatest(F.lit(1), first["pos"] - F.lit(window))
         length = first["pos"] + F.lit(window) - start + F.lit(1)
+        frag = F.slice("tk", start, length)
+        if tags is not None:
+            pre, post = tags
+            terms_arr = F.array(*[F.lit(t) for t in ordered])
+            frag = F.transform(
+                frag,
+                lambda t: F.when(
+                    F.array_contains(terms_arr, t),
+                    F.concat(F.lit(pre), t, F.lit(post)),
+                ).otherwise(t),
+            )
         snippet = F.when(
-            first.isNotNull(), F.concat_ws(" ", F.slice("tk", start, length))
+            first.isNotNull(), F.concat_ws(" ", frag)
         ).otherwise(F.lit(""))
     else:
         snippet = F.lit("")

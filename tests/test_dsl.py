@@ -1116,3 +1116,58 @@ def test_analyze_text_code_splits_identifiers(spark):
     assert "server" in toks and "foo" in toks and "baz" in toks
     std = [r["token"] for r in analyze_text(spark, "HTTPServer fooBar_baz").collect()]
     assert "httpserver" in std
+
+
+def test_dsl_highlight_tags(index):
+    import re
+
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    plain = {r["doc_id"]: r["snippet"]
+             for r in serving.snippets(index, "data fast", k=10).collect()}
+    body = {"query": {"query_string": "data fast"},
+            "highlight": {"fields": {"content": {}},
+                          "pre_tags": ["<em>"], "post_tags": ["</em>"]},
+            "size": 10}
+    rows = search_dsl(index, body).collect()
+    assert rows
+    tagged_any = False
+    for r in rows:
+        # stripping the tags recovers the plain oracle-verified fragment
+        assert re.sub(r"</?em>", "", r["snippet"]) == plain[r["doc_id"]]
+        toks = r["snippet"].split(" ")
+        for t in toks:
+            if t.startswith("<em>"):
+                assert t.endswith("</em>")
+                assert t[4:-5] in ("data", "fast")
+                tagged_any = True
+        # every scoring-term occurrence in the fragment is wrapped
+        assert "data" not in toks and "fast" not in toks
+    assert tagged_any
+
+    # field-level tags win; a lone tag defaults its pair to the em family
+    body2 = {"query": {"query_string": "data"},
+             "highlight": {"fields": {"content": {"pre_tags": "«"}},
+                           "pre_tags": ["IGNORED"]}, "size": 5}
+    rows2 = search_dsl(index, body2).collect()
+    assert any("«data</em>" in r["snippet"] for r in rows2)
+    assert not any("IGNORED" in r["snippet"] for r in rows2)
+
+    # unknown options reject loudly — never silently dropped
+    with pytest.raises(DslError, match="unsupported highlight options"):
+        search_dsl(index, {"query": {"query_string": "data"},
+                           "highlight": {"fields": {"content": {}},
+                                         "number_of_fragments": 3}})
+    with pytest.raises(DslError, match="per-field highlight options"):
+        search_dsl(index, {"query": {"query_string": "data"},
+                           "highlight": {"fields": {"content":
+                                                    {"fragment_size": 80}}}})
+    with pytest.raises(DslError, match="exactly one tag"):
+        search_dsl(index, {"query": {"query_string": "data"},
+                           "highlight": {"fields": {"content": {}},
+                                         "pre_tags": ["<a>", "<b>"]}})
+    with pytest.raises(DslError, match="exactly one field"):
+        search_dsl(index, {"query": {"query_string": "data"},
+                           "highlight": {"fields": {"content": {},
+                                                    "body": {}}}})

@@ -697,6 +697,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  "suggest-only bodies supported (no query alongside)")
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
     source = sort_spec = highlight = min_score = collapse = post_filter = None
+    rescore = None
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         # unknown body keys reject LOUDLY — silently dropping a clause the
@@ -705,7 +706,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         # supported separate executors
         unknown = set(body) - {"query", "size", "from", "_source", "sort",
                                "highlight", "collapse", "post_filter",
-                               "min_score", "search_after"}
+                               "min_score", "search_after", "rescore"}
         if unknown & {"aggs", "aggregations"}:
             raise DslError(
                 "aggregation bodies run via run_aggs(index, body) — "
@@ -723,6 +724,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
         collapse = body.get("collapse")
+        rescore = body.get("rescore")
         post_filter = body.get("post_filter")
         # ES min_score: drop hits scoring below the floor. Scores order
         # the ranking descending, so filtering the fetched top page equals
@@ -804,7 +806,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                 pf, "doc_id", "left_semi"
             )
         if (collapse is not None or search_after is not None
-                or sort_spec is not None or highlight is not None):
+                or sort_spec is not None or highlight is not None
+                or rescore is not None):
             # fall through on a restricted index copy; the kernel executor
             # refuses such copies loudly, so these routes pin the
             # (rank-identical) declarative executor
@@ -826,6 +829,60 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             if min_score is not None:
                 hits = hits.filter(F.col("score") >= min_score)
             return _fetch_source(index, _page(hits), source)
+    if rescore is not None:
+        # ES rescore (Lucene QueryRescorer): re-rank the top window_size
+        # primary hits by blending in a second query's score —
+        # serving.rescore (window cut = standard top-k; the second arm
+        # runs ONCE and broadcast-joins the ≤window-row frame). ES body
+        # shape: {"window_size": n, "query": {"rescore_query": {...},
+        # "query_weight": w, "rescore_query_weight": rw, "score_mode": m}}.
+        # Subset rules, loud: AST queries both arms; no sort/highlight/
+        # collapse/search_after/min_score alongside (rescore redefines the
+        # score the others would rank or floor by); the page must sit
+        # inside the window (past it ES serves un-rescored tail hits —
+        # this engine refuses to mix orderings in one result).
+        from bitfunnel_spark.plans import serving
+
+        _require(sort_spec is None and highlight is None
+                 and collapse is None and search_after is None
+                 and min_score is None,
+                 "rescore composes with query/size/from/_source and the "
+                 "metadata restriction plan only")
+        _require(not is_comb and not is_filter_only,
+                 "rescore needs an AST main query, not a "
+                 "combinator/filter-only kind")
+        _require(isinstance(rescore, dict) and "query" in rescore
+                 and not (set(rescore) - {"window_size", "query"}),
+                 "rescore takes {'window_size': n, 'query': {...}}")
+        rq = rescore["query"]
+        _require(isinstance(rq, dict) and "rescore_query" in rq
+                 and not (set(rq) - {"rescore_query", "query_weight",
+                                     "rescore_query_weight", "score_mode"}),
+                 "rescore.query takes rescore_query/query_weight/"
+                 "rescore_query_weight/score_mode")
+        sub = rq["rescore_query"]
+        _require(isinstance(sub, dict) and len(sub) == 1
+                 and next(iter(sub))
+                 not in _COMBINATOR_KINDS + _FILTER_ONLY_KINDS,
+                 "rescore_query must be an AST query kind")
+        score_mode = rq.get("score_mode", "total")
+        _require(score_mode in serving._RESCORE_MODES,
+                 f"score_mode must be one of {serving._RESCORE_MODES}")
+        window = rescore.get("window_size", 100)
+        _require(isinstance(window, int) and not isinstance(window, bool)
+                 and 1 <= window <= 10_000,
+                 "window_size must be an int in [1, 10000]")
+        _require(fetch_k <= window,
+                 "from + size must fit inside window_size (hits past the "
+                 "window would be un-rescored)")
+        hits = serving.rescore(
+            index, compile_dsl(query), compile_dsl(sub),
+            window_size=window,
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_weight=float(rq.get("rescore_query_weight", 1.0)),
+            score_mode=score_mode, k=fetch_k,
+        )
+        return _fetch_source(index, _page(hits), source)
     if search_after is not None:
         # ES search_after: the next page strictly after a cursor in the
         # total order. This engine's ranking order is (score desc, doc_id

@@ -1171,3 +1171,89 @@ def test_dsl_highlight_tags(index):
         search_dsl(index, {"query": {"query_string": "data"},
                            "highlight": {"fields": {"content": {},
                                                     "body": {}}}})
+
+
+def test_dsl_rescore_routes_to_serving(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"match": {"content": "data"}},
+            "rescore": {"window_size": 20, "query": {
+                "rescore_query": {"query_string": "fast | key"},
+                "query_weight": 0.7, "rescore_query_weight": 1.2,
+                "score_mode": "multiply"}},
+            "size": 8}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.rescore(
+        index, "data", "fast | key", window_size=20, query_weight=0.7,
+        rescore_weight=1.2, score_mode="multiply", k=8).collect()]
+    assert got == want and got
+
+    # ES defaults: total mode, weights 1.0, window 100; _source composes
+    body2 = {"query": {"match": {"content": "data"}},
+             "rescore": {"query": {"rescore_query":
+                                   {"match": {"content": "fast"}}}},
+             "size": 5, "_source": ["lang"]}
+    rows = search_dsl(index, body2).collect()
+    want2 = [(r["doc_id"], r["score"]) for r in serving.rescore(
+        index, "data", "fast", window_size=100, k=5).collect()]
+    assert [(r["doc_id"], r["score"]) for r in rows] == want2
+    assert "lang" in rows[0].asDict()
+
+
+def test_dsl_rescore_composes_with_range_filter(index):
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}},
+        "rescore": {"window_size": 15, "query": {
+            "rescore_query": {"match": {"content": "fast"}}}},
+        "size": 6}
+    got = [(r.doc_id, r.score) for r in search_dsl(index, body).collect()]
+    assert got
+    # manual mirror: restricted primary window, blended with the
+    # restricted rescore arm (total mode, weights 1) — restriction
+    # filters docs only, scores stay epoch-frozen
+    ok = {r[0] for r in index.doc_stats.filter(
+        "doclen between 40 and 200").select("doc_id").collect()}
+    prim = [(r.doc_id, r.score) for r in
+            index.search("data", k=10**6, mode="dataframe").collect()
+            if r.doc_id in ok][:15]
+    sec = {r.doc_id: r.score for r in
+           index.search("fast", k=10**6, mode="dataframe").collect()}
+    blended = sorted(((round(p + sec.get(d, 0.0), 4), -d) for d, p in prim),
+                     reverse=True)
+    assert got == [( -nd, s) for s, nd in blended][:6]
+
+
+def test_dsl_rescore_rejections(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    q = {"match": {"content": "data"}}
+    rs = {"window_size": 20, "query": {"rescore_query":
+                                       {"match": {"content": "fast"}}}}
+    for bad, frag in [
+        ({"query": q, "rescore": rs, "sort": "doclen"}, "rescore composes"),
+        ({"query": q, "rescore": rs, "min_score": 0.5}, "rescore composes"),
+        ({"query": q, "rescore": rs,
+          "collapse": {"field": "lang"}}, "rescore composes"),
+        ({"query": q, "rescore": {"query": {"rescore_query":
+                                            {"match_all": {}}}}},
+         "AST query kind"),
+        ({"query": q, "rescore": {"window_size": 0, "query":
+                                  {"rescore_query": q}}}, "window_size"),
+        ({"query": q, "rescore": {"window_pane": 5, "query":
+                                  {"rescore_query": q}}}, "rescore takes"),
+        ({"query": q, "rescore": {"query": {"rescore_query": q,
+                                            "score_mode": "median"}}},
+         "score_mode"),
+        ({"query": q, "rescore": rs, "size": 30}, "fit inside"),
+        ({"query": {"match_all": {}}, "rescore": rs}, "AST main query"),
+    ]:
+        with pytest.raises(DslError, match=".*"):
+            try:
+                search_dsl(index, bad)
+            except DslError as e:
+                assert frag in str(e), (frag, str(e))
+                raise

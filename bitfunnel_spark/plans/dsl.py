@@ -1523,8 +1523,52 @@ def _serving_query(index, kind: str, body, k: int = 10):
         q = opts.pop("query", None)
         _require(q is not None, "function_score needs a query")
         fvf = opts.pop("field_value_factor", None)
-        _require(isinstance(fvf, dict), "function_score supports field_value_factor")
         boost_mode = str(opts.pop("boost_mode", "multiply"))
+        decay_kind = next(
+            (d for d in serving._DECAY_KINDS if d in opts), None
+        )
+        if decay_kind is not None:
+            # ES decay functions: {"gauss": {field: {"origin": o, "scale":
+            # s, "offset": ..., "decay": ...}}} → serving.decay_score
+            # (exact public ES formulas, one narrow feature join)
+            dconf = opts.pop(decay_kind)
+            _reject_extra(opts, kind)
+            _require(fvf is None,
+                     "function_score takes exactly one function")
+            _require(isinstance(dconf, dict) and len(dconf) == 1,
+                     f"{decay_kind} takes exactly one field")
+            (dfield, params), = dconf.items()
+            _require(isinstance(params, dict), f"{decay_kind} field "
+                     "config must be an object")
+            params = dict(params)
+            origin = params.pop("origin", None)
+            scale = params.pop("scale", None)
+            offset = params.pop("offset", 0.0)
+            decay = params.pop("decay", 0.5)
+            _reject_extra(params, decay_kind)
+            for label, v in (("origin", origin), ("scale", scale),
+                             ("offset", offset), ("decay", decay)):
+                _require(isinstance(v, (int, float))
+                         and not isinstance(v, bool),
+                         f"{decay_kind}.{label} must be a number")
+            # the closed forms need log(decay)/scale finite and nonzero
+            _require(float(scale) > 0, f"{decay_kind}.scale must be > 0")
+            _require(0.0 < float(decay) < 1.0,
+                     f"{decay_kind}.decay must be in (0, 1)")
+            _require(float(offset) >= 0.0,
+                     f"{decay_kind}.offset must be >= 0")
+            try:
+                return serving.decay_score(
+                    index, _clause_string(q), float(origin), float(scale),
+                    field=str(dfield), kind=decay_kind,
+                    offset=float(offset), decay=float(decay),
+                    boost_mode=boost_mode, k=k,
+                )
+            except ValueError as e:
+                raise DslError(str(e)) from e
+        _require(isinstance(fvf, dict),
+                 "function_score supports field_value_factor and the "
+                 "gauss/exp/linear decay functions")
         _reject_extra(opts, kind)
         f = dict(fvf)
         field = str(f.pop("field", "doclen"))

@@ -1257,3 +1257,53 @@ def test_dsl_rescore_rejections(index):
             except DslError as e:
                 assert frag in str(e), (frag, str(e))
                 raise
+
+
+def test_dsl_function_score_decay(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    for kind, extra in [("gauss", {}), ("exp", {"offset": 5}),
+                        ("linear", {"decay": 0.3})]:
+        body = {"query": {"function_score": {
+            "query": {"match": {"content": "data"}},
+            kind: {"doclen": {"origin": 100, "scale": 50, **extra}},
+            "boost_mode": "multiply"}}, "size": 8}
+        got = [(r["doc_id"], r["score"])
+               for r in search_dsl(index, body).collect()]
+        want = [(r["doc_id"], r["score"]) for r in serving.decay_score(
+            index, "data", 100.0, 50.0, field="doclen", kind=kind,
+            offset=float(extra.get("offset", 0.0)),
+            decay=float(extra.get("decay", 0.5)), k=8).collect()]
+        assert got == want and got, kind
+
+    for bad, frag in [
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "gauss": {"doclen": {"origin": 1, "scale": 2}},
+                             "field_value_factor": {"field": "doclen"}}},
+         "exactly one function"),
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "gauss": {"doclen": {"scale": 2}}}},
+         "origin must be a number"),
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "exp": {"doclen": {"origin": 1, "scale": 0}}}},
+         "scale must be > 0"),
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "linear": {"doclen": {"origin": 1, "scale": 2,
+                                                   "decay": 1.0}}}},
+         "decay must be in"),
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "gauss": {"doclen": {"origin": 1, "scale": 2,
+                                                  "multi_value_mode": "min"}}}},
+         "unsupported"),
+        ({"function_score": {"query": {"match": {"content": "data"}},
+                             "gauss": {"a": {"origin": 1, "scale": 2},
+                                       "b": {"origin": 1, "scale": 2}}}},
+         "exactly one field"),
+    ]:
+        with pytest.raises(DslError, match=".*"):
+            try:
+                search_dsl(index, {"query": bad})
+            except DslError as e:
+                assert frag in str(e), (frag, str(e))
+                raise

@@ -698,6 +698,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         return run_suggest(index, body["suggest"], k=int(body.get("size", k)))
     source = sort_spec = highlight = min_score = collapse = post_filter = None
     rescore = None
+    explain_flag = False
     frm = 0
     if "query" in body and isinstance(body.get("query"), dict):
         # unknown body keys reject LOUDLY — silently dropping a clause the
@@ -706,7 +707,8 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         # supported separate executors
         unknown = set(body) - {"query", "size", "from", "_source", "sort",
                                "highlight", "collapse", "post_filter",
-                               "min_score", "search_after", "rescore"}
+                               "min_score", "search_after", "rescore",
+                               "explain"}
         if unknown & {"aggs", "aggregations"}:
             raise DslError(
                 "aggregation bodies run via run_aggs(index, body) — "
@@ -725,6 +727,10 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         highlight = body.get("highlight")
         collapse = body.get("collapse")
         rescore = body.get("rescore")
+        if "explain" in body:
+            _require(isinstance(body["explain"], bool),
+                     "explain must be a boolean")
+            explain_flag = body["explain"]
         post_filter = body.get("post_filter")
         # ES min_score: drop hits scoring below the floor. Scores order
         # the ranking descending, so filtering the fetched top page equals
@@ -807,7 +813,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             )
         if (collapse is not None or search_after is not None
                 or sort_spec is not None or highlight is not None
-                or rescore is not None):
+                or rescore is not None or explain_flag):
             # fall through on a restricted index copy; the kernel executor
             # refuses such copies loudly, so these routes pin the
             # (rank-identical) declarative executor
@@ -829,6 +835,29 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             if min_score is not None:
                 hits = hits.filter(F.col("score") >= min_score)
             return _fetch_source(index, _page(hits), source)
+    if explain_flag:
+        # ES "explain": true — per-hit score breakdown. ES nests an
+        # explanation object under every hit; this engine's flattened
+        # rendering (the inner_hits precedent) is serving.explain's
+        # DataFrame[(doc_id, score, stream, term, tf, contribution)] —
+        # one row per (result doc, scoring key), contributions summing to
+        # the doc's score, the executor's expression VERBATIM so the
+        # breakdown always reconciles with the ranking it explains.
+        # The shape differs from a hits page, so explain composes with
+        # query/size and the metadata restriction plan only — everything
+        # else alongside rejects loudly.
+        _require(sort_spec is None and highlight is None
+                 and collapse is None and search_after is None
+                 and min_score is None and rescore is None
+                 and source is None and frm == 0,
+                 "explain composes with query/size and the metadata "
+                 "restriction plan only")
+        _require(not is_comb and not is_filter_only,
+                 "explain needs an AST query, not a "
+                 "combinator/filter-only kind")
+        from bitfunnel_spark.plans import serving
+
+        return serving.explain(index, compile_dsl(query), k=k, mode=mode)
     if rescore is not None:
         # ES rescore (Lucene QueryRescorer): re-rank the top window_size
         # primary hits by blending in a second query's score —

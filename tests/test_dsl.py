@@ -1307,3 +1307,58 @@ def test_dsl_function_score_decay(index):
             except DslError as e:
                 assert frag in str(e), (frag, str(e))
                 raise
+
+
+def test_dsl_explain_flag(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    body = {"query": {"match": {"content": "data fast"}},
+            "explain": True, "size": 5}
+    got = [tuple(r) for r in search_dsl(index, body).collect()]
+    want = [tuple(r) for r in serving.explain(index, "data fast", k=5).collect()]
+    assert got == want and got
+    # contributions reconcile with the ranking they explain
+    from collections import defaultdict
+    per = defaultdict(float)
+    score = {}
+    for doc_id, s, _stream, _term, _tf, contrib in got:
+        per[doc_id] += contrib
+        score[doc_id] = s
+    for d, s in score.items():
+        assert abs(per[d] - s) < 5e-4, (d, per[d], s)
+
+    # explain: false is a plain search
+    plain = search_dsl(index, {"query": {"match": {"content": "data"}},
+                               "explain": False, "size": 3}).collect()
+    assert [c for c in plain[0].asDict()] == ["doc_id", "score"]
+
+    # composes with the restriction plan: breakdown rows only for docs
+    # inside the range
+    ok = {r[0] for r in index.doc_stats.filter(
+        "doclen between 40 and 200").select("doc_id").collect()}
+    rows = search_dsl(index, {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "filter": [{"range": {"doclen": {"gte": 40, "lte": 200}}}]}},
+        "explain": True, "size": 5}).collect()
+    assert rows and all(r.doc_id in ok for r in rows)
+
+    for bad, frag in [
+        ({"query": {"match": {"content": "data"}}, "explain": True,
+          "sort": "doclen"}, "explain composes"),
+        ({"query": {"match": {"content": "data"}}, "explain": True,
+          "rescore": {"query": {"rescore_query":
+                                {"match": {"content": "x"}}}}},
+         "explain composes"),
+        ({"query": {"match": {"content": "data"}}, "explain": True,
+          "_source": ["lang"]}, "explain composes"),
+        ({"query": {"match_all": {}}, "explain": True}, "AST query"),
+        ({"query": {"match": {"content": "data"}}, "explain": 1},
+         "boolean"),
+    ]:
+        with pytest.raises(DslError, match=".*"):
+            try:
+                search_dsl(index, bad)
+            except DslError as e:
+                assert frag in str(e), (frag, str(e))
+                raise

@@ -1553,6 +1553,32 @@ def _serving_query(index, kind: str, body, k: int = 10):
         _require(q is not None, "function_score needs a query")
         fvf = opts.pop("field_value_factor", None)
         boost_mode = str(opts.pop("boost_mode", "multiply"))
+        if "random_score" in opts:
+            # ES random_score: reproducible per-(seed, doc) factor —
+            # serving.random_score's documented LCG mix (ES's own is a
+            # seed+field hash; both are deterministic, neither is
+            # portable to the other)
+            rconf = opts.pop("random_score")
+            _reject_extra(opts, kind)
+            _require(fvf is None,
+                     "function_score takes exactly one function")
+            _require(isinstance(rconf, dict)
+                     and not (set(rconf) - {"seed", "field"}),
+                     "random_score takes {'seed': int} (field: doc_id "
+                     "identity is the only per-doc source here)")
+            seed = rconf.get("seed", 17)  # absent seed: ES randomizes;
+            # this engine stays deterministic on the function's default
+            _require(isinstance(seed, int) and not isinstance(seed, bool),
+                     "random_score.seed must be an int")
+            _require(rconf.get("field") in (None, "_seq_no", "doc_id", "_id"),
+                     "random_score.field supports _seq_no/doc_id/_id")
+            try:
+                return serving.random_score(
+                    index, _clause_string(q), seed=seed,
+                    boost_mode=boost_mode, k=k,
+                )
+            except ValueError as e:
+                raise DslError(str(e)) from e
         decay_kind = next(
             (d for d in serving._DECAY_KINDS if d in opts), None
         )

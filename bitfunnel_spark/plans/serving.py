@@ -1502,30 +1502,47 @@ def composite_agg(
 
 def random_score(
     index, query: str, seed: int = 17, k: int = 10,
-    facts: list[str] | None = None,
+    facts: list[str] | None = None, boost_mode: str = "replace",
 ) -> DataFrame:
     """ES ``function_score`` random_score with seed + field: a
-    deterministic pseudo-random ordering of the match set (uniform
+    deterministic pseudo-random factor per (seed, document) (uniform
     sampling of matching docs — ES hashes the seed with a per-doc field
     exactly so results are reproducible). hash = (((doc_id + seed) mod
     2^31) · 1103515245 + 12345) mod 2^31 — the seed shifts the
     MULTIPLICAND, so different seeds give genuinely different orderings
     (an additive post-multiply seed would only rotate the hash space);
-    all int64-safe at any doc_id. score = hash / 2^31 rounded 6 dp.
-    Returns DataFrame[(doc_id, score)] ordered (score desc, doc_id asc),
-    ≤ k rows.
+    all int64-safe at any doc_id. factor = hash / 2^31 rounded 6 dp.
+
+    ``boost_mode`` combines the factor with the BM25 score: ``replace``
+    (the default here — the pure-sampling contract this function has
+    always had, and what the DuckDB oracle certifies), ``multiply`` (ES's
+    function_score default), or ``sum``. Returns
+    DataFrame[(doc_id, score)] ordered (score desc, doc_id asc), ≤ k.
 
     Scale shape: the hash is one fused integer expression on the match
     set; top-k is the usual TakeOrderedAndProject. Zero extra scans or
-    shuffles over a plain match.
+    shuffles over a plain match (replace) / a plain scored match
+    (multiply, sum).
     """
+    if boost_mode not in _FSCORE_BOOST_MODES:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
     m = F.lit(2147483648)
     h = (((F.col("doc_id") + F.lit(int(seed))) % m) * F.lit(1103515245) + F.lit(12345)) % m
-    matches = index.match(query, facts).select("doc_id")
+    fn = F.round(h.cast("double") / m.cast("double"), 6)
+    if boost_mode == "replace":
+        rows = index.match(query, facts).select("doc_id")
+        combined = fn
+    else:
+        from bitfunnel_spark.plans.executor import scored_matches
+
+        rows = scored_matches(index, query, facts)
+        combined = (
+            F.col("score") * fn if boost_mode == "multiply"
+            else F.col("score") + fn
+        )
     return (
-        matches.select(
-            "doc_id",
-            F.round(h.cast("double") / m.cast("double"), 6).alias("score"),
+        rows.select(
+            "doc_id", F.round(combined, 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -1421,3 +1421,67 @@ def test_matrix_stats_via_run_aggs(index):
     with _pytest.raises(DslError, match="two fields"):
         run_aggs(index, {"query": {"match": {"body": "data"}},
                          "aggs": {"m": {"matrix_stats": {"fields": ["doclen"]}}}})
+
+
+def test_random_score_boost_modes(index):
+    from bitfunnel_spark.plans import serving
+
+    scored = {r.doc_id: r.score for r in
+              index.search("data", k=10**6, mode="dataframe").collect()}
+
+    def rf(d, seed):
+        m = 2147483648
+        return round((((d + seed) % m) * 1103515245 + 12345) % m / m, 6)
+
+    for seed, mode in [(42, "multiply"), (7, "sum")]:
+        got = [(r.doc_id, r.score) for r in serving.random_score(
+            index, "data", seed=seed, boost_mode=mode, k=12).collect()]
+        base = {"multiply": lambda d: scored[d] * rf(d, seed),
+                "sum": lambda d: scored[d] + rf(d, seed)}[mode]
+        want = sorted(((round(base(d), 6), -d) for d in scored), reverse=True)
+        assert got == [(-nd, s) for s, nd in want[:12]]
+        again = [(r.doc_id, r.score) for r in serving.random_score(
+            index, "data", seed=seed, boost_mode=mode, k=12).collect()]
+        assert got == again
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boost_mode"):
+        serving.random_score(index, "data", boost_mode="median")
+
+
+def test_dsl_random_score_routes(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    # ES default boost_mode (multiply) and an explicit replace
+    body = {"query": {"function_score": {
+        "query": {"match": {"content": "data"}},
+        "random_score": {"seed": 42, "field": "_seq_no"}}}, "size": 9}
+    got = [(r["doc_id"], r["score"]) for r in search_dsl(index, body).collect()]
+    want = [(r["doc_id"], r["score"]) for r in serving.random_score(
+        index, "data", seed=42, boost_mode="multiply", k=9).collect()]
+    assert got == want and got
+
+    body2 = {"query": {"function_score": {
+        "query": {"match": {"content": "data"}},
+        "random_score": {"seed": 99}, "boost_mode": "replace"}}, "size": 15}
+    got2 = [(r["doc_id"], r["score"]) for r in search_dsl(index, body2).collect()]
+    want2 = [(r["doc_id"], r["score"]) for r in serving.random_score(
+        index, "data", seed=99, k=15).collect()]
+    assert got2 == want2 and got2
+
+    import pytest as _pytest
+    for bad, frag in [
+        ({"random_score": {"seed": 1.5}}, "seed must be an int"),
+        ({"random_score": {"seed": 1, "field": "lang"}}, "random_score.field"),
+        ({"random_score": {"jitter": 3}}, "random_score takes"),
+        ({"random_score": {}, "field_value_factor": {"field": "doclen"}},
+         "exactly one function"),
+    ]:
+        with _pytest.raises(DslError, match=".*"):
+            try:
+                search_dsl(index, {"query": {"function_score": {
+                    "query": {"match": {"content": "data"}}, **bad}}})
+            except DslError as e:
+                assert frag in str(e), (frag, str(e))
+                raise

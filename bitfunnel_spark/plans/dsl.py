@@ -811,30 +811,19 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             restrict = pf if restrict is None else restrict.join(
                 pf, "doc_id", "left_semi"
             )
-        if (collapse is not None or search_after is not None
-                or sort_spec is not None or highlight is not None
-                or rescore is not None or explain_flag):
-            # fall through on a restricted index copy; the kernel executor
-            # refuses such copies loudly, so these routes pin the
-            # (rank-identical) declarative executor
-            import dataclasses as _dc
+        # ONE restriction channel for every downstream route, including
+        # the plain-hits tail: the restriction attaches to an index copy
+        # as the ambient `_restrict_docs` semi-join (applied by
+        # executor._matched, the one dataframe match surface) and the
+        # body falls through. The kernel executor refuses restricted
+        # copies loudly, so mode pins the (rank-identical) declarative
+        # executor.
+        import dataclasses as _dc
 
-            index = _dc.replace(index)
-            index._restrict_docs = restrict
-            query = node_query
-            mode = "dataframe"
-        else:
-            from pyspark.sql import functions as F  # noqa: N812
-
-            from bitfunnel_spark.plans.executor import search_dataframe
-
-            hits = search_dataframe(
-                index, index.prepare_query(compile_dsl(node_query)),
-                k=fetch_k, restrict=restrict,
-            )
-            if min_score is not None:
-                hits = hits.filter(F.col("score") >= min_score)
-            return _fetch_source(index, _page(hits), source)
+        index = _dc.replace(index)
+        index._restrict_docs = restrict
+        query = node_query
+        mode = "dataframe"
     if explain_flag:
         # ES "explain": true — per-hit score breakdown. ES nests an
         # explanation object under every hit; this engine's flattened
@@ -1035,8 +1024,13 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             _require(isinstance(v, str), f"{key} must be a string or [string]")
             return v
 
-        pre = _one_tag(fconf, "pre_tags") or _one_tag(frag, "pre_tags")
-        post = _one_tag(fconf, "post_tags") or _one_tag(frag, "post_tags")
+        # validate BOTH levels unconditionally, then let the field level
+        # win on a None comparison — truthiness would silently discard an
+        # explicit empty-string tag and skip validating the shadowed level
+        f_pre, f_post = _one_tag(fconf, "pre_tags"), _one_tag(fconf, "post_tags")
+        t_pre, t_post = _one_tag(frag, "pre_tags"), _one_tag(frag, "post_tags")
+        pre = f_pre if f_pre is not None else t_pre
+        post = f_post if f_post is not None else t_post
         tags = None
         if pre is not None or post is not None:
             tags = (pre if pre is not None else "<em>",
@@ -1593,6 +1587,13 @@ def _serving_query(index, kind: str, body, k: int = 10):
             _require(isinstance(dconf, dict) and len(dconf) == 1,
                      f"{decay_kind} takes exactly one field")
             (dfield, params), = dconf.items()
+            # numeric doc metadata only, validated HERE: an unknown or
+            # text field would otherwise surface as an ANSI cast error
+            # (or a silent factor-1 no-op with ANSI off) deep in execution
+            _require(dfield in ("doclen", "length", "doc_id", "_id"),
+                     f"{decay_kind} field must be numeric doc metadata "
+                     "(doclen/length, doc_id/_id)")
+            dfield = {"length": "doclen", "_id": "doc_id"}.get(dfield, dfield)
             _require(isinstance(params, dict), f"{decay_kind} field "
                      "config must be an object")
             params = dict(params)

@@ -1461,6 +1461,7 @@ def oracle_random_score_sql(
     config = config or BuildConfig()
     plan = _as_plan(query)
     m = 2147483648
+    seed = int(seed) % m  # the engine's driver-side normalization (serving.random_score)
     h = f"((((h.doc_id + {int(seed)}) % {m}) * 1103515245 + 12345) % {m})"
     return (
         f"WITH {CORPUS_CTE},\n{_hits_cte(plan, config)}\n"

@@ -1526,6 +1526,12 @@ def random_score(
     """
     if boost_mode not in _FSCORE_BOOST_MODES:
         raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    # normalize the seed driver-side: Spark's % follows the dividend sign,
+    # so a negative seed would push small doc_ids to a NEGATIVE factor,
+    # breaking the [0, 1) contract (and flipping multiply-mode rankings).
+    # Python's % is non-negative, and doc_id >= 0, so after this the whole
+    # expression stays in [0, 2^31) in every engine.
+    seed = int(seed) % 2147483648
     m = F.lit(2147483648)
     h = (((F.col("doc_id") + F.lit(int(seed))) % m) * F.lit(1103515245) + F.lit(12345)) % m
     fn = F.round(h.cast("double") / m.cast("double"), 6)

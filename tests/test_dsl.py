@@ -1362,3 +1362,41 @@ def test_dsl_explain_flag(index):
             except DslError as e:
                 assert frag in str(e), (frag, str(e))
                 raise
+
+
+def test_dsl_decay_field_and_tag_edge_fixes(index):
+    from bitfunnel_spark.plans import serving
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    # non-numeric / unknown decay fields reject at routing, not as cast
+    # errors deep in execution
+    for f in ("lang", "content", "nosuch"):
+        with pytest.raises(DslError, match="numeric doc metadata"):
+            search_dsl(index, {"query": {"function_score": {
+                "query": {"match": {"content": "data"}},
+                "gauss": {f: {"origin": 1, "scale": 2}}}}})
+    # aliases map: length->doclen, _id->doc_id
+    a = [tuple(r) for r in search_dsl(index, {"query": {"function_score": {
+        "query": {"match": {"content": "data"}},
+        "linear": {"length": {"origin": 100, "scale": 50}}}},
+        "size": 5}).collect()]
+    b = [(r["doc_id"], r["score"]) for r in serving.decay_score(
+        index, "data", 100.0, 50.0, field="doclen", kind="linear",
+        k=5).collect()]
+    assert a == b and a
+
+    # an explicit empty-string field-level tag WINS over the top level
+    rows = search_dsl(index, {"query": {"match": {"content": "data"}},
+                              "highlight": {"fields": {"content":
+                                            {"pre_tags": [""],
+                                             "post_tags": ["|"]}},
+                                            "pre_tags": ["<a>"]},
+                              "size": 5}).collect()
+    assert any(r.snippet.count("|") and "<a>" not in r.snippet
+               and "<em>" not in r.snippet for r in rows)
+    # and the shadowed top level still validates
+    with pytest.raises(DslError, match="exactly one tag"):
+        search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "highlight": {"fields": {"content":
+                                         {"pre_tags": "«"}},
+                                         "pre_tags": ["<a>", "<b>"]}})

@@ -1485,3 +1485,15 @@ def test_dsl_random_score_routes(index):
             except DslError as e:
                 assert frag in str(e), (frag, str(e))
                 raise
+
+
+def test_random_score_negative_seed_stays_in_unit_interval(index):
+    from bitfunnel_spark.plans import serving
+
+    rows = serving.random_score(index, "data", seed=-5, k=10**6,
+                                boost_mode="replace").collect()
+    assert rows and all(0.0 <= r.score < 1.0 for r in rows)
+    # normalization contract: seed -5 == seed (-5 mod 2^31)
+    same = serving.random_score(index, "data", seed=-5 % 2147483648,
+                                k=10**6, boost_mode="replace").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in same]

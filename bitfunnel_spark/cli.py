@@ -274,7 +274,7 @@ def cmd_repl(args) -> None:
         " | !grep <literal> | !egrep <regex> | !notnear <w> <excl> <terms>"
         " | !sparse tok:w ... | !knn <vec_id> | !hybrid <vec_id> <q>"
         " | !rerank <vec_id> <q> | !dsl <es-json> | !count <es-json>"
-        " | !show <term> | !terms <prefix> [stream] | !fields"
+        " | !show <term> | !terms <prefix> [stream] | !fields | !mget <ids>"
         " | !analyze <text> | !validate <json>"
         " | !threads <n> | !script <file> | !quit"
     )
@@ -536,6 +536,15 @@ def cmd_repl(args) -> None:
                 field = parts[1] if len(parts) > 1 else "body"
                 for r in terms_enum(idx, prefix, size=args.k, field=field).collect():
                     print(r["term"])
+            elif line.startswith("!mget "):
+                # ES _mget: fetch docs by id, request order, found flags
+                from bitfunnel_spark.plans.serving import mget
+
+                ids = [int(x) for x in line[6:].replace(",", " ").split()]
+                for r in mget(idx, ids).collect():
+                    mark = "" if r["found"] else "\tNOT FOUND"
+                    print(f"{r['doc_id']}\t{r['repo']}\t{r['path']}"
+                          f"\t{r['lang']}{mark}")
             elif line.strip() == "!fields":
                 # ES _field_caps/_mapping analogue: the searchable streams
                 # with their vocabulary sizes, then the stored corpus

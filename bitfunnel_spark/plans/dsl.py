@@ -708,7 +708,7 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
         unknown = set(body) - {"query", "size", "from", "_source", "sort",
                                "highlight", "collapse", "post_filter",
                                "min_score", "search_after", "rescore",
-                               "explain"}
+                               "explain", "fields"}
         if unknown & {"aggs", "aggregations"}:
             raise DslError(
                 "aggregation bodies run via run_aggs(index, body) — "
@@ -723,6 +723,15 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                  f"unsupported _search body keys: {sorted(unknown)}")
         k = int(body.get("size", k))
         source = body.get("_source")
+        if "fields" in body:
+            # ES `fields` returns doc values in a per-hit fields section;
+            # the flattened rendering here is identical to `_source`
+            # columns, so the two are aliases — but not both at once
+            # (their per-hit nesting differs in ES; one flattened shape
+            # cannot honor two retrieval specs)
+            _require(source is None,
+                     "fields and _source are aliases here — pass one")
+            source = body["fields"]
         sort_spec = body.get("sort")
         highlight = body.get("highlight")
         collapse = body.get("collapse")

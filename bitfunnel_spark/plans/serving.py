@@ -1189,6 +1189,56 @@ def mterm_vectors(index, doc_ids: list[int]) -> DataFrame:
     )
 
 
+def mget(
+    index, doc_ids: list[int],
+    source: tuple[str, ...] = ("repo", "path", "lang"),
+) -> DataFrame:
+    """ES ``_mget``: fetch documents by id with a ``found`` flag per
+    request — missing and soft-deleted ids report ``found = false`` with
+    null fields (ES's own behavior for absent docs; a tombstoned doc is
+    absent from the live index by contract). Results come back in
+    REQUEST order, ES's contract for _mget.
+
+    Returns DataFrame[(doc_id, found, *source)].
+
+    Scale shape: the request ships as a tiny broadcast frame; the corpus
+    side is ONE doc_id-IN-pruned scan (parquet row-group stats pushdown
+    on a persisted corpus — |doc_ids| point lookups in one job, no
+    per-doc job floor), left-joined so absent ids surface as rows, not
+    silences. No shuffle of anything corpus-sized.
+    """
+    if not doc_ids:
+        raise ValueError("_mget needs at least one doc id")
+    bad = [c for c in source
+           if c not in ("repo", "path", "commit", "lang", "content",
+                        "content_sha256")]
+    if bad:
+        raise ValueError(f"unknown _mget source fields: {bad}")
+    ids = [int(d) for d in doc_ids]
+    req = index.spark.createDataFrame(
+        [(d, i) for i, d in enumerate(ids)], "doc_id long, _pos long"
+    )
+    live = index.corpus.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", *source
+    )
+    tomb = getattr(index, "tombstones", frozenset())
+    if tomb:
+        hit = [int(d) for d in tomb if int(d) in set(ids)]
+        if hit:
+            live = live.filter(~F.col("doc_id").isin(hit))
+    live = live.withColumn("_found", F.lit(True))
+    return (
+        F.broadcast(req).join(live, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_found"), F.lit(False)).alias("found"),
+            *source, "_pos",
+        )
+        .orderBy("_pos")
+        .drop("_pos")
+    )
+
+
 def terms_enum(
     index, string: str, size: int = 10, field: str = "body",
     case_insensitive: bool = False,

@@ -367,3 +367,28 @@ def test_cli_repl_aggs_and_dbq_verbs(spark, corpus, tmp_path, capsys, monkeypatc
     # counts before/after the delete: after <= before
     counts = [int(l) for l in out.splitlines() if l.strip().isdigit()]
     assert len(counts) == 2 and counts[1] <= counts[0]
+
+
+def test_cli_repl_mget_verb(spark, corpus, tmp_path, capsys, monkeypatch):
+    """!mget <ids> fetches docs by id in request order with found flags
+    (the ES _mget endpoint over one pruned scan)."""
+    cpath = str(tmp_path / "mgcorpus")
+    ipath = str(tmp_path / "mgindex")
+    corpus.filter("doc_id < 40").write.parquet(cpath)
+    cli.main(["build", "--corpus", cpath, "--index", ipath])
+    capsys.readouterr()
+
+    lines = iter(["!mget 7, 999999, 3"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    cli.main(["repl", "--corpus", cpath, "--index", ipath])
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.split("\t")[0] in ("7", "999999", "3")]
+    assert [l.split("\t")[0] for l in out] == ["7", "999999", "3"]
+    assert "NOT FOUND" in out[1] and "NOT FOUND" not in out[0]

@@ -1497,3 +1497,51 @@ def test_random_score_negative_seed_stays_in_unit_interval(index):
     same = serving.random_score(index, "data", seed=-5 % 2147483648,
                                 k=10**6, boost_mode="replace").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in same]
+
+
+def test_mget(index, spark, corpus):
+    from pyspark.sql import functions as F
+
+    from bitfunnel_spark import BuildConfig, FullTextIndex
+    from bitfunnel_spark.plans import serving
+
+    known = [r.doc_id for r in index.corpus.select("doc_id").limit(3).collect()]
+    missing = 10**9 + 7
+    # request order preserved, found flags correct, fields joined
+    rows = serving.mget(index, [known[2], missing, known[0]]).collect()
+    assert [r.doc_id for r in rows] == [known[2], missing, known[0]]
+    assert [r.found for r in rows] == [True, False, True]
+    meta = {r.doc_id: (r.repo, r.path, r.lang)
+            for r in index.corpus.select("doc_id", "repo", "path", "lang")
+            .filter(F.col("doc_id").isin(known)).collect()}
+    assert (rows[0].repo, rows[0].path, rows[0].lang) == meta[known[2]]
+    assert rows[1].repo is None and rows[1].lang is None
+
+    # custom field set and validation
+    one = serving.mget(index, [known[0]], source=("content_sha256",)).collect()
+    assert one[0].found and len(one[0].content_sha256) == 64
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown _mget"):
+        serving.mget(index, [1], source=("doclen",))
+    with _pytest.raises(ValueError, match="at least one"):
+        serving.mget(index, [])
+
+    # a soft-deleted doc reports found=false (ES: absent from the live index)
+    idx2 = FullTextIndex.build(spark, corpus, BuildConfig(n_slices=4))
+    idx2.delete_docs([known[1]])
+    got = serving.mget(idx2, [known[1], known[0]]).collect()
+    assert [r.found for r in got] == [False, True]
+
+
+def test_dsl_fields_aliases_source(index):
+    from bitfunnel_spark.plans.dsl import DslError, search_dsl
+
+    a = search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "fields": ["repo", "lang"], "size": 5}).collect()
+    b = search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "_source": ["repo", "lang"], "size": 5}).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+    import pytest as _pytest
+    with _pytest.raises(DslError, match="aliases"):
+        search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "fields": ["repo"], "_source": ["lang"]})

@@ -483,6 +483,14 @@ _COMBINATOR_KINDS = (
 _FILTER_ONLY_KINDS = ("constant_score", "ids", "exists", "match_all", "range",
                       "match_none")
 
+# combinator kinds whose serving executors are declarative end-to-end —
+# the subset that composes with the doc-metadata restriction plan (the
+# rest are positional / kernel-pinned and reject loudly at routing)
+_RESTRICT_COMBINATORS = (
+    "multi_match", "dis_max", "boosting", "function_score",
+    "script_score", "rank_feature", "distance_feature",
+)
+
 # ES range query fields -> engine doc-metadata columns. Both live on the
 # NARROW doc_stats frame (doc_id, doclen, shard, slice) — a range filter is
 # a pushed-down scan of that table, never a content scan. Text fields have
@@ -805,13 +813,22 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
                 "or _count instead"
             )
         node_query = {"bool": residual} if (ranges or negs) else query
-        _require(
-            not (isinstance(node_query, dict) and len(node_query) == 1
-                 and next(iter(node_query)) in
-                 _COMBINATOR_KINDS + _FILTER_ONLY_KINDS),
-            "post_filter needs an AST query, not a combinator/filter-only "
-            "kind",
-        )
+        if isinstance(node_query, dict) and len(node_query) == 1:
+            kind0 = next(iter(node_query))
+            _require(kind0 not in _FILTER_ONLY_KINDS,
+                     "post_filter needs a scoring query, not a "
+                     "filter-only kind (fold the filter into the query)")
+            # combinator kinds whose executors ride the declarative match
+            # surface end-to-end (scored_matches / index.match /
+            # index.search in dataframe mode) compose with the restriction
+            # via the ambient channel below; the positional/kernel-pinned
+            # ones (span_*, intervals, sparse_vector, pinned,
+            # more_like_this) reject HERE with a pointed message rather
+            # than surfacing the kernel's restricted-copy refusal later
+            _require(kind0 not in set(_COMBINATOR_KINDS)
+                     - set(_RESTRICT_COMBINATORS),
+                     f"{kind0} does not compose with the restriction plan "
+                     "(its executor is positional/kernel-pinned)")
         restrict = _range_restrict(index, ranges, negs)
         if post_filter is not None:
             _require(isinstance(post_filter, dict) and len(post_filter) == 1,

@@ -203,9 +203,14 @@ def test_range_rejections(index):
                              "filter": [{"range": {"doclen": {"gte": 1}}}]}},
           "search_after": [0.5, 3], "highlight": {"fields": {"content": {}}}},
          "search_after composes"),
-        # post_filter needs an AST main query
+        # post_filter needs a scoring main query; kernel-pinned
+        # combinators reject with a pointed message
         ({"query": {"match_all": {}},
-          "post_filter": {"range": {"doc_id": {"lt": 5}}}}, "AST query"),
+          "post_filter": {"range": {"doc_id": {"lt": 5}}}}, "scoring query"),
+        ({"query": {"pinned": {"ids": [1], "organic":
+                               {"match": {"body": "data"}}}},
+          "post_filter": {"range": {"doc_id": {"lt": 5}}}},
+         "kernel-pinned"),
         # inner_hits validation
         ({"query": {"match": {"body": "data"}},
           "collapse": {"field": "repo", "inner_hits": {"size": 0}}},
@@ -458,3 +463,30 @@ def test_post_filter_composes_with_collapse(index):
                 "post_filter": {"range": {"doc_id": {"lt": 150}}},
                 "collapse": {"field": "repo"}, "size": 5}).collect()]
     assert got == best[:5]
+
+
+def test_restriction_composes_with_declarative_combinators(index):
+    # post_filter on dis_max / function_score / boosting: the combinator
+    # executor rides the ambient restriction — results equal the
+    # unrestricted combinator ranking filtered to the allowed ids
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    pf = {"range": {"doc_id": {"lt": 200}}}
+    bodies = [
+        {"dis_max": {"queries": [{"query_string": "data"},
+                                 {"query_string": "fast"}],
+                     "tie_breaker": 0.3}},
+        {"function_score": {"query": {"match": {"body": "data"}},
+                            "field_value_factor": {"field": "doclen",
+                                                   "modifier": "log1p"}}},
+        {"boosting": {"positive": {"query_string": "data"},
+                      "negative": {"query_string": "slow"},
+                      "negative_boost": 0.4}},
+    ]
+    for q in bodies:
+        full = [(r.doc_id, r.score) for r in search_dsl(
+            index, {"query": q, "size": 10_000}).collect()]
+        got = [(r.doc_id, r.score) for r in search_dsl(
+            index, {"query": q, "post_filter": pf, "size": 8}).collect()]
+        expect = [(d, s) for d, s in full if d < 200][:8]
+        assert got == expect and got, q

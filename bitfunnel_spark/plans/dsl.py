@@ -737,7 +737,10 @@ def search_dsl(index, body: dict, k: int = 10, mode: str = "kernel"):
             # columns, so the two are aliases — but not both at once
             # (their per-hit nesting differs in ES; one flattened shape
             # cannot honor two retrieval specs)
-            _require(source is None,
+            # "_source": false + fields is ES's canonical usage (source
+            # disabled, doc values requested) — false is not a second
+            # retrieval spec, so only a real column list conflicts
+            _require(source is None or source is False,
                      "fields and _source are aliases here — pass one")
             source = body["fields"]
         sort_spec = body.get("sort")

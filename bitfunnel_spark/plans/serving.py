@@ -556,12 +556,16 @@ def rank_feature(
         feats = matches.join(feats, "doc_id", "left").fillna(0.0, subset=["fv"])
     else:
         # the standalone form scans doc stats directly — match() isn't in
-        # the path to mask tombstones, so mask them here
+        # the path to mask tombstones or apply the ambient doc
+        # restriction (executor._matched does both), so do both here
         tomb = getattr(index, "tombstones", frozenset())
         if tomb:
             feats = feats.filter(
                 ~F.col("doc_id").isin([int(d) for d in tomb])
             )
+        amb = getattr(index, "_restrict_docs", None)
+        if amb is not None:
+            feats = feats.join(amb.select("doc_id"), "doc_id", "left_semi")
     v = F.col("fv")
     if fn == "saturation":
         expr = v / (v + F.lit(float(pivot)))
@@ -1223,12 +1227,14 @@ def mget(
     )
     tomb = getattr(index, "tombstones", frozenset())
     if tomb:
-        hit = [int(d) for d in tomb if int(d) in set(ids)]
-        if hit:
-            live = live.filter(~F.col("doc_id").isin(hit))
+        live = live.filter(~F.col("doc_id").isin([int(d) for d in tomb]))
     live = live.withColumn("_found", F.lit(True))
+    # broadcast the PRUNED corpus side: Spark cannot build the preserved
+    # (left) side of an outer hash join, so a hint there would silently
+    # fall back to a shuffle (the rescore comment documents the same
+    # pitfall); `live` is already <= |doc_ids| rows
     return (
-        F.broadcast(req).join(live, "doc_id", "left")
+        req.join(F.broadcast(live), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("_found"), F.lit(False)).alias("found"),
@@ -2330,11 +2336,17 @@ def distance_feature(
         matches = index.match(query, facts).select("doc_id")
         feats = matches.join(feats, "doc_id", "left").fillna(0.0, subset=["fv"])
     else:
+        # standalone scan: mask tombstones AND the ambient doc
+        # restriction, which match()/executor._matched would otherwise
+        # supply (the rank_feature branch above documents the same)
         tomb = getattr(index, "tombstones", frozenset())
         if tomb:
             feats = feats.filter(
                 ~F.col("doc_id").isin([int(d) for d in tomb])
             )
+        amb = getattr(index, "_restrict_docs", None)
+        if amb is not None:
+            feats = feats.join(amb.select("doc_id"), "doc_id", "left_semi")
     dist = F.abs(F.col("fv") - F.lit(float(origin)))
     expr = F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
     return (

@@ -1400,3 +1400,15 @@ def test_dsl_decay_field_and_tag_edge_fixes(index):
                            "highlight": {"fields": {"content":
                                          {"pre_tags": "«"}},
                                          "pre_tags": ["<a>", "<b>"]}})
+
+
+def test_dsl_fields_with_source_false(index):
+    from bitfunnel_spark.plans.dsl import search_dsl
+
+    # ES's canonical usage: _source disabled, doc values via fields
+    a = search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "fields": ["repo"], "_source": False,
+                           "size": 4}).collect()
+    b = search_dsl(index, {"query": {"match": {"content": "data"}},
+                           "_source": ["repo"], "size": 4}).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a

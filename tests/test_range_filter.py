@@ -490,3 +490,21 @@ def test_restriction_composes_with_declarative_combinators(index):
             index, {"query": q, "post_filter": pf, "size": 8}).collect()]
         expect = [(d, s) for d, s in full if d < 200][:8]
         assert got == expect and got, q
+
+
+def test_post_filter_rank_and_distance_feature_standalone(index):
+    # the standalone (query-less) rank_feature / distance_feature scans
+    # must honor the restriction — a silently-ignored post_filter is the
+    # failure mode the body-key validation exists to prevent
+    pf = {"range": {"doc_id": {"lt": 150}}}
+    for q in [
+        {"rank_feature": {"field": "doclen", "saturation": {"pivot": 50}}},
+        {"distance_feature": {"field": "doclen", "origin": 100,
+                              "pivot": 10}},
+    ]:
+        full = search_dsl(index, {"query": q, "size": 10_000}).collect()
+        got = search_dsl(index, {"query": q, "post_filter": pf,
+                                 "size": 10_000}).collect()
+        expect = [(r.doc_id, r.score) for r in full if r.doc_id < 150]
+        assert [(r.doc_id, r.score) for r in got] == expect and got, q
+        assert len(got) < len(full)  # the restriction actually cut docs

@@ -1545,3 +1545,12 @@ def test_dsl_fields_aliases_source(index):
     with _pytest.raises(DslError, match="aliases"):
         search_dsl(index, {"query": {"match": {"content": "data"}},
                            "fields": ["repo"], "_source": ["lang"]})
+
+
+def test_mget_broadcasts_the_pruned_corpus_side(index):
+    from bitfunnel_spark.plans import serving
+
+    known = [r.doc_id for r in index.corpus.select("doc_id").limit(2).collect()]
+    df = serving.mget(index, known)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # the pruned corpus side, not a shuffle join
